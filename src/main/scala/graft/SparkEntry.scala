@@ -1,13 +1,381 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.catalog.SpecCatalog
+import graft.cspro.{DatReader, DcfParser}
+import graft.load.JsonPack
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — the operator inventory of SURVEY.md §2 (+ the
+  * large-scale pipeline extensions) exposed as named queries over the
+  * harness test tables, each with a DuckDB oracle where SQL-expressible.
+  *
+  * Naming convention: the prefix ties each query to its SURVEY.md §2
+  * operator id (s5 = fixed-width scan, p* = projections/filters, j* = joins,
+  * a* = aggregations, w* = windows, u* = set ops, f* = scalar functions,
+  * g* = generators, e* = events, and t_, d_, s_ = text / dedup / similarity
+  * extensions).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship: the CSPro spine end-to-end — render rows to fixed-width
+    * lines, re-parse them with the DAT reader, and run a padded-key join +
+    * aggregation on the result. Driver smoke-checks rows > 0 at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("s5_fixedwidth_scan")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------------
+  // fixed-width round-trip: orders → DAT lines → DatReader → aggregate
+  // ------------------------------------------------------------------------
+
+  private val fixedWidthSpecs = {
+    def cs(itemType: String, name: String, start: Int, len: Int) =
+      graft.model.ColumnSpec(itemType, "T01", if (itemType == "RecordDesciption") "*" else "ORDERS",
+        if (itemType == "RecordDesciption") "*" else "ORD",
+        "orders", name, name, start, len, 1, zeroFill = false, decimalChar = false,
+        decimal = 0, "HOUSEHOLD", "HOUSEHOLD")
+    Seq(
+      cs("RecordDesciption", "", 16, 3),
+      cs("IdItem", "HHID", 1, 12),
+      cs("Item", "STATUS", 19, 1),
+      cs("Item", "OKEY", 20, 12))
+  }
+
+  private def fixedWidthScan(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "orders").select(
+      concat(
+        lpad(col("o_custkey").cast("string"), 12, " "),
+        lit("   "), lit("ORD"),
+        col("o_orderstatus"),
+        lpad(col("o_orderkey").cast("string"), 12, "0")).as("value"))
+    val orders = DatReader.projectLines(lines, fixedWidthSpecs)("ORDERS")
+    orders.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("okey").cast("bigint")).as("sum_okey"))
+  }
+
+  // ------------------------------------------------------------------------
+  // the inventory
+  // ------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregations -----------------------------------------------------
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("count_order"))),
+    "a1_schema_merge" -> ((s, d) =>
+      SpecCatalog.mergeColumns(
+        t(s, d, "part").select(
+          col("p_type").as("recordName"), col("p_brand").as("name"),
+          col("p_size").as("len"), col("p_partkey").as("start")))),
+    "a2_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+    "a3_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
+    "a4_dup_having" -> ((s, d) =>
+      SpecCatalog.duplicates(t(s, d, "orders"), Seq("o_custkey"), minCount = 5L)),
+    "a6_maxlen" -> ((s, d) =>
+      t(s, d, "customer").agg(
+        max(length(col("c_name"))).cast("bigint").as("max_name_len"),
+        max(length(col("c_mktsegment"))).cast("bigint").as("max_seg_len"))),
+    // --- windows / sorts --------------------------------------------------
+    "w1_sort_limit" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)),
+    "w3_top1_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    }),
+    // --- joins ------------------------------------------------------------
+    "j1_inner_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
+    "j2_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))),
+    "j5_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))),
+    "j3_fullouter_diff" -> ((s, d) =>
+      SpecCatalog.diffIndicator(
+        t(s, d, "customer").select(col("c_custkey").as("key")),
+        t(s, d, "orders").select(col("o_custkey").as("key")),
+        Seq("key"))),
+    "j6_padded_key" -> ((s, d) => {
+      val h = t(s, d, "customer")
+        .select(lpad(col("c_custkey").cast("string"), 12, " ").as("hhid"))
+      val p = t(s, d, "orders").select(
+        concat(
+          lpad(col("o_custkey").cast("string"), 12, " "),
+          lpad((col("o_orderkey") % 1000).cast("string"), 3, "0")).as("caseid"))
+      p.join(h, col("hhid") === substring(col("caseid"), 1, 12))
+        .groupBy(col("hhid")).agg(count(lit(1)).as("n_orders"))
+    }),
+    // --- set ops ----------------------------------------------------------
+    "u1_union_distinct" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_custkey").as("key"))
+        .union(t(s, d, "customer").select(col("c_custkey").as("key")))
+        .distinct()),
+    "u2_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("key")))),
+    // --- projections / filters --------------------------------------------
+    "p1_projection" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        element_at(split(col("c_name"), "#"), 2).as("num_part"),
+        length(col("c_name")).cast("bigint").as("name_len"))),
+    "p7_like_filter" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("source").like("src1%") && lower(col("lang")).like("e_"))
+        .select(col("doc_id"), col("source"), col("lang"))),
+    // --- scalar functions -------------------------------------------------
+    "f_case_coalesce" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        when(col("l_returnflag") === "R", "returned")
+          .when(col("l_returnflag") === "A", "accepted")
+          .otherwise("none").as("flag_desc"),
+        coalesce(nullif(col("l_linestatus"), lit("O")), lit("open")).as("status_desc"))
+        .groupBy(col("flag_desc"), col("status_desc")).agg(count(lit(1)).as("n"))),
+    "f_regexp_extract" -> ((s, d) =>
+      t(s, d, "part")
+        .select(regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+        .groupBy(col("first_word")).agg(count(lit(1)).as("n"))),
+    "f_json_pack" -> ((s, d) =>
+      JsonPack.pack(t(s, d, "nation"), Seq("n_nationkey"))),
+    // --- generators --------------------------------------------------------
+    "g_range_expand" -> ((s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        explode(sequence(lit(0L), col("n_nationkey").cast("bigint"))).as("v"))),
+    // --- fixed-width scan (S5) ---------------------------------------------
+    "s5_fixedwidth_scan" -> ((s, d) => fixedWidthScan(s, d)),
+    "s4_dcf_parse" -> ((s, d) => dcfParseDemo(s)),
+    // --- events ------------------------------------------------------------
+    "e_hour_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))),
+    "e_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
+        .groupBy(col("k_mod")).agg(count(lit(1)).as("n"))),
+    "e_sessionize" -> ((s, d) =>
+      graft.streaming.EventStream.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800L)),
+    "e_stream_window" -> ((s, d) => {
+      val stream = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
+      graft.streaming.EventStream.runToCompletion(s,
+        graft.streaming.EventStream.windowedStats(stream, "1 hour"), "e_stream_window")
+    }),
+    // --- text analysis -----------------------------------------------------
+    "t_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
+    "t_quality_signals" -> ((s, d) => {
+      val sig = TextOps.qualitySignals(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"), sig("n_chars").as("n_chars"), sig("n_tokens").as("n_tokens"),
+        sig("avg_tok_len_x100").as("avg_tok_len_x100"), sig("n_digits").as("n_digits"),
+        sig("n_punct").as("n_punct"), sig("low_quality").as("low_quality"))
+    }),
+    "t_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))),
+    "t_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    // --- dedup --------------------------------------------------------------
+    "d_exact_dup_groups" -> ((s, d) =>
+      Dedup.exactDuplicateGroups(t(s, d, "documents"), "text", "doc_id")),
+    "d_jaccard_brute" -> ((s, d) =>
+      Dedup.jaccardPairsBruteForce(t(s, d, "documents"), "text", "doc_id",
+        shingleSize = 3, numer = 1, denom = 2)),
+    "d_jaccard_lsh" -> ((s, d) =>
+      Dedup.jaccardDuplicatePairs(t(s, d, "documents"), "text", "doc_id",
+        shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)),
+    "d_minhash_candidates" -> ((s, d) =>
+      Dedup.minhashCandidatePairs(t(s, d, "documents"), "text", "doc_id")),
+    "d_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashDuplicatePairs(t(s, d, "documents"), "text", "doc_id", maxDist = 3)),
+    // threshold 0.4: the synthetic embeddings are near-orthogonal random
+    // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9 cutoff
+    // would vacuously return 0 rows
+    "d_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingDuplicatePairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4, planes = 4)),
+    // --- similarity ---------------------------------------------------------
+    "s_knn_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    "s_knn_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5, planes = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    })
+  )
+
+  /** Embedded DCF fixture (the reference's doc sample) parsed to a spec
+    * DataFrame — exercises S4 in the verify harness (rows-only check: the
+    * input is not a parquet table, so no DuckDB oracle).
+    */
+  private def dcfParseDemo(s: SparkSession): DataFrame = {
+    val r = DcfParser.parse(DcfFixture.content, "BJHR71")
+    import s.implicits._
+    r.items.toDF()
+  }
+
+  // ------------------------------------------------------------------------
+  // oracles
+  // ------------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS count_order FROM lineitem GROUP BY 1, 2",
+    "a1_schema_merge" ->
+      "SELECT p_type AS recordname, lower(p_brand) AS name, max(p_size) AS len, max(p_partkey) AS start FROM part GROUP BY 1, 2",
+    "a2_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "a3_count" ->
+      "SELECT count(*) AS n FROM lineitem",
+    "a4_dup_having" ->
+      "SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 5",
+    "a6_maxlen" ->
+      "SELECT CAST(max(length(c_name)) AS BIGINT) AS max_name_len, CAST(max(length(c_mktsegment)) AS BIGINT) AS max_seg_len FROM customer",
+    "w1_sort_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "w3_top1_group" ->
+      "SELECT o_custkey, o_orderkey, o_orderdate FROM (SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) WHERE rn = 1",
+    "j1_inner_agg" ->
+      "SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1",
+    "j2_anti" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "j5_semi" ->
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "j3_fullouter_diff" ->
+      "SELECT COALESCE(l.key, r.key) AS key, CASE WHEN l.key IS NOT NULL AND r.key IS NOT NULL THEN 'both' WHEN l.key IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS merge_status FROM (SELECT DISTINCT c_custkey AS key FROM customer) l FULL OUTER JOIN (SELECT DISTINCT o_custkey AS key FROM orders) r ON l.key = r.key",
+    "j6_padded_key" ->
+      "SELECT h.hhid AS hhid, count(*) AS n_orders FROM (SELECT lpad(CAST(c_custkey AS VARCHAR), 12, ' ') AS hhid FROM customer) h JOIN (SELECT lpad(CAST(o_custkey AS VARCHAR), 12, ' ') || lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') AS caseid FROM orders) p ON h.hhid = substring(p.caseid, 1, 12) GROUP BY 1",
+    "u1_union_distinct" ->
+      "SELECT o_custkey AS key FROM orders UNION SELECT c_custkey AS key FROM customer",
+    "u2_except" ->
+      "SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey AS key FROM orders",
+    "p1_projection" ->
+      "SELECT c_custkey, substring(c_name, 1, 8) AS prefix, split_part(c_name, '#', 2) AS num_part, CAST(length(c_name) AS BIGINT) AS name_len FROM customer",
+    "p7_like_filter" ->
+      "SELECT doc_id, source, lang FROM documents WHERE source LIKE 'src1%' AND lower(lang) LIKE 'e_'",
+    "f_case_coalesce" ->
+      "SELECT CASE WHEN l_returnflag = 'R' THEN 'returned' WHEN l_returnflag = 'A' THEN 'accepted' ELSE 'none' END AS flag_desc, COALESCE(NULLIF(l_linestatus, 'O'), 'open') AS status_desc, count(*) AS n FROM lineitem GROUP BY 1, 2",
+    "f_regexp_extract" ->
+      "SELECT regexp_extract(p_name, '^(\\w+)', 1) AS first_word, count(*) AS n FROM part GROUP BY 1",
+    "f_json_pack" ->
+      "SELECT n_nationkey, to_json(struct_pack(n_name := n_name, n_regionkey := CAST(n_regionkey AS VARCHAR)))::VARCHAR AS data FROM nation",
+    "g_range_expand" ->
+      "SELECT n_nationkey, unnest(generate_series(0, n_nationkey)) AS v FROM nation",
+    "s5_fixedwidth_scan" ->
+      "SELECT o_orderstatus AS status, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey FROM orders GROUP BY 1",
+    "e_hour_window" ->
+      "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
+    "e_json_extract" ->
+      "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod, count(*) AS n FROM events GROUP BY 1",
+    "e_sessionize" ->
+      """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess""",
+    "e_stream_window" ->
+      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
+    "t_token_count" ->
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
+    "t_quality_signals" ->
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN (length(text) * 100) // len(regexp_extract_all(text, '\\S+')) ELSE 0 END AS BIGINT) AS avg_tok_len_x100, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits, CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS BIGINT) AS n_punct, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) < 5 OR length(text) < 20 THEN 1 ELSE 0 END AS BIGINT) AS low_quality FROM documents",
+    "d_exact_dup_groups" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    "d_jaccard_brute" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
+    "s_knn_brute" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5"
+  )
+}
+
+/** The reference's in-repo DCF sample (ref doc/Data_Format.md:36-117),
+  * embedded for the S4 verify query.
+  */
+private object DcfFixture {
+  val content: String =
+    """[Dictionary]
+      |Version=CSPro 6.3
+      |Label=Standard Recode DHS-VII   1.1.1 - Benin, 2017
+      |Name=RECODE7
+      |RecordTypeStart=16
+      |RecordTypeLen=3
+      |Positions=Absolute
+      |ZeroFill=No
+      |DecimalChar=No
+      |
+      |[Level]
+      |Label=HOUSEHOLD
+      |Name=HOUSEHOLD
+      |
+      |[IdItems]
+      |
+      |[Item]
+      |Label=Case Identification
+      |Name=HHID
+      |Start=1
+      |Len=12
+      |DataType=Alpha
+      |
+      |[Record]
+      |Label=Household's basic data
+      |Name=RECH0
+      |RecordTypeValue='H00'
+      |RecordLen=172
+      |
+      |[Item]
+      |Label=Country code and phase
+      |Name=HV000
+      |Start=19
+      |Len=3
+      |DataType=Alpha
+      |
+      |[Item]
+      |Label=Cluster number
+      |Name=HV001
+      |Start=22
+      |Len=6
+      |
+      |[Item]
+      |Label=Month of interview
+      |Name=HV006
+      |Start=49
+      |Len=2
+      |
+      |[ValueSet]
+      |Label=Month of interview
+      |Name=HV006_VS1
+      |Value=1:12
+      |
+      |[Item]
+      |Label=Result of household interview
+      |Name=HV015
+      |Start=76
+      |Len=1
+      |
+      |[ValueSet]
+      |Label=Result of household interview
+      |Name=HV015_VS1
+      |Value=1;Completed
+      |Value=9;Other
+      |""".stripMargin
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness test tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir. Reads are
+  * plain `spark.read.parquet` so Catalyst sees a relation with pushdown-capable
+  * scan: filters and column pruning land in the parquet reader
+  * (`PushedFilters` / `ReadSchema` in the formatted plan). At cluster scale the
+  * same call reads a partitioned directory tree unchanged.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The harness events table stores TIMESTAMP(NANOS), which Spark only
+    // reads as a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    // Verify/Bench/test sessions). Normalize back to a timestamp here;
+    // integer `div` (not `/`) because nanos exceed double's 53-bit mantissa.
+    df.schema.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

@@ -1,0 +1,120 @@
+package graft.cspro
+
+import graft.model.ColumnSpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Spark-native reader for CSPro `.DAT` multi-record-type fixed-width files.
+  *
+  * The reference parses these line-by-line in a single Python process,
+  * dispatching each line on a record-type tag at a fixed position and
+  * substring-projecting per that type's spec
+  * (ref: DHS_To_Database/cspro_parser/DAT_Parser.py:10-128). Lines are
+  * independent, so in Spark this is an embarrassingly parallel
+  * `spark.read.text` scan followed by per-record-type declarative plans:
+  * `filter(tag) → select(substring…)` — all whole-stage-codegen'd column
+  * expressions, no UDFs, no shuffle at all (narrow transformations only).
+  *
+  * At 100 TB the one-pass property of the reference is recovered by caching
+  * the line scan once (`persist`) and deriving every record type's DataFrame
+  * from it, or — for a write-through ingest — by routing lines with a single
+  * pass into a `partitionBy(recordName)` text write and projecting each
+  * partition lazily afterwards. Both avoid re-reading the raw bytes N times.
+  *
+  * Correctness traps preserved (SURVEY.md §1.4):
+  *  - 1-based inclusive extraction: field = line[Start-1 : Start+Len-1] ≡
+  *    `substring(line, Start, Len)` (Spark substring is 1-based);
+  *  - every field is trimmed EXCEPT `CASEID`/`HHID`, whose padding is what
+  *    keeps `HHID = substring(CASEID, 1, 12)` joins sound
+  *    (ref DAT_Parser.py:86-105, doc/Data_Format.md:151-157);
+  *  - the trim decision is static per field, so it compiles into the plan
+  *    (`when` is not needed — the field name is known at plan-build time);
+  *  - lines whose record-type tag matches no spec are skipped, not an error
+  *    (ref DAT_Parser.py:76-79);
+  *  - per-table column order is (RecordTypeValue, Start) with IdItems leading
+  *    (ref DAT_Parser.py:47-48).
+  */
+object DatReader {
+
+  /** Names whose whitespace padding is load-bearing (never trimmed). */
+  val NoTrimNames: Set[String] = Set("CASEID", "HHID")
+
+  /** The record-type locator row (ItemType=RecordDesciption) from a spec. */
+  def recordTypeLocator(specs: Seq[ColumnSpec]): (Int, Int) = {
+    val rd = specs.find(_.itemType == "RecordDesciption")
+      .getOrElse(throw new IllegalArgumentException("spec has no RecordDesciption row"))
+    (rd.start, rd.len)
+  }
+
+  /** Data fields (everything but the locator), grouped per record-type tag
+    * and sorted (RecordTypeValue, Start) as the reference does.
+    */
+  def fieldsByRecordType(specs: Seq[ColumnSpec]): Map[String, Seq[ColumnSpec]] =
+    specs.filter(_.itemType != "RecordDesciption")
+      .sortBy(f => (f.recordTypeValue, f.start))
+      .groupBy(_.recordTypeValue)
+
+  /** The column expression for one fixed-width field of one line. */
+  def fieldColumn(line: Column, f: ColumnSpec): Column = {
+    val raw = substring(line, f.start, f.len)
+    val v = if (NoTrimNames.contains(f.name)) raw else trim(raw)
+    v.as(f.name.toLowerCase)
+  }
+
+  /** Project a DataFrame of raw lines (single string column `colName`) into
+    * one DataFrame per record type declared in `specs`. Purely narrow plans:
+    * each result is filter+project over the shared scan.
+    */
+  def projectLines(
+      lines: DataFrame,
+      specs: Seq[ColumnSpec],
+      colName: String = "value",
+      surveyId: Option[String] = None
+  ): Map[String, DataFrame] = {
+    val (rtStart, rtLen) = recordTypeLocator(specs)
+    val byType = fieldsByRecordType(specs)
+    byType.map { case (tag, fields) =>
+      val recordNames = fields.map(_.recordName).distinct
+      require(recordNames.size == 1,
+        s"record type $tag maps to multiple record names: $recordNames")
+      val line = col(colName)
+      var out = lines
+        .filter(substring(line, rtStart, rtLen) === tag)
+        .select(fields.map(f => fieldColumn(line, f)): _*)
+      surveyId.foreach(id => out = out.withColumn("surveyid", lit(id)))
+      recordNames.head -> out
+    }
+  }
+
+  /** Read a `.DAT` file into per-record-type DataFrames. The raw line scan is
+    * persisted so N record types cost one pass over the bytes, mirroring the
+    * reference's single-pass dispatch (ref DAT_Parser.py:70-112) without
+    * materializing every table in driver memory.
+    */
+  def readDat(
+      spark: SparkSession,
+      datPath: String,
+      specs: Seq[ColumnSpec],
+      surveyId: Option[String] = None,
+      charset: Option[String] = None
+  ): Map[String, DataFrame] = {
+    val reader = spark.read
+    val lines = charset.fold(reader)(cs => reader.option("encoding", cs)).text(datPath)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    projectLines(lines, specs, "value", surveyId)
+  }
+
+  /** Tags present in the data but declared in no spec — the reference logs
+    * these per line and skips them (ref DAT_Parser.py:76-79). Exposed as a
+    * DataFrame (tag, n) so the caller can warn without a driver-side loop.
+    */
+  def unknownRecordTypes(lines: DataFrame, specs: Seq[ColumnSpec], colName: String = "value"): DataFrame = {
+    val (rtStart, rtLen) = recordTypeLocator(specs)
+    val known = fieldsByRecordType(specs).keys.toSeq
+    lines
+      .select(substring(col(colName), rtStart, rtLen).as("tag"))
+      .filter(!col("tag").isInCollection(known))
+      .groupBy("tag").count()
+  }
+}

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale document corpora.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is a hash-groupBy: one shuffle on a 16-byte digest, never
+  *    on the full text;
+  *  - near-dup is MinHash + LSH banding: per-document signature computation
+  *    is embarrassingly parallel column math; candidate generation shuffles
+  *    only (band_hash → doc_id) pairs, never text; the final verify join is
+  *    narrow per bucket. No O(n²) stage anywhere;
+  *  - SimHash gives a 64-bit sketch whose Hamming distance bounds cosine-ish
+  *    similarity; bucketing on rotated prefixes keeps it shuffle-light.
+  *
+  * All signature math is Spark higher-order functions (transform/aggregate/
+  * zip_with over arrays) — codegen-friendly, no Python/Scala UDFs.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: keep the lowest-id row per identical `text`. Grouping is
+    * on md5(text) so the shuffle key is 32 hex chars regardless of document
+    * size; at 100 TB this is the difference between shuffling digests and
+    * shuffling the corpus.
+    */
+  def exactDuplicateGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Survivors of exact dedup (one row per distinct text). */
+  def dropExactDuplicates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature (array of `k` 64-bit minima) over a shingle array.
+    * Hash family: xxhash64(shingle, seed_i) — k independent permutations
+    * approximated by k seeded hashes.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(s, lit(i))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
+    * values, each group hashed to one 64-bit band key. Two docs collide in
+    * some band iff their signatures agree on that whole band — the classic
+    * (1-(1-s^r)^b) S-curve.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(array_join(
+          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand), _.cast("string")),
+          ",")).as("key"))
+    }
+    array(keys: _*)
+  }
+
+  /** Candidate near-duplicate pairs via MinHash+LSH.
+    *
+    * Pipeline: tokens → `shingleSize`-gram shingles → k=bands·rowsPerBand
+    * MinHash signature → explode band keys → self-join per (band, key)
+    * bucket → distinct (a < b) pairs. The self-join is equi-join on the
+    * band-bucket key, so Catalyst plans a shuffled hash/sort-merge join keyed
+    * by tiny longs; candidate volume is bounded by bucket sizes, not n².
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    // Materialize each stage as its own projection: the shingle array (a
+    // regexp over the full text) is referenced k times by the signature, and
+    // the signature 'bands' times by the band keys. Staged projections pin
+    // each to one evaluation per row (CollapseProject keeps multi-referenced
+    // non-trivial aliases separate); inlining them instead multiplies the
+    // regexp work ~k*bands times per row.
+    val shingled = docs.select(
+      col(idCol).as("doc"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize).as("sh"))
+    val signed = shingled.select(
+      col("doc"), minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+    val banded = signed
+      .select(col("doc"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- jaccard
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays, as integer-
+    * exact predicate building blocks: returns intersection and union sizes.
+    */
+  def setOverlap(a: Column, b: Column): (Column, Column) = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    (inter, union)
+  }
+
+  /** Near-duplicate pairs at Jaccard ≥ numer/denom over word n-gram shingle
+    * sets, verified exactly on LSH candidates. The threshold is compared in
+    * integer math (denom·I ≥ numer·U) so results are engine-portable.
+    */
+  def jaccardDuplicatePairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numer: Int = 7,
+      denom: Int = 10,
+      bands: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val withShingles = docs.select(
+      col(idCol).as("doc"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize).as("sh"))
+    val cands = minhashCandidatePairs(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+    val a = withShingles.alias("sa")
+    val b = withShingles.alias("sb")
+    val (inter, union) = setOverlap(col("sa.sh"), col("sb.sh"))
+    cands
+      .join(a, col("doc_a") === col("sa.doc"))
+      .join(b, col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("bigint").as("inter_sz"), union.cast("bigint").as("union_sz"))
+      .filter(col("inter_sz") * denom >= col("union_sz") * numer)
+  }
+
+  /** Brute-force exact-Jaccard pairs (the small-data oracle for the LSH
+    * path): all id<id pairs with Jaccard ≥ numer/denom. O(n²) — only for
+    * validation at small scale, never the production path.
+    */
+  def jaccardPairsBruteForce(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numer: Int,
+      denom: Int
+  ): DataFrame = {
+    val withShingles = docs.select(
+      col(idCol).as("doc"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize).as("sh"))
+    val a = withShingles.alias("sa")
+    val b = withShingles.alias("sb")
+    val (inter, union) = setOverlap(col("sa.sh"), col("sb.sh"))
+    a.join(b, col("sa.doc") < col("sb.doc"))
+      .select(col("sa.doc").as("doc_a"), col("sb.doc").as("doc_b"),
+        inter.cast("bigint").as("inter_sz"), union.cast("bigint").as("union_sz"))
+      .filter(col("inter_sz") * denom >= col("union_sz") * numer)
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** Per-document 64-bit SimHash sketch. */
+  def simhashSketches(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using the
+    * pigeonhole trick: split 64 bits into (maxDist+1) blocks; any pair within
+    * distance must agree exactly on ≥1 block → equi-join per block, then
+    * verify. Shuffle key = (block idx, block bits); no n² stage.
+    */
+  def simhashDuplicatePairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    val blocks = maxDist + 1
+    val bits = 64 / blocks
+    val sk = simhashSketches(docs, textCol, idCol)
+    val keyed = sk.select(col("doc"), col("simhash"),
+      explode(array((0 until blocks).map { i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("simhash"), i * bits)
+            .bitwiseAND(if (bits >= 64) -1L else (1L << bits) - 1L).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc"), col("simhash"), col("bk.blk"), col("bk.key"))
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        TextOps.hamming64(col("a.simhash"), col("b.simhash")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  // -------------------------------------------------------------- embedding
+
+  /** Embedding near-dup pairs: cosine ≥ threshold, candidates from random-
+    * hyperplane LSH buckets (see [[Similarity.hyperplaneBucket]]), verified
+    * with exact cosine. At scale the bucket join replaces the n² cross join.
+    */
+  def embeddingDuplicatePairs(
+      embs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Int = 12
+  ): DataFrame = {
+    val keyed = embs.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._` column
+  * expressions (whole-stage-codegen'd, no UDFs): at 100 TB these run inside
+  * the scan's codegen stage with zero shuffle — the only shuffles are the
+  * aggregations callers add on top.
+  */
+object TextOps {
+
+  /** Whitespace-delimited token count. `\S+` matching (not split) so empty
+    * and all-whitespace strings count 0 without special-casing.
+    */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("bigint")
+
+  /** Token array (whitespace tokenization, lowercased). */
+  def tokens(text: Column): Column =
+    transform(regexp_extract_all(text, lit("\\S+"), lit(0)), t => lower(t))
+
+  /** Word n-grams (shingles) over the token array. Returns distinct shingles
+    * — the unit for Jaccard/MinHash dedup.
+    */
+  def shingles(tokenArr: Column, n: Int): Column = {
+    require(n >= 1)
+    val grams = transform(
+      sequence(lit(0), greatest(size(tokenArr) - n, lit(-1))),
+      i => array_join(slice(tokenArr, i + 1, lit(n)), " "))
+    array_distinct(grams)
+  }
+
+  /** Character n-grams of a string (for language-ID profiles). */
+  def charNgrams(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => text.substr(i, lit(n)))
+
+  /** Quality-signal columns for a document text (all exact integer math so
+    * results are engine-portable): character count, token count, average
+    * token length ×100 (integer), digit count, punctuation count, uppercase
+    * count, and a 0/1 low-quality flag.
+    */
+  def qualitySignals(text: Column): Map[String, Column] = {
+    val nChars = length(text).cast("bigint")
+    val nTok = tokenCount(text)
+    Map(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "avg_tok_len_x100" -> when(nTok > 0, floor(nChars * 100L / nTok)).otherwise(lit(0L)).cast("bigint"),
+      "n_digits" -> (nChars - length(regexp_replace(text, "[0-9]", ""))).cast("bigint"),
+      "n_punct" -> (nChars - length(regexp_replace(text, "[\\.,!\\?;:]", ""))).cast("bigint"),
+      "n_upper" -> (nChars - length(regexp_replace(text, "[A-Z]", ""))).cast("bigint"),
+      "low_quality" -> when(nTok < 5 || nChars < 20, lit(1L)).otherwise(lit(0L))
+    )
+  }
+
+  /** Tiny stopword profiles per language. Deliberately small: language ID
+    * here is the standard "score by stopword/n-gram hits" heuristic; the
+    * point is the distributed shape (pure column expressions), not lexical
+    * coverage.
+    */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "von"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4")
+  )
+
+  /** Score = number of tokens that are stopwords of the language. */
+  def langScore(tokenArr: Column, lang: String): Column = {
+    val stop = StopwordProfiles(lang)
+    size(filter(tokenArr, t => t.isInCollection(stop))).cast("bigint")
+  }
+
+  /** Predicted language: argmax of stopword-hit scores; "und" (undetermined)
+    * when no profile scores a single hit.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = StopwordProfiles.keys.toSeq.sorted.map { l =>
+      struct(langScore(toks, l).as("score"), lit(l).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit content fingerprint: order-sensitive rolling combination of
+    * token hashes, done as a single `aggregate` fold — the document-
+    * fingerprinting primitive for shard-level dedup manifests. Chained
+    * xxhash64(acc, token) rather than multiply-add so the fold never
+    * overflows under ANSI arithmetic.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(-7046029254386353131L), // odd seed
+      (acc, t) => xxhash64(acc, t))
+
+  /** SimHash-64 over tokens: per bit, sum +1/-1 weighted by token-hash bit,
+    * then take signs. Built entirely from higher-order functions; stays in
+    * codegen, no UDF.
+    */
+  def simhash64(tokenArr: Column): Column = {
+    val counters = aggregate(
+      tokenArr,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+}

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Event-stream ingest and analytics over the harness `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only — its "incremental" mode is idempotent
+  * re-runs with skip-if-done checks (ref lib03_Update_Metadata.py:316-337,
+  * lib04_Update_Table_Data.py:509-541). This module is the Structured
+  * Streaming face of the same operators: every transform here is identical
+  * for `read` and `readStream` inputs, and [[foreachBatchIngest]] reuses the
+  * batch load path per micro-batch, which is exactly how the reference's
+  * per-survey re-runnable loads generalize to a stream.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark;
+  * sessionization state is per-key and dropped on timeout; both shuffle on
+  * (key) only — no per-event driver involvement anywhere.
+  */
+object EventStream {
+
+  /** The events schema as Spark reads it with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (the harness parquet stores
+    * TIMESTAMP(NANOS)): `ts` arrives as a raw nanos long.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Normalize a raw events frame: nanos long → timestamp (integer `div`,
+    * nanos overflow double's mantissa).
+    */
+  def normalize(raw: DataFrame): DataFrame =
+    if (raw.schema.exists(f => f.name == "ts" && f.dataType == LongType))
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+
+  /** Open the events parquet as a stream (file source; at scale this is the
+    * landing directory new files arrive in). The file-source basePath must be
+    * a directory, so a path to a single file is split into
+    * (parent, pathGlobFilter).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val p = new java.io.File(path)
+    val reader =
+      if (p.isFile)
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", p.getName).parquet(p.getParent)
+      else spark.readStream.schema(rawSchema).parquet(path)
+    normalize(reader)
+  }
+
+  // ----------------------------------------------------------------- windows
+
+  /** Tumbling-window counts per event type. On a stream, `watermark` bounds
+    * state (late data beyond it is dropped); on a batch frame the same plan
+    * is an ordinary group-by. One shuffle on (window, event_type).
+    */
+  def windowedStats(events: DataFrame, windowDur: String, watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(events)(w => events.withWatermark("ts", w))
+    in.groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("min_v"), col("max_v"))
+  }
+
+  // ------------------------------------------------------------ sessionization
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Batch sessionization: split each user's ordered events where the gap
+    * exceeds `gapSeconds` (classic lag/cumsum), then aggregate per session.
+    * SQL-expressible, so it doubles as the oracle for the stateful streaming
+    * path. Two shuffles (window partition + group-by), both on user_id.
+    */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // microsecond-exact gap math (the harness events have µs resolution;
+    // truncating to seconds would move boundary events across engines)
+    val micros = unix_micros(col("ts"))
+    val newSession = when(
+      lag(micros, 1).over(byUser).isNull ||
+        micros - lag(micros, 1).over(byUser) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("_new", newSession)
+      .withColumn("_sess", sum(col("_new")).over(byUser))
+      .groupBy(col("user_id"), col("_sess"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("_sess")
+  }
+
+  /** Streaming sessionization: per-user state via flatMapGroupsWithState.
+    * A session closes when `gapSeconds` pass without an event (processing-
+    * time timeout on the stream); state is one (start,last,n) triple per
+    * active user — O(active users), not O(events).
+    *
+    * Works on batch Datasets too (state machine runs per group in one pass),
+    * which is how the spec validates it against [[sessionizeBatch]].
+    */
+  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    // state tracks epoch-µs so boundaries agree exactly with sessionizeBatch
+    def microsOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, tsOf(st.start), tsOf(st.last), st.n)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Iterator order within a group is not guaranteed → sort the
+          // group's events; groups are single-user so this is bounded.
+          val sorted = rows.toSeq.sortBy(e => microsOf(e.ts))
+          var out = List.empty[Session]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val us = microsOf(e.ts)
+            st match {
+              case null => st = SessionState(us, us, 1)
+              case s if us - s.last > gapSeconds * 1000000L =>
+                out ::= flush(userId, s)
+                st = SessionState(us, us, 1)
+              case s => st = SessionState(s.start, us, s.n + 1)
+            }
+          }
+          if (st != null) { out ::= flush(userId, st); state.remove() }
+          out.reverseIterator
+      }
+  }
+
+  // ------------------------------------------------------------------ ingest
+
+  /** Micro-batch ingest: reuse any batch writer per micro-batch. `batchId` is
+    * Structured Streaming's replay-dedup handle — writers that record it get
+    * exactly-once across restarts (the streaming analog of the reference's
+    * skip-if-done idempotence, ref DCF_Parser.py:44-51, lib04:509-541).
+    */
+  def foreachBatchIngest(
+      events: DataFrame,
+      checkpointDir: String,
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        write(batch.toDF(), batchId))
+      .start()
+
+  /** Run a streaming aggregation over a (finite) file-source stream to
+    * completion and return the final result as a batch DataFrame: memory
+    * sink + AvailableNow. This is the harness adapter — production callers
+    * keep the query running instead.
+    */
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

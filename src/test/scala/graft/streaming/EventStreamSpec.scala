@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite with SparkTestBase {
+  import EventStream._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    // user 1: two sessions split by a > 30min gap
+    Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+    Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+    Event(3, ts("2024-01-01 11:00:00.000001"), 1, "view", 3.0),
+    // user 2: one session; gap exactly == 30min stays one session (strict >)
+    Event(4, ts("2024-01-01 09:00:00"), 2, "click", 4.0),
+    Event(5, ts("2024-01-01 09:30:00"), 2, "view", 5.0))
+
+  test("batch sessionization splits on strict > gap") {
+    import spark.implicits._
+    val out = sessionizeBatch(fixture.toDF(), gapSeconds = 1800L)
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))).toSeq == Seq(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L),
+      (1L, "2024-01-01 11:00:00.000001", "2024-01-01 11:00:00.000001", 1L),
+      (2L, "2024-01-01 09:00:00.0", "2024-01-01 09:30:00.0", 2L)))
+  }
+
+  test("stateful sessionization agrees with the batch oracle") {
+    import spark.implicits._
+    val stateful = sessionizeStateful(fixture.toDS(), gapSeconds = 1800L)
+      .toDF().orderBy("user_id", "session_start").collect().toSeq
+    val batch = sessionizeBatch(fixture.toDF(), gapSeconds = 1800L)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(stateful == batch)
+  }
+
+  test("stateful sessionization runs as a real stream over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = sessionizeStateful(mem.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("sess_out").orderBy("user_id", "session_start").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(3)).toSeq == Seq(2L, 1L, 2L))
+  }
+
+  test("windowed stats on a stream equal the batch group-by") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val streamed = runToCompletion(spark,
+      windowedStats(mem.toDS().toDF(), "1 hour"), "win_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = windowedStats(fixture.toDF(), "1 hour")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("foreachBatch ingest reuses a batch writer with batchId dedup handle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = foreachBatchIngest(mem.toDS().toDF(), s"$tmp/ckpt", (batch, id) => {
+      seen += id
+      batch.write.mode("overwrite").parquet(s"$tmp/batch_$id")
+    })
+    q.awaitTermination()
+    assert(seen.nonEmpty)
+    val written = spark.read.parquet(s"$tmp/batch_${seen.head}")
+    assert(written.count() == fixture.length)
+  }
+}
