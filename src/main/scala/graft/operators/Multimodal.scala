@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` + typed
+  * metadata, with decode / feature-extract / resize / frame-sample as
+  * partition-local batch transforms.
+  *
+  * The Spark-side plumbing here is real and tested — schema, partitioning,
+  * batch shape, the `binaryFile` source, and the explode-shaped growth of
+  * frame sampling. The codec calls themselves are STUBBED behind
+  * [[Codecs]] (this container ships no image/audio libraries): each stub is
+  * a deterministic function of the input bytes, so tests are stable and the
+  * swap-in point for a real decoder (JNI/javacv/etc.) is a single object.
+  *
+  * Scale design:
+  *  - media rows never shuffle with their payload unless the caller asks —
+  *    transforms are `mapPartitions` (narrow); joins should project payload
+  *    away first and re-attach by id;
+  *  - batch shape: decode works on `batchSize` rows at a time inside each
+  *    partition (the mapInPandas/Arrow batch pattern expressed in Scala) so
+  *    a future vectorized/FFI decoder amortizes per-call overhead;
+  *  - frame sampling bounds output growth by `maxFrames`, and
+  *    `repartitionForDecode` sizes partitions by row count since payloads
+  *    are megabytes, not bytes (maxPartitionBytes logic does not see blob
+  *    width at planning time for in-memory datasets).
+  */
+object Multimodal {
+
+  /** One media object: opaque payload + typed envelope. */
+  case class MediaFile(
+      media_id: Long,
+      kind: String, // image | audio | video
+      bytes: Array[Byte],
+      meta: Map[String, String])
+
+  /** Decoded-media features: fixed-width envelope + feature vector. */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      n_bytes: Long,
+      features: Array[Float])
+
+  /** One sampled video frame (payload is a decoded-frame stub). */
+  case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, pixels: Array[Byte])
+
+  // ------------------------------------------------------------------ codecs
+
+  /** STUB boundary: deterministic fakes standing in for real codecs. Every
+    * function is pure in the payload bytes. Replace this object to integrate
+    * a real decoder; nothing else changes.
+    */
+  object Codecs {
+    private def h(bytes: Array[Byte], seed: Long): Long = {
+      var acc = seed
+      var i = 0
+      while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
+      acc
+    }
+
+    /** Fake image decode: dimensions derived from the payload hash. */
+    def imageDims(bytes: Array[Byte]): (Int, Int) = {
+      val x = h(bytes, 17)
+      (64 + (Math.floorMod(x, 512L)).toInt, 64 + (Math.floorMod(x >> 16, 512L)).toInt)
+    }
+
+    /** Fake media duration (audio/video). */
+    def durationMs(bytes: Array[Byte]): Long = 1000L + Math.floorMod(h(bytes, 29), 600000L)
+
+    /** Fake feature extractor: `dim` floats in [-1, 1]. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      Array.tabulate(dim) { i =>
+        (Math.floorMod(h(bytes, 1000L + i), 2000001L) - 1000000L) / 1000000.0f
+      }
+
+    /** Fake resize: re-encode stub keeping a deterministic prefix. */
+    def resize(bytes: Array[Byte], w: Int, hgt: Int): Array[Byte] = {
+      val out = new Array[Byte](math.min(bytes.length, math.max(16, (w * hgt) / 1024)))
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
+      out
+    }
+
+    /** Fake frame decode at a timestamp. */
+    def frameAt(bytes: Array[Byte], tsMs: Long): Array[Byte] =
+      Array.tabulate(32)(i => (h(bytes, tsMs + i) & 0xff).toByte)
+  }
+
+  // ------------------------------------------------------------------ source
+
+  /** Read a directory of media files via the binaryFile source → MediaFile
+    * rows. Kind is taken from the extension; path/length/modtime land in the
+    * metadata map (typed envelope, payload untouched).
+    */
+  def readMediaDir(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(
+        abs(xxhash64(col("path"))).as("media_id"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("kind"),
+        col("content").as("bytes"),
+        map(
+          lit("path"), col("path").cast("string"),
+          lit("length"), col("length").cast("string"),
+          lit("mtime"), col("modificationTime").cast("string")).as("meta"))
+      .as[MediaFile]
+  }
+
+  /** Rebalance so each partition holds ~`rowsPerPartition` payloads — blob
+    * columns make byte-based partition sizing meaningless.
+    */
+  def repartitionForDecode[T](ds: Dataset[T], totalRows: Long, rowsPerPartition: Int): Dataset[T] =
+    ds.repartition(math.max(1, (totalRows / math.max(1, rowsPerPartition)).toInt))
+
+  // -------------------------------------------------------------- transforms
+
+  /** Decode + feature-extract, batched inside each partition (no shuffle).
+    * `batchSize` is the vectorization unit a real FFI decoder would see.
+    */
+  def extractFeatures(media: Dataset[MediaFile], dim: Int = 16, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "decoder call" per batch — the amortization point
+        batch.iterator.map { m =>
+          val (w, h) = if (m.kind == "image" || m.kind == "video") Codecs.imageDims(m.bytes) else (0, 0)
+          val dur = if (m.kind == "audio" || m.kind == "video") Codecs.durationMs(m.bytes) else 0L
+          MediaFeatures(m.media_id, m.kind, w, h, dur, m.bytes.length.toLong,
+            Codecs.features(m.bytes, dim))
+        }
+      }
+    }
+  }
+
+  /** Resize stub for images: narrow, payload-in/payload-out. */
+  def resizeImages(media: Dataset[MediaFile], w: Int, h: Int): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.kind == "image")
+        m.copy(bytes = Codecs.resize(m.bytes, w, h),
+          meta = m.meta + ("resized" -> s"${w}x$h"))
+      else m
+    }
+  }
+
+  /** Uniform frame sampling for videos: ≤ `maxFrames` rows per video at an
+    * even stride over the (stubbed) duration. Output growth is bounded and
+    * explicit — the 100 TB failure mode of frame extraction is unbounded
+    * fan-out, so the cap is part of the operator contract, not the caller's
+    * problem.
+    */
+  def sampleFrames(media: Dataset[MediaFile], maxFrames: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val dur = Codecs.durationMs(m.bytes)
+      val n = math.min(maxFrames, math.max(1, (dur / 1000L).toInt))
+      val stride = dur / n
+      (0 until n).iterator.map(i => Frame(m.media_id, i, i * stride, Codecs.frameAt(m.bytes, i * stride)))
+    }
+  }
+
+  /** Feature rows as a DataFrame joinable against the ANN/dedup operators
+    * (payload projected away — this is the frame that shuffles).
+    */
+  def featureFrame(feats: Dataset[MediaFeatures]): DataFrame =
+    feats.toDF().select(
+      col("media_id"), col("kind"), col("width"), col("height"),
+      col("duration_ms"), col("n_bytes"), col("features").as("embedding"))
+}

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (accumulated in double, in array
-    * order — deterministic and engine-portable).
+  /** Dot product of two float-array columns, as a composable column
+    * expression (higher-order functions; double accumulate in array order).
+    * Kept as the reference implementation — the hot paths below use the
+    * native [[graft.functions.VectorHash]] expressions instead.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -31,37 +33,20 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (NaN-safe: 0 when either vector is all-zero). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn > 0, d / nn).otherwise(lit(0.0))
-  }
-
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a fixed hash mapped to ±1. Using sign components only (a Rademacher
-    * hyperplane) keeps everything integer-exact until the final dot.
+  /** Cosine similarity (NaN-safe: 0 when either vector is all-zero).
+    * Native expression; same accumulation order as [[dot]], so results are
+    * bit-identical to the composable form.
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    when(xxhash64(lit(p), i).bitwiseAND(1L) === 1L, lit(1.0)).otherwise(lit(-1.0))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorHash.cosine(a, b)
 
-  /** Sign of the projection of `vec` onto hyperplane `p`. */
-  private def planeSign(vec: Column, p: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") * planeComponent(p, i)),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj >= 0, lit(1)).otherwise(lit(0))
-  }
-
-  /** Random-hyperplane LSH bucket id: `planes` projection sign bits packed
-    * into an int. Cosine-similar vectors collide with probability
+  /** Random-hyperplane LSH bucket id: `planes` Rademacher-projection sign
+    * bits packed into an int (native expression; deterministic seeded
+    * component hashes). Cosine-similar vectors collide with probability
     * (1 - θ/π)^planes.
     */
   def hyperplaneBucket(vec: Column, planes: Int): Column =
-    (0 until planes).foldLeft(lit(0)) { (acc, p) =>
-      shiftleft(acc, 1).bitwiseOR(planeSign(vec, p))
-    }
+    graft.functions.VectorHash.hyperplaneBucket(vec, planes)
 
   /** Exact brute-force cosine top-k. `queries` is expected to be small
     * (broadcast); the corpus is scanned once, the per-query top-k is a

@@ -23,13 +23,17 @@ object TextOps {
     transform(regexp_extract_all(text, lit("\\S+"), lit(0)), t => lower(t))
 
   /** Word n-grams (shingles) over the token array. Returns distinct shingles
-    * — the unit for Jaccard/MinHash dedup.
+    * — the unit for Jaccard/MinHash dedup. Guarded for docs shorter than n:
+    * `sequence(a, b)` DESCENDS when b < a, so an unguarded
+    * `sequence(0, size-n)` fabricates garbage shingles on short docs instead
+    * of none.
     */
   def shingles(tokenArr: Column, n: Int): Column = {
     require(n >= 1)
-    val grams = transform(
-      sequence(lit(0), greatest(size(tokenArr) - n, lit(-1))),
-      i => array_join(slice(tokenArr, i + 1, lit(n)), " "))
+    val m = size(tokenArr) - (n - 1)
+    val grams = when(m > 0,
+      transform(sequence(lit(1), m), i => array_join(slice(tokenArr, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
     array_distinct(grams)
   }
 

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import Multimodal._
+  import spark.implicits._
+
+  private def media(id: Long, kind: String, seed: Int): MediaFile =
+    MediaFile(id, kind, Array.tabulate(256)(i => ((i * seed + id) & 0xff).toByte),
+      Map("source" -> "test"))
+
+  private val fixture = Seq(
+    media(1, "image", 3), media(2, "image", 5),
+    media(3, "audio", 7), media(4, "video", 11), media(5, "video", 13))
+
+  test("feature extraction: schema, envelope fields, deterministic features") {
+    val ds = fixture.toDS()
+    val feats = extractFeatures(ds, dim = 8, batchSize = 2).collect().sortBy(_.media_id)
+    assert(feats.length == 5)
+    assert(feats.forall(_.features.length == 8))
+    val img = feats.find(_.media_id == 1L).get
+    assert(img.width > 0 && img.height > 0 && img.duration_ms == 0L)
+    val aud = feats.find(_.media_id == 3L).get
+    assert(aud.width == 0 && aud.duration_ms > 0L)
+    // deterministic: same payload → same features
+    val again = extractFeatures(ds, dim = 8, batchSize = 64).collect().sortBy(_.media_id)
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("mapPartitions keeps partitioning: no shuffle in the decode plan") {
+    val ds = fixture.toDS().repartition(3)
+    val feats = extractFeatures(ds)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(feats.rdd.getNumPartitions == 3)
+    assert(!plan.contains("Exchange hashpartitioning")) // only the explicit repartition
+  }
+
+  test("repartitionForDecode sizes by row count") {
+    val ds = fixture.toDS()
+    assert(repartitionForDecode(ds, totalRows = 5, rowsPerPartition = 2).rdd.getNumPartitions == 2)
+  }
+
+  test("resize touches only images and stamps metadata") {
+    val out = resizeImages(fixture.toDS(), 128, 128).collect().sortBy(_.media_id)
+    assert(out.filter(_.kind == "image").forall(_.meta.get("resized").contains("128x128")))
+    assert(out.filter(_.kind != "image").forall(!_.meta.contains("resized")))
+    assert(out.find(_.media_id == 3L).get.bytes.length == 256) // non-image untouched
+  }
+
+  test("frame sampling: only videos, bounded fan-out, even stride") {
+    val frames = sampleFrames(fixture.toDS(), maxFrames = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.map(_.media_id).toSet.subsetOf(Set(4L, 5L)))
+    frames.groupBy(_.media_id).values.foreach { fs =>
+      assert(fs.length <= 4)
+      val byIdx = fs.sortBy(_.frame_idx)
+      assert(byIdx.map(_.frame_idx).toSeq == (0 until fs.length))
+      assert(byIdx.map(_.ts_ms).toSeq == byIdx.map(_.ts_ms).sorted.toSeq)
+    }
+  }
+
+  test("feature frame plugs into the ANN operator") {
+    val ff = featureFrame(extractFeatures(fixture.toDS(), dim = 8))
+    val top = Similarity.bruteForceTopK(
+      ff.filter($"media_id" === 1L).select($"media_id".as("vec_id"), $"embedding"),
+      ff.select($"media_id".as("vec_id"), $"embedding"),
+      "embedding", "vec_id", k = 2)
+    assert(top.count() == 2)
+  }
+
+  test("binaryFile source round-trip: kind from extension, payload intact") {
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    val payload = Array.tabulate(64)(_.toByte)
+    java.nio.file.Files.write(dir.resolve("a.image"), payload)
+    java.nio.file.Files.write(dir.resolve("b.audio"), payload.map(b => (b + 1).toByte))
+    val ds = readMediaDir(spark, dir.toString).collect().sortBy(_.kind)
+    assert(ds.map(_.kind).toSeq == Seq("audio", "image"))
+    assert(ds.find(_.kind == "image").get.bytes.toSeq == payload.toSeq)
+    assert(ds.forall(_.meta.contains("path")))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.VectorHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base + " extra"), // near-dup of 1
+    (3L, base),            // exact dup of 1
+    (4L, "completely different content about spark catalyst expressions and shuffles here"),
+    (5L, "yet another unrelated document mentioning minhash banding and bucket joins now")
+  ).toDF("doc_id", "text")
+
+  test("native cosine matches the composable HOF dot/norm formula") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, -1.5f, 2.5f), Array(-1.0f, 0.25f, 0.75f)),
+      (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val hof = {
+      val d = Similarity.dot(col("a"), col("b"))
+      val nn = sqrt(Similarity.dot(col("a"), col("a"))) * sqrt(Similarity.dot(col("b"), col("b")))
+      when(nn > 0, d / nn).otherwise(lit(0.0))
+    }
+    val rows = vecs.select(VectorHash.cosine(col("a"), col("b")).as("native"), hof.as("ref"))
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    assert(rows.last.getDouble(0) == 0.0) // zero vector → 0, not NaN
+  }
+
+  test("native wordShingles matches the composable tokens→shingles pipeline") {
+    val texts = Seq(
+      (1L, base),
+      (2L, "  Leading  and trailing   whitespace\tand TABS\nand newlines  "),
+      (3L, "one two"),       // shorter than the shingle size
+      (4L, "dup dup dup dup dup"), // repeated shingles collapse
+      (5L, "MiXeD Case TOKENS here")).toDF("doc_id", "text")
+    val both = texts.select(
+      VectorHash.wordShingles(col("text"), 3).as("native"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("exact dedup groups identical texts on the digest, keeps min id") {
+    val groups = Dedup.exactDuplicateGroups(docs, "text", "doc_id").collect()
+    val trip = groups.find(_.getLong(2) == 2L)
+    assert(trip.isDefined && trip.get.getLong(1) == 1L) // docs 1 & 3, keep 1
+    assert(groups.map(_.getLong(2)).sum == 5L)
+  }
+
+  test("dropExactDuplicates keeps one survivor per text") {
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair, not unrelated docs") {
+    val cands = Dedup.minhashCandidatePairs(docs, "text", "doc_id", shingleSize = 3,
+      bands = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 3L))) // identical signatures always collide
+    assert(cands.contains((1L, 2L)) && cands.contains((2L, 3L))) // planted near-dup
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L && p._1 != 5L))
+  }
+
+  test("jaccard LSH pairs agree with brute force on the planted corpus") {
+    val lsh = Dedup.jaccardDuplicatePairs(docs, "text", "doc_id", shingleSize = 3,
+      numer = 1, denom = 2, bands = 16, rowsPerBand = 2)
+      .select("doc_a", "doc_b", "inter_sz", "union_sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val brute = Dedup.jaccardPairsBruteForce(docs, "text", "doc_id", shingleSize = 3,
+      numer = 1, denom = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(lsh == brute) // at J ≥ 0.5 with 16 bands recall is 1.0 here
+    assert(brute.nonEmpty)
+  }
+
+  test("simhash pigeonhole finds close sketches and respects maxDist") {
+    val pairs = Dedup.simhashDuplicatePairs(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // exact dups have distance 0 and must be present
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("embedding LSH dedup: identical vectors collide; cosine filter exact") {
+    val embs = Seq(
+      (1L, Array.tabulate(16)(i => (i + 1).toFloat)),
+      (2L, Array.tabulate(16)(i => (i + 1).toFloat)),          // exact copy
+      (3L, Array.tabulate(16)(i => (i + 1).toFloat * 1.001f)), // same direction
+      (4L, Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDuplicatePairs(embs, "embedding", "vec_id",
+      threshold = 0.99, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("brute-force top-k: self excluded, ranked by cosine, k respected") {
+    val embs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(embs.filter($"vec_id" === 1L), embs,
+      "embedding", "vec_id", k = 2)
+      .orderBy("rank").collect()
+    assert(top.length == 2)
+    assert(top(0).getLong(1) == 2L) // closest direction
+    assert(top.forall(_.getLong(0) == 1L))
+  }
+
+  test("lsh top-k returns same-bucket neighbors with exact ranks") {
+    val embs = (1L to 50L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(embs.filter($"vec_id" <= 3), embs, "embedding", "vec_id",
+      k = 3, planes = 2)
+    val byQuery = res.collect().groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length)) // dense ranks
+    }
+  }
+
+  test("langid picks the stopword-majority language") {
+    val t = Seq(
+      (1L, "the cat and the dog of a house in that it is for"),
+      (2L, "le chat et la maison de un pour que est les"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = t.select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "und")
+  }
+}
