@@ -84,10 +84,21 @@ object SparkEntry {
       t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
     "a4_dup_having" -> ((s, d) =>
       SpecCatalog.duplicates(t(s, d, "orders"), Seq("o_custkey"), minCount = 5L)),
+    "a5_group_threshold" -> ((s, d) =>
+      // grouped size + threshold flag (ref 03.ipynb:1037-1039: flag surveys
+      // whose duplicate count exceeds a bound)
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("flagged", (col("n") > 1000L).cast("int"))),
     "a6_maxlen" -> ((s, d) =>
       t(s, d, "customer").agg(
         max(length(col("c_name"))).cast("bigint").as("max_name_len"),
         max(length(col("c_mktsegment"))).cast("bigint").as("max_seg_len"))),
+    "a7_lexmax_version" -> ((s, d) =>
+      // lexical max of a trailing version code per group (ref lib03:128-142,
+      // 03.ipynb:814 "version is alphanumeric but lexical comparison works")
+      t(s, d, "part").groupBy(col("p_brand"))
+        .agg(max(expr("substring(p_type, length(p_type)-1)")).as("max_ver"))),
     // --- windows / sorts --------------------------------------------------
     "w1_sort_limit" -> ((s, d) =>
       t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
@@ -136,6 +147,13 @@ object SparkEntry {
     "u2_except" -> ((s, d) =>
       t(s, d, "customer").select(col("c_custkey").as("key"))
         .except(t(s, d, "orders").select(col("o_custkey").as("key")))),
+    "u3_union_by_name" -> ((s, d) =>
+      // schema union-of-columns across differently-shaped inputs (A1/U3):
+      // missing columns null-filled, matched by NAME not position
+      t(s, d, "nation").select(col("n_nationkey").as("key"), col("n_name").as("name"))
+        .unionByName(
+          t(s, d, "region").select(col("r_regionkey").as("key")),
+          allowMissingColumns = true)),
     // --- projections / filters --------------------------------------------
     "p1_projection" -> ((s, d) =>
       t(s, d, "customer").select(
@@ -143,6 +161,12 @@ object SparkEntry {
         substring(col("c_name"), 1, 8).as("prefix"),
         element_at(split(col("c_name"), "#"), 2).as("num_part"),
         length(col("c_name")).cast("bigint").as("name_len"))),
+    "p2_conditional_trim" -> ((s, d) =>
+      // the conditional-trim projection (SURVEY §1.4-1): key columns keep
+      // their padding, everything else is trimmed — decided at plan build
+      t(s, d, "customer").select(
+        lpad(col("c_custkey").cast("string"), 12, " ").as("caseid"), // no trim
+        trim(lpad(col("c_name"), 30, " ")).as("name_trimmed"))),
     "p7_like_filter" -> ((s, d) =>
       t(s, d, "documents")
         .filter(col("source").like("src1%") && lower(col("lang")).like("e_"))
@@ -161,6 +185,13 @@ object SparkEntry {
         .groupBy(col("first_word")).agg(count(lit(1)).as("n"))),
     "f_json_pack" -> ((s, d) =>
       JsonPack.pack(t(s, d, "nation"), Seq("n_nationkey"))),
+    "f_json_unpack" -> ((s, d) =>
+      // pack → unpack round trip: map access on the packed column (the read
+      // side of the JSONB tables, ref doc/Data_Format.md:218-220)
+      JsonPack.unpack(JsonPack.pack(t(s, d, "nation"), Seq("n_nationkey")))
+        .select(col("n_nationkey"),
+          element_at(col("data_map"), "n_name").as("n_name"),
+          element_at(col("data_map"), "n_regionkey").as("n_regionkey_str"))),
     // --- generators --------------------------------------------------------
     "g_range_expand" -> ((s, d) =>
       t(s, d, "nation").select(
@@ -257,8 +288,12 @@ object SparkEntry {
       "SELECT count(*) AS n FROM lineitem",
     "a4_dup_having" ->
       "SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 5",
+    "a5_group_threshold" ->
+      "SELECT o_orderpriority, count(*) AS n, CAST(count(*) > 1000 AS INTEGER) AS flagged FROM orders GROUP BY 1",
     "a6_maxlen" ->
       "SELECT CAST(max(length(c_name)) AS BIGINT) AS max_name_len, CAST(max(length(c_mktsegment)) AS BIGINT) AS max_seg_len FROM customer",
+    "a7_lexmax_version" ->
+      "SELECT p_brand, max(substring(p_type, length(p_type)-1)) AS max_ver FROM part GROUP BY 1",
     "w1_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
     "w3_top1_group" ->
@@ -277,6 +312,10 @@ object SparkEntry {
       "SELECT o_custkey AS key FROM orders UNION SELECT c_custkey AS key FROM customer",
     "u2_except" ->
       "SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey AS key FROM orders",
+    "u3_union_by_name" ->
+      "SELECT n_nationkey AS key, n_name AS name FROM nation UNION ALL BY NAME SELECT r_regionkey AS key FROM region",
+    "p2_conditional_trim" ->
+      "SELECT lpad(CAST(c_custkey AS VARCHAR), 12, ' ') AS caseid, trim(lpad(c_name, 30, ' ')) AS name_trimmed FROM customer",
     "p1_projection" ->
       "SELECT c_custkey, substring(c_name, 1, 8) AS prefix, split_part(c_name, '#', 2) AS num_part, CAST(length(c_name) AS BIGINT) AS name_len FROM customer",
     "p7_like_filter" ->
@@ -287,6 +326,8 @@ object SparkEntry {
       "SELECT regexp_extract(p_name, '^(\\w+)', 1) AS first_word, count(*) AS n FROM part GROUP BY 1",
     "f_json_pack" ->
       "SELECT n_nationkey, to_json(struct_pack(n_name := n_name, n_regionkey := CAST(n_regionkey AS VARCHAR)))::VARCHAR AS data FROM nation",
+    "f_json_unpack" ->
+      "SELECT n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey_str FROM nation",
     "g_range_expand" ->
       "SELECT n_nationkey, unnest(generate_series(0, n_nationkey)) AS v FROM nation",
     "s5_fixedwidth_scan" ->
