@@ -1,0 +1,84 @@
+package graft.cspro
+
+import java.nio.charset.StandardCharsets
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class CharsetAndSpecWriterSpec extends AnyFunSuite with SparkTestBase {
+
+  test("charset: BOMs, clean utf-8, and cp1252 fallback") {
+    import CharsetSniffer.detect
+    assert(detect(Array(0xEF, 0xBB, 0xBF, 'a').map(_.toByte)) == StandardCharsets.UTF_8)
+    assert(detect(Array(0xFF, 0xFE, 0, 0).map(_.toByte)) == StandardCharsets.UTF_16LE)
+    assert(detect(Array(0xFE, 0xFF, 0, 0).map(_.toByte)) == StandardCharsets.UTF_16BE)
+    assert(detect("plain ascii [Dictionary]".getBytes) == StandardCharsets.UTF_8)
+    assert(detect("café utf8".getBytes(StandardCharsets.UTF_8)) == StandardCharsets.UTF_8)
+    // 0xE9 alone (latin-1 é) is malformed utf-8 → cp1252
+    assert(detect(Array('c', 'a', 'f', 0xE9, ' ', 'x').map(_.toByte)).name == "windows-1252")
+  }
+
+  test("charset: truncated trailing multibyte sequence is not misclassified") {
+    val utf8 = "café".getBytes(StandardCharsets.UTF_8)
+    val truncated = utf8.dropRight(1) // cut the é in half
+    assert(CharsetSniffer.detect(truncated) == StandardCharsets.UTF_8)
+  }
+
+  test("spec writer emits the reference's three flat tables with exact columns") {
+    val dcf =
+      """[Dictionary]
+        |Name=R
+        |RecordTypeStart=16
+        |RecordTypeLen=3
+        |
+        |[Level]
+        |Label=HH
+        |Name=HH
+        |
+        |[Record]
+        |Label=Rec
+        |Name=RECH0
+        |RecordTypeValue='H00'
+        |
+        |[Item]
+        |Label=Cluster
+        |Name=HV001
+        |Start=19
+        |Len=3
+        |
+        |[ValueSet]
+        |Label=Cluster
+        |Name=HV001_VS1
+        |Value=1;First
+        |
+        |[Relation]
+        |Name=REL1
+        |Primary=RECH0
+        |Secondary=RECH1
+        |SecondaryLink=HVIDX
+        |""".stripMargin
+    val r = DcfParser.parse(dcf, "BJHR71")
+    val rec = SpecWriter.recordSpecs(spark, r)
+    assert(rec.columns.toSeq == SpecWriter.RecordSpecCols)
+    val hv001 = rec.filter(rec("Name") === "HV001").collect().head
+    assert(hv001.getAs[String]("FMETYPE") == "fme_char(3)")
+    assert(hv001.getAs[String]("RecordTypeValue") == "H00")
+
+    val vals = SpecWriter.valueSpecs(spark, r)
+    assert(vals.columns.toSeq == SpecWriter.ValueSpecCols)
+    assert(vals.collect().exists(v => v.getAs[String]("Value") == "1" &&
+      v.getAs[String]("ValueDesc") == "First"))
+
+    val rels = SpecWriter.relationSpecs(spark, r)
+    assert(rels.columns.toSeq == SpecWriter.RelationSpecCols)
+    val rel = rels.collect().head
+    assert(rel.getAs[String]("PrimaryLink") == "*ROWID*")
+    assert(rel.getAs[String]("SecondaryLink") == "HVIDX")
+
+    // CSV round trip preserves the contract
+    val tmp = java.nio.file.Files.createTempDirectory("specs").toString
+    SpecWriter.writeAll(spark, r, "BJHR71", tmp)
+    val back = graft.load.CsvIO.readAllString(spark, s"$tmp/BJHR71.FlatRecordSpec")
+    assert(back.columns.toSeq == SpecWriter.RecordSpecCols)
+  }
+}
