@@ -13,15 +13,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.localFromEnv()
+    // steady-state warmup: JIT/codegen compile paths and parquet footers,
+    // so the first measured query doesn't absorb session start-up
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+      .foreach(t => try Tables(spark, sfDir, t).limit(1).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.view.filterKeys(!ValidationOnly.contains(_)).toMap
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

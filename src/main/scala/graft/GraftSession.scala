@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory: every entry point (Verify, Bench, Plans,
+  * tests, user code) builds its SparkSession here so the engine's required
+  * and recommended configs live in exactly one place.
+  *
+  * Required:
+  *  - nanosAsLong: the harness events parquet stores TIMESTAMP(NANOS),
+  *    unreadable otherwise (Tables/EventStream re-derive the timestamp);
+  *  - UTC session timezone: oracle comparisons are timezone-sensitive;
+  *  - GraftExtensions: the SQL surface for the native expressions.
+  *
+  * Recommended (scale posture):
+  *  - AQE + skew-join splitting + partition coalescing: runtime re-planning
+  *    is the first line of defense against skew and tiny partitions;
+  *  - shuffle partitions sized to the core count locally (the 200 default
+  *    is a cluster setting; local[n] wants n).
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session with `cpus` cores (the harness shape). */
+  def local(cpus: Int): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def localFromEnv(): SparkSession =
+    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+}

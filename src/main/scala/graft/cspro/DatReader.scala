@@ -117,4 +117,41 @@ object DatReader {
       .filter(!col("tag").isInCollection(known))
       .groupBy("tag").count()
   }
+
+  /** One-pass routed write: tag every line with its record name and write
+    * `partitionBy(recordname)` — the raw bytes are read ONCE and land
+    * pre-separated per table, after which each table's projection
+    * ([[projectLines]]) scans only its own partition directory. This is the
+    * at-scale replacement for caching the line scan: the reference's
+    * single-pass dispatch (ref DAT_Parser.py:70-112) without holding every
+    * table in memory, and without N re-reads of a 100 TB landing area.
+    */
+  def routeToStorage(
+      lines: DataFrame,
+      specs: Seq[ColumnSpec],
+      outDir: String,
+      colName: String = "value"): Unit = {
+    val (rtStart, rtLen) = recordTypeLocator(specs)
+    val tagToName = fieldsByRecordType(specs).map { case (tag, fs) => tag -> fs.head.recordName }
+    val nameCol = tagToName.foldLeft(lit(null).cast("string")) { case (acc, (tag, name)) =>
+      when(substring(col(colName), rtStart, rtLen) === tag, lit(name)).otherwise(acc)
+    }
+    lines
+      .withColumn("recordname", nameCol)
+      .filter(col("recordname").isNotNull) // unknown tags skipped, not errors
+      .write.mode("overwrite")
+      .partitionBy("recordname")
+      .text(outDir)
+  }
+
+  /** Read one routed record-type partition back and project it. */
+  def readRouted(
+      spark: SparkSession,
+      routedDir: String,
+      specs: Seq[ColumnSpec],
+      recordName: String,
+      surveyId: Option[String] = None): DataFrame = {
+    val lines = spark.read.text(s"$routedDir/recordname=$recordName")
+    projectLines(lines, specs, "value", surveyId)(recordName)
+  }
 }

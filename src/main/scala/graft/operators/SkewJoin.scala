@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * AQE's skew-join split handles most skew at runtime (enabled in
+  * [[graft.GraftSession]]); salting is the plan-level fallback for the
+  * pathological case AQE can't fix — one key holding a double-digit share of
+  * the rows (DHS-shaped data: one giant survey, one dominant record type; web
+  * corpora: empty-text digests, null-ish keys).
+  *
+  * Shape: the skewed (big) side gets a deterministic salt in [0, buckets)
+  * derived from the whole row via xxhash64, widening one hot key into
+  * `buckets` shuffle keys; the other side is exploded `buckets`× so every
+  * salted key finds its match. Join stays an equi-join on (key, salt) —
+  * sort-merge/shuffled-hash planning, no Cartesian anywhere. The explode
+  * multiplies the SMALL side only, so cost is bounded by
+  * |small| × buckets, the standard trade.
+  */
+object SkewJoin {
+
+  /** Deterministic per-row salt in [0, buckets). */
+  def salt(cols: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
+
+  /** Inner equi-join `big ⋈ small` on `keys`, salted into `buckets`. */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, keys: Seq[String], buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val saltCols = big.columns.map(col).toSeq // whole row → uniform salt
+    val b = big.withColumn("_salt", salt(saltCols, buckets))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1)))) // int bounds → array<int>
+    b.join(s, keys :+ "_salt", joinType).drop("_salt")
+  }
+}
