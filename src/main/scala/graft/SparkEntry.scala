@@ -197,6 +197,22 @@ object SparkEntry {
       t(s, d, "nation").select(
         col("n_nationkey"),
         explode(sequence(lit(0L), col("n_nationkey").cast("bigint"))).as("v"))),
+    "g_range_capped" -> ((s, d) => {
+      // the range_expansion_limit policy (ref DCF_Parser.py:53,89-97): ranges
+      // within the cap expand to one row per value (ExpandedRange); oversize
+      // ranges degrade to a Min/Max row pair
+      val limit = 10L
+      val n = col("n_nationkey").cast("bigint")
+      t(s, d, "nation").select(col("n_nationkey"),
+        explode(
+          when(n + 1 <= limit,
+            transform(sequence(lit(0L), n),
+              v => struct(v.cast("string").as("value"), lit("ExpandedRange").as("value_type"))))
+          .otherwise(array(
+            struct(lit("0").as("value"), lit("RangeMin").as("value_type")),
+            struct(n.cast("string").as("value"), lit("RangeMax").as("value_type"))))).as("x"))
+        .select(col("n_nationkey"), col("x.value").as("value"), col("x.value_type").as("value_type"))
+    }),
     // --- fixed-width scan (S5) ---------------------------------------------
     "s5_fixedwidth_scan" -> ((s, d) => fixedWidthScan(s, d)),
     "s4_dcf_parse" -> ((s, d) => dcfParseDemo(s)),
@@ -330,6 +346,8 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey_str FROM nation",
     "g_range_expand" ->
       "SELECT n_nationkey, unnest(generate_series(0, n_nationkey)) AS v FROM nation",
+    "g_range_capped" ->
+      """SELECT n_nationkey, CAST(unnest(generate_series(0, n_nationkey)) AS VARCHAR) AS value, 'ExpandedRange' AS value_type FROM nation WHERE n_nationkey + 1 <= 10 UNION ALL SELECT n_nationkey, '0' AS value, 'RangeMin' AS value_type FROM nation WHERE n_nationkey + 1 > 10 UNION ALL SELECT n_nationkey, CAST(n_nationkey AS VARCHAR) AS value, 'RangeMax' AS value_type FROM nation WHERE n_nationkey + 1 > 10""",
     "s5_fixedwidth_scan" ->
       "SELECT o_orderstatus AS status, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey FROM orders GROUP BY 1",
     "e_hour_window" ->
