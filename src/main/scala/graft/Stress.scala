@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up validation: multiply the sf0.1 tables STRESS_MULT× in-flight
+  * (no disk blow-up) and run the headline operator shapes — joins, window
+  * top-1, LSH dedup, ANN — to confirm the plans hold when row counts grow
+  * 20×+ past the bench point. Prints one JSON line of per-op seconds.
+  *
+  * This is the local stand-in for the 100 TB question: the things that break
+  * at scale (skew, shuffle volume, candidate-pair explosion, per-row
+  * interpreted cost) all grow visibly at 10-100× while still fitting one
+  * machine.
+  */
+object Stress {
+
+  private def expand(df: DataFrame, mult: Int, keyCols: Map[String, String]): DataFrame = {
+    // replicate every row `mult`× with remapped keys so joins stay 1:N, not N²
+    val rep = explode(sequence(lit(0L), lit(mult - 1L))).as("_rep")
+    val out = df.select(col("*"), rep)
+    keyCols.foldLeft(out) { case (acc, (c, _)) =>
+      acc.withColumn(c, col(c) * mult + col("_rep"))
+    }.drop("_rep")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("STRESS_MULT", "20").toInt
+    val spark = GraftSession.localFromEnv()
+    import spark.implicits._
+
+    val lineitem = expand(Tables(spark, sfDir, "lineitem"), mult, Map("l_orderkey" -> ""))
+    val orders = expand(Tables(spark, sfDir, "orders"), mult, Map("o_orderkey" -> ""))
+    val docs = expand(Tables.balanced(spark, sfDir, "documents"), mult, Map("doc_id" -> ""))
+      // mutate most replicas so near-dup structure stays realistic (~keep
+      // every 5th replica a true near-dup of the original)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" variant "), col("doc_id"))))
+    val embs = expand(Tables.balanced(spark, sfDir, "embeddings"), mult, Map("vec_id" -> ""))
+
+    def time(name: String)(body: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stress] $name%-22s ${sec}%8.2f s   rows=$n")
+      (name, sec, n)
+    }
+
+    val results = Seq(
+      time("agg_12m")(lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), count(lit(1))).count()),
+      time("join_agg_12m_3m")(lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)), sum("l_quantity")).count()),
+      time("top1_3m")(SparkEntryHelpers.top1PerCustomer(orders).count()),
+      time("exact_dedup_100k")(operators.Dedup.exactDuplicateGroups(docs, "text", "doc_id")
+        .filter(col("n_copies") > 1).count()),
+      time("minhash_lsh_100k")(operators.Dedup.minhashCandidatePairs(
+        docs, "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2).count()),
+      time("simhash_100k")(operators.Dedup.simhashDuplicatePairs(
+        docs, "text", "doc_id", maxDist = 3).count()),
+      time("knn_40k")(operators.Similarity.lshTopK(
+        embs.filter(col("vec_id") < 10), embs, "embedding", "vec_id", k = 5, planes = 8).count())
+    )
+    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","mult":$mult,"ops":$qs}""")
+    spark.stop()
+  }
+}
+
+/** Small helpers shared with the stress harness. */
+private object SparkEntryHelpers {
+  import org.apache.spark.sql.expressions.Window
+  def top1PerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+}
