@@ -44,9 +44,10 @@ object SurveyUpdates {
     listing.join(loadedIds,
       listing(listingKey).cast("string") === loadedIds(loadedKey), "left_anti")
 
-  /** Updates newer than what the warehouse has seen: inner join to metadata
-    * then anti-join against loaded ids — the full stage-01 report in one
-    * plan.
+  /** Updates that touch surveys the warehouse has ALREADY loaded — i.e. the
+    * reload candidates: inner join to metadata, then left_semi against the
+    * loaded ids. (Updates to never-loaded surveys are covered by
+    * [[missingSurveys]] instead; the two together are the stage-01 report.)
     */
   def updateReport(
       updates: DataFrame, surveys: DataFrame, roots: Seq[DataFrame]): DataFrame = {

@@ -71,7 +71,10 @@ object SpecCatalog {
   def observedWidths(df: DataFrame): DataFrame = {
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
-    val aggs: Seq[Column] = stringCols.map(c => max(length(col(c))).as(c))
-    df.agg(aggs.head, aggs.tail: _*)
+    if (stringCols.isEmpty) df.sparkSession.emptyDataFrame
+    else {
+      val aggs: Seq[Column] = stringCols.map(c => max(length(col(c))).as(c))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
   }
 }

@@ -43,6 +43,16 @@ object CharsetSniffer {
     }
   }
 
+  /** Decode bytes with the sniffed charset, stripping a leading BOM — the
+    * decoded U+FEFF would otherwise prefix the first line and break
+    * `[Dictionary]` chunk-header detection (Python's chardet path in the
+    * reference reports UTF-8-SIG, which strips it implicitly).
+    */
+  def decode(bytes: Array[Byte]): String = {
+    val s = new String(bytes, detect(bytes))
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+  }
+
   /** Sniff the head of a local file (driver-side, pre-Spark). */
   def detectFile(path: String, sniffBytes: Int = DefaultSniffBytes): Charset = {
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))

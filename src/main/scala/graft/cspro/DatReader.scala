@@ -87,10 +87,22 @@ object DatReader {
     }
   }
 
+  /** A DAT scan: the per-record-type DataFrames plus a `release()` handle
+    * for the persisted line scan backing them. Callers iterating many files
+    * MUST release each scan once its tables are consumed, or the session
+    * accumulates pinned cache blocks.
+    */
+  final case class DatScan(tables: Map[String, DataFrame], private val lines: DataFrame) {
+    def apply(recordName: String): DataFrame = tables(recordName)
+    def release(): Unit = { lines.unpersist(); () }
+  }
+
   /** Read a `.DAT` file into per-record-type DataFrames. The raw line scan is
     * persisted so N record types cost one pass over the bytes, mirroring the
     * reference's single-pass dispatch (ref DAT_Parser.py:70-112) without
-    * materializing every table in driver memory.
+    * materializing every table in driver memory. Call `release()` when done;
+    * for write-through ingest of large landing areas prefer
+    * [[routeToStorage]], which needs no cache at all.
     */
   def readDat(
       spark: SparkSession,
@@ -98,11 +110,11 @@ object DatReader {
       specs: Seq[ColumnSpec],
       surveyId: Option[String] = None,
       charset: Option[String] = None
-  ): Map[String, DataFrame] = {
+  ): DatScan = {
     val reader = spark.read
     val lines = charset.fold(reader)(cs => reader.option("encoding", cs)).text(datPath)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    projectLines(lines, specs, "value", surveyId)
+    DatScan(projectLines(lines, specs, "value", surveyId), lines)
   }
 
   /** Tags present in the data but declared in no spec — the reference logs

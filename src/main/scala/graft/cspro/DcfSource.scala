@@ -44,8 +44,7 @@ object DcfSource {
     spark.sparkContext.binaryFiles(glob)
       .map { case (path, stream) =>
         val bytes = stream.toArray()
-        val charset = CharsetSniffer.detect(bytes)
-        val content = new String(bytes, charset)
+        val content = CharsetSniffer.decode(bytes) // sniffed charset, BOM stripped
         val fc = fileCodeOf(path)
         val r = DcfParser.parse(content, fc, expandRanges, rangeExpansionLimit)
         ParsedFile(fc, r.items, r.values, r.relations, r.warnings)

@@ -74,6 +74,24 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4
+  ): DataFrame =
+    minhashCandidatePairsFromShingles(
+      shingleFrame(docs, textCol, idCol, shingleSize), bands, rowsPerBand)
+
+  /** The (doc, sh) projection every near-dup path starts from — computed
+    * once and shared so tokenize+shingle (the dominant narrow-stage cost)
+    * doesn't run per consumer.
+    */
+  def shingleFrame(docs: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc"),
+      graft.functions.VectorHash.wordShingles(col(textCol), shingleSize).as("sh"))
+
+  /** Candidate pairs from a precomputed [[shingleFrame]]. */
+  def minhashCandidatePairsFromShingles(
+      shingled: DataFrame,
+      bands: Int,
+      rowsPerBand: Int
   ): DataFrame = {
     // Materialize each stage as its own projection: the shingle array (a
     // regexp over the full text) is referenced k times by the signature, and
@@ -81,9 +99,6 @@ object Dedup {
     // each to one evaluation per row (CollapseProject keeps multi-referenced
     // non-trivial aliases separate); inlining them instead multiplies the
     // regexp work ~k*bands times per row.
-    val shingled = docs.select(
-      col(idCol).as("doc"),
-      graft.functions.VectorHash.wordShingles(col(textCol), shingleSize).as("sh"))
     val signed = shingled.select(
       col("doc"), minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
     val banded = signed
@@ -123,10 +138,10 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4
   ): DataFrame = {
-    val withShingles = docs.select(
-      col(idCol).as("doc"),
-      graft.functions.VectorHash.wordShingles(col(textCol), shingleSize).as("sh"))
-    val cands = minhashCandidatePairs(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+    // one shingle pass feeds both the candidate generation and the exact
+    // verify joins — tokenize+shingle is the dominant narrow-stage cost
+    val withShingles = shingleFrame(docs, textCol, idCol, shingleSize)
+    val cands = minhashCandidatePairsFromShingles(withShingles, bands, rowsPerBand)
     val a = withShingles.alias("sa")
     val b = withShingles.alias("sb")
     val (inter, union) = setOverlap(col("sa.sh"), col("sb.sh"))

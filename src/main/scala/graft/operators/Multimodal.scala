@@ -92,16 +92,33 @@ object Multimodal {
 
   // ------------------------------------------------------------------ source
 
+  /** Canonical kind per file extension: downstream transforms dispatch on
+    * "image"/"audio"/"video", not on raw extensions.
+    */
+  val KindByExtension: Map[String, String] = Map(
+    "jpg" -> "image", "jpeg" -> "image", "png" -> "image", "gif" -> "image",
+    "webp" -> "image", "bmp" -> "image", "tif" -> "image", "tiff" -> "image",
+    "image" -> "image",
+    "mp3" -> "audio", "wav" -> "audio", "flac" -> "audio", "ogg" -> "audio",
+    "m4a" -> "audio", "aac" -> "audio", "audio" -> "audio",
+    "mp4" -> "video", "avi" -> "video", "mkv" -> "video", "mov" -> "video",
+    "webm" -> "video", "video" -> "video")
+
   /** Read a directory of media files via the binaryFile source → MediaFile
-    * rows. Kind is taken from the extension; path/length/modtime land in the
-    * metadata map (typed envelope, payload untouched).
+    * rows. Kind is the canonical media kind mapped from the extension
+    * ("other" when unrecognized); path/length/modtime land in the metadata
+    * map (typed envelope, payload untouched).
     */
   def readMediaDir(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaFile] = {
     import spark.implicits._
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val kindCol = KindByExtension.foldLeft(lit("other")) { case (acc, (e, k)) =>
+      when(ext === e, lit(k)).otherwise(acc)
+    }
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
       .select(
         abs(xxhash64(col("path"))).as("media_id"),
-        lower(element_at(split(col("path"), "\\."), -1)).as("kind"),
+        kindCol.as("kind"),
         col("content").as("bytes"),
         map(
           lit("path"), col("path").cast("string"),

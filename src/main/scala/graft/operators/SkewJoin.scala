@@ -25,11 +25,21 @@ object SkewJoin {
   def salt(cols: Seq[Column], buckets: Int): Column =
     pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
 
-  /** Inner equi-join `big ⋈ small` on `keys`, salted into `buckets`. */
+  /** Equi-join `big ⋈ small` on `keys`, salted into `buckets`.
+    *
+    * Join types that preserve UNMATCHED small-side rows (right/full outer)
+    * are rejected: the small side is exploded buckets×, so an unmatched
+    * small row would surface once per salt. inner / left variants / semi /
+    * anti are all exact (each big row carries exactly one salt).
+    */
   def saltedJoin(
       big: DataFrame, small: DataFrame, keys: Seq[String], buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer").contains(jt),
+      s"saltedJoin cannot preserve unmatched small-side rows (joinType=$joinType): " +
+        "the exploded small side would emit them once per salt bucket")
     val saltCols = big.columns.map(col).toSeq // whole row → uniform salt
     val b = big.withColumn("_salt", salt(saltCols, buckets))
     val s = small.withColumn("_salt",

@@ -37,11 +37,15 @@ object TextOps {
     array_distinct(grams)
   }
 
-  /** Character n-grams of a string (for language-ID profiles). */
-  def charNgrams(text: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n)))
+  /** Character n-grams of a string (for language-ID profiles). Guarded like
+    * [[shingles]]: `sequence` descends when the text is shorter than n,
+    * which would fabricate phantom n-grams on short/empty docs.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val m = length(text) - (n - 1)
+    when(m > 0, transform(sequence(lit(1), m), i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Quality-signal columns for a document text (all exact integer math so
     * results are engine-portable): character count, token count, average

@@ -103,14 +103,29 @@ object EventStream {
   }
 
   /** Streaming sessionization: per-user state via flatMapGroupsWithState.
-    * A session closes when `gapSeconds` pass without an event (processing-
-    * time timeout on the stream); state is one (start,last,n) triple per
-    * active user — O(active users), not O(events).
+    * State is one (start,last,n) triple per active user — O(active users),
+    * not O(events).
     *
-    * Works on batch Datasets too (state machine runs per group in one pass),
-    * which is how the spec validates it against [[sessionizeBatch]].
+    * Two modes:
+    *  - `emitOpenAtEnd = true` (finite/batch semantics): every session is
+    *    flushed at the end of the pass — on a batch Dataset this is exactly
+    *    [[sessionizeBatch]] (asserted in the spec). Do NOT use on a real
+    *    stream: each micro-batch would force-close in-flight sessions.
+    *  - `emitOpenAtEnd = false` (streaming semantics): only sessions closed
+    *    by an observed > gap are emitted; the open session survives trigger
+    *    boundaries in state and closes via an EVENT-TIME timeout once the
+    *    watermark passes `last event + gapSeconds`. Event-time (not
+    *    processing-time) because it is deterministic w.r.t. the data, it
+    *    matches [[sessionizeBatch]]'s definition of a gap, and a
+    *    processing-time timeout forces the micro-batch engine to re-batch
+    *    continuously (a finite query never quiesces). A watermark is set
+    *    here (`watermarkDelay` lateness).
     */
-  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+  def sessionizeStateful(
+      events: Dataset[Event],
+      gapSeconds: Long,
+      emitOpenAtEnd: Boolean = true,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
 
     // state tracks epoch-µs so boundaries agree exactly with sessionizeBatch
@@ -124,28 +139,52 @@ object EventStream {
     def flush(userId: Long, st: SessionState): Session =
       Session(userId, tsOf(st.start), tsOf(st.last), st.n)
 
-    events
+    // Timeout conf only in streaming mode; finite/batch mode declares
+    // NoTimeout (and a timeout would force extra micro-batches that keep a
+    // Trigger.AvailableNow query from ever quiescing).
+    val timeoutConf =
+      if (emitOpenAtEnd) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.EventTimeTimeout()
+    val in = if (emitOpenAtEnd) events else events.withWatermark("ts", watermarkDelay)
+    in
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // Iterator order within a group is not guaranteed → sort the
-          // group's events; groups are single-user so this is bounded.
-          val sorted = rows.toSeq.sortBy(e => microsOf(e.ts))
-          var out = List.empty[Session]
-          var st = state.getOption.orNull
-          sorted.foreach { e =>
-            val us = microsOf(e.ts)
-            st match {
-              case null => st = SessionState(us, us, 1)
-              case s if us - s.last > gapSeconds * 1000000L =>
-                out ::= flush(userId, s)
-                st = SessionState(us, us, 1)
-              case s => st = SessionState(s.start, us, s.n + 1)
+          if (state.hasTimedOut) {
+            // the watermark passed last + gap → the stored session is over
+            val out = state.getOption.map(flush(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            // Iterator order within a group is not guaranteed → sort the
+            // group's events; groups are single-user so this is bounded.
+            val sorted = rows.toSeq.sortBy(e => microsOf(e.ts))
+            var out = List.empty[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val us = microsOf(e.ts)
+              st match {
+                case null => st = SessionState(us, us, 1)
+                case s if us - s.last > gapSeconds * 1000000L =>
+                  out ::= flush(userId, s)
+                  st = SessionState(us, us, 1)
+                case s => st = SessionState(s.start, us, s.n + 1)
+              }
             }
+            if (emitOpenAtEnd) {
+              if (st != null) out ::= flush(userId, st)
+              state.remove()
+            } else if (st != null) {
+              state.update(st)
+              // close when the watermark passes last + gap; clamp above the
+              // current watermark (Spark rejects deadlines at/behind it)
+              val deadlineMs = st.last / 1000L + gapSeconds * 1000L
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.reverseIterator
           }
-          if (st != null) { out ::= flush(userId, st); state.remove() }
-          out.reverseIterator
       }
   }
 

@@ -54,6 +54,17 @@ class DcfSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(hv001.getInt(2) == 6) // MAX(len) across the two surveys
   }
 
+  test("UTF-8 BOM is stripped: [Dictionary] header still recognized") {
+    val dir = Files.createTempDirectory("dcfs_bom")
+    val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    Files.write(dir.resolve("544.GHHR82.DCF"), bom ++ dcf(3).getBytes("UTF-8"))
+    val parsed = DcfSource.parseFiles(spark, s"$dir/*.DCF").collect().head
+    // BOM left in place would break the [Dictionary] chunk and drop the
+    // record-type locator row entirely
+    assert(parsed.items.exists(_.itemType == "RecordDesciption"))
+    assert(parsed.items.exists(i => i.name == "HV001" && i.len == 3))
+  }
+
   test("non-UTF-8 DCF is sniffed and decoded (cp1252 é in a label)") {
     val dir = Files.createTempDirectory("dcfs3")
     val content = dcf(3, label = "Numéro de grappe")

@@ -71,14 +71,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(top.count() == 2)
   }
 
-  test("binaryFile source round-trip: kind from extension, payload intact") {
+  test("binaryFile source round-trip: real extensions map to canonical kinds, payload intact") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     val payload = Array.tabulate(64)(_.toByte)
-    java.nio.file.Files.write(dir.resolve("a.image"), payload)
-    java.nio.file.Files.write(dir.resolve("b.audio"), payload.map(b => (b + 1).toByte))
+    java.nio.file.Files.write(dir.resolve("a.jpg"), payload)
+    java.nio.file.Files.write(dir.resolve("b.mp3"), payload.map(b => (b + 1).toByte))
+    java.nio.file.Files.write(dir.resolve("c.mp4"), payload.map(b => (b + 2).toByte))
+    java.nio.file.Files.write(dir.resolve("d.txt"), payload)
     val ds = readMediaDir(spark, dir.toString).collect().sortBy(_.kind)
-    assert(ds.map(_.kind).toSeq == Seq("audio", "image"))
+    assert(ds.map(_.kind).toSeq == Seq("audio", "image", "other", "video"))
     assert(ds.find(_.kind == "image").get.bytes.toSeq == payload.toSeq)
     assert(ds.forall(_.meta.contains("path")))
+    // canonical kinds dispatch in downstream transforms
+    import spark.implicits._
+    val feats = extractFeatures(Seq(
+      MediaFile(1, "image", payload, Map()),
+      MediaFile(2, "jpg", payload, Map())).toDS()).collect()
+    assert(feats.find(_.media_id == 1).get.width > 0)
   }
 }

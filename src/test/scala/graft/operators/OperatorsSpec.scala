@@ -132,6 +132,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("charNgrams on short/empty text yields no phantom grams") {
+    val t = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("id", "text")
+    val out = t.select(col("id"), TextOps.charNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L) == Seq("abc", "bcd"))
+  }
+
+  test("observedWidths on a frame with no string columns returns empty, not a crash") {
+    val df = Seq((1, 2L)).toDF("a", "b")
+    assert(graft.catalog.SpecCatalog.observedWidths(df).isEmpty)
+  }
+
+  test("saltedJoin rejects join types that duplicate unmatched small-side rows") {
+    val big = Seq((1L, "x")).toDF("k", "v")
+    val small = Seq((1L, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, Seq("k"), 4, joinType = "full_outer")
+    }
+  }
+
   test("langid picks the stopword-majority language") {
     val t = Seq(
       (1L, "the cat and the dog of a house in that it is for"),

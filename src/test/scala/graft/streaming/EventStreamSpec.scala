@@ -58,6 +58,38 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getLong(3)).toSeq == Seq(2L, 1L, 2L))
   }
 
+  test("streaming mode: sessions survive trigger boundaries, only gap-closed emitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStateful(mem.toDS(), gapSeconds = 1800L, emitOpenAtEnd = false)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 1 two events, user 2 one event — all sessions open
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+        Event(3, ts("2024-01-01 10:05:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() == 0) // nothing force-closed
+
+      // batch 2: user 1 jumps past the gap (closes session 1 via the gap
+      // rule, opens a new one); user 2 continues within the gap. The 11:00
+      // event advances the watermark past user 2's last+gap (10:50), so
+      // user 2's session closes via event-time timeout — but user 1's new
+      // 11:00 session stays open.
+      mem.addData(
+        Event(4, ts("2024-01-01 11:00:00"), 1, "view", 4.0),
+        Event(5, ts("2024-01-01 10:20:00"), 2, "click", 5.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+      assert(emitted.toSeq == Seq((1L, 2L), (2L, 2L)))
+    } finally q.stop()
+  }
+
   test("windowed stats on a stream equal the batch group-by") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
