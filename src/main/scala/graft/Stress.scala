@@ -49,18 +49,18 @@ object Stress {
     }
 
     val results = Seq(
-      time("agg_12m")(lineitem.groupBy("l_returnflag", "l_linestatus")
+      time(s"agg_lineitem_x$mult")(lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity"), count(lit(1))).count()),
-      time("join_agg_12m_3m")(lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      time(s"join_agg_x$mult")(lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority").agg(count(lit(1)), sum("l_quantity")).count()),
-      time("top1_3m")(SparkEntryHelpers.top1PerCustomer(orders).count()),
-      time("exact_dedup_100k")(operators.Dedup.exactDuplicateGroups(docs, "text", "doc_id")
+      time(s"top1_orders_x$mult")(SparkEntryHelpers.top1PerCustomer(orders).count()),
+      time(s"exact_dedup_x$mult")(operators.Dedup.exactDuplicateGroups(docs, "text", "doc_id")
         .filter(col("n_copies") > 1).count()),
-      time("minhash_lsh_100k")(operators.Dedup.minhashCandidatePairs(
+      time(s"minhash_lsh_x$mult")(operators.Dedup.minhashCandidatePairs(
         docs, "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2).count()),
-      time("simhash_100k")(operators.Dedup.simhashDuplicatePairs(
+      time(s"simhash_x$mult")(operators.Dedup.simhashDuplicatePairs(
         docs, "text", "doc_id", maxDist = 3).count()),
-      time("knn_40k")(operators.Similarity.lshTopK(
+      time(s"knn_x$mult")(operators.Similarity.lshTopK(
         embs.filter(col("vec_id") < 10), embs, "embedding", "vec_id", k = 5, planes = 8).count())
     )
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
