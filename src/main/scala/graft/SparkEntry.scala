@@ -63,6 +63,69 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("okey").cast("bigint")).as("sum_okey"))
   }
 
+  /** Same round trip as [[fixedWidthScan]] but through the `fixedwidth`
+    * DataSourceV2 connector: orders rendered to DAT lines on disk, schema
+    * authority a generated DCF, read back via
+    * `spark.read.format("fixedwidth")` — the connector path under the same
+    * oracle as the composable path.
+    */
+  private def fixedWidthV2Scan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("fwv2")
+    val dcfPath = tmp.resolve("gen.DCF")
+    java.nio.file.Files.writeString(dcfPath,
+      """[Dictionary]
+        |Name=GEN
+        |RecordTypeStart=16
+        |RecordTypeLen=3
+        |
+        |[Level]
+        |Label=HOUSEHOLD
+        |Name=HOUSEHOLD
+        |
+        |[IdItems]
+        |
+        |[Item]
+        |Label=Case Identification
+        |Name=HHID
+        |Start=1
+        |Len=12
+        |DataType=Alpha
+        |
+        |[Record]
+        |Label=Orders
+        |Name=ORDERS
+        |RecordTypeValue='ORD'
+        |
+        |[Item]
+        |Label=Status
+        |Name=STATUS
+        |Start=19
+        |Len=1
+        |DataType=Alpha
+        |
+        |[Item]
+        |Label=Order key
+        |Name=OKEY
+        |Start=20
+        |Len=12
+        |""".stripMargin)
+    val datDir = tmp.resolve("dat").toString
+    t(s, dir, "orders").select(
+      concat(
+        lpad(col("o_custkey").cast("string"), 12, " "),
+        lit("   "), lit("ORD"),
+        col("o_orderstatus"),
+        lpad(col("o_orderkey").cast("string"), 12, "0")).as("value"))
+      .write.mode("overwrite").text(datDir)
+    val files = new java.io.File(datDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.getPath)
+    s.read.format("fixedwidth")
+      .option("dcf", dcfPath.toString).option("record", "ORDERS")
+      .load(files: _*)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("okey").cast("bigint")).as("sum_okey"))
+  }
+
   // ------------------------------------------------------------------------
   // the inventory
   // ------------------------------------------------------------------------
@@ -215,6 +278,7 @@ object SparkEntry {
     }),
     // --- fixed-width scan (S5) ---------------------------------------------
     "s5_fixedwidth_scan" -> ((s, d) => fixedWidthScan(s, d)),
+    "s5b_fixedwidth_v2" -> ((s, d) => fixedWidthV2Scan(s, d)),
     "s4_dcf_parse" -> ((s, d) => dcfParseDemo(s)),
     // --- events ------------------------------------------------------------
     "e_hour_window" -> ((s, d) =>
@@ -349,6 +413,8 @@ object SparkEntry {
     "g_range_capped" ->
       """SELECT n_nationkey, CAST(unnest(generate_series(0, n_nationkey)) AS VARCHAR) AS value, 'ExpandedRange' AS value_type FROM nation WHERE n_nationkey + 1 <= 10 UNION ALL SELECT n_nationkey, '0' AS value, 'RangeMin' AS value_type FROM nation WHERE n_nationkey + 1 > 10 UNION ALL SELECT n_nationkey, CAST(n_nationkey AS VARCHAR) AS value, 'RangeMax' AS value_type FROM nation WHERE n_nationkey + 1 > 10""",
     "s5_fixedwidth_scan" ->
+      "SELECT o_orderstatus AS status, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey FROM orders GROUP BY 1",
+    "s5b_fixedwidth_v2" ->
       "SELECT o_orderstatus AS status, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey FROM orders GROUP BY 1",
     "e_hour_window" ->
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",

@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.cspro.{CharsetSniffer, DatReader, DcfParser}
+import graft.model.ColumnSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `fixedwidth` DataSourceV2: CSPro multi-record-type fixed-width files as a
+  * first-class Spark source (SURVEY.md §4.3's optional custom — the
+  * composable form is DatReader; this is the clean connector API):
+  *
+  * {{{
+  * spark.read.format("fixedwidth")      // or classOf[FixedWidthSource].getName
+  *   .option("dcf", "/path/BJHR71.DCF") // schema authority (parsed driver-side)
+  *   .option("record", "RECH0")         // which record type this frame is
+  *   .option("surveyid", "511")         // optional injected constant
+  *   .load("/path/511.BJHR71.DAT")
+  * }}}
+  *
+  * Scale/pushdown behavior:
+  *  - one input partition per file (DAT files are per-survey, many files →
+  *    natural parallelism; line-level splitting would need tag-safe split
+  *    points and buys nothing at DHS file sizes);
+  *  - column pruning IS pushed into the source
+  *    (`SupportsPushDownRequiredColumns`): only the requested fields'
+  *    substrings are materialized per line;
+  *  - conditional-trim semantics identical to DatReader (CASEID/HHID keep
+  *    padding); unknown record-type lines are skipped, not errors;
+  *  - per-file charset sniffing, BOM-safe.
+  */
+class FixedWidthSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "fixedwidth"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FixedWidthSource.schemaFor(FixedWidthSource.fieldsFor(options), options)
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FixedWidthTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object FixedWidthSource {
+
+  /** Parse the DCF (driver-side; pure Scala parser) and select the record
+    * type's fields in (RecordTypeValue, Start) order.
+    */
+  def fieldsFor(options: CaseInsensitiveStringMap): Seq[ColumnSpec] = {
+    val dcfPath = Option(options.get("dcf")).getOrElse(
+      throw new IllegalArgumentException("fixedwidth source requires option 'dcf'"))
+    val record = Option(options.get("record")).getOrElse(
+      throw new IllegalArgumentException("fixedwidth source requires option 'record'"))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dcfPath))
+    val parsed = DcfParser.parse(CharsetSniffer.decode(bytes), fileCode = record)
+    val locator = parsed.items.filter(_.itemType == "RecordDesciption")
+    val fields = DatReader.fieldsByRecordType(parsed.items)
+      .values.flatten.filter(_.recordName == record).toSeq.sortBy(_.start)
+    if (fields.isEmpty)
+      throw new IllegalArgumentException(s"record type '$record' not declared in $dcfPath")
+    locator ++ fields
+  }
+
+  def schemaFor(specs: Seq[ColumnSpec], options: CaseInsensitiveStringMap): StructType = {
+    val dataFields = specs.filter(_.itemType != "RecordDesciption")
+      .map(f => StructField(f.name.toLowerCase, StringType))
+    val withSurvey =
+      if (options.containsKey("surveyid")) dataFields :+ StructField("surveyid", StringType)
+      else dataFields
+    StructType(withSurvey)
+  }
+}
+
+private class FixedWidthTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val specs = FixedWidthSource.fieldsFor(options)
+
+  // load(path) lands in options as "path"; load(p1, p2, …) as a JSON-array
+  // string under "paths"
+  private val paths: Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap(
+      _.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+    (single ++ multi).distinct
+  }
+  require(paths.nonEmpty, "fixedwidth source requires a load path")
+
+  override def name(): String = s"fixedwidth(${options.get("record")})"
+  override def schema(): StructType = FixedWidthSource.schemaFor(specs, options)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new FixedWidthScanBuilder(specs, schema(), paths, Option(options.get("surveyid")))
+}
+
+private class FixedWidthScanBuilder(
+    specs: Seq[ColumnSpec], fullSchema: StructType, paths: Seq[String],
+    surveyId: Option[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new FixedWidthScan(specs, required, paths, surveyId)
+}
+
+private class FixedWidthScan(
+    specs: Seq[ColumnSpec], required: StructType, paths: Seq[String],
+    surveyId: Option[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"fixedwidth: ${specs.count(_.itemType != "RecordDesciption")} fields, reading ${required.length}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val stats =
+        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
+        else fs.globStatus(path).toSeq
+      stats.filter(_.isFile).map(s => FixedWidthPartition(s.getPath.toString))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixedWidthReaderFactory(specs, required, surveyId)
+}
+
+private case class FixedWidthPartition(path: String) extends InputPartition
+
+private class FixedWidthReaderFactory(
+    specs: Seq[ColumnSpec], required: StructType, surveyId: Option[String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FixedWidthPartition]
+    val (rtStart, rtLen) = DatReader.recordTypeLocator(specs)
+    val fields = specs.filter(_.itemType != "RecordDesciption")
+    val tag = fields.head.recordTypeValue
+    // per-column extraction plan for the REQUIRED columns only
+    val byName = fields.map(f => f.name.toLowerCase -> f).toMap
+    val extractors: Array[String => UTF8String] = required.fields.map { rf =>
+      if (rf.name == "surveyid") { (_: String) => UTF8String.fromString(surveyId.getOrElse("")) }
+      else {
+        val f = byName.getOrElse(rf.name,
+          throw new IllegalArgumentException(s"unknown column ${rf.name}"))
+        val from = f.start - 1
+        val until = f.start - 1 + f.len
+        val noTrim = DatReader.NoTrimNames.contains(f.name)
+        (line: String) => {
+          val raw =
+            if (line.length <= from) ""
+            else line.substring(from, math.min(until, line.length))
+          UTF8String.fromString(if (noTrim) raw else raw.trim)
+        }
+      }
+    }
+
+    new PartitionReader[InternalRow] {
+      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val fsPath = new Path(p.path)
+      private val in = fsPath.getFileSystem(conf).open(fsPath)
+      private val bytes = {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      }
+      private val lines = CharsetSniffer.decode(bytes).linesIterator
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (lines.hasNext) {
+          val line = lines.next()
+          val lineTag =
+            if (line.length < rtStart - 1 + rtLen) ""
+            else line.substring(rtStart - 1, rtStart - 1 + rtLen)
+          if (lineTag == tag) {
+            current = InternalRow.fromSeq(extractors.map(_(line)).toIndexedSeq)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
+}
