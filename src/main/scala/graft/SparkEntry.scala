@@ -296,6 +296,24 @@ object SparkEntry {
       graft.streaming.EventStream.runToCompletion(s,
         graft.streaming.EventStream.windowedStats(stream, "1 hour"), "e_stream_window")
     }),
+    // streaming-mode sessionization over the finite events stream: gap- and
+    // watermark-closed sessions only (open tails stay in state) — rows-only
+    // check; the batch path e_sessionize carries the oracle
+    "e_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val stream = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStream.Event]
+      val sessions = graft.streaming.EventStream
+        .sessionizeStateful(stream, gapSeconds = 1800L, emitOpenAtEnd = false)
+      val q = sessions.writeStream
+        .format("memory").queryName("e_stream_sessionize")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("e_stream_sessionize")
+    }),
     // --- text analysis -----------------------------------------------------
     "t_token_count" -> ((s, d) =>
       tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
