@@ -358,6 +358,15 @@ object SparkEntry {
       val emb = tb(s, d, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5, planes = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    "s_knn_ivf" -> ((s, d) => {
+      // IVF scale path: coarse-quantize once, probe top-nprobe centroid
+      // buckets, exact re-rank (rows-only: recall < 1 by design)
+      val emb = tb(s, d, "embeddings")
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+        k = 5, centroids, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     })
   )
 

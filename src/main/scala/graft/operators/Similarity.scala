@@ -71,6 +71,79 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Train IVF coarse-quantizer centroids with Lloyd iterations run as
+    * DataFrame plans: assignment is a narrow pass over the corpus against
+    * broadcast centroid literals; the update step is one groupBy(cluster,
+    * dim) aggregation. Centroids live on the driver (k·dim floats — tiny);
+    * the corpus never leaves executors. Deterministic: seeds are the first
+    * `k` vectors by id.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int = 3): Seq[Seq[Float]] = {
+    val spark = corpus.sparkSession
+    var centroids: Seq[Seq[Float]] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    (1 to iterations).foreach { _ =>
+      val assigned = corpus.select(
+        col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("c"))
+      val updated = assigned
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c", "pos").agg(avg(col("x")).as("x"))
+        .groupBy("c").agg(
+          array_sort(collect_list(struct(col("pos"), col("x")))).as("dims"))
+        .select(col("c"), expr("transform(dims, d -> CAST(d.x AS FLOAT))").as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid (max cosine) as a column expression:
+    * a fold over the k centroid literals — k native-cosine evals per row,
+    * no UDF, stays a narrow projection.
+    */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("idx"))
+    }
+    greatest(scored: _*).getField("idx")
+  }
+
+  /** Top-`nprobe` centroid ids by cosine, as an array column. */
+  def probeCentroids(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("idx"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, nprobe), s => s.getField("idx"))
+  }
+
+  /** IVF ANN top-k: corpus bucketed once by nearest centroid; each query
+    * probes its `nprobe` closest centroids' buckets and re-ranks with exact
+    * cosine. The probe join keys on a small int (cluster id) — at corpus
+    * scale this replaces the n·m cross product with nprobe/k of the corpus
+    * per query. Recall is tunable via nprobe (=k → exact brute force).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, centroids: Seq[Seq[Float]], nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCentroid(col(vecCol), centroids).as("cluster"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeCentroids(col(vecCol), centroids, nprobe)).as("cluster"))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** LSH-bucketed ANN top-k: probe only same-bucket candidates. Trades
     * recall for a bucket-key equi-join; `planes` tunes bucket granularity.
     * Returns the same shape as [[bruteForceTopK]] (possibly fewer than k

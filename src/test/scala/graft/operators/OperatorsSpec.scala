@@ -120,6 +120,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.forall(_.getLong(0) == 1L))
   }
 
+  test("IVF: centroids converge on planted clusters; nprobe=k recovers brute force") {
+    // 3 well-separated direction clusters of 20 vectors each
+    val base = Seq(
+      Array.tabulate(8)(i => if (i < 3) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 6) 1f else 0f))
+    val vecs = (0 until 60).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+
+    val centroids = Similarity.trainIvfCentroids(vecs, "embedding", "vec_id", k = 3)
+    assert(centroids.size == 3 && centroids.forall(_.size == 8))
+    // cluster assignment groups the planted directions together
+    val assigned = vecs.select(col("vec_id"),
+      Similarity.nearestCentroid(col("embedding"), centroids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 57).foreach(i => assert(assigned(i.toLong) == assigned((i + 3).toLong)))
+
+    val queries = vecs.filter($"vec_id" < 3)
+    val ivf = Similarity.ivfTopK(queries, vecs, "embedding", "vec_id", k = 5,
+      centroids, nprobe = 1).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, vecs, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute) // same-cluster neighbors dominate → nprobe=1 already exact here
+  }
+
   test("lsh top-k returns same-bucket neighbors with exact ranks") {
     val embs = (1L to 50L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
