@@ -90,6 +90,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(hhids == Set("     100   7", "     100   8"))
   }
 
+  test("parquet warehouse evolution: per-survey writes union by mergeSchema") {
+    // the Spark-managed-storage analog of the reference's ALTER ADD COLUMN:
+    // each survey writes its own column set; the warehouse read is the
+    // union of columns with nulls where a survey lacks one
+    val tmp = java.nio.file.Files.createTempDirectory("wh").toString
+    Seq(("  1 0 10    ", "BJ7", "511")).toDF("hhid", "hv000", "surveyid")
+      .write.parquet(s"$tmp/rech0/sv=511")
+    Seq(("  2 0 20    ", "42", "522")).toDF("hhid", "hv001", "surveyid")
+      .write.parquet(s"$tmp/rech0/sv=522")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/rech0")
+    assert(merged.columns.toSet == Set("hhid", "hv000", "hv001", "surveyid", "sv"))
+    val bySurvey = merged.collect().map(r => r.getAs[String]("surveyid") -> r).toMap
+    assert(bySurvey("511").getAs[String]("hv000") == "BJ7" && bySurvey("511").getAs[String]("hv001") == null)
+    assert(bySurvey("522").getAs[String]("hv001") == "42" && bySurvey("522").getAs[String]("hv000") == null)
+    // survey-partition pruning: predicate on sv prunes to one file
+    val pruned = merged.filter(col("sv") === 511)
+    assert(pruned.count() == 1)
+  }
+
   test("schema merge across two surveys + DDL plan + JSON pack") {
     val s1 = DcfParser.parse(dcf, "BJHR71").items
     // second survey declares HV001 wider and adds a new column
