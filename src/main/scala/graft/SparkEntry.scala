@@ -162,6 +162,32 @@ object SparkEntry {
       // 03.ipynb:814 "version is alphanumeric but lexical comparison works")
       t(s, d, "part").groupBy(col("p_brand"))
         .agg(max(expr("substring(p_type, length(p_type)-1)")).as("max_ver"))),
+    // --- beyond the reference: Catalyst analytics the warehouse should expose
+    "a8_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+    "a9_approx_distinct" -> ((s, d) =>
+      // HLL sketch vs exact cardinality (approx value is engine-specific →
+      // rows-only check; the shape is what the inventory covers)
+      t(s, d, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))),
+    "w6_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice")).over(w).as("running_spend"))
+    }),
+    "j7_nullsafe_join" -> ((s, d) => {
+      val a = t(s, d, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("N")).as("k")).distinct()
+      val b = t(s, d, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("R")).as("k2")).distinct()
+      a.join(b, col("k") <=> col("k2")).select(col("k"))
+    }),
     // --- windows / sorts --------------------------------------------------
     "w1_sort_limit" -> ((s, d) =>
       t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
@@ -401,6 +427,12 @@ object SparkEntry {
       "SELECT CAST(max(length(c_name)) AS BIGINT) AS max_name_len, CAST(max(length(c_mktsegment)) AS BIGINT) AS max_seg_len FROM customer",
     "a7_lexmax_version" ->
       "SELECT p_brand, max(substring(p_type, length(p_type)-1)) AS max_ver FROM part GROUP BY 1",
+    "a8_rollup" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "w6_running_sum" ->
+      "SELECT o_custkey, o_orderkey, sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend FROM orders",
+    "j7_nullsafe_join" ->
+      "SELECT k FROM (SELECT DISTINCT nullif(l_returnflag, 'N') AS k FROM lineitem) a JOIN (SELECT DISTINCT nullif(l_returnflag, 'R') AS k2 FROM lineitem) b ON a.k IS NOT DISTINCT FROM b.k2",
     "w1_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
     "w3_top1_group" ->
