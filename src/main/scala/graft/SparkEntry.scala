@@ -188,6 +188,29 @@ object SparkEntry {
         .select(nullif(col("l_returnflag"), lit("R")).as("k2")).distinct()
       a.join(b, col("k") <=> col("k2")).select(col("k"))
     }),
+    "j8_asof" -> ((s, d) => {
+      // each click matched to the user's most recent purchase at or before
+      // it — the as-of join Spark lacks, as union + last-over-window (one
+      // shuffle on user_id, no pair explosion)
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases,
+        "user_id", "ts", "p_ts", Seq("p_ts", "p_value"))
+        .filter(col("p_ts").isNotNull)
+    }),
+    "j9_range_join" -> ((s, d) => {
+      // point-in-interval join in banded equi-join form (misaligned band
+      // width on purpose — correctness never depends on alignment)
+      val points = t(s, d, "events").select(col("event_id"), col("value"))
+      val intervals = t(s, d, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 20.0).as("lo"), (col("n_nationkey") * 20.0 + 20.0).as("hi"))
+      graft.operators.RangeJoin.banded(points, intervals,
+        "value", "lo", "hi", bandWidth = 7L)
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n_points"))
+    }),
     // --- windows / sorts --------------------------------------------------
     "w1_sort_limit" -> ((s, d) =>
       t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
@@ -274,6 +297,17 @@ object SparkEntry {
         .groupBy(col("first_word")).agg(count(lit(1)).as("n"))),
     "f_json_pack" -> ((s, d) =>
       JsonPack.pack(t(s, d, "nation"), Seq("n_nationkey"))),
+    "f_cmc_dates" -> ((s, d) => {
+      // the DHS century-month-code codec (graft.functions.DhsDates): CMC
+      // round trip + the age derivation, at CMC 1513 = 2026-01
+      import graft.functions.DhsDates
+      val cmc = DhsDates.dateToCmc(col("o_orderdate"))
+      t(s, d, "orders").select(
+        col("o_orderkey"), cmc.as("cmc"),
+        DhsDates.cmcYear(cmc).as("cmc_year"),
+        DhsDates.cmcMonth(cmc).as("cmc_month"),
+        DhsDates.ageAtCmc(cmc, lit(1513)).as("age_years"))
+    }),
     "f_json_unpack" -> ((s, d) =>
       // pack → unpack round trip: map access on the packed column (the read
       // side of the JSONB tables, ref doc/Data_Format.md:218-220)
@@ -433,6 +467,10 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend FROM orders",
     "j7_nullsafe_join" ->
       "SELECT k FROM (SELECT DISTINCT nullif(l_returnflag, 'N') AS k FROM lineitem) a JOIN (SELECT DISTINCT nullif(l_returnflag, 'R') AS k2 FROM lineitem) b ON a.k IS NOT DISTINCT FROM b.k2",
+    "j8_asof" ->
+      "SELECT l.event_id, l.user_id, l.ts, r.ts AS p_ts, r.value AS p_value FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r ON l.user_id = r.user_id AND l.ts >= r.ts",
+    "j9_range_join" ->
+      "SELECT n_nationkey, count(*) AS n_points FROM nation JOIN events ON value >= n_nationkey * 20.0 AND value < n_nationkey * 20.0 + 20.0 GROUP BY 1",
     "w1_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
     "w3_top1_group" ->
@@ -467,6 +505,8 @@ object SparkEntry {
       "SELECT n_nationkey, to_json(struct_pack(n_name := n_name, n_regionkey := CAST(n_regionkey AS VARCHAR)))::VARCHAR AS data FROM nation",
     "f_json_unpack" ->
       "SELECT n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey_str FROM nation",
+    "f_cmc_dates" ->
+      "SELECT o_orderkey, CAST((year(o_orderdate) - 1900) * 12 + month(o_orderdate) AS INTEGER) AS cmc, CAST(year(o_orderdate) AS INTEGER) AS cmc_year, CAST(month(o_orderdate) AS INTEGER) AS cmc_month, CAST(floor((1513 - ((year(o_orderdate) - 1900) * 12 + month(o_orderdate))) / 12) AS INTEGER) AS age_years FROM orders",
     "g_range_expand" ->
       "SELECT n_nationkey, unnest(generate_series(0, n_nationkey)) AS v FROM nation",
     "g_range_capped" ->

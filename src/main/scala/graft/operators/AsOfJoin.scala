@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single most recent right row with
+  * `rightTime <= leftTime` within the same key (the time-series lookup
+  * Spark has no built-in operator for).
+  *
+  * Implementation is the union + last-value-over-ordered-window pattern, NOT
+  * a theta join: tag both sides, union them on (key, time), and carry the
+  * latest right-side payload forward with `last(…, ignoreNulls)` over an
+  * unbounded-preceding window — then keep only left rows. Cost: ONE shuffle
+  * on the key (the window partition), linear state, no candidate-pair
+  * explosion; a naive `l.key = r.key AND r.ts <= l.ts` theta join explodes
+  * to |matches|² per key before its aggregation. Ties (equal timestamps)
+  * resolve to the right row (right sorts before left at the same instant),
+  * matching "at or before" semantics.
+  */
+object AsOfJoin {
+
+  /** `left` rows enriched with the as-of row of `right`.
+    *
+    * @param rightCols the right-side columns to carry (must not collide with
+    *                  left column names); rows with no as-of match get nulls
+    *                  (left-outer semantics; filter on any carried col for
+    *                  inner).
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTimeCol: String, rightTimeCol: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightCols.intersect(leftCols).isEmpty,
+      s"right columns ${rightCols.intersect(leftCols)} collide with left")
+
+    val l = left
+      .withColumn("_t", col(leftTimeCol))
+      .withColumn("_side", lit(1))
+      .select(Seq(col("_t"), col("_side"), col(keyCol).as("_k")) ++
+        leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_t", col(rightTimeCol))
+      .withColumn("_side", lit(0))
+      .select(Seq(col("_t"), col("_side"), col(keyCol).as("_k")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+
+    // right (_side=0) sorts before left (_side=1) at equal _t → "at or before"
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_t", "_side", "_k")
+  }
+}

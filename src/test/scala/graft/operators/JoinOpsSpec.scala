@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join: latest right row at or before each left row, per key") {
+    val clicks = Seq(
+      (1L, 1L, ts("2024-01-01 10:05:00")), // before any purchase → null
+      (2L, 1L, ts("2024-01-01 10:15:00")), // after p@10:10
+      (3L, 1L, ts("2024-01-01 10:30:00")), // after p@10:20
+      (4L, 2L, ts("2024-01-01 10:30:00")), // other user: own purchases only
+      (5L, 1L, ts("2024-01-01 10:20:00"))  // exactly at p@10:20 → matches it
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:10:00"), 10.0),
+      (1L, ts("2024-01-01 10:20:00"), 20.0),
+      (2L, ts("2024-01-01 10:00:00"), 99.0)
+    ).toDF("user_id", "p_ts", "p_value")
+
+    val out = AsOfJoin.asOf(clicks, purchases, "user_id", "ts", "p_ts", Seq("p_ts", "p_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(10.0))
+    assert(out(3L).contains(20.0))
+    assert(out(4L).contains(99.0))
+    assert(out(5L).contains(20.0)) // "at or before" includes the same instant
+  }
+
+  test("as-of join carries whole right rows, not mixed columns") {
+    val left = Seq((1L, 9L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, ts("2024-01-01 10:00:00"), 1.0),
+      (9L, ts("2024-01-01 11:00:00"), 2.0)).toDF("user_id", "p_ts", "p_value")
+    val r = AsOfJoin.asOf(left, right, "user_id", "ts", "p_ts", Seq("p_ts", "p_value")).collect().head
+    assert(r.getAs[java.sql.Timestamp]("p_ts") == ts("2024-01-01 11:00:00"))
+    assert(r.getAs[Double]("p_value") == 2.0)
+  }
+
+  test("banded range join equals the naive broadcast form, boundaries exact") {
+    val points = Seq.tabulate(200)(i => (i.toLong, i * 0.5)).toDF("pid", "x")
+    val intervals = Seq(
+      (1L, 0.0, 10.0),    // aligned-ish
+      (2L, 9.5, 9.6),     // tiny, inside one band
+      (3L, 3.0, 77.0),    // spans many bands
+      (4L, 99.5, 100.0),  // hi beyond all points
+      (5L, 10.0, 10.0)    // empty interval (lo == hi, exclusive hi)
+    ).toDF("iid", "lo", "hi")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = canon(RangeJoin.naive(points, intervals, "x", "lo", "hi"))
+    val banded = canon(RangeJoin.banded(points, intervals, "x", "lo", "hi", bandWidth = 7L))
+    assert(banded == naive)
+    assert(naive.nonEmpty)
+    assert(!naive.exists(_._2 == 5L)) // empty interval matches nothing
+    assert(naive.exists { case (p, i) => i == 1L && p == 0L }) // x == lo included
+    assert(!naive.exists { case (p, i) => i == 1L && p == 20L }) // x == hi excluded
+  }
+
+  test("CMC codec: round trip and age derivation") {
+    import graft.functions.DhsDates._
+    val df = Seq(
+      (ts("1900-01-15 00:00:00")), // CMC 1
+      (ts("2017-06-01 00:00:00")),
+      (ts("2026-01-31 00:00:00"))  // CMC 1513
+    ).toDF("d")
+    val rows = df.select(
+      dateToCmc(col("d")).as("cmc"),
+      cmcYear(dateToCmc(col("d"))).as("y"),
+      cmcMonth(dateToCmc(col("d"))).as("m"),
+      ageAtCmc(dateToCmc(col("d")), lit(1513)).as("age")).collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).getInt(1) == 1900 && rows(0).getInt(2) == 1)
+    assert(rows(1).getInt(0) == (2017 - 1900) * 12 + 6)
+    assert(rows(1).getInt(1) == 2017 && rows(1).getInt(2) == 6)
+    assert(rows(2).getInt(0) == 1513 && rows(2).getInt(3) == 0)
+    assert(rows(1).getInt(3) == (1513 - ((2017 - 1900) * 12 + 6)) / 12)
+  }
+}
