@@ -356,6 +356,23 @@ object SparkEntry {
       graft.streaming.EventStream.runToCompletion(s,
         graft.streaming.EventStream.windowedStats(stream, "1 hour"), "e_stream_window")
     }),
+    // at-least-once delivery simulated by self-union (every event delivered
+    // twice), restored to effectively-once by watermark-scoped streaming
+    // dedup — final per-type counts equal the plain batch counts (oracle)
+    "e_stream_dedup" -> ((s, d) => {
+      val stream = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
+      val doubled = stream.union(stream)
+      val deduped = graft.streaming.EventStream
+        .dedupWithinWatermark(doubled, Seq("event_id"), "1 hour")
+      val q = deduped.writeStream
+        .format("memory").queryName("e_stream_dedup_rows")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("e_stream_dedup_rows")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
     // streaming-mode sessionization over the finite events stream: gap- and
     // watermark-closed sessions only (open tails stay in state) — rows-only
     // check; the batch path e_sessionize carries the oracle
@@ -523,6 +540,8 @@ object SparkEntry {
       """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess""",
     "e_stream_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
+    "e_stream_dedup" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     "t_token_count" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
     "t_quality_signals" ->

@@ -188,6 +188,19 @@ object EventStream {
       }
   }
 
+  // ------------------------------------------------------------------ dedup
+
+  /** Streaming exact dedup with bounded state: duplicates of `cols` arriving
+    * within the watermark window are dropped; state for keys older than the
+    * watermark is evicted (the streaming face of Dedup.exactDuplicateGroups
+    * — at-least-once sources made effectively-once without unbounded
+    * key memory).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, cols: Seq[String], delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(cols)
+
   // ------------------------------------------------------------------ ingest
 
   /** Micro-batch ingest: reuse any batch writer per micro-batch. `batchId` is

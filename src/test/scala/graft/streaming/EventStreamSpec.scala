@@ -104,6 +104,30 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupWithinWatermark(mem.toDS().toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // in-batch dup
+        Event(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // redelivery in a later micro-batch, still inside the watermark
+      mem.addData(
+        Event(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 10:10:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch ingest reuses a batch writer with batchId dedup handle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
