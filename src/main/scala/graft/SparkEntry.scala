@@ -188,6 +188,15 @@ object SparkEntry {
         .select(nullif(col("l_returnflag"), lit("R")).as("k2")).distinct()
       a.join(b, col("k") <=> col("k2")).select(col("k"))
     }),
+    "j10_deep_join" -> ((s, d) =>
+      // region → nation → supplier → lineitem chain: the deep equi-join
+      // shape of pooled warehouse extractions; dims broadcast up the chain
+      t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("revenue"))),
     "j8_asof" -> ((s, d) => {
       // each click matched to the user's most recent purchase at or before
       // it — the as-of join Spark lacks, as union + last-over-window (one
@@ -351,6 +360,12 @@ object SparkEntry {
         .groupBy(col("k_mod")).agg(count(lit(1)).as("n"))),
     "e_sessionize" -> ((s, d) =>
       graft.streaming.EventStream.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800L)),
+    "e_sliding_window" -> ((s, d) =>
+      // overlapping windows: each event lands in duration/slide windows
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))),
     "e_stream_window" -> ((s, d) => {
       val stream = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
       graft.streaming.EventStream.runToCompletion(s,
@@ -486,6 +501,10 @@ object SparkEntry {
       "SELECT k FROM (SELECT DISTINCT nullif(l_returnflag, 'N') AS k FROM lineitem) a JOIN (SELECT DISTINCT nullif(l_returnflag, 'R') AS k2 FROM lineitem) b ON a.k IS NOT DISTINCT FROM b.k2",
     "j8_asof" ->
       "SELECT l.event_id, l.user_id, l.ts, r.ts AS p_ts, r.value AS p_value FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r ON l.user_id = r.user_id AND l.ts >= r.ts",
+    "j10_deep_join" ->
+      "SELECT r_name, n_name, count(*) AS n, sum(l_extendedprice) AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2",
+    "e_sliding_window" ->
+      "SELECT window_start, event_type, count(*) AS n FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') AS window_start, event_type, ts FROM events, unnest([0,1,2,3]) AS t(k)) WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour' GROUP BY 1, 2",
     "j9_range_join" ->
       "SELECT n_nationkey, count(*) AS n_points FROM nation JOIN events ON value >= n_nationkey * 20.0 AND value < n_nationkey * 20.0 + 20.0 GROUP BY 1",
     "w1_sort_limit" ->
