@@ -34,25 +34,29 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"right columns ${rightCols.intersect(leftCols)} collide with left")
+    val reserved = Seq("_t", "_side", "_k", "_p")
+    require(reserved.intersect(leftCols ++ rightCols).isEmpty,
+      s"column names $reserved are reserved by asOf")
 
+    // the right-side payload travels as ONE struct so the carried values are
+    // a single whole right row — per-column last(ignoreNulls) would mix
+    // fields from different rows whenever a payload column is NULL
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val l = left
-      .withColumn("_t", col(leftTimeCol))
-      .withColumn("_side", lit(1))
-      .select(Seq(col("_t"), col("_side"), col(keyCol).as("_k")) ++
-        leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .select(Seq(col(leftTimeCol).as("_t"), lit(1).as("_side"), col(keyCol).as("_k")) ++
+        leftCols.map(col) :+ lit(null).cast(payloadType).as("_p"): _*)
     val r = right
-      .withColumn("_t", col(rightTimeCol))
-      .withColumn("_side", lit(0))
-      .select(Seq(col("_t"), col("_side"), col(keyCol).as("_k")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+      .select(Seq(col(rightTimeCol).as("_t"), lit(0).as("_side"), col(keyCol).as("_k")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("_p"): _*)
 
     // right (_side=0) sorts before left (_side=1) at equal _t → "at or before"
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_t", "_side", "_k")
+    l.unionByName(r)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col("_p").getField(c).as(c)): _*)
   }
 }

@@ -106,12 +106,14 @@ object Similarity {
     * a fold over the k centroid literals — k native-cosine evals per row,
     * no UDF, stays a narrow projection.
     */
-  def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("idx"))
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    if (centroids.size == 1) lit(0) // greatest() needs ≥ 2 args
+    else {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("idx"))
+      }
+      greatest(scored: _*).getField("idx")
     }
-    greatest(scored: _*).getField("idx")
-  }
 
   /** Top-`nprobe` centroid ids by cosine, as an array column. */
   def probeCentroids(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column = {

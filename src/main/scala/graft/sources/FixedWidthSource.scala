@@ -56,6 +56,11 @@ class FixedWidthSource extends TableProvider
 
 object FixedWidthSource {
 
+  // schema resolution calls fieldsFor more than once per read (inferSchema,
+  // then the table constructor) — cache the parse per (path, record, mtime)
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Seq[ColumnSpec]]()
+
   /** Parse the DCF (driver-side; pure Scala parser) and select the record
     * type's fields in (RecordTypeValue, Start) order.
     */
@@ -64,6 +69,11 @@ object FixedWidthSource {
       throw new IllegalArgumentException("fixedwidth source requires option 'dcf'"))
     val record = Option(options.get("record")).getOrElse(
       throw new IllegalArgumentException("fixedwidth source requires option 'record'"))
+    val mtime = new java.io.File(dcfPath).lastModified()
+    specCache.computeIfAbsent((dcfPath, record, mtime), _ => parseFields(dcfPath, record))
+  }
+
+  private def parseFields(dcfPath: String, record: String): Seq[ColumnSpec] = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dcfPath))
     val parsed = DcfParser.parse(CharsetSniffer.decode(bytes), fileCode = record)
     val locator = parsed.items.filter(_.itemType == "RecordDesciption")
@@ -89,12 +99,13 @@ private class FixedWidthTable(options: CaseInsensitiveStringMap)
   private val specs = FixedWidthSource.fieldsFor(options)
 
   // load(path) lands in options as "path"; load(p1, p2, …) as a JSON-array
-  // string under "paths"
+  // string under "paths" — parsed as real JSON (paths may contain commas)
   private val paths: Seq[String] = {
     val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq.flatMap(
-      _.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+    val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
+    }
     (single ++ multi).distinct
   }
   require(paths.nonEmpty, "fixedwidth source requires a load path")
@@ -136,10 +147,13 @@ private class FixedWidthScan(
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      val stats =
-        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
-        else fs.globStatus(path).toSeq
-      stats.filter(_.isFile).map(s => FixedWidthPartition(s.getPath.toString))
+      // globStatus handles literal paths, globs, and directories uniformly
+      // (a literal nonexistent path yields null → empty)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }.map(s => FixedWidthPartition(s.getPath.toString))
     }.toArray
   }
 

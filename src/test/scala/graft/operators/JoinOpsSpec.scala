@@ -42,6 +42,25 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Double]("p_value") == 2.0)
   }
 
+  test("as-of join: NULL payload in the matched row stays NULL (no chimera rows)") {
+    val left = Seq((1L, 9L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, ts("2024-01-01 10:00:00"), Some(1.0)),
+      (9L, ts("2024-01-01 11:00:00"), None) // most recent row has NULL value
+    ).toDF("user_id", "p_ts", "p_value")
+    val r = AsOfJoin.asOf(left, right, "user_id", "ts", "p_ts", Seq("p_ts", "p_value")).collect().head
+    assert(r.getAs[java.sql.Timestamp]("p_ts") == ts("2024-01-01 11:00:00"))
+    assert(r.isNullAt(r.fieldIndex("p_value"))) // NOT 1.0 carried from the older row
+  }
+
+  test("as-of join rejects reserved internal column names") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("user_id", "ts", "_t")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "p_ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "user_id", "ts", "p_ts", Seq("p_ts"))
+    }
+  }
+
   test("banded range join equals the naive broadcast form, boundaries exact") {
     val points = Seq.tabulate(200)(i => (i.toLong, i * 0.5)).toDF("pid", "x")
     val intervals = Seq(
