@@ -443,6 +443,12 @@ object SparkEntry {
         shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)),
     "d_minhash_candidates" -> ((s, d) =>
       Dedup.minhashCandidatePairs(tb(s, d, "documents"), "text", "doc_id")),
+    "d_dup_clusters" -> ((s, d) =>
+      // connected components over exact-Jaccard pairs (min-label
+      // propagation); oracle = DuckDB recursive-CTE transitive closure
+      Dedup.duplicateClusters(
+        Dedup.jaccardPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
+          shingleSize = 3, numer = 1, denom = 2))),
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3)),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
@@ -580,6 +586,8 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
+    "d_dup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT a, a FROM edges UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1""",
     "s_knn_brute" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5"
   )

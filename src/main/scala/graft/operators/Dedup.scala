@@ -210,6 +210,56 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------------------------- clustering
+
+  /** Connected components over near-dup pairs: every doc labeled with the
+    * minimum doc id reachable through the pair graph — the "which duplicate
+    * cluster am I in" step between pair generation and keeper selection.
+    *
+    * Distributed min-label propagation: each iteration joins labels across
+    * edges and keeps the per-node minimum — one shuffle per iteration,
+    * converging in O(component diameter) iterations (near-dup clusters are
+    * clique-like, so 2-3 in practice). The driver loop early-exits on a
+    * fixpoint; `maxIter` bounds adversarial chains.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("doc"))
+        .select(edges("src").as("doc"), col("label"))
+      val next = labels.select(col("doc"), col("label")).union(viaNeighbors)
+        .groupBy("doc").agg(min(col("label")).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc"), col("label").as("cluster"))
+  }
+
+  /** Survivors after near-dup clustering: docs that are either outside any
+    * cluster or their cluster's minimum id.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = duplicateClusters(pairs)
+      .filter(col("doc") =!= col("cluster"))
+      .select(col("doc"))
+    docs.join(losers, docs(idCol) === losers("doc"), "left_anti")
+  }
+
   // -------------------------------------------------------------- embedding
 
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from random-

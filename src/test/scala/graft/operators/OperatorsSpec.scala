@@ -83,6 +83,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.nonEmpty)
   }
 
+  test("duplicate clustering: min-label components, chain converges, keepers kept") {
+    // components: {1,2,3} (chain 1-2, 2-3), {7,9}; 5 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    val docsDf = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(docsDf, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 7L)) // cluster minima + untouched doc
+  }
+
   test("simhash pigeonhole finds close sketches and respects maxDist") {
     val pairs = Dedup.simhashDuplicatePairs(docs, "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
