@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   * only measure the cross join, not the engine.
   */
 object Bench {
-  /** Validation-only oracles, excluded from throughput measurement. */
-  val ValidationOnly: Set[String] = Set("d_jaccard_brute")
+  /** Validation-only oracles, excluded from throughput measurement: both
+    * build on the O(n²) brute-force pair generation whose only purpose is
+    * anchoring the LSH paths to an exact oracle at small scale.
+    */
+  val ValidationOnly: Set[String] = Set("d_jaccard_brute", "d_dup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
