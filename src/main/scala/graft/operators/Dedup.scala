@@ -184,27 +184,82 @@ object Dedup {
     docs.select(col(idCol).as("doc"),
       graft.functions.VectorHash.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using the
-    * pigeonhole trick: split 64 bits into (maxDist+1) blocks; any pair within
-    * distance must agree exactly on ≥1 block → equi-join per block, then
-    * verify. Shuffle key = (block idx, block bits); no n² stage.
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
+    *
+    * Two skew defenses over the naive 1-of-(d+1)-block pigeonhole join (which
+    * degenerates toward n²-per-bucket on low-entropy corpora — boilerplate-
+    * heavy web pages share block values massively):
+    *
+    *  1. '''Distinct-value collapse.''' The candidate join runs over DISTINCT
+    *     sketch values, not documents. A corpus where a million documents
+    *     share a few thousand sketches (the exact scenario that skews the doc-
+    *     level join) collapses to a few-thousand-row join; doc pairs are
+    *     recovered afterwards by two equi-joins on the 8-byte sketch value.
+    *     Identical-sketch doc pairs (dist 0) come from a same-value self-join
+    *     and never touch the pigeonhole stage at all.
+    *  2. '''2-of-(d+2) block agreement.''' Split 64 bits into (d+2) blocks: a
+    *     pair within distance d differs in ≤ d blocks, so it agrees on ≥ 2 —
+    *     i.e. on at least one block PAIR. Joining on block-pair keys (~26
+    *     agreeing bits for d=3, vs 16 for single blocks) squares away the
+    *     residual collision probability among distinct values.
+    *
+    * Both are exact covers: the verified pair set is identical to the naive
+    * scheme's (asserted vs brute force in OperatorsSpec).
     */
-  def simhashDuplicatePairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val blocks = maxDist + 1
-    val bits = 64 / blocks
-    val sk = simhashSketches(docs, textCol, idCol)
-    val keyed = sk.select(col("doc"), col("simhash"),
-      explode(array((0 until blocks).map { i =>
-        struct(lit(i).as("blk"),
-          shiftright(col("simhash"), i * bits)
-            .bitwiseAND(if (bits >= 64) -1L else (1L << bits) - 1L).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc"), col("simhash"), col("bk.blk"), col("bk.key"))
+  def simhashDuplicatePairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame =
+    simhashPairsFromSketches(simhashSketches(docs, textCol, idCol), maxDist)
+
+  /** [[simhashDuplicatePairs]] from a precomputed (doc, simhash) frame. The
+    * sketch frame is referenced three times (distinct values + the two doc-
+    * expansion joins); at scale, cache it — it is two longs per document.
+    */
+  def simhashPairsFromSketches(sk: DataFrame, maxDist: Int): DataFrame = {
+    val valuePairs = simhashValuePairs(sk.select(col("simhash")).distinct(), maxDist)
+    // identical sketches: expand within each value group, dist = 0
+    val x = sk.alias("x")
+    val y = sk.alias("y")
+    val same = x.join(y,
+        col("x.simhash") === col("y.simhash") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        lit(0).cast("int").as("dist"))
+    // distinct-value pairs: attach every doc on each side; each doc pair
+    // belongs to exactly one value pair, so the union needs no distinct
+    val cross = valuePairs
+      .join(sk.alias("da"), col("sim_a") === col("da.simhash"))
+      .join(sk.alias("db"), col("sim_b") === col("db.simhash"))
+      .select(
+        least(col("da.doc"), col("db.doc")).as("doc_a"),
+        greatest(col("da.doc"), col("db.doc")).as("doc_b"),
+        col("dist"))
+    same.union(cross)
+  }
+
+  /** Distinct sketch-value pairs within Hamming distance ≤ maxDist, via the
+    * 2-of-(d+2) block-pair pigeonhole (see [[simhashDuplicatePairs]]). Input:
+    * one `simhash` column of distinct longs. Output: (sim_a, sim_b, dist)
+    * with sim_a < sim_b, 0 < dist ≤ maxDist.
+    */
+  def simhashValuePairs(values: DataFrame, maxDist: Int): DataFrame = {
+    val nBlocks = maxDist + 2
+    // distribute 64 bits over the blocks (first 64 % nBlocks get an extra bit)
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    val offsets = (0 until nBlocks).scanLeft(0)((off, i) => off + base + (if (i < extra) 1 else 0))
+    def blockBits(i: Int): Column = {
+      val width = base + (if (i < extra) 1 else 0)
+      shiftright(col("simhash"), offsets(i)).bitwiseAND((1L << width) - 1L)
+    }
+    val keyPairs = for { i <- 0 until nBlocks; j <- (i + 1) until nBlocks } yield
+      struct(lit(i * nBlocks + j).as("pk"), blockBits(i).as("k1"), blockBits(j).as("k2"))
+    val keyed = values
+      .select(col("simhash"), explode(array(keyPairs: _*)).as("bk"))
+      .select(col("simhash"), col("bk.pk"), col("bk.k1"), col("bk.k2"))
     val a = keyed.alias("a")
     val b = keyed.alias("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+    a.join(b,
+        col("a.pk") === col("b.pk") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
         TextOps.hamming64(col("a.simhash"), col("b.simhash")).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
@@ -235,12 +290,22 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("doc"))
-        .select(edges("src").as("doc"), col("label"))
-      val next = labels.select(col("doc"), col("label")).union(viaNeighbors)
-        .groupBy("doc").agg(min(col("label")).as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
-        .filter(col("label") =!= col("old")).limit(1).count()
+        .select(edges("src").as("doc"), col("label"), lit(false).as("is_self"))
+      // carry the previous label through the aggregation (each doc has
+      // exactly one is_self row) so convergence detection rides the same
+      // job that materializes the new labels — one job per iteration
+      val merged = labels
+        .select(col("doc"), col("label"), lit(true).as("is_self"))
+        .union(viaNeighbors)
+        .groupBy("doc")
+        .agg(min(col("label")).as("label"),
+          min(when(col("is_self"), col("label"))).as("old"))
+      // cut the per-iteration lineage growth so high-diameter (adversarial
+      // chain) graphs don't blow up plan size / closure serialization
+      val next =
+        if (iter % 5 == 4) merged.localCheckpoint(true)
+        else merged.persist()
+      val changed = next.filter(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0

@@ -96,12 +96,56 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 5L, 7L)) // cluster minima + untouched doc
   }
 
+  test("duplicate clustering survives a diameter-12 chain (lineage checkpointing)") {
+    // label 1 must travel 11 hops: exercises >10 iterations, so the
+    // localCheckpoint-every-5 lineage cut runs at least twice
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 12)
+    assert(clusters.values.forall(_ == 1L))
+  }
+
   test("simhash pigeonhole finds close sketches and respects maxDist") {
     val pairs = Dedup.simhashDuplicatePairs(docs, "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // exact dups have distance 0 and must be present
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
     assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("simhash pairs equal the brute-force hamming join on a varied corpus") {
+    // 40 docs over 8 perturbed templates: guarantees dist-0 pairs (i, i+24
+    // share template and tail) plus assorted near/far pairs
+    val varied = (1L to 40L).map { i =>
+      val cluster = i % 8
+      val words = (0 until 30).map(w => s"w${(w + cluster * 3) % 31}")
+      (i, (words :+ s"tail${i % 3}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.simhashDuplicatePairs(varied, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sk = Dedup.simhashSketches(varied, "text", "doc_id")
+    val brute = sk.alias("a").join(sk.alias("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc"), col("b.doc"),
+        TextOps.hamming64(col("a.simhash"), col("b.simhash")).as("dist"))
+      .filter(col("dist") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == brute)
+    assert(brute.exists(_._3 == 0)) // the planted identical docs
+  }
+
+  test("simhash low-entropy corpus: distinct-value collapse keeps the join tiny") {
+    // 600 docs, 5 distinct texts — the worst case for block-key skew. The
+    // candidate join runs over ≤5 distinct sketch values; the 5·C(120,2)
+    // dist-0 pairs come from the same-value expansion, not the pigeonhole.
+    val lowEntropy = (1L to 600L)
+      .map(i => (i, s"identical boilerplate page content shared by everything variant ${i % 5}"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashDuplicatePairs(lowEntropy, "text", "doc_id", maxDist = 3)
+    val sameText = pairs.filter(col("dist") === 0).count()
+    assert(sameText >= 5L * (120L * 119L / 2L)) // ≥ because distinct variants may also collide
+    // no duplicates in the pair set
+    assert(pairs.count() == pairs.select("doc_a", "doc_b").distinct().count())
   }
 
   test("embedding LSH dedup: identical vectors collide; cosine filter exact") {
