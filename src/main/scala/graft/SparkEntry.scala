@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SpecCatalog
 import graft.cspro.{DatReader, DcfParser}
 import graft.load.JsonPack
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -449,8 +449,26 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.jaccardPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
           shingleSize = 3, numer = 1, denom = 2))),
+    "d_dup_clusters_lsh" -> ((s, d) =>
+      // the production composition: clusters over the LSH pair set (no
+      // brute-force stage anywhere). Same recursive-CTE oracle as
+      // d_dup_clusters — valid because LSH recall is 1.0 at J ≥ 1/2 with
+      // 32×2 bands here, anchored by the d_jaccard_lsh ≡ brute spec test
+      Dedup.duplicateClusters(
+        Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)
+          .select(col("doc_a"), col("doc_b")))),
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3)),
+    // --- multimodal (rows-only: features are real imageio decodes) ----------
+    "m_media_features" -> ((s, d) => {
+      import s.implicits._
+      // document ids → real executor-encoded PNGs → real javax.imageio
+      // decode → dimensions + luminance-grid features; narrow end-to-end
+      val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
+      Multimodal.featureFrame(
+        Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 16))
+    }),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9 cutoff
     // would vacuously return 0 rows
@@ -492,6 +510,12 @@ object SparkEntry {
   // ------------------------------------------------------------------------
   // oracles
   // ------------------------------------------------------------------------
+
+  /** DuckDB recursive-CTE transitive closure over the exact-Jaccard pair
+    * set — the oracle for both cluster queries (brute-fed and LSH-fed).
+    */
+  private val DupClusterClosureSql: String =
+    """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT a, a FROM edges UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -586,8 +610,10 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
-    "d_dup_clusters" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT a, a FROM edges UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1""",
+    "d_dup_clusters" -> DupClusterClosureSql,
+    // the LSH-fed composition converges to the same clusters (recall 1.0
+    // at this threshold/banding), so it shares the closure oracle
+    "d_dup_clusters_lsh" -> DupClusterClosureSql,
     "s_knn_brute" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5"
   )

@@ -39,7 +39,12 @@ object DdlManager {
   }
   val EmptyPlan: DdlPlan = DdlPlan(Nil)
 
-  private def q(ident: String): String = "\"" + ident.toLowerCase + "\""
+  /** Quote an identifier, escaping embedded quotes — identifiers originate
+    * from DCF item names (external survey files), so a stray '"' must not
+    * break out of the quoted identifier in generated DDL.
+    */
+  private[load] def q(ident: String): String =
+    "\"" + ident.toLowerCase.replace("\"", "\"\"") + "\""
 
   // ---------------------------------------------------------------- create
 

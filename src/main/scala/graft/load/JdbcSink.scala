@@ -23,6 +23,12 @@ object JdbcSink {
 
   /** Append a frame, bounding writer-side connection fan-out.
     *
+    * Postgres URLs route to [[CopySink.append]] — per-partition
+    * `COPY ... FROM STDIN` streams, the reference's "WAY faster" load path
+    * (lib04:417-434) distributed. Requires the table to exist (the
+    * reference's own sequencing: DDL strictly before data). Everything else
+    * goes through `df.write.jdbc` with a tuned `batchsize`.
+    *
     * `columnTypes` feeds Spark's `createTableColumnTypes`: pass the
     * DdlManager-planned VARCHAR widths so a table created by the writer gets
     * real VARCHAR(n) columns, not the dialect's unbounded default (Derby
@@ -31,14 +37,17 @@ object JdbcSink {
   def append(
       df: DataFrame, url: String, table: String, props: Properties,
       batchSize: Int = 10000, maxWriters: Int = 8,
-      columnTypes: Option[String] = None): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > maxWriters) df.coalesce(maxWriters) else df
-    val w = bounded.write.mode(SaveMode.Append)
-      .option("batchsize", batchSize.toString)
-    columnTypes.fold(w)(ct => w.option("createTableColumnTypes", ct))
-      .jdbc(url, table, props)
-  }
+      columnTypes: Option[String] = None): Unit =
+    if (url.startsWith("jdbc:postgresql")) {
+      CopySink.append(df, url, table, props, batchSize, maxWriters)
+    } else {
+      val bounded =
+        if (df.rdd.getNumPartitions > maxWriters) df.coalesce(maxWriters) else df
+      val w = bounded.write.mode(SaveMode.Append)
+        .option("batchsize", batchSize.toString)
+      columnTypes.fold(w)(ct => w.option("createTableColumnTypes", ct))
+        .jdbc(url, table, props)
+    }
 
   /** Render DdlManager column defs as a `createTableColumnTypes` clause. */
   def columnTypesClause(defs: Seq[DdlManager.ColumnDef]): String =
@@ -48,8 +57,26 @@ object JdbcSink {
   def overwrite(df: DataFrame, url: String, table: String, props: Properties): Unit =
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
 
-  /** Read back (S10): pushdown-capable jdbc source over a query or table. */
-  def read(df: DataFrame): Unit = () // placeholder to keep symmetry obvious in docs
+  /** Read back (S10): pushdown-capable jdbc source. Filters/pruning applied
+    * on the returned frame reach the database as WHERE/SELECT via Spark's
+    * JDBC relation (`PushedFilters` in explain).
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, url: String, table: String,
+      props: Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Reject identifiers that cannot be safely interpolated into SQL text.
+    * Table/column names here come from external survey files, so anything
+    * beyond word characters and dots (schema qualification) is refused
+    * rather than quoted — quoting would silently change case resolution for
+    * every existing unquoted table.
+    */
+  private def safeIdent(ident: String): String = {
+    val ok = ident.matches("[A-Za-z0-9_.]+") || // plain, optionally qualified
+      ident.matches("\"([^\"]|\"\")*\"")        // pre-quoted, quotes doubled
+    require(ok, s"unsafe SQL identifier: $ident")
+    ident
+  }
 
   /** Delete one survey's slice on the driver, then append its fresh rows —
     * the reference's drop-and-reload idempotence unit.
@@ -59,7 +86,8 @@ object JdbcSink {
       props: Properties, surveyCol: String = "surveyid"): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val st = conn.prepareStatement(s"DELETE FROM $table WHERE $surveyCol = ?")
+      val st = conn.prepareStatement(
+        s"DELETE FROM ${safeIdent(table)} WHERE ${safeIdent(surveyCol)} = ?")
       try { st.setString(1, surveyId); st.executeUpdate() } finally st.close()
     } finally conn.close()
     append(df, url, table, props)
@@ -73,7 +101,8 @@ object JdbcSink {
       surveyCol: String = "surveyid"): Long = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val st = conn.prepareStatement(s"SELECT COUNT(*) FROM $table WHERE $surveyCol = ?")
+      val st = conn.prepareStatement(
+        s"SELECT COUNT(*) FROM ${safeIdent(table)} WHERE ${safeIdent(surveyCol)} = ?")
       try {
         st.setString(1, surveyId)
         val rs = st.executeQuery()

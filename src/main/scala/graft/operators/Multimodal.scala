@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested — schema, partitioning,
   * batch shape, the `binaryFile` source, and the explode-shaped growth of
-  * frame sampling. The codec calls themselves are STUBBED behind
-  * [[Codecs]] (this container ships no image/audio libraries): each stub is
-  * a deterministic function of the input bytes, so tests are stable and the
-  * swap-in point for a real decoder (JNI/javacv/etc.) is a single object.
+  * frame sampling. The IMAGE codec path is real too (`javax.imageio`:
+  * decode, dimensions, resize, luminance-grid features for PNG/JPEG/BMP/
+  * GIF). Audio/video calls remain STUBBED behind [[Codecs]] (no such
+  * libraries in this container) as deterministic functions of the input
+  * bytes; the swap-in point for a real decoder (JNI/javacv/etc.) is that
+  * single object.
   *
   * Scale design:
   *  - media rows never shuffle with their payload unless the caller asks —
@@ -50,9 +52,13 @@ object Multimodal {
 
   // ------------------------------------------------------------------ codecs
 
-  /** STUB boundary: deterministic fakes standing in for real codecs. Every
-    * function is pure in the payload bytes. Replace this object to integrate
-    * a real decoder; nothing else changes.
+  /** Codec boundary. The IMAGE path is real: decode / dimensions / resize /
+    * luminance-grid features run on `javax.imageio` (in every JRE — PNG,
+    * JPEG, BMP, GIF). Payloads that don't decode as images, and the audio/
+    * video calls (no codec libraries in this container), fall back to the
+    * original deterministic fakes so every function stays total and pure in
+    * the payload bytes. Swapping in real audio/video decoding still touches
+    * only this object.
     */
   object Codecs {
     private def h(bytes: Array[Byte], seed: Long): Long = {
@@ -62,30 +68,69 @@ object Multimodal {
       acc
     }
 
-    /** Fake image decode: dimensions derived from the payload hash. */
-    def imageDims(bytes: Array[Byte]): (Int, Int) = {
-      val x = h(bytes, 17)
-      (64 + (Math.floorMod(x, 512L)).toInt, 64 + (Math.floorMod(x >> 16, 512L)).toInt)
-    }
+    /** Real image decode; None when the payload is not a decodable image. */
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
 
-    /** Fake media duration (audio/video). */
-    def durationMs(bytes: Array[Byte]): Long = 1000L + Math.floorMod(h(bytes, 29), 600000L)
-
-    /** Fake feature extractor: `dim` floats in [-1, 1]. */
-    def features(bytes: Array[Byte], dim: Int): Array[Float] =
-      Array.tabulate(dim) { i =>
-        (Math.floorMod(h(bytes, 1000L + i), 2000001L) - 1000000L) / 1000000.0f
+    /** Image dimensions: decoded when possible, hash-derived fake otherwise. */
+    def imageDims(bytes: Array[Byte]): (Int, Int) =
+      decodeImage(bytes) match {
+        case Some(img) => (img.getWidth, img.getHeight)
+        case None =>
+          val x = h(bytes, 17)
+          (64 + (Math.floorMod(x, 512L)).toInt, 64 + (Math.floorMod(x >> 16, 512L)).toInt)
       }
 
-    /** Fake resize: re-encode stub keeping a deterministic prefix. */
-    def resize(bytes: Array[Byte], w: Int, hgt: Int): Array[Byte] = {
-      val out = new Array[Byte](math.min(bytes.length, math.max(16, (w * hgt) / 1024)))
-      var i = 0
-      while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
-      out
-    }
+    /** Fake media duration (audio/video — no codec libraries shipped). */
+    def durationMs(bytes: Array[Byte]): Long = 1000L + Math.floorMod(h(bytes, 29), 600000L)
 
-    /** Fake frame decode at a timestamp. */
+    /** Feature extractor. Decodable images get a real perceptual signature:
+      * the image scaled onto a √dim × √dim luminance grid, cell means in
+      * [-1, 1] row-major (the aHash family's base representation). Other
+      * payloads get the deterministic hash fake.
+      */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      decodeImage(bytes) match {
+        case Some(img) =>
+          val grid = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+          val small = new java.awt.image.BufferedImage(
+            grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = small.createGraphics()
+          try g.drawImage(img, 0, 0, grid, grid, null) finally g.dispose()
+          Array.tabulate(dim) { i =>
+            val rgb = small.getRGB(i % grid, (i / grid) % grid)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000.0
+            (lum / 127.5 - 1.0).toFloat
+          }
+        case None =>
+          Array.tabulate(dim) { i =>
+            (Math.floorMod(h(bytes, 1000L + i), 2000001L) - 1000000L) / 1000000.0f
+          }
+      }
+
+    /** Resize: real scale + PNG re-encode for decodable images, size-derived
+      * fake otherwise.
+      */
+    def resize(bytes: Array[Byte], w: Int, hgt: Int): Array[Byte] =
+      decodeImage(bytes) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(
+            w, hgt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(img, 0, 0, w, hgt, null) finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        case None =>
+          val out = new Array[Byte](math.min(bytes.length, math.max(16, (w * hgt) / 1024)))
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
+          out
+      }
+
+    /** Fake frame decode at a timestamp (video codecs not shipped). */
     def frameAt(bytes: Array[Byte], tsMs: Long): Array[Byte] =
       Array.tabulate(32)(i => (h(bytes, tsMs + i) & 0xff).toByte)
   }
@@ -125,6 +170,36 @@ object Multimodal {
           lit("length"), col("length").cast("string"),
           lit("mtime"), col("modificationTime").cast("string")).as("meta"))
       .as[MediaFile]
+  }
+
+  /** Deterministic tiny-PNG corpus keyed by an id column: each id becomes a
+    * real encoded PNG (dimensions and pixels derived from the id), so
+    * downstream transforms exercise the real `javax.imageio` decode path
+    * end-to-end without external media files. Encoding happens inside
+    * `map` on executors — narrow, no shuffle.
+    */
+  def syntheticPngCorpus(ids: Dataset[java.lang.Long]): Dataset[MediaFile] = {
+    import ids.sparkSession.implicits._
+    ids.map { boxed =>
+      val id = boxed.longValue()
+      val w = 4 + (Math.floorMod(id, 13L)).toInt
+      val h = 4 + (Math.floorMod(id, 7L)).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = id * 6364136223846793005L + x * 9632L + y * 97L
+          img.setRGB(x, y, (v & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaFile(id, "image", bos.toByteArray, Map("synthetic" -> "png"))
+    }
   }
 
   /** Rebalance so each partition holds ~`rowsPerPartition` payloads — blob

@@ -51,4 +51,70 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestBase {
     JdbcSink.overwrite(Seq(("2", "y"), ("3", "z")).toDF("surveyid", "name"), url, t, props)
     assert(spark.read.jdbc(url, t, props).count() == 2)
   }
+
+  test("JdbcSink.read round-trips through the jdbc source (S10)") {
+    val t = "graft_read_test"
+    val widths = JdbcSink.columnTypesClause(Seq(
+      DdlManager.ColumnDef("surveyid", 8), DdlManager.ColumnDef("name", 32)))
+    JdbcSink.append(Seq(("611", "r1"), ("622", "r2")).toDF("surveyid", "name"),
+      url, t, props, columnTypes = Some(widths))
+    val back = JdbcSink.read(spark, url, t, props)
+    assert(back.count() == 2)
+    assert(back.filter(back("surveyid") === "611").count() == 1)
+  }
+
+  test("slice helpers reject injection-shaped identifiers") {
+    intercept[IllegalArgumentException] {
+      JdbcSink.sliceRowCount(url, "t; DROP TABLE x", "511", props)
+    }
+    intercept[IllegalArgumentException] {
+      JdbcSink.sliceRowCount(url, "t", "511", props, "\"a\" = '' OR \"b\"")
+    }
+  }
+
+  // ------------------------------------------------------------- COPY sink
+
+  test("COPY TEXT rendering: null='' contract, control chars escaped") {
+    // the reference loads with COPY ... null='' (lib04:432-434): NULL and
+    // empty string both render as the empty field
+    assert(CopySink.renderCopyRow(Seq("a", null, "", "b")) == "a\t\t\tb")
+    // backslash/tab/newline/CR must not terminate fields or rows
+    assert(CopySink.escapeCopyText("a\tb") == "a\\tb")
+    assert(CopySink.escapeCopyText("a\nb\rc") == "a\\nb\\rc")
+    assert(CopySink.escapeCopyText("c:\\path") == "c:\\\\path")
+    assert(CopySink.renderCopyRow(Seq("x\ty", null, "z")) == "x\\ty\t\tz")
+  }
+
+  test("COPY statement quotes table and columns with escaped identifiers") {
+    val sql = CopySink.copySql("rec01", Seq("caseid", "v010"))
+    assert(sql == "COPY \"rec01\" (\"caseid\", \"v010\") FROM STDIN WITH (FORMAT text, NULL '')")
+  }
+
+  test("LinesReader streams rendered rows exactly as COPY would consume them") {
+    val rows = Iterator(Seq("511", "a b", null), Seq("522", "c\td", "x"))
+      .map(CopySink.renderCopyRow)
+    val r = new CopySink.LinesReader(rows)
+    val sb = new StringBuilder
+    val buf = new Array[Char](7) // deliberately tiny to hit buffer boundaries
+    var n = r.read(buf, 0, buf.length)
+    while (n >= 0) { sb.appendAll(buf, 0, n); n = r.read(buf, 0, buf.length) }
+    assert(sb.toString == "511\ta b\t\n522\tc\\td\tx\n")
+  }
+
+  test("CopySink falls back to batched INSERTs on a non-Postgres connection") {
+    val t = "graft_copy_fallback"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $t (surveyid VARCHAR(8), name VARCHAR(32))")
+      finally st.close()
+      assert(!CopySink.copyCapable(conn)) // Derby, no pgjdbc on classpath
+    } finally conn.close()
+    val df = Seq(("711", "p1"), ("711", null: String), ("722", "p3"))
+      .toDF("surveyid", "name")
+    CopySink.append(df, url, t, props, batchSize = 2)
+    val back = spark.read.jdbc(url, t, props)
+    assert(back.count() == 3)
+    assert(back.filter(back("name").isNull).count() == 1)
+  }
 }

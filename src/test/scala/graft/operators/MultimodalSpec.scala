@@ -71,6 +71,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(top.count() == 2)
   }
 
+  test("real PNG: imageio decode yields true dims, resize re-encodes, features are luminance") {
+    // a real 10×6 PNG with known pixels
+    val img = new java.awt.image.BufferedImage(10, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 6).foreach(y => (0 until 10).foreach(x => img.setRGB(x, y, 0xffffff))) // all white
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    assert(Codecs.imageDims(png) == ((10, 6))) // real decode, not the hash fake
+    val resized = Codecs.resize(png, 5, 3)
+    assert(Codecs.imageDims(resized) == ((5, 3))) // output is itself a decodable PNG
+    // all-white image → every luminance-grid feature saturates at +1
+    assert(Codecs.features(png, 9).forall(f => math.abs(f - 1.0f) < 1e-3))
+
+    // end-to-end through the Dataset transform
+    val feats = extractFeatures(Seq(MediaFile(1L, "image", png, Map())).toDS(), dim = 4).collect()
+    assert(feats.head.width == 10 && feats.head.height == 6)
+  }
+
+  test("synthetic PNG corpus: real decodable images with id-derived dims") {
+    val ids = Seq(0L, 1L, 5L, 12L).map(java.lang.Long.valueOf).toDS()
+    val corpus = syntheticPngCorpus(ids).collect().sortBy(_.media_id)
+    assert(corpus.length == 4)
+    corpus.foreach { m =>
+      val expected = (4 + (m.media_id % 13).toInt, 4 + (m.media_id % 7).toInt)
+      assert(Codecs.imageDims(m.bytes) == expected)
+    }
+  }
+
   test("binaryFile source round-trip: real extensions map to canonical kinds, payload intact") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     val payload = Array.tabulate(64)(_.toByte)
