@@ -400,8 +400,11 @@ object SparkEntry {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     }),
     // streaming-mode sessionization over the finite events stream: gap- and
-    // watermark-closed sessions only (open tails stay in state) — rows-only
-    // check; the batch path e_sessionize carries the oracle
+    // watermark-closed sessions only (open tails stay in state). Oracle-able:
+    // emitted rows = batch sessions with a successor session (closed
+    // in-stream by a > gap event) plus last-per-user sessions whose timeout
+    // deadline fell strictly behind the final watermark (= max event ts at
+    // 0s delay, ms-floored as Spark tracks it)
     "e_stream_sessionize" -> ((s, d) => {
       import s.implicits._
       val stream = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
@@ -602,6 +605,11 @@ object SparkEntry {
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
     "e_stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    // batch sessions, minus open tails: a session is emitted iff it has a
+    // successor (rn > 1 from the end) or its ms-rounded-up timeout deadline
+    // is strictly behind the final watermark (max ts, ms-floored, 0s delay)
+    "e_stream_sessionize" ->
+      """WITH sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess), wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events) SELECT user_id, session_start, session_end, n_events FROM (SELECT s.*, row_number() OVER (PARTITION BY user_id ORDER BY session_end DESC) AS rn FROM sess s) s2, wm WHERE rn > 1 OR (epoch_us(session_end) + 1800 * 1000000 + 999) // 1000 < wm_ms""",
     "t_token_count" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
     "t_quality_signals" ->

@@ -55,10 +55,19 @@ object DatReader {
       .sortBy(f => (f.recordTypeValue, f.start))
       .groupBy(_.recordTypeValue)
 
+  /** The one trim semantic of the engine: strip ASCII whitespace (Java-regex
+    * `\s`: space, \t, \n, \x0B, \f, \r) from both ends — the reference's
+    * Python `str.strip()` for every ASCII input (ref DAT_Parser.py:102-105).
+    * Spark's `trim()` strips only ' ' and would keep a tab; the DSv2
+    * connector implements the identical set (asserted in
+    * FixedWidthSourceSpec).
+    */
+  def stripWs(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** The column expression for one fixed-width field of one line. */
   def fieldColumn(line: Column, f: ColumnSpec): Column = {
     val raw = substring(line, f.start, f.len)
-    val v = if (NoTrimNames.contains(f.name)) raw else trim(raw)
+    val v = if (NoTrimNames.contains(f.name)) raw else stripWs(raw)
     v.as(f.name.toLowerCase)
   }
 

@@ -30,6 +30,19 @@ object RangeJoin {
     points.join(broadcast(intervals), points(xCol) >= intervals(loCol) && hiPred)
   }
 
+  /** Band id for one column: exact integer floor-division when the column
+    * is integral (double math loses resolution above 2^53 and truncates
+    * toward zero on negatives), double path only for fractional columns.
+    * pmod keeps the numerator an exact multiple, so `div` is exact floor.
+    */
+  private def bandOf(df: DataFrame, colName: String, bandWidth: Long): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        expr(s"(`$colName` - pmod(`$colName`, ${bandWidth}L)) div ${bandWidth}L")
+      case _ => (col(colName) / bandWidth).cast("long")
+    }
+
   /** Banded equi-join form for large interval tables. */
   def banded(
       points: DataFrame, intervals: DataFrame,
@@ -37,10 +50,10 @@ object RangeJoin {
       bandWidth: Long,
       inclusiveHi: Boolean = false): DataFrame = {
     require(bandWidth > 0)
-    val p = points.withColumn("_band", (col(xCol) / bandWidth).cast("long"))
+    val p = points.withColumn("_band", bandOf(points, xCol, bandWidth))
     val iv = intervals.withColumn("_band",
-      explode(sequence((col(loCol) / bandWidth).cast("long"),
-        (col(hiCol) / bandWidth).cast("long"))))
+      explode(sequence(bandOf(intervals, loCol, bandWidth),
+        bandOf(intervals, hiCol, bandWidth))))
     val hiPred =
       if (inclusiveHi) p(xCol) <= iv(hiCol) else p(xCol) < iv(hiCol)
     p.join(iv, p("_band") === iv("_band") && p(xCol) >= iv(loCol) && hiPred)

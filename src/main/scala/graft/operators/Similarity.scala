@@ -131,12 +131,18 @@ object Similarity {
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, centroids: Seq[Seq[Float]], nprobe: Int = 2): DataFrame = {
+      k: Int, centroids: Seq[Seq[Float]], nprobe: Int = 2,
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCentroid(col(vecCol), centroids).as("cluster"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(probeCentroids(col(vecCol), centroids, nprobe)).as("cluster"))
-    val scored = c.join(broadcast(q), Seq("cluster"))
+    // lookup workloads broadcast the (small) query side; for query sets
+    // that are themselves corpus-scale (all-pairs kNN) the probe becomes a
+    // cluster-key sort-merge join — both sides shuffle by a small int, the
+    // n·m cross product never materializes
+    val qSide = if (broadcastQueries) broadcast(q) else q.hint("merge")
+    val scored = c.join(qSide, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -157,13 +163,17 @@ object Similarity {
       vecCol: String,
       idCol: String,
       k: Int,
-      planes: Int = 8
+      planes: Int = 8,
+      broadcastQueries: Boolean = true
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    // see ivfTopK: broadcast for lookup workloads, bucket-key sort-merge
+    // for corpus-scale query sets
+    val qSide = if (broadcastQueries) broadcast(q) else q.hint("merge")
+    val scored = c.join(qSide, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))

@@ -167,6 +167,19 @@ private class FixedWidthReaderFactory(
     specs: Seq[ColumnSpec], required: StructType, surveyId: Option[String])
     extends PartitionReaderFactory {
 
+  /** Same character set as [[DatReader.stripWs]] (Java-regex `\s`) so the
+    * connector and the composable plan trim identically — a tab-padded
+    * field must not parse differently between the two paths.
+    */
+  private def stripWs(s: String): String = {
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var b = 0
+    var e = s.length
+    while (b < e && ws(s.charAt(b))) b += 1
+    while (e > b && ws(s.charAt(e - 1))) e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FixedWidthPartition]
     val (rtStart, rtLen) = DatReader.recordTypeLocator(specs)
@@ -186,7 +199,7 @@ private class FixedWidthReaderFactory(
           val raw =
             if (line.length <= from) ""
             else line.substring(from, math.min(until, line.length))
-          UTF8String.fromString(if (noTrim) raw else raw.trim)
+          UTF8String.fromString(if (noTrim) raw else stripWs(raw))
         }
       }
     }
@@ -194,20 +207,34 @@ private class FixedWidthReaderFactory(
     new PartitionReader[InternalRow] {
       private val conf = new org.apache.hadoop.conf.Configuration()
       private val fsPath = new Path(p.path)
-      private val in = fsPath.getFileSystem(conf).open(fsPath)
-      private val bytes = {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
+      private val fs = fsPath.getFileSystem(conf)
+      // sniff the charset from a bounded head, then decode line-by-line off
+      // the stream — the reader never holds more than one line plus the
+      // BufferedReader's buffer (a multi-GB landing DAT must not OOM an
+      // executor; the reference sniffs a head the same way, DAT_Parser:62-68)
+      private val charset = {
+        val head = fs.open(fsPath)
+        try {
+          val buf = new Array[Byte](CharsetSniffer.DefaultSniffBytes)
+          var off = 0
+          var n = head.read(buf, off, buf.length - off)
+          while (n > 0 && off + n < buf.length) { off += n; n = head.read(buf, off, buf.length - off) }
+          CharsetSniffer.detect(java.util.Arrays.copyOf(buf, off + math.max(n, 0)))
+        } finally head.close()
       }
-      private val lines = CharsetSniffer.decode(bytes).linesIterator
+      private val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(fsPath), charset))
+      private var firstLine = true
       private var current: InternalRow = _
 
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val line = lines.next()
+        var line = reader.readLine()
+        while (line != null) {
+          if (firstLine) {
+            firstLine = false
+            // decoded BOM would prefix the first line's record-type tag
+            if (line.nonEmpty && line.charAt(0) == '\uFEFF') line = line.substring(1)
+          }
           val lineTag =
             if (line.length < rtStart - 1 + rtLen) ""
             else line.substring(rtStart - 1, rtStart - 1 + rtLen)
@@ -215,11 +242,12 @@ private class FixedWidthReaderFactory(
             current = InternalRow.fromSeq(extractors.map(_(line)).toIndexedSeq)
             return true
           }
+          line = reader.readLine()
         }
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = in.close()
+      override def close(): Unit = reader.close()
     }
   }
 }

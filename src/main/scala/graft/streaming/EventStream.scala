@@ -177,9 +177,14 @@ object EventStream {
               state.remove()
             } else if (st != null) {
               state.update(st)
-              // close when the watermark passes last + gap; clamp above the
-              // current watermark (Spark rejects deadlines at/behind it)
-              val deadlineMs = st.last / 1000L + gapSeconds * 1000L
+              // close when the watermark passes last + gap. The µs→ms
+              // conversion rounds UP so the timeout can never precede the
+              // exact microsecond gap boundary (a sub-millisecond-later
+              // event must still extend this session, as in sessionizeBatch).
+              // Clamp above the current watermark (Spark rejects deadlines
+              // at/behind it).
+              val deadlineMs =
+                Math.floorDiv(st.last + gapSeconds * 1000000L + 999L, 1000L)
               state.setTimeoutTimestamp(
                 math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
             }

@@ -12,6 +12,15 @@ class DdlManagerSpec extends AnyFunSuite {
     assert(sql == """CREATE TABLE IF NOT EXISTS "rech0" ("hhid" VARCHAR(12), "surveyid" VARCHAR(8), "hv000" VARCHAR(3), "hv001" VARCHAR(6))""")
   }
 
+  test("identifiers with embedded quotes cannot break out of DDL quoting") {
+    // item names come from external DCF files — a '"' must stay inside the
+    // quoted identifier, not terminate it
+    val sql = createTableSql("t", keys = Nil,
+      cols = Seq(ColumnDef("a\"b", 4)))
+    assert(sql.contains("\"a\"\"b\" VARCHAR(4)"))
+    assert(!sql.contains("\"a\"b\""))
+  }
+
   test("json-packed create: keys + jsonb data column") {
     val sql = createJsonTableSql("REC95", Seq(ColumnDef("caseid", 15)))
     assert(sql == """CREATE TABLE IF NOT EXISTS "rec95" ("caseid" VARCHAR(15), "data" JSONB)""")

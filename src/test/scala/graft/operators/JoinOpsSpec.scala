@@ -82,6 +82,30 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!naive.exists { case (p, i) => i == 1L && p == 20L }) // x == hi excluded
   }
 
+  test("banded range join is exact for longs beyond 2^53 and negatives") {
+    // doubles can't represent these longs exactly — integer floor-div
+    // banding must still match the naive predicate join
+    val big = (1L << 53) + 1L
+    val points = Seq(
+      (1L, big),            // above double resolution
+      (2L, big + 4L),
+      (3L, -15L),           // negative: floor(-15/10) = -2, trunc would say -1
+      (4L, -5L),
+      (5L, 0L)
+    ).toDF("pid", "x")
+    val intervals = Seq(
+      (10L, big - 2L, big + 3L),  // catches pid 1, not 2
+      (11L, -20L, -10L),          // catches pid 3
+      (12L, -6L, 1L)              // catches pids 4 and 5
+    ).toDF("iid", "lo", "hi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = canon(RangeJoin.naive(points, intervals, "x", "lo", "hi"))
+    val banded = canon(RangeJoin.banded(points, intervals, "x", "lo", "hi", bandWidth = 10L))
+    assert(banded == naive)
+    assert(naive == Set((1L, 10L), (3L, 11L), (4L, 12L), (5L, 12L)))
+  }
+
   test("CMC codec: round trip and age derivation") {
     import graft.functions.DhsDates._
     val df = Seq(

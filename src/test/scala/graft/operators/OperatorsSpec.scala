@@ -204,6 +204,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == brute) // same-cluster neighbors dominate → nprobe=1 already exact here
   }
 
+  test("shuffled IVF (queries = corpus, no broadcast) matches brute-force top-k") {
+    // all-pairs kNN: the query set IS the corpus, so broadcasting it is the
+    // wrong plan; the non-broadcast path sort-merges on the cluster key
+    val base = Seq(
+      Array.tabulate(8)(i => if (i < 3) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 6) 1f else 0f))
+    val vecs = (0 until 60).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val centroids = Similarity.trainIvfCentroids(vecs, "embedding", "vec_id", k = 3)
+    val shuffled = Similarity.ivfTopK(vecs, vecs, "embedding", "vec_id", k = 4,
+      centroids, nprobe = 3, broadcastQueries = false)
+    // the probe join must not be a broadcast join
+    assert(!shuffled.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    val got = shuffled.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "embedding", "vec_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute) // nprobe = k → exact
+  }
+
   test("lsh top-k returns same-bucket neighbors with exact ranks") {
     val embs = (1L to 50L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")

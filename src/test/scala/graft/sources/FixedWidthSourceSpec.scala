@@ -94,6 +94,64 @@ class FixedWidthSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(v2 == composable)
   }
 
+  test("tab/control-padded fields trim identically in connector and DatReader") {
+    // \t and \f inside field extents: Python str.strip() removes them; so
+    // must both engine paths (Spark's trim() would keep them)
+    val dir = Files.createTempDirectory("fwtrim")
+    val dcfPath = dir.resolve("511.BJHR71.DCF")
+    Files.writeString(dcfPath, dcf)
+    val datPath = dir.resolve("511.BJHR71.DAT")
+    Files.writeString(datPath, "     100   7   H00\tBJ\f 4\t\n")
+    val v2 = spark.read.format("fixedwidth")
+      .option("dcf", dcfPath.toString).option("record", "RECH0")
+      .load(datPath.toString).collect().map(_.toSeq).toSet
+    import graft.cspro.{DatReader, DcfParser}
+    val specs = DcfParser.parse(Files.readString(dcfPath), "BJHR71").items
+    val composable = DatReader.projectLines(
+      spark.read.text(datPath.toString), specs)("RECH0").collect().map(_.toSeq).toSet
+    assert(v2 == composable)
+    val row = v2.head
+    assert(row(1) == "BJ")            // leading \t stripped
+    assert(row(2) == "4")             // \f and space stripped
+    assert(row(0) == "     100   7")  // HHID padding still load-bearing
+  }
+
+  test("large file streams through the reader: cp1252 head-sniff + BOM intact") {
+    // ~160k lines (~4 MB): the reader must stream (head-sniffed charset +
+    // BufferedReader), never buffering the whole file. Non-UTF8 byte (0xE9,
+    // é in cp1252) beyond the record tag checks sniff-from-head semantics;
+    // a UTF-8 BOM variant checks first-line tag recovery.
+    val dir = Files.createTempDirectory("fwbig")
+    val dcfPath = dir.resolve("511.BJHR71.DCF")
+    Files.writeString(dcfPath, dcf)
+    val datPath = dir.resolve("511.BJHR71.DAT")
+    val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(datPath))
+    val n = 160000
+    (0 until n).foreach { i =>
+      val hhid = f"$i%12d"
+      val line = s"$hhid   H00BJé${f"${i % 999}%3d"}\n"
+      out.write(line.getBytes("windows-1252"))
+    }
+    out.close()
+    val df = spark.read.format("fixedwidth")
+      .option("dcf", dcfPath.toString).option("record", "RECH0")
+      .load(datPath.toString)
+    assert(df.count() == n)
+    // cp1252 sniff: the é decoded correctly in hv000
+    assert(df.select("hv000").limit(1).collect().head.getString(0) == "BJé")
+
+    // BOM'd UTF-8 file: the first line's tag must survive BOM stripping
+    val bomPath = dir.resolve("512.BJHR71.DAT")
+    val bomOut = java.nio.file.Files.newOutputStream(bomPath)
+    bomOut.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    bomOut.write("     100   7   H00BJ7 42\n".getBytes("UTF-8"))
+    bomOut.close()
+    val bomDf = spark.read.format("fixedwidth")
+      .option("dcf", dcfPath.toString).option("record", "RECH0")
+      .load(bomPath.toString)
+    assert(bomDf.count() == 1)
+  }
+
   test("missing record type is a clear error") {
     val (dcfPath, datPath) = writeFixture()
     val e = intercept[Exception] {
