@@ -28,16 +28,35 @@ object Tables {
   /** Load with compute-friendly partitioning: the harness stores each table
     * as ONE small parquet file, so every scan is a single partition and any
     * expensive per-row compute (shingling, hashing, feature math) runs on one
-    * core. When the source yields fewer partitions than half the cluster's
-    * parallelism, redistribute rows once up front — the payloads are small
-    * here, and on a real deployment the source would already be split so the
-    * branch is a no-op. This is the inverse of AQE partition coalescing, not
-    * a substitute for proper source splitting.
+    * core. When the source's estimated split count (file sizes vs
+    * maxPartitionBytes — driver-side metadata only, no RDD materialization)
+    * is below half the cluster's parallelism, redistribute rows once up
+    * front — on a real deployment the source is already split and the branch
+    * is a no-op. This is the inverse of AQE partition coalescing, not a
+    * substitute for proper source splitting.
     */
   def balanced(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = apply(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    if (estimatedSplits(spark, s"$dir/$name.parquet") < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
+
+  /** Source split estimate from file metadata: Σ ceil(size / maxPartitionBytes)
+    * over the path's data files.
+    */
+  private def estimatedSplits(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val files: Seq[org.apache.hadoop.fs.FileStatus] =
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty).flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }.filterNot(_.getPath.getName.startsWith("_"))
+    files.map(f => math.max(1L, (f.getLen + maxSplit - 1) / maxSplit)).sum
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")

@@ -1,0 +1,66 @@
+package graft.api
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class ApiSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def page(n: Int, total: Int, rows: (Int, String)*): String = {
+    val data = rows.map { case (id, name) =>
+      s"""{"SurveyId": $id, "SurveyName": "$name"}"""
+    }.mkString(",")
+    s"""{"Page": $n, "TotalPages": $total, "Data": [$data]}"""
+  }
+
+  test("paged fetch: follows TotalPages, flattens Data across pages") {
+    val base = "https://api.example.org/rest/surveys?f=json"
+    val served = Map(
+      base -> page(1, 3, 1 -> "a", 2 -> "b"),
+      s"$base&page=2" -> page(2, 3, 3 -> "c"),
+      s"$base&page=3" -> page(3, 3, 4 -> "d", 5 -> "e"))
+    var requested = List.empty[String]
+    val transport: ApiSource.Transport = url => {
+      requested ::= url
+      served(url)
+    }
+    val df = ApiSource.fetchPaged(spark, base, transport)
+    assert(requested.reverse == List(base, s"$base&page=2", s"$base&page=3"))
+    assert(df.columns.sorted.toSeq == Seq("SurveyId", "SurveyName"))
+    assert(df.collect().map(r => r.getAs[Long]("SurveyId")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("single page and missing TotalPages degrade to one request") {
+    var calls = 0
+    val transport: ApiSource.Transport = _ => { calls += 1; """{"Data": [{"x": 1}]}""" }
+    val df = ApiSource.fetchPaged(spark, "http://u", transport)
+    assert(calls == 1)
+    assert(df.count() == 1)
+  }
+
+  test("maxPages bounds a lying server") {
+    val transport: ApiSource.Transport = _ => page(1, 999999, 1 -> "a")
+    val df = ApiSource.fetchPaged(spark, "http://u", transport, maxPages = 3)
+    assert(df.count() == 3) // one row per fetched page
+  }
+
+  test("file transport: URL-derived cache names round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("apicache")
+    val url = "https://api.example.org/rest/surveys?f=json&perPage=100"
+    val name = ApiSource.cacheFileName(url)
+    assert(name == "api.example.org_rest_surveys_f_json_perPage_100.json")
+    java.nio.file.Files.writeString(dir.resolve(name), page(1, 1, 7 -> "g"))
+    val df = ApiSource.fetchPaged(spark, url, ApiSource.fileTransport(dir.toString))
+    assert(df.collect().map(_.getAs[Long]("SurveyId")).toSeq == Seq(7L))
+  }
+
+  test("fetched listing plugs into the stage-01 anti-join") {
+    import spark.implicits._
+    val transport: ApiSource.Transport = _ => page(1, 1, 100 -> "a", 300 -> "c")
+    val listing = ApiSource.fetchPaged(spark, "http://u", transport)
+      .withColumnRenamed("SurveyId", "SurveyNum")
+    val loaded = Seq("100").toDF("surveyid")
+    val missing = SurveyUpdates.missingSurveys(listing, loaded)
+      .collect().map(_.getAs[Long]("SurveyNum"))
+    assert(missing.toSeq == Seq(300L))
+  }
+}
