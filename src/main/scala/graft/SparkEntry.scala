@@ -463,6 +463,26 @@ object SparkEntry {
           .select(col("doc_a"), col("doc_b")))),
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3)),
+    // survivors of near-dup clustering over the LSH pair set: everything but
+    // the non-minimum members of each duplicate cluster
+    "d_keepers" -> ((s, d) =>
+      Dedup.dropNearDuplicates(
+        tb(s, d, "documents"),
+        Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_id")
+        .select(col("doc_id"))),
+    // salted equi-join (the AQE-can't-fix skew fallback) must be a drop-in:
+    // same aggregate as the plain join, verified against the plain-join oracle
+    "j11_salted_join" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumnRenamed("o_custkey", "custkey")
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(o, c, Seq("custkey"), buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
     // --- multimodal (rows-only: features are real imageio decodes) ----------
     "m_media_features" -> ((s, d) => {
       import s.implicits._
@@ -471,6 +491,20 @@ object SparkEntry {
       val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
       Multimodal.featureFrame(
         Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 16))
+    }),
+    // video frame sampling surface (stub codec, real bounded fan-out):
+    // rows-only — row count is deterministic in the stub duration
+    "m_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val vids = tb(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaFile(id, "video",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8), Map()) }
+      Multimodal.sampleFrames(vids, maxFrames = 4).toDF()
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"))
     }),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9 cutoff
@@ -622,6 +656,11 @@ object SparkEntry {
     // the LSH-fed composition converges to the same clusters (recall 1.0
     // at this threshold/banding), so it shares the closure oracle
     "d_dup_clusters_lsh" -> DupClusterClosureSql,
+    // keepers = all documents minus each cluster's non-minimum members
+    "d_keepers" ->
+      s"""WITH clusters AS ($DupClusterClosureSql) SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc AND c.doc != c.cluster WHERE c.doc IS NULL""",
+    "j11_salted_join" ->
+      "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",
     "s_knn_brute" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5"
   )

@@ -60,6 +60,17 @@ object Stress {
         docs, "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2).count()),
       time(s"simhash_x$mult")(operators.Dedup.simhashDuplicatePairs(
         docs, "text", "doc_id", maxDist = 3).count()),
+      // the skew killer: thousands of docs per distinct text (boilerplate-
+      // heavy corpus) — must stay bounded via the distinct-value collapse
+      time(s"simhash_lowent_x$mult")(operators.Dedup.simhashDuplicatePairs(
+        docs.withColumn("text",
+          concat(lit("shared boilerplate page body number "),
+            pmod(col("doc_id"), lit(2000)))),
+        "text", "doc_id", maxDist = 3).count()),
+      time(s"clusters_lsh_x$mult")(operators.Dedup.duplicateClusters(
+        operators.Dedup.jaccardDuplicatePairs(docs, "text", "doc_id",
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)
+          .select(col("doc_a"), col("doc_b"))).count()),
       time(s"knn_x$mult")(operators.Similarity.lshTopK(
         embs.filter(col("vec_id") < 10), embs, "embedding", "vec_id", k = 5, planes = 8).count())
     )
