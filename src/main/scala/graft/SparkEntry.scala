@@ -463,6 +463,18 @@ object SparkEntry {
           .select(col("doc_a"), col("doc_b")))),
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3)),
+    // exact-cosine pair oracle for the embedding near-dup path (O(n²),
+    // validation-only — excluded from bench like the other brute oracles)
+    "d_embed_brute" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("vb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Similarity.cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("doc_a"), col("doc_b"))
+    }),
     // survivors of near-dup clustering over the LSH pair set: everything but
     // the non-minimum members of each duplicate cluster
     "d_keepers" -> ((s, d) =>
@@ -491,6 +503,16 @@ object SparkEntry {
       val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
       Multimodal.featureFrame(
         Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 16))
+    }),
+    // envelope-only media features: width/height come from the REAL imageio
+    // decode of the synthetic PNGs, whose dims are id-derived — so the whole
+    // encode→decode loop is SQL-predictable and hash-checked
+    "m_media_dims" -> ((s, d) => {
+      import s.implicits._
+      val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
+      Multimodal.featureFrame(
+        Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 4))
+        .select(col("media_id"), col("kind"), col("width"), col("height"), col("duration_ms"))
     }),
     // video frame sampling surface (stub codec, real bounded fan-out):
     // rows-only — row count is deterministic in the stub duration
@@ -530,6 +552,16 @@ object SparkEntry {
       val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
         k = 5, centroids, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    "s_knn_ivf_exact" -> ((s, d) => {
+      // nprobe = #centroids → every bucket probed → provably equal to brute
+      // force: the IVF machinery itself (training, assignment, probe join,
+      // re-rank) rides the hash gate, not just a rows-only check
+      val emb = tb(s, d, "embeddings")
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+        k = 5, centroids, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     })
   )
@@ -656,13 +688,33 @@ object SparkEntry {
     // the LSH-fed composition converges to the same clusters (recall 1.0
     // at this threshold/banding), so it shares the closure oracle
     "d_dup_clusters_lsh" -> DupClusterClosureSql,
+    // LSH recall is 1.0 at J ≥ 1/2 with 32×2 bands on this corpus (identical
+    // signatures always collide; the spec asserts LSH ≡ brute), so the LSH
+    // path shares the brute-force oracle — a hash mismatch here would mean
+    // either lost recall or broken verify math
+    "d_jaccard_lsh" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
+    "d_embed_brute" ->
+      "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
     // keepers = all documents minus each cluster's non-minimum members
     "d_keepers" ->
       s"""WITH clusters AS ($DupClusterClosureSql) SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc AND c.doc != c.cluster WHERE c.doc IS NULL""",
     "j11_salted_join" ->
       "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",
     "s_knn_brute" ->
-      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5"
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // nprobe = #centroids probes every bucket → identical to brute force
+    "s_knn_ivf_exact" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // the synthetic-PNG loop is id-deterministic end-to-end: real imageio
+    // decode must recover width = 4 + id%13, height = 4 + id%7
+    "m_media_dims" ->
+      "SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind, CAST(4 + doc_id % 13 AS INTEGER) AS width, CAST(4 + doc_id % 7 AS INTEGER) AS height, CAST(0 AS BIGINT) AS duration_ms FROM documents",
+    // the DCF fixture is the reference's own in-repo sample (doc/
+    // Data_Format.md:36-117) — a constant, so its parse is oracle-able as a
+    // literal table (incl. the format's 'RecordDesciption' misspelling)
+    "s4_dcf_parse" ->
+      """SELECT * FROM (VALUES ('RecordDesciption','BJHR71','*','*','*','RECODE7','Standard Recode DHS-VII   1.1.1 - Benin, 2017', CAST(16 AS INTEGER), CAST(3 AS INTEGER), CAST(1 AS INTEGER), FALSE, FALSE, CAST(0 AS INTEGER), '', ''), ('IdItem','BJHR71','RECH0','H00','Household''s basic data','HHID','Case Identification', 1, 12, 1, FALSE, FALSE, 0, 'HOUSEHOLD', 'HOUSEHOLD'), ('Item','BJHR71','RECH0','H00','Household''s basic data','HV000','Country code and phase', 19, 3, 1, FALSE, FALSE, 0, 'HOUSEHOLD', 'HOUSEHOLD'), ('Item','BJHR71','RECH0','H00','Household''s basic data','HV001','Cluster number', 22, 6, 1, FALSE, FALSE, 0, 'HOUSEHOLD', 'HOUSEHOLD'), ('Item','BJHR71','RECH0','H00','Household''s basic data','HV006','Month of interview', 49, 2, 1, FALSE, FALSE, 0, 'HOUSEHOLD', 'HOUSEHOLD'), ('Item','BJHR71','RECH0','H00','Household''s basic data','HV015','Result of household interview', 76, 1, 1, FALSE, FALSE, 0, 'HOUSEHOLD', 'HOUSEHOLD')) AS t("itemType","fileCode","recordName","recordTypeValue","recordLabel","name","label","start","len","occurrences","zeroFill","decimalChar","decimal","levelName","levelLabel")"""
   )
 }
 
