@@ -30,6 +30,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // managed-table root for bucketed warehouse tables (Warehouse.scala);
+      // deployments point this at their real warehouse path
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session with `cpus` cores (the harness shape). */

@@ -134,6 +134,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.exists(_._3 == 0)) // the planted identical docs
   }
 
+  test("simhashValuePairs 2-of-(d+2) cover is exact: seeded sketches vs driver brute force") {
+    // adversarial sketch set: random longs plus ≤5-bit perturbations of each,
+    // checked at several maxDist values against exhaustive driver-side pairs
+    val rnd = new scala.util.Random(12345)
+    val base = Seq.fill(120)(rnd.nextLong())
+    val vals = (base ++ base.flatMap { v =>
+      Seq.fill(3) {
+        var x = v
+        (0 to rnd.nextInt(5)).foreach(_ => x ^= (1L << rnd.nextInt(64)))
+        x
+      }
+    }).distinct
+    val df = vals.toDF("simhash")
+    for (maxDist <- Seq(0, 2, 3, 5)) {
+      val got = Dedup.simhashValuePairs(df, maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        i <- vals.indices
+        j <- (i + 1) until vals.size
+        d = java.lang.Long.bitCount(vals(i) ^ vals(j))
+        if d <= maxDist
+      } yield (math.min(vals(i), vals(j)), math.max(vals(i), vals(j)), d)).toSet
+      assert(got == want, s"cover mismatch at maxDist=$maxDist")
+    }
+  }
+
   test("simhash low-entropy corpus: distinct-value collapse keeps the join tiny") {
     // 600 docs, 5 distinct texts — the worst case for block-key skew. The
     // candidate join runs over ≤5 distinct sketch values; the 5·C(120,2)
