@@ -20,8 +20,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -30,11 +30,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // managed-table root for bucketed warehouse tables (Warehouse.scala);
-      // deployments point this at their real warehouse path
-      .config("spark.sql.warehouse.dir",
-        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
+    // managed-table root for bucketed warehouse tables (Warehouse.scala).
+    // Default only — a spark-submit --conf / spark-defaults setting (visible
+    // as a system property) must win, so never override one that exists.
+    if (sys.props.contains("spark.sql.warehouse.dir")) b
+    else b.config("spark.sql.warehouse.dir",
+      sys.props("java.io.tmpdir") + "/graft-warehouse")
+  }
 
   /** Local session with `cpus` cores (the harness shape). */
   def local(cpus: Int): SparkSession = {

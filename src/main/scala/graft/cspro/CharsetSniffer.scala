@@ -53,15 +53,21 @@ object CharsetSniffer {
     if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
   }
 
+  /** Sniff a bounded head off an open stream (caller closes the stream).
+    * The shared primitive behind [[detectFile]] and the fixedwidth
+    * connector's partition reader — one fill-loop to maintain.
+    */
+  def detectStream(in: java.io.InputStream, sniffBytes: Int = DefaultSniffBytes): Charset = {
+    val buf = new Array[Byte](sniffBytes)
+    var off = 0
+    var n = in.read(buf, off, buf.length - off)
+    while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
+    detect(java.util.Arrays.copyOf(buf, off + Math.max(n, 0)))
+  }
+
   /** Sniff the head of a local file (driver-side, pre-Spark). */
   def detectFile(path: String, sniffBytes: Int = DefaultSniffBytes): Charset = {
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
-    try {
-      val buf = new Array[Byte](sniffBytes)
-      var off = 0
-      var n = in.read(buf, off, buf.length - off)
-      while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
-      detect(java.util.Arrays.copyOf(buf, off + Math.max(n, 0)))
-    } finally in.close()
+    try detectStream(in, sniffBytes) finally in.close()
   }
 }

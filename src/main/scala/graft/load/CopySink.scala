@@ -51,19 +51,59 @@ object CopySink {
   /** Render one row as a COPY TEXT line (no trailing newline): fields tab-
     * joined; NULL renders as the empty string — the reference's `null=''`
     * contract, under which empty string and NULL are deliberately the same
-    * value (SURVEY §1.4-4).
+    * value (SURVEY §1.4-4). Binary renders as bytea hex (`\x…`, backslash
+    * escaped per TEXT rules); numbers/booleans/dates/timestamps render in
+    * their Postgres-accepted toString forms.
     */
   def renderCopyRow(values: Seq[Any]): String =
     values.map {
-      case null      => ""
-      case s: String => escapeCopyText(s)
-      case other     => escapeCopyText(other.toString)
+      case null           => ""
+      case s: String      => escapeCopyText(s)
+      case b: Array[Byte] => "\\\\x" + b.map("%02x".format(_)).mkString
+      case other          => escapeCopyText(other.toString)
     }.mkString("\t")
+
+  /** Types renderCopyRow can serialize faithfully (the reference's data
+    * model is all-VARCHAR; the rest are the common envelope types). Array/
+    * map/struct columns must go through `df.write.jdbc` instead — refusing
+    * up front beats corrupting a warehouse with `WrappedArray(...)` strings.
+    */
+  def checkCopyableSchema(schema: StructType): Unit = {
+    import org.apache.spark.sql.types._
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+            LongType | FloatType | DoubleType | DateType | TimestampType |
+            BinaryType | _: DecimalType => ()
+        case dt => throw new IllegalArgumentException(
+          s"CopySink cannot render column '${f.name}' of type ${dt.simpleString}; " +
+            "use df.write.jdbc for nested/array columns")
+      }
+    }
+  }
+
+  /** Quote one column identifier case-PRESERVED (Spark's jdbc writer and
+    * DdlManager both create quoted columns, so the COPY column list must
+    * match the DataFrame's case exactly, not a lowercased copy).
+    */
+  private def qcol(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
+
+  /** The table reference, passed through verbatim so name resolution matches
+    * `df.write.jdbc`'s raw interpolation: plain (optionally schema-qualified)
+    * names stay unquoted (Postgres folds them exactly as it did at CREATE),
+    * pre-quoted names stay quoted. Anything else is refused.
+    */
+  private[load] def tableRef(table: String): String = {
+    val ok = table.matches("[A-Za-z0-9_.]+") || table.matches("\"([^\"]|\"\")*\"")
+    require(ok, s"unsafe table name for COPY: $table")
+    table
+  }
 
   /** The COPY statement a partition streams into. */
   def copySql(table: String, columns: Seq[String]): String = {
-    val cols = columns.map(DdlManager.q).mkString(", ")
-    s"COPY ${DdlManager.q(table)} ($cols) FROM STDIN WITH (FORMAT text, NULL '')"
+    val cols = columns.map(qcol).mkString(", ")
+    s"COPY ${tableRef(table)} ($cols) FROM STDIN WITH (FORMAT text, NULL '')"
   }
 
   /** Adapt an iterator of rendered lines into the Reader COPY consumes —
@@ -119,8 +159,8 @@ object CopySink {
   private def insertPartition(
       conn: Connection, table: String, columns: Seq[String],
       rows: Iterator[Seq[Any]], batchSize: Int): Unit = {
-    val sql = s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
-      s"(${columns.map(_ => "?").mkString(", ")})"
+    val sql = s"INSERT INTO ${tableRef(table)} (${columns.map(qcol).mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
     val st = conn.prepareStatement(sql)
     try {
       var inBatch = 0
@@ -151,6 +191,8 @@ object CopySink {
       df: DataFrame, url: String, table: String, props: Properties,
       batchSize: Int = 10000, maxWriters: Int = 8): Unit = {
     val schema: StructType = df.schema
+    checkCopyableSchema(schema)
+    tableRef(table) // fail on the driver, not per-partition
     val columns = schema.fieldNames.toSeq
     val bounded =
       if (df.rdd.getNumPartitions > maxWriters) df.coalesce(maxWriters) else df

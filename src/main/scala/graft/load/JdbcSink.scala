@@ -7,13 +7,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 /** JDBC data sink: the reference's load path (COPY/INSERT append, survey-
   * slice idempotence) on Spark's jdbc writer (SURVEY.md §2.1 S10-S13).
   *
-  * - Appends go through `df.write.jdbc` with a tuned `batchsize`: each
-  *   partition writes concurrently over its own connection, which is the
-  *   distributed replacement for the reference's single COPY stream (ref
-  *   lib04_Update_Table_Data.py:407-443). A `CopyManager`-based sink would
-  *   beat it on Postgres specifically; the driver jar isn't shipped here, so
-  *   that stays a documented upgrade point rather than code.
-  * - `numPartitions` caps writer concurrency: a thousand executors opening a
+  * - Postgres appends stream per-partition `COPY ... FROM STDIN` through
+  *   [[CopySink]] (the reference's "WAY faster" load, lib04:417-434,
+  *   distributed); table creation still goes through Spark's jdbc writer
+  *   first so the auto-create + `createTableColumnTypes` contract holds.
+  * - Other databases append via `df.write.jdbc` with a tuned `batchsize`:
+  *   each partition writes concurrently over its own connection.
+  * - `maxWriters` caps writer concurrency: a thousand executors opening a
   *   thousand connections is a DB outage, not a fast load.
   * - Idempotent per-survey reload = driver-side DELETE of the slice, then
   *   append (ref lib04:509-541) — DDL/DML on the driver strictly before
@@ -39,6 +39,12 @@ object JdbcSink {
       batchSize: Int = 10000, maxWriters: Int = 8,
       columnTypes: Option[String] = None): Unit =
     if (url.startsWith("jdbc:postgresql")) {
+      // keep the jdbc writer's auto-create + createTableColumnTypes contract
+      // (a zero-row append creates the table when missing, no-ops otherwise),
+      // then stream the data through COPY
+      val create = df.limit(0).write.mode(SaveMode.Append)
+      columnTypes.fold(create)(ct => create.option("createTableColumnTypes", ct))
+        .jdbc(url, table, props)
       CopySink.append(df, url, table, props, batchSize, maxWriters)
     } else {
       val bounded =

@@ -301,7 +301,9 @@ object Dedup {
         .agg(min(col("label")).as("label"),
           min(when(col("is_self"), col("label"))).as("old"))
       // cut the per-iteration lineage growth so high-diameter (adversarial
-      // chain) graphs don't blow up plan size / closure serialization
+      // chain) graphs don't blow up plan size / closure serialization.
+      // (Checkpoint blocks outlive the unpersist below; the ContextCleaner
+      // frees them once the superseded frame is unreferenced.)
       val next =
         if (iter % 5 == 4) merged.localCheckpoint(true)
         else merged.persist()

@@ -77,10 +77,13 @@ object Multimodal {
     def imageDims(bytes: Array[Byte]): (Int, Int) =
       decodeImage(bytes) match {
         case Some(img) => (img.getWidth, img.getHeight)
-        case None =>
-          val x = h(bytes, 17)
-          (64 + (Math.floorMod(x, 512L)).toInt, 64 + (Math.floorMod(x >> 16, 512L)).toInt)
+        case None      => fakeDims(bytes)
       }
+
+    private[Multimodal] def fakeDims(bytes: Array[Byte]): (Int, Int) = {
+      val x = h(bytes, 17)
+      (64 + (Math.floorMod(x, 512L)).toInt, 64 + (Math.floorMod(x >> 16, 512L)).toInt)
+    }
 
     /** Fake media duration (audio/video — no codec libraries shipped). */
     def durationMs(bytes: Array[Byte]): Long = 1000L + Math.floorMod(h(bytes, 29), 600000L)
@@ -92,22 +95,30 @@ object Multimodal {
       */
     def features(bytes: Array[Byte], dim: Int): Array[Float] =
       decodeImage(bytes) match {
-        case Some(img) =>
-          val grid = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
-          val small = new java.awt.image.BufferedImage(
-            grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = small.createGraphics()
-          try g.drawImage(img, 0, 0, grid, grid, null) finally g.dispose()
-          Array.tabulate(dim) { i =>
-            val rgb = small.getRGB(i % grid, (i / grid) % grid)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000.0
-            (lum / 127.5 - 1.0).toFloat
-          }
-        case None =>
-          Array.tabulate(dim) { i =>
-            (Math.floorMod(h(bytes, 1000L + i), 2000001L) - 1000000L) / 1000000.0f
-          }
+        case Some(img) => luminanceGrid(img, dim)
+        case None      => fakeFeatures(bytes, dim)
+      }
+
+    /** The real image signature from an already-decoded frame (so callers
+      * that also need dimensions pay ONE decode, not one per derived value).
+      */
+    def luminanceGrid(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val grid = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+      val small = new java.awt.image.BufferedImage(
+        grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try g.drawImage(img, 0, 0, grid, grid, null) finally g.dispose()
+      Array.tabulate(dim) { i =>
+        val rgb = small.getRGB(i % grid, (i / grid) % grid)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0
+        (lum / 127.5 - 1.0).toFloat
+      }
+    }
+
+    private[Multimodal] def fakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+      Array.tabulate(dim) { i =>
+        (Math.floorMod(h(bytes, 1000L + i), 2000001L) - 1000000L) / 1000000.0f
       }
 
     /** Resize: real scale + PNG re-encode for decodable images, size-derived
@@ -217,12 +228,22 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // one "decoder call" per batch — the amortization point
+        // one "decoder call" per batch — the amortization point; each image
+        // payload is decoded ONCE, dims + features derived from that frame
         batch.iterator.map { m =>
-          val (w, h) = if (m.kind == "image" || m.kind == "video") Codecs.imageDims(m.bytes) else (0, 0)
+          val decoded =
+            if (m.kind == "image" || m.kind == "video") Codecs.decodeImage(m.bytes) else None
+          val (w, h) = decoded match {
+            case Some(img) => (img.getWidth, img.getHeight)
+            case None if m.kind == "image" || m.kind == "video" => Codecs.fakeDims(m.bytes)
+            case None => (0, 0)
+          }
           val dur = if (m.kind == "audio" || m.kind == "video") Codecs.durationMs(m.bytes) else 0L
-          MediaFeatures(m.media_id, m.kind, w, h, dur, m.bytes.length.toLong,
-            Codecs.features(m.bytes, dim))
+          val feats = decoded match {
+            case Some(img) => Codecs.luminanceGrid(img, dim)
+            case None      => Codecs.fakeFeatures(m.bytes, dim)
+          }
+          MediaFeatures(m.media_id, m.kind, w, h, dur, m.bytes.length.toLong, feats)
         }
       }
     }

@@ -214,13 +214,7 @@ private class FixedWidthReaderFactory(
       // executor; the reference sniffs a head the same way, DAT_Parser:62-68)
       private val charset = {
         val head = fs.open(fsPath)
-        try {
-          val buf = new Array[Byte](CharsetSniffer.DefaultSniffBytes)
-          var off = 0
-          var n = head.read(buf, off, buf.length - off)
-          while (n > 0 && off + n < buf.length) { off += n; n = head.read(buf, off, buf.length - off) }
-          CharsetSniffer.detect(java.util.Arrays.copyOf(buf, off + math.max(n, 0)))
-        } finally head.close()
+        try CharsetSniffer.detectStream(head) finally head.close()
       }
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(fsPath), charset))

@@ -85,9 +85,27 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(CopySink.renderCopyRow(Seq("x\ty", null, "z")) == "x\\ty\t\tz")
   }
 
-  test("COPY statement quotes table and columns with escaped identifiers") {
-    val sql = CopySink.copySql("rec01", Seq("caseid", "v010"))
-    assert(sql == "COPY \"rec01\" (\"caseid\", \"v010\") FROM STDIN WITH (FORMAT text, NULL '')")
+  test("COPY statement: plain/qualified tables pass through, columns quoted case-preserved") {
+    // plain + qualified names stay unquoted so resolution matches the jdbc
+    // writer's raw interpolation; columns match the DataFrame case exactly
+    assert(CopySink.copySql("rec01", Seq("caseid", "v010")) ==
+      "COPY rec01 (\"caseid\", \"v010\") FROM STDIN WITH (FORMAT text, NULL '')")
+    assert(CopySink.copySql("public.rec01", Seq("SurveyId")) ==
+      "COPY public.rec01 (\"SurveyId\") FROM STDIN WITH (FORMAT text, NULL '')")
+    assert(CopySink.copySql("\"Mixed Case\"", Seq("a")).startsWith("COPY \"Mixed Case\""))
+    intercept[IllegalArgumentException] { CopySink.copySql("t; DROP TABLE x", Seq("a")) }
+  }
+
+  test("COPY rendering: binary as bytea hex; nested types refused up front") {
+    assert(CopySink.renderCopyRow(Seq(Array[Byte](0x0a, 0x41, -1))) == "\\\\x0a41ff")
+    import org.apache.spark.sql.types._
+    intercept[IllegalArgumentException] {
+      CopySink.checkCopyableSchema(StructType(Seq(
+        StructField("ok", StringType), StructField("bad", ArrayType(LongType)))))
+    }
+    CopySink.checkCopyableSchema(StructType(Seq(
+      StructField("s", StringType), StructField("b", BinaryType),
+      StructField("t", TimestampType), StructField("d", DecimalType(10, 2)))))
   }
 
   test("LinesReader streams rendered rows exactly as COPY would consume them") {
@@ -106,7 +124,9 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestBase {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(s"CREATE TABLE $t (surveyid VARCHAR(8), name VARCHAR(32))")
+      // quoted lowercase columns — the shape Spark's jdbc writer / DdlManager
+      // create, which the sink's case-preserved quoting must match
+      try st.executeUpdate(s"""CREATE TABLE $t ("surveyid" VARCHAR(8), "name" VARCHAR(32))""")
       finally st.close()
       assert(!CopySink.copyCapable(conn)) // Derby, no pgjdbc on classpath
     } finally conn.close()

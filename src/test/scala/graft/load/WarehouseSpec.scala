@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class WarehouseSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  test("co-bucketed tables join without a shuffle; mismatched bucketing shuffles") {
+  // each test provisions what it reads — no cross-test table dependencies
+  private lazy val tablesReady: Unit = {
     val hh = (1 to 500).map(i => (f"$i%12d", s"hh$i")).toDF("hhid", "hv000")
     val rec = (1 to 500).flatMap(i => Seq((f"$i%12d", 1), (f"$i%12d", 2)))
       .toDF("hhid", "idx")
@@ -16,7 +17,10 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     Warehouse.writeBucketed(hh, "wh_hh", Seq("hhid"), 8, sortCols = Seq("hhid"))
     Warehouse.writeBucketed(rec, "wh_rec", Seq("hhid"), 8, sortCols = Seq("hhid"))
     Warehouse.writeBucketed(rec, "wh_rec4", Seq("hhid"), 4)
+  }
 
+  test("co-bucketed tables join without a shuffle; mismatched bucketing shuffles") {
+    tablesReady
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -39,6 +43,7 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("bucketed aggregation on the bucket key avoids the shuffle too") {
+    tablesReady
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
