@@ -443,7 +443,7 @@ object SparkEntry {
         shingleSize = 3, numer = 1, denom = 2)),
     "d_jaccard_lsh" -> ((s, d) =>
       Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
-        shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)),
+        shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)),
     "d_minhash_candidates" -> ((s, d) =>
       Dedup.minhashCandidatePairs(tb(s, d, "documents"), "text", "doc_id")),
     "d_dup_clusters" -> ((s, d) =>
@@ -459,7 +459,7 @@ object SparkEntry {
       // 32×2 bands here, anchored by the d_jaccard_lsh ≡ brute spec test
       Dedup.duplicateClusters(
         Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
-          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
           .select(col("doc_a"), col("doc_b")))),
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3)),
@@ -481,7 +481,7 @@ object SparkEntry {
       Dedup.dropNearDuplicates(
         tb(s, d, "documents"),
         Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
-          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
           .select(col("doc_a"), col("doc_b")),
         "doc_id")
         .select(col("doc_id"))),

@@ -57,7 +57,7 @@ object Stress {
       time(s"exact_dedup_x$mult")(operators.Dedup.exactDuplicateGroups(docs, "text", "doc_id")
         .filter(col("n_copies") > 1).count()),
       time(s"minhash_lsh_x$mult")(operators.Dedup.minhashCandidatePairs(
-        docs, "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2).count()),
+        docs, "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2, reuseShingles = true).count()),
       time(s"simhash_x$mult")(operators.Dedup.simhashDuplicatePairs(
         docs, "text", "doc_id", maxDist = 3).count()),
       // the skew killer: thousands of docs per distinct text (boilerplate-
@@ -69,7 +69,7 @@ object Stress {
         "text", "doc_id", maxDist = 3).count()),
       time(s"clusters_lsh_x$mult")(operators.Dedup.duplicateClusters(
         operators.Dedup.jaccardDuplicatePairs(docs, "text", "doc_id",
-          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
           .select(col("doc_a"), col("doc_b"))).count()),
       time(s"knn_x$mult")(operators.Similarity.lshTopK(
         embs.filter(col("vec_id") < 10), embs, "embedding", "vec_id", k = 5, planes = 8).count())

