@@ -462,7 +462,7 @@ object SparkEntry {
           shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
           .select(col("doc_a"), col("doc_b")))),
     "d_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3)),
+      Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3, reuseSketches = true)),
     // exact-cosine pair oracle for the embedding near-dup path (O(n²),
     // validation-only — excluded from bench like the other brute oracles)
     "d_embed_brute" -> ((s, d) => {

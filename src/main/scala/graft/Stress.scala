@@ -59,14 +59,14 @@ object Stress {
       time(s"minhash_lsh_x$mult")(operators.Dedup.minhashCandidatePairs(
         docs, "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2, reuseShingles = true).count()),
       time(s"simhash_x$mult")(operators.Dedup.simhashDuplicatePairs(
-        docs, "text", "doc_id", maxDist = 3).count()),
+        docs, "text", "doc_id", maxDist = 3, reuseSketches = true).count()),
       // the skew killer: thousands of docs per distinct text (boilerplate-
       // heavy corpus) — must stay bounded via the distinct-value collapse
       time(s"simhash_lowent_x$mult")(operators.Dedup.simhashDuplicatePairs(
         docs.withColumn("text",
           concat(lit("shared boilerplate page body number "),
             pmod(col("doc_id"), lit(2000)))),
-        "text", "doc_id", maxDist = 3).count()),
+        "text", "doc_id", maxDist = 3, reuseSketches = true).count()),
       time(s"clusters_lsh_x$mult")(operators.Dedup.duplicateClusters(
         operators.Dedup.jaccardDuplicatePairs(docs, "text", "doc_id",
           shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)

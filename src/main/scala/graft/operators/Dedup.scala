@@ -230,14 +230,20 @@ object Dedup {
     * Both are exact covers: the verified pair set is identical to the naive
     * scheme's (asserted vs brute force in OperatorsSpec).
     */
-  def simhashDuplicatePairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame =
-    simhashPairsFromSketches(simhashSketches(docs, textCol, idCol), maxDist)
+  def simhashDuplicatePairs(
+      docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3,
+      reuseSketches: Boolean = false): DataFrame =
+    simhashPairsFromSketches(simhashSketches(docs, textCol, idCol), maxDist, reuseSketches)
 
   /** [[simhashDuplicatePairs]] from a precomputed (doc, simhash) frame. The
     * sketch frame is referenced three times (distinct values + the two doc-
-    * expansion joins); at scale, cache it — it is two longs per document.
+    * expansion joins); `reuseSketches` materializes it once — two longs per
+    * document, so storage is a non-issue at any scale; the tokenize+sketch
+    * passes it saves are not.
     */
-  def simhashPairsFromSketches(sk: DataFrame, maxDist: Int): DataFrame = {
+  def simhashPairsFromSketches(
+      sk0: DataFrame, maxDist: Int, reuseSketches: Boolean = false): DataFrame = {
+    val sk = if (reuseSketches) sk0.localCheckpoint(false) else sk0
     val valuePairs = simhashValuePairs(sk.select(col("simhash")).distinct(), maxDist)
     // identical sketches: expand within each value group, dist = 0
     val x = sk.alias("x")
