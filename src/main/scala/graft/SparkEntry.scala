@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SpecCatalog
 import graft.cspro.{DatReader, DcfParser}
 import graft.load.JsonPack
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -435,6 +435,31 @@ object SparkEntry {
         TextOps.langId(col("text")).as("pred_lang"))),
     "t_fingerprint" -> ((s, d) =>
       tb(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    // --- corpus curation ----------------------------------------------------
+    // concat-and-chunk sequence packing; blockSize 64 so the two-level
+    // prefix sum actually runs multi-block at sf0.01 (500 docs → 8 blocks)
+    "t_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(
+        tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt")),
+        "doc_id", col("nt"), seqLen = 2048L, blockSize = 64L)),
+    // deterministic 1-in-20 hash sample: stable across runs / partitionings
+    // / engines (the oracle recomputes the identical portable mixer)
+    "t_hash_sample" -> ((s, d) =>
+      Curation.hashSample(tb(s, d, "documents"), "doc_id", numer = 1, denom = 20)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    // per-language quota: ≤ 50 docs per lang, hash-ordered stable choice
+    "t_quota_sample" -> ((s, d) =>
+      Curation.quotaSample(tb(s, d, "documents"), "lang", "doc_id", quota = 50)
+        .select(col("doc_id"), col("lang"))),
+    // benchmark-contamination screen: docs (id % 50 != 0) sharing a word
+    // 3-gram with the benchmark slice (id % 50 == 0), with overlap counts
+    "t_contamination" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Curation.contamination(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", n = 3)
+    }),
     // --- dedup --------------------------------------------------------------
     "d_exact_dup_groups" -> ((s, d) =>
       Dedup.exactDuplicateGroups(tb(s, d, "documents"), "text", "doc_id")),
@@ -680,6 +705,19 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
     "t_quality_signals" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN (length(text) * 100) // len(regexp_extract_all(text, '\\S+')) ELSE 0 END AS BIGINT) AS avg_tok_len_x100, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits, CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS BIGINT) AS n_punct, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) < 5 OR length(text) < 20 THEN 1 ELSE 0 END AS BIGINT) AS low_quality FROM documents",
+    // langid is SQL-expressible: per-language stopword-hit counts, argmax
+    // with ties to the lexicographically-largest language — exactly
+    // TextOps.langId's array_max over struct(score, lang)
+    "t_langid" ->
+      """WITH toks AS (SELECT doc_id, lang, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), sc AS (SELECT doc_id, lang, 'de' AS cand, len(list_filter(tk, t -> t IN ('der','die','das','und','ein','eine','ist','zu','mit','von'))) AS score FROM toks UNION ALL SELECT doc_id, lang, 'en', len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) FROM toks UNION ALL SELECT doc_id, lang, 'es', len(list_filter(tk, t -> t IN ('el','la','los','de','y','un','una','es','que','para'))) FROM toks UNION ALL SELECT doc_id, lang, 'fr', len(list_filter(tk, t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) FROM toks UNION ALL SELECT doc_id, lang, 'zh', len(list_filter(tk, t -> t IN ('de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'))) FROM toks) SELECT doc_id, lang, CASE WHEN score > 0 THEN cand ELSE 'und' END AS pred_lang FROM (SELECT doc_id, lang, cand, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn FROM sc) WHERE rn = 1""",
+    "t_pack_sequences" ->
+      """SELECT doc_id, n_tokens, token_offset, token_offset // 2048 AS seq_start, CASE WHEN n_tokens = 0 THEN token_offset // 2048 ELSE (token_offset + n_tokens - 1) // 2048 END AS seq_end FROM (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents))""",
+    "t_hash_sample" ->
+      "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
+    "t_quota_sample" ->
+      "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 50",
+    "t_contamination" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)), bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1""",
     "d_exact_dup_groups" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->

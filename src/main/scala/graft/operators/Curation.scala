@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, per-group quotas, sequence packing (concat-and-chunk token
+  * budgeting), and benchmark-contamination screening.
+  *
+  * Everything here is declarative DataFrame algebra — no UDFs, no driver-side
+  * loops — so Catalyst plans it and the shapes survive a 1000-executor
+  * scale-up:
+  *  - sampling / quotas are a codegen'd filter resp. one partitioned window;
+  *  - sequence packing is a two-level prefix sum: the only global (single-
+  *    partition) window runs over BLOCK TOTALS, whose cardinality is
+  *    `#docs / blockSize` — tune blockSize so that frame is driver-trivial
+  *    at any corpus size;
+  *  - contamination joins on 64-bit shingle hashes, never shingle strings,
+  *    and broadcasts the benchmark side (benchmark suites are small).
+  */
+object Curation {
+
+  /** Deterministic, engine-portable integer mixer: reduce the key mod a
+    * prime, multiply by Knuth's 2654435761, reduce again. Stays below 2^52
+    * throughout, so it is exact under ANSI arithmetic in Spark AND
+    * expressible verbatim in any SQL engine (the DuckDB oracle computes the
+    * identical value) — unlike xxhash64, whose implementation is
+    * Spark-specific. Production sampling at 100 TB should prefer
+    * [[org.apache.spark.sql.functions.xxhash64]] (better avalanche over
+    * arbitrary types); this mixer exists for cross-engine reproducibility
+    * of the sampling decision.
+    */
+  val PortableHashModulus = 1000003L // prime
+
+  def portableHash(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(PortableHashModulus)) * lit(2654435761L),
+      lit(PortableHashModulus))
+
+  /** Deterministic hash sample: keep a row iff its key's mixed hash lands in
+    * `numer` of `denom` residue classes. Unlike `df.sample()` this is stable
+    * across runs, partitionings, and engines — the property a training
+    * pipeline needs so a re-run selects the SAME documents (sampling is a
+    * pure filter: no shuffle, stays in the scan's codegen stage, and
+    * composes with parquet row-group pruning when the key is a sort key).
+    */
+  def hashSample(df: DataFrame, keyCol: String, numer: Int, denom: Int): DataFrame = {
+    require(numer >= 0 && denom > 0 && numer <= denom)
+    df.filter(pmod(portableHash(col(keyCol)), lit(denom.toLong)) < numer.toLong)
+  }
+
+  /** Per-group quota sample: at most `quota` rows per group, chosen by the
+    * deterministic hash order (ties broken by the key itself, so the
+    * selection is a total order — re-runs pick identical rows). One
+    * partitioned window = one shuffle on the group key; no global sort.
+    * The standard shape for per-language / per-domain caps when balancing
+    * a training mix.
+    */
+  def quotaSample(df: DataFrame, groupCol: String, keyCol: String, quota: Int): DataFrame = {
+    require(quota > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(portableHash(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** Concat-and-chunk sequence packing: order documents by `idCol`, lay
+    * their tokens end-to-end, and cut training sequences every `seqLen`
+    * tokens. Emits each document's global `token_offset` and the sequence
+    * ids its tokens span (`seq_start`..`seq_end`) — the writer-side shuffle
+    * key for materializing packed sequences.
+    *
+    * Distributed prefix sum, not a global window: an exclusive running sum
+    * ordered over an entire corpus would plan a single-partition window —
+    * the classic scale cliff. Instead:
+    *   1. bucket docs into blocks of `blockSize` ids (arithmetic, no data
+    *      movement — ids need not be dense, only non-negative and unique);
+    *   2. window WITHIN each block for the intra-block exclusive prefix
+    *      (partitioned window — parallel);
+    *   3. aggregate per-block totals (tiny frame: #blocks rows) and prefix
+    *      THOSE with the only global window;
+    *   4. broadcast-join the block bases back.
+    * At 100 TB with blockSize = 1M, step 3's frame is ~#docs/1M rows —
+    * driver-trivial — while steps 2 and 4 stay fully parallel.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: Column,
+      seqLen: Long,
+      blockSize: Long = 1000000L
+  ): DataFrame = {
+    require(seqLen > 0 && blockSize > 0)
+    val base = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      tokenCountCol.cast("long").as("n_tokens"))
+      .withColumn("__blk", expr(s"doc_id div $blockSize"))
+    val intraW = Window.partitionBy(col("__blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = base.withColumn("__intra",
+      coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
+    val blockW = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockBases = base.groupBy(col("__blk"))
+      .agg(sum(col("n_tokens")).as("__blk_total"))
+      .select(col("__blk"),
+        coalesce(sum(col("__blk_total")).over(blockW), lit(0L)).as("__blk_base"))
+    val off = intra.join(broadcast(blockBases), "__blk")
+      .withColumn("token_offset", col("__blk_base") + col("__intra"))
+    off.select(
+      col("doc_id"), col("n_tokens"), col("token_offset"),
+      expr(s"token_offset div $seqLen").as("seq_start"),
+      when(col("n_tokens") === 0L, expr(s"token_offset div $seqLen"))
+        .otherwise(expr(s"(token_offset + n_tokens - 1) div $seqLen")).as("seq_end"))
+  }
+
+  /** Benchmark-contamination screen: which corpus documents share a word
+    * `n`-gram with the benchmark set, and how many distinct shingles
+    * overlap. The decontamination primitive for training corpora (report
+    * or drop docs that leak eval data).
+    *
+    * Corpus shingles are deduped per doc ([[TextOps.shingles]] is distinct)
+    * and joined on their xxhash64 — 8 bytes shuffled per shingle instead of
+    * the string. The benchmark side collapses to its distinct shingle-hash
+    * set and is broadcast by default (benchmark suites are vastly smaller
+    * than a corpus; pass `broadcastBenchmark = false` to fall back to a
+    * shuffle join when it is not). 64-bit hashing can in principle alias
+    * two different shingles; for a screen that flags docs for review the
+    * ~n²/2^64 false-positive rate is the standard trade.
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    def grams(d: DataFrame, cols: Column*): DataFrame =
+      d.select(cols :+ explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("__g"): _*)
+        .withColumn("__gh", xxhash64(col("__g"))).drop("__g")
+    val bench0 = grams(benchmark).select(col("__gh")).distinct()
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    grams(corpus, col(idCol))
+      .join(bench, "__gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+  }
+}

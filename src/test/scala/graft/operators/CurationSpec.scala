@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("packSequences: two-level prefix sum equals the naive running sum") {
+    // sparse, non-dense ids; a zero-token doc; blockSize 4 forces many blocks
+    val docs = Seq(
+      (0L, 10L), (1L, 5L), (3L, 0L), (7L, 2048L), (8L, 1L),
+      (15L, 300L), (16L, 7L), (31L, 999L), (100L, 1L), (101L, 2047L)
+    ).toDF("doc_id", "n_tokens")
+    val got = Curation.packSequences(docs, "doc_id", col("n_tokens"), seqLen = 1024L, blockSize = 4L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+
+    var off = 0L
+    val want = docs.orderBy("doc_id").as[(Long, Long)].collect().map { case (id, n) =>
+      val start = off / 1024L
+      val end = if (n == 0) start else (off + n - 1) / 1024L
+      val r = (id, n, off, start, end)
+      off += n
+      r
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("packSequences: a doc spanning several sequences reports the full span") {
+    val docs = Seq((1L, 10L), (2L, 5000L), (3L, 3L)).toDF("doc_id", "n_tokens")
+    val r = Curation.packSequences(docs, "doc_id", col("n_tokens"), seqLen = 1024L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(r(1) == ((2L, 5000L, 10L, 0L, 4L))) // tokens 10..5009 → seqs 0..4
+    assert(r(2) == ((3L, 3L, 5010L, 4L, 4L)))
+  }
+
+  test("hashSample is deterministic and partitioning-invariant") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val a = Curation.hashSample(docs, "doc_id", 1, 20).as[Long].collect().sorted
+    val b = Curation.hashSample(docs.repartition(7), "doc_id", 1, 20)
+      .as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.length < 300) // ~5% of 2000, generous bound
+  }
+
+  test("quotaSample caps each group and picks a stable set") {
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"), (col("id") % 3).cast("string").as("grp"))
+    val a = Curation.quotaSample(docs, "grp", "doc_id", quota = 10)
+    val counts = a.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 10L))
+    val b = Curation.quotaSample(docs.repartition(11), "grp", "doc_id", quota = 10)
+    assert(a.as[(Long, String)].collect().sorted.sameElements(
+      b.as[(Long, String)].collect().sorted))
+  }
+
+  test("contamination matches brute-force string-shingle intersection") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares a 3-gram run with bench
+      (2L, "one two three four five six seven"),     // no overlap
+      (3L, "gamma delta epsilon zeta eta theta"),    // shares shingles with bench
+      (4L, "")                                       // empty doc: no shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "beta gamma delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+
+    val got = Curation.contamination(corpus, bench, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+
+    // brute force on the strings themselves
+    def sh(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+    val want = sh(corpus).join(sh(bench).select(col("g")).distinct(), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+
+    assert(got == want)
+    assert(!got.contains(2L) && !got.contains(4L))
+    assert(got(1L) > 0 && got(3L) > 0)
+  }
+}
