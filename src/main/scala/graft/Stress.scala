@@ -72,7 +72,19 @@ object Stress {
           shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
           .select(col("doc_a"), col("doc_b"))).count()),
       time(s"knn_x$mult")(operators.Similarity.lshTopK(
-        embs.filter(col("vec_id") < 10), embs, "embedding", "vec_id", k = 5, planes = 8).count())
+        embs.filter(col("vec_id") < 10), embs, "embedding", "vec_id", k = 5, planes = 8).count()),
+      // curation at scale: the prefix sum's only global window sees
+      // #docs/blockSize rows — with 1M-id blocks it stays driver-trivial
+      // no matter the corpus size
+      time(s"pack_seq_x$mult")(operators.Curation.packSequences(
+        docs.select(col("doc_id"), operators.TextOps.tokenCount(col("text")).as("nt")),
+        "doc_id", col("nt"), seqLen = 2048L, blockSize = 1000000L).count()),
+      time(s"contamination_x$mult")(operators.Curation.contamination(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", n = 3, broadcastBenchmark = false).count()),
+      time(s"quota_sample_x$mult")(operators.Curation.quotaSample(
+        docs, "lang", "doc_id", quota = 1000).count())
     )
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","mult":$mult,"ops":$qs}""")
