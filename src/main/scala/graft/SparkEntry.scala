@@ -184,6 +184,13 @@ object SparkEntry {
       t(s, d, "orders").agg(
         approx_count_distinct(col("o_custkey")).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"))),
+    // exact (interpolated) percentiles per group — both engines implement
+    // the same linear-interpolation continuous quantile
+    "a10_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))),
     "w6_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -442,6 +449,14 @@ object SparkEntry {
       Curation.packSequences(
         tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt")),
         "doc_id", col("nt"), seqLen = 2048L, blockSize = 64L)),
+    // writer contract of the packing: per-(doc, sequence) token slices
+    "t_pack_slices" -> ((s, d) =>
+      Curation.packedSliceManifest(
+        tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt")),
+        "doc_id", col("nt"), seqLen = 2048L, blockSize = 64L)),
+    // top-3 characteristic terms per doc by tf-idf
+    "t_tfidf_top" -> ((s, d) =>
+      TextOps.tfIdfTopTerms(tb(s, d, "documents"), "text", "doc_id", k = 3)),
     // deterministic 1-in-20 hash sample: stable across runs / partitionings
     // / engines (the oracle recomputes the identical portable mixer)
     "t_hash_sample" -> ((s, d) =>
@@ -705,6 +720,8 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
     "t_quality_signals" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN (length(text) * 100) // len(regexp_extract_all(text, '\\S+')) ELSE 0 END AS BIGINT) AS avg_tok_len_x100, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits, CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS BIGINT) AS n_punct, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) < 5 OR length(text) < 20 THEN 1 ELSE 0 END AS BIGINT) AS low_quality FROM documents",
+    "a10_percentile" ->
+      "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.25) AS p25, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.75) AS p75 FROM lineitem GROUP BY 1",
     // langid is SQL-expressible: per-language stopword-hit counts, argmax
     // with ties to the lexicographically-largest language — exactly
     // TextOps.langId's array_max over struct(score, lang)
@@ -712,6 +729,10 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, lang, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), sc AS (SELECT doc_id, lang, 'de' AS cand, len(list_filter(tk, t -> t IN ('der','die','das','und','ein','eine','ist','zu','mit','von'))) AS score FROM toks UNION ALL SELECT doc_id, lang, 'en', len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) FROM toks UNION ALL SELECT doc_id, lang, 'es', len(list_filter(tk, t -> t IN ('el','la','los','de','y','un','una','es','que','para'))) FROM toks UNION ALL SELECT doc_id, lang, 'fr', len(list_filter(tk, t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) FROM toks UNION ALL SELECT doc_id, lang, 'zh', len(list_filter(tk, t -> t IN ('de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'))) FROM toks) SELECT doc_id, lang, CASE WHEN score > 0 THEN cand ELSE 'und' END AS pred_lang FROM (SELECT doc_id, lang, cand, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn FROM sc) WHERE rn = 1""",
     "t_pack_sequences" ->
       """SELECT doc_id, n_tokens, token_offset, token_offset // 2048 AS seq_start, CASE WHEN n_tokens = 0 THEN token_offset // 2048 ELSE (token_offset + n_tokens - 1) // 2048 END AS seq_end FROM (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents))""",
+    "t_pack_slices" ->
+      """WITH packed AS (SELECT doc_id, n_tokens, token_offset, token_offset // 2048 AS seq_start, (token_offset + n_tokens - 1) // 2048 AS seq_end FROM (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents)) WHERE n_tokens > 0) SELECT seq_id, doc_id, greatest(seq_id * 2048 - token_offset, 0) AS doc_from, least((seq_id + 1) * 2048, token_offset + n_tokens) - greatest(seq_id * 2048, token_offset) AS n_take FROM (SELECT p.*, unnest(generate_series(seq_start, seq_end)) AS seq_id FROM packed p)""",
+    "t_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS n_tf FROM toks GROUP BY 1, 2), dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1), n AS (SELECT count(*) AS n_docs FROM documents) SELECT doc_id, term, rank FROM (SELECT tf.doc_id, tf.term, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.n_tf * ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) DESC, tf.term ASC) AS rank FROM tf JOIN dfreq USING (term), n) WHERE rank <= 3""",
     "t_hash_sample" ->
       "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
     "t_quota_sample" ->

@@ -115,6 +115,36 @@ object Curation {
         .otherwise(expr(s"(token_offset + n_tokens - 1) div $seqLen")).as("seq_end"))
   }
 
+  /** Writer-side contract of [[packSequences]]: one row per (document,
+    * training sequence) pair, with the slice of the document's tokens that
+    * lands in that sequence — `doc_from` (0-based offset into the doc) and
+    * `n_take`. A writer groups by `seq_id`, sorts by `token_offset`, and
+    * concatenates slices; every emitted sequence is exactly `seqLen` tokens
+    * except the corpus tail. The explode fans each doc out to its span
+    * (`seq_end - seq_start + 1` rows — bounded by doc length / seqLen, not
+    * by corpus size), and the downstream group-by-sequence shuffle keys on
+    * `seq_id` — uniformly distributed by construction, so the write stage
+    * cannot skew. Zero-token docs are dropped (they contribute nothing).
+    */
+  def packedSliceManifest(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: Column,
+      seqLen: Long,
+      blockSize: Long = 1000000L
+  ): DataFrame = {
+    val packed = packSequences(df, idCol, tokenCountCol, seqLen, blockSize)
+      .filter(col("n_tokens") > 0L)
+    packed
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        explode(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
+      .select(
+        col("seq_id"), col("doc_id"),
+        greatest(col("seq_id") * seqLen - col("token_offset"), lit(0L)).as("doc_from"),
+        (least((col("seq_id") + 1L) * seqLen, col("token_offset") + col("n_tokens"))
+          - greatest(col("seq_id") * seqLen, col("token_offset"))).as("n_take"))
+  }
+
   /** Benchmark-contamination screen: which corpus documents share a word
     * `n`-gram with the benchmark set, and how many distinct shingles
     * overlap. The decontamination primitive for training corpora (report

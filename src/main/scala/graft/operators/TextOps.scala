@@ -97,6 +97,38 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Top-k characteristic terms per document by tf-idf
+    * (`tf · ln((N+1)/(df+1))`), ties broken by term — the standard
+    * keyword-extraction / topic-fingerprint primitive. Three shuffles, all
+    * keyed on uniform hash keys: tf groups on (doc, term), document
+    * frequency groups on term, and the final top-k window partitions on the
+    * doc id; the corpus size N rides along as a broadcast scalar, never a
+    * driver-side collect.
+    */
+  def tfIdfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(k > 0)
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("n_tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy((col("n_tf") * log((col("n_docs") + 1.0) / (col("df_t") + 1.0))).desc,
+        col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"))
+  }
+
   /** 64-bit content fingerprint: order-sensitive rolling combination of
     * token hashes, done as a single `aggregate` fold — the document-
     * fingerprinting primitive for shard-level dedup manifests. Chained

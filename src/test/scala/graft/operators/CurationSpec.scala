@@ -56,6 +56,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       b.as[(Long, String)].collect().sorted))
   }
 
+  test("packedSliceManifest: slices tile each doc and fill each sequence") {
+    val docs = Seq((1L, 10L), (2L, 5000L), (3L, 3L), (4L, 0L), (5L, 1021L))
+      .toDF("doc_id", "n_tokens")
+    val m = Curation.packedSliceManifest(docs, "doc_id", col("n_tokens"), seqLen = 1024L)
+    // per-doc: slices cover exactly n_tokens
+    val got = m.groupBy("doc_id").agg(sum("n_take")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 5000L, 3L -> 3L, 5L -> 1021L)) // doc 4 dropped
+    // per-sequence: every sequence except the corpus tail holds exactly seqLen
+    val perSeq = m.groupBy("seq_id").agg(sum("n_take").as("n"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    assert(perSeq.dropRight(1).forall(_._2 == 1024L))
+    assert(perSeq.map(_._2).sum == 10L + 5000L + 3L + 1021L)
+    // spot-check the straddling doc: doc 2 spans seqs 0..4 with offset 10
+    val d2 = m.filter($"doc_id" === 2L).orderBy("seq_id")
+      .select("seq_id", "doc_from", "n_take").as[(Long, Long, Long)].collect()
+    assert(d2.head == ((0L, 0L, 1014L)))
+    assert(d2.last == ((4L, 4086L, 914L)))
+  }
+
+  test("tfIdfTopTerms ranks rare terms above common ones") {
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common common common common"),
+      (3L, "common cherry date date common common")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfIdfTopTerms(docs, "text", "doc_id", k = 2)
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._3).map(_._2).toSeq }
+    // 'common' appears in all docs → idf ln(4/4)=0 → never top;
+    // doc-unique terms win: apple×2 for doc1, date×2 for doc3
+    assert(top(1L).head == "apple")
+    assert(top(3L).head == "date")
+    assert(!top.values.flatten.toSet.contains("common"))
+  }
+
   test("contamination matches brute-force string-shingle intersection") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // shares a 3-gram run with bench
