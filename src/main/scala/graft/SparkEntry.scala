@@ -448,12 +448,12 @@ object SparkEntry {
     "t_pack_sequences" -> ((s, d) =>
       Curation.packSequences(
         tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt")),
-        "doc_id", col("nt"), seqLen = 2048L, blockSize = 64L)),
+        "doc_id", col("nt"), seqLen = 2048L, blockSize = 64L, reuseBase = true)),
     // writer contract of the packing: per-(doc, sequence) token slices
     "t_pack_slices" -> ((s, d) =>
       Curation.packedSliceManifest(
         tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt")),
-        "doc_id", col("nt"), seqLen = 2048L, blockSize = 64L)),
+        "doc_id", col("nt"), seqLen = 2048L, blockSize = 64L, reuseBase = true)),
     // top-3 characteristic terms per doc by tf-idf
     "t_tfidf_top" -> ((s, d) =>
       TextOps.tfIdfTopTerms(tb(s, d, "documents"), "text", "doc_id", k = 3)),

@@ -78,7 +78,7 @@ object Stress {
       // no matter the corpus size
       time(s"pack_seq_x$mult")(operators.Curation.packSequences(
         docs.select(col("doc_id"), operators.TextOps.tokenCount(col("text")).as("nt")),
-        "doc_id", col("nt"), seqLen = 2048L, blockSize = 1000000L).count()),
+        "doc_id", col("nt"), seqLen = 2048L, blockSize = 1000000L, reuseBase = true).count()),
       time(s"contamination_x$mult")(operators.Curation.contamination(
         docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),

@@ -89,13 +89,19 @@ object Curation {
       idCol: String,
       tokenCountCol: Column,
       seqLen: Long,
-      blockSize: Long = 1000000L
+      blockSize: Long = 1000000L,
+      reuseBase: Boolean = false
   ): DataFrame = {
     require(seqLen > 0 && blockSize > 0)
-    val base = df.select(
+    val base0 = df.select(
       col(idCol).cast("long").as("doc_id"),
       tokenCountCol.cast("long").as("n_tokens"))
       .withColumn("__blk", expr(s"doc_id div $blockSize"))
+    // the base frame feeds both the intra-block window and the block-total
+    // aggregate; when tokenCountCol is expensive (a tokenizer over the raw
+    // text), reuseBase pins the 24-byte/doc projection once instead of
+    // re-scanning and re-tokenizing the corpus per branch
+    val base = if (reuseBase) base0.localCheckpoint(false) else base0
     val intraW = Window.partitionBy(col("__blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val intra = base.withColumn("__intra",
@@ -131,9 +137,10 @@ object Curation {
       idCol: String,
       tokenCountCol: Column,
       seqLen: Long,
-      blockSize: Long = 1000000L
+      blockSize: Long = 1000000L,
+      reuseBase: Boolean = false
   ): DataFrame = {
-    val packed = packSequences(df, idCol, tokenCountCol, seqLen, blockSize)
+    val packed = packSequences(df, idCol, tokenCountCol, seqLen, blockSize, reuseBase)
       .filter(col("n_tokens") > 0L)
     packed
       .select(col("doc_id"), col("n_tokens"), col("token_offset"),
@@ -167,8 +174,11 @@ object Curation {
       n: Int,
       broadcastBenchmark: Boolean = true
   ): DataFrame = {
+    // tokens staged through their own projection so the shingle HOF's three
+    // references resolve to one tokenizer eval per row, not three
     def grams(d: DataFrame, cols: Column*): DataFrame =
-      d.select(cols :+ explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("__g"): _*)
+      d.select(cols :+ TextOps.tokens(col(textCol)).as("__toks"): _*)
+        .select(cols :+ explode(TextOps.shingles(col("__toks"), n)).as("__g"): _*)
         .withColumn("__gh", xxhash64(col("__g"))).drop("__g")
     val bench0 = grams(benchmark).select(col("__gh")).distinct()
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
