@@ -457,6 +457,10 @@ object SparkEntry {
     // top-3 characteristic terms per doc by tf-idf
     "t_tfidf_top" -> ((s, d) =>
       TextOps.tfIdfTopTerms(tb(s, d, "documents"), "text", "doc_id", k = 3)),
+    // sliding-window chunking (32-token chunks, stride 24 → 8-token overlap)
+    "t_chunks" -> ((s, d) =>
+      Curation.chunkDocuments(tb(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 32, strideTokens = 24)),
     // deterministic 1-in-20 hash sample: stable across runs / partitionings
     // / engines (the oracle recomputes the identical portable mixer)
     "t_hash_sample" -> ((s, d) =>
@@ -733,6 +737,8 @@ object SparkEntry {
       """WITH packed AS (SELECT doc_id, n_tokens, token_offset, token_offset // 2048 AS seq_start, (token_offset + n_tokens - 1) // 2048 AS seq_end FROM (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents)) WHERE n_tokens > 0) SELECT seq_id, doc_id, greatest(seq_id * 2048 - token_offset, 0) AS doc_from, least((seq_id + 1) * 2048, token_offset + n_tokens) - greatest(seq_id * 2048, token_offset) AS n_take FROM (SELECT p.*, unnest(generate_series(seq_start, seq_end)) AS seq_id FROM packed p)""",
     "t_tfidf_top" ->
       """WITH toks AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS n_tf FROM toks GROUP BY 1, 2), dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1), n AS (SELECT count(*) AS n_docs FROM documents) SELECT doc_id, term, rank FROM (SELECT tf.doc_id, tf.term, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.n_tf * ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) DESC, tf.term ASC) AS rank FROM tf JOIN dfreq USING (term), n) WHERE rank <= 3""",
+    "t_chunks" ->
+      """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS nt FROM toks WHERE len(tk) > 0), idx AS (SELECT doc_id, tk, nt, unnest(generate_series(0, CASE WHEN nt > 32 THEN (nt - 32 + 24 - 1) // 24 ELSE 0 END)) AS chunk_idx FROM base) SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_from, least(32, nt - chunk_idx * 24) AS n_take, array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + least(32, nt - chunk_idx * 24)], ' ') AS chunk_text FROM idx""",
     "t_hash_sample" ->
       "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
     "t_quota_sample" ->

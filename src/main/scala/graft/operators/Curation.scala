@@ -152,6 +152,40 @@ object Curation {
           - greatest(col("seq_id") * seqLen, col("token_offset"))).as("n_take"))
   }
 
+  /** Sliding-window document chunking (RAG / embedding prep): cut each
+    * document's token stream into chunks of `chunkTokens` starting every
+    * `strideTokens` (overlap = chunk − stride), last chunk short. Pure
+    * per-row explode — no shuffle at all; chunk fan-out is bounded by
+    * doc length / stride, never corpus size. Emits the chunk text itself
+    * (`array_join` over the token slice) plus (doc_id, chunk_idx, tok_from,
+    * n_take) for writers that carry offsets instead of text.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      strideTokens: Int
+  ): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens)
+    val (c, s) = (chunkTokens.toLong, strideTokens.toLong)
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).cast("long").as("__nt"))
+      .filter(col("__nt") > 0L)
+      .select(col(idCol), col("__toks"), col("__nt"),
+        explode(sequence(lit(0L),
+          when(col("__nt") > c, expr(s"(__nt - $c + $s - 1) div $s")).otherwise(lit(0L))))
+          .as("chunk_idx"))
+      .select(
+        col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * s).as("tok_from"),
+        least(lit(c), col("__nt") - col("chunk_idx") * s).as("n_take"),
+        array_join(slice(col("__toks"), (col("chunk_idx") * s + 1L).cast("int"),
+          least(lit(c), col("__nt") - col("chunk_idx") * s).cast("int")), " ")
+          .as("chunk_text"))
+  }
+
   /** Benchmark-contamination screen: which corpus documents share a word
     * `n`-gram with the benchmark set, and how many distinct shingles
     * overlap. The decontamination primitive for training corpora (report

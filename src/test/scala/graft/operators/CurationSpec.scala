@@ -91,6 +91,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!top.values.flatten.toSet.contains("common"))
   }
 
+  test("chunkDocuments tiles tokens with overlap; tail chunk short; empty doc dropped") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // 3 tokens < chunk
+      (3L, "")                                        // empty → no chunks
+    ).toDF("doc_id", "text")
+    val r = Curation.chunkDocuments(docs, "text", "doc_id", chunkTokens = 4, strideTokens = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = r.filter(_._1 == 1L)
+    // starts 0,2,4,6 → 4 chunks; chunk0 = w1..w4, last = w7..w10 (full tail)
+    assert(d1.map(x => (x._3, x._4)).toSeq == Seq((0L, 4L), (2L, 4L), (4L, 4L), (6L, 4L)))
+    assert(d1.head._5 == "w1 w2 w3 w4" && d1.last._5 == "w7 w8 w9 w10")
+    // doc with 11 tokens: starts 0,2,4,6,8 → last chunk 3 tokens
+    val r11 = Curation.chunkDocuments(
+      Seq((9L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+      "text", "doc_id", chunkTokens = 4, strideTokens = 2)
+      .orderBy("chunk_idx").as[(Long, Long, Long, Long, String)].collect()
+    assert(r11.map(x => (x._3, x._4)).toSeq == Seq((0L, 4L), (2L, 4L), (4L, 4L), (6L, 4L), (8L, 3L)))
+    assert(r11.last._5 == "t9 t10 t11")
+    assert(r.count(_._1 == 2L) == 1 && r.filter(_._1 == 2L).head._5 == "a b c")
+    assert(!r.exists(_._1 == 3L))
+  }
+
   test("contamination matches brute-force string-shingle intersection") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // shares a 3-gram run with bench
