@@ -430,6 +430,11 @@ object SparkEntry {
     // --- text analysis -----------------------------------------------------
     "t_token_count" -> ((s, d) =>
       tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
+    // BPE-style pre-tokenizer count (RE2-compatible pattern — the oracle
+    // replays the identical regex)
+    "t_token_count_bpe" -> ((s, d) =>
+      tb(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCountBpe(col("text")).as("n_bpe"))),
     "t_quality_signals" -> ((s, d) => {
       val sig = TextOps.qualitySignals(col("text"))
       tb(s, d, "documents").select(
@@ -482,6 +487,16 @@ object SparkEntry {
     // --- dedup --------------------------------------------------------------
     "d_exact_dup_groups" -> ((s, d) =>
       Dedup.exactDuplicateGroups(tb(s, d, "documents"), "text", "doc_id")),
+    // incremental pipeline shape: dedup an arriving batch (id % 4 == 0)
+    // against the standing corpus's digest manifest — no corpus text re-read
+    "d_incremental" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Dedup.dropSeenDocuments(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        Dedup.digestManifest(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0), "text"),
+        "text", "doc_id")
+        .select(col("doc_id"))
+    }),
     "d_jaccard_brute" -> ((s, d) =>
       Dedup.jaccardPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2)),
@@ -722,6 +737,10 @@ object SparkEntry {
       """WITH sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess), wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events) SELECT user_id, session_start, session_end, n_events FROM (SELECT s.*, row_number() OVER (PARTITION BY user_id ORDER BY session_end DESC) AS rn FROM sess s) s2, wm WHERE rn > 1 OR (epoch_us(session_end) + 1800 * 1000000 + 999) // 1000 < wm_ms""",
     "t_token_count" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
+    "t_token_count_bpe" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe FROM documents""",
+    "d_incremental" ->
+      """WITH corpus AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 4 != 0), batch AS (SELECT doc_id, md5(text) AS h, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents WHERE doc_id % 4 = 0) SELECT doc_id FROM batch WHERE rn = 1 AND h NOT IN (SELECT h FROM corpus)""",
     "t_quality_signals" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN (length(text) * 100) // len(regexp_extract_all(text, '\\S+')) ELSE 0 END AS BIGINT) AS avg_tok_len_x100, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits, CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS BIGINT) AS n_punct, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) < 5 OR length(text) < 20 THEN 1 ELSE 0 END AS BIGINT) AS low_quality FROM documents",
     "a10_percentile" ->

@@ -40,6 +40,30 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Digest manifest of a corpus: the persisted face of exact dedup for
+    * INCREMENTAL pipelines — write this once per corpus snapshot, and dedup
+    * each arriving batch against it with [[dropSeenDocuments]] instead of
+    * re-reading the corpus text.
+    */
+  def digestManifest(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("text_hash")).distinct()
+
+  /** Incremental exact dedup: rows of `batch` whose content digest does NOT
+    * appear in the corpus manifest, self-deduped (lowest id wins) so a batch
+    * containing its own copies emits one. Anti-join on 32-hex digests —
+    * shuffle volume is digests, never text; at 100 TB the manifest side is
+    * a fraction of corpus size and the arriving batch is small.
+    */
+  def dropSeenDocuments(
+      batch: DataFrame,
+      manifest: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame =
+    dropExactDuplicates(batch, textCol, idCol)
+      .join(manifest.select(col("text_hash")),
+        md5(col(textCol)) === col("text_hash"), "left_anti")
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash signature (array of `k` 64-bit minima) over a shingle array.

@@ -22,6 +22,22 @@ object TextOps {
   def tokens(text: Column): Column =
     transform(regexp_extract_all(text, lit("\\S+"), lit(0)), t => lower(t))
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 family): English contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs. Restricted to
+    * constructs RE2 also supports (no lookahead) so the same pattern counts
+    * identically in engines that use RE2 — the whitespace-tail alternatives
+    * of the original pattern are dropped, meaning pure-whitespace spans
+    * count 0 tokens (like [[tokenCount]]).
+    */
+  val BpeTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token count under the BPE-style pre-tokenizer — the "how many tokens
+    * will the trainer see" estimate, vs [[tokenCount]]'s whitespace words.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("bigint")
+
   /** Word n-grams (shingles) over the token array. Returns distinct shingles
     * — the unit for Jaccard/MinHash dedup. Guarded for docs shorter than n:
     * `sequence(a, b)` DESCENDS when b < a, so an unguarded

@@ -294,4 +294,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "und")
   }
+
+  test("BPE-style token count splits contractions, digits, punctuation") {
+    val t = Seq(
+      (1L, "it's 2024, don't panic!"),
+      // it|'s| 2024|,| don|'t| panic|! → 8
+      (2L, "hello world"), // hello| world → 2
+      (3L, ""),            // → 0
+      (4L, "   ")          // whitespace only → 0
+    ).toDF("doc_id", "text")
+    val got = t.select(col("doc_id"), TextOps.tokenCountBpe(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 8L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("incremental dedup drops seen digests and self-dedups the batch") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"), // already in corpus → dropped
+      (11L, "gamma"), (12L, "gamma"), // batch-internal dup → keep 11 only
+      (13L, "delta")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropSeenDocuments(
+      batch, Dedup.digestManifest(corpus, "text"), "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 13L))
+  }
 }
