@@ -37,16 +37,42 @@ object Curation {
     pmod(pmod(key.cast("long"), lit(PortableHashModulus)) * lit(2654435761L),
       lit(PortableHashModulus))
 
+  /** The mixer needs an integral key: a string key would cast to NULL (or
+    * throw, under ANSI) deep inside the job. Fail fast at plan-build time
+    * with the escape hatch spelled out.
+    */
+  private def requireIntegralKey(df: DataFrame, keyCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    val integral = dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+    require(integral,
+      s"$op needs an integral key column for the portable mixer; '$keyCol' is $dt. " +
+        "Pass an explicit hash column instead (e.g. xxhash64(col(\"" + keyCol + "\"))) " +
+        "via the Column overload — note a Spark-specific hash is not replayable " +
+        "by other engines.")
+  }
+
   /** Deterministic hash sample: keep a row iff its key's mixed hash lands in
     * `numer` of `denom` residue classes. Unlike `df.sample()` this is stable
     * across runs, partitionings, and engines — the property a training
     * pipeline needs so a re-run selects the SAME documents (sampling is a
     * pure filter: no shuffle, stays in the scan's codegen stage, and
     * composes with parquet row-group pruning when the key is a sort key).
+    * The key must be integral (see [[portableHash]]); for string keys use
+    * the Column overload with your own hash.
     */
   def hashSample(df: DataFrame, keyCol: String, numer: Int, denom: Int): DataFrame = {
+    requireIntegralKey(df, keyCol, "hashSample")
+    hashSample(df, portableHash(col(keyCol)), numer, denom)
+  }
+
+  /** [[hashSample]] over a caller-supplied hash column (use for non-integral
+    * keys, e.g. `xxhash64(col("url"))` — stable across runs and partitionings
+    * but not replayable by non-Spark engines).
+    */
+  def hashSample(df: DataFrame, hashCol: Column, numer: Int, denom: Int): DataFrame = {
     require(numer >= 0 && denom > 0 && numer <= denom)
-    df.filter(pmod(portableHash(col(keyCol)), lit(denom.toLong)) < numer.toLong)
+    df.filter(pmod(hashCol, lit(denom.toLong)) < numer.toLong)
   }
 
   /** Per-group quota sample: at most `quota` rows per group, chosen by the
@@ -54,10 +80,11 @@ object Curation {
     * selection is a total order — re-runs pick identical rows). One
     * partitioned window = one shuffle on the group key; no global sort.
     * The standard shape for per-language / per-domain caps when balancing
-    * a training mix.
+    * a training mix. The key must be integral (see [[portableHash]]).
     */
   def quotaSample(df: DataFrame, groupCol: String, keyCol: String, quota: Int): DataFrame = {
     require(quota > 0)
+    requireIntegralKey(df, keyCol, "quotaSample")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(portableHash(col(keyCol)), col(keyCol))
     df.withColumn("__rn", row_number().over(w))
@@ -93,16 +120,22 @@ object Curation {
       reuseBase: Boolean = false
   ): DataFrame = {
     require(seqLen > 0 && blockSize > 0)
+    // NULL counts (e.g. a NULL text under a size()-based counter) pack as 0
+    // tokens; a NEGATIVE count would silently shift every later document's
+    // offset, so it fails the job instead
+    val nt = coalesce(tokenCountCol.cast("long"), lit(0L))
     val base0 = df.select(
-      col(idCol).cast("long").as("doc_id"),
-      tokenCountCol.cast("long").as("n_tokens"))
-      .withColumn("__blk", expr(s"doc_id div $blockSize"))
+      col(idCol).cast("long").as(idCol),
+      when(nt < 0L, raise_error(concat(
+        lit("packSequences: negative token count for id "), col(idCol).cast("string"))))
+        .otherwise(nt).as("n_tokens"))
+      .withColumn("__blk", expr(s"`$idCol` div $blockSize"))
     // the base frame feeds both the intra-block window and the block-total
     // aggregate; when tokenCountCol is expensive (a tokenizer over the raw
     // text), reuseBase pins the 24-byte/doc projection once instead of
     // re-scanning and re-tokenizing the corpus per branch
     val base = if (reuseBase) base0.localCheckpoint(false) else base0
-    val intraW = Window.partitionBy(col("__blk")).orderBy(col("doc_id"))
+    val intraW = Window.partitionBy(col("__blk")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val intra = base.withColumn("__intra",
       coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
@@ -115,7 +148,7 @@ object Curation {
     val off = intra.join(broadcast(blockBases), "__blk")
       .withColumn("token_offset", col("__blk_base") + col("__intra"))
     off.select(
-      col("doc_id"), col("n_tokens"), col("token_offset"),
+      col(idCol), col("n_tokens"), col("token_offset"),
       expr(s"token_offset div $seqLen").as("seq_start"),
       when(col("n_tokens") === 0L, expr(s"token_offset div $seqLen"))
         .otherwise(expr(s"(token_offset + n_tokens - 1) div $seqLen")).as("seq_end"))
@@ -143,10 +176,10 @@ object Curation {
     val packed = packSequences(df, idCol, tokenCountCol, seqLen, blockSize, reuseBase)
       .filter(col("n_tokens") > 0L)
     packed
-      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+      .select(col(idCol), col("n_tokens"), col("token_offset"),
         explode(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
       .select(
-        col("seq_id"), col("doc_id"),
+        col("seq_id"), col(idCol),
         greatest(col("seq_id") * seqLen - col("token_offset"), lit(0L)).as("doc_from"),
         (least((col("seq_id") + 1L) * seqLen, col("token_offset") + col("n_tokens"))
           - greatest(col("seq_id") * seqLen, col("token_offset"))).as("n_take"))
@@ -208,11 +241,11 @@ object Curation {
       n: Int,
       broadcastBenchmark: Boolean = true
   ): DataFrame = {
-    // tokens staged through their own projection so the shingle HOF's three
-    // references resolve to one tokenizer eval per row, not three
+    // native shingle expression (one row-level eval — same primitive the
+    // dedup paths use; ~10x the interpreted HOF composition)
     def grams(d: DataFrame, cols: Column*): DataFrame =
-      d.select(cols :+ TextOps.tokens(col(textCol)).as("__toks"): _*)
-        .select(cols :+ explode(TextOps.shingles(col("__toks"), n)).as("__g"): _*)
+      d.select(cols :+ explode(
+        graft.functions.VectorHash.wordShingles(col(textCol), n)).as("__g"): _*)
         .withColumn("__gh", xxhash64(col("__g"))).drop("__g")
     val bench0 = grams(benchmark).select(col("__gh")).distinct()
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0

@@ -59,10 +59,17 @@ object Dedup {
       manifest: DataFrame,
       textCol: String,
       idCol: String
-  ): DataFrame =
-    dropExactDuplicates(batch, textCol, idCol)
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // digest computed once per row, shared by the self-dedup window key and
+    // the anti-join key (md5 over full text is the dominant per-row cost)
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    batch.withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .join(manifest.select(col("text_hash")),
-        md5(col(textCol)) === col("text_hash"), "left_anti")
+        col("__h") === col("text_hash"), "left_anti")
+      .drop("__h", "__rn")
+  }
 
   // ---------------------------------------------------------------- minhash
 
