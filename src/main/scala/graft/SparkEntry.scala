@@ -475,6 +475,19 @@ object SparkEntry {
     "t_quota_sample" -> ((s, d) =>
       Curation.quotaSample(tb(s, d, "documents"), "lang", "doc_id", quota = 50)
         .select(col("doc_id"), col("lang"))),
+    // the curation pass end-to-end AS ONE PLAN: quality gate → exact dedup
+    // (lowest id per digest) → per-language quota — the composition a real
+    // corpus build runs, demonstrating the operators chain without
+    // materialization between stages
+    "t_curation_pipeline" -> ((s, d) => {
+      val sig = TextOps.qualitySignals(col("text"))
+      val quality = tb(s, d, "documents")
+        .filter(sig("low_quality") === 0L)
+      Curation.quotaSample(
+        Dedup.dropExactDuplicates(quality, "text", "doc_id"),
+        "lang", "doc_id", quota = 40)
+        .select(col("doc_id"), col("lang"))
+    }),
     // benchmark-contamination screen: docs (id % 50 != 0) sharing a word
     // 3-gram with the benchmark slice (id % 50 == 0), with overlap counts
     "t_contamination" -> ((s, d) => {
@@ -764,6 +777,8 @@ object SparkEntry {
       "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
     "t_quota_sample" ->
       "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 50",
+    "t_curation_pipeline" ->
+      """WITH q AS (SELECT doc_id, lang, text FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20), d AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q) WHERE rn = 1) SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn2 FROM d) WHERE rn2 <= 40""",
     "t_contamination" ->
       """WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents)), bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1""",
     "d_exact_dup_groups" ->
