@@ -128,6 +128,49 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental corpus ingest: per-batch dedup against an accumulating digest manifest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("inc_ingest").toString
+    val (corpusDir, manifestDir) = (s"$tmp/corpus", s"$tmp/manifest")
+    // bootstrap an empty manifest so per-batch reads never hit a missing path
+    Seq.empty[String].toDF("text_hash").write.parquet(manifestDir)
+
+    val mem = MemoryStream[(Long, String)]
+    // default micro-batch trigger (not AvailableNow) so data added between
+    // processAllAvailable() calls arrives as separate batches
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        // the incremental composition: batch → unseen docs → append both
+        // the docs and their digests (order matters: manifest last, so a
+        // mid-write crash re-ingests rather than losing docs)
+        val fresh = graft.operators.Dedup.dropSeenDocuments(
+          batch.toDF(), spark.read.parquet(manifestDir), "text", "doc_id")
+          .localCheckpoint(true) // pin: written twice below
+        fresh.write.mode("append").parquet(corpusDir)
+        graft.operators.Dedup.digestManifest(fresh, "text")
+          .write.mode("append").parquet(manifestDir)
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (2L, "beta")) // batch 1, self-dup
+      q.processAllAvailable()
+      mem.addData((10L, "alpha"), (11L, "gamma"))            // batch 2: alpha seen
+      q.processAllAvailable()
+      mem.addData((20L, "beta"), (21L, "gamma"), (22L, "delta")) // batch 3
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val corpus = spark.read.parquet(corpusDir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(corpus.map(_._2).toSeq == Seq("alpha", "beta", "gamma", "delta"))
+    assert(corpus.map(_._1).toSeq == Seq(1L, 2L, 11L, 22L)) // first arrival wins
+    assert(spark.read.parquet(manifestDir).count() == 4)
+  }
+
   test("foreachBatch ingest reuses a batch writer with batchId dedup handle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
