@@ -475,6 +475,16 @@ object SparkEntry {
     "t_quota_sample" -> ((s, d) =>
       Curation.quotaSample(tb(s, d, "documents"), "lang", "doc_id", quota = 50)
         .select(col("doc_id"), col("lang"))),
+    // training-mix rates: 1-in-4 of en, all of de/es/fr, zh unlisted → dropped
+    "t_mixture" -> ((s, d) =>
+      Curation.mixtureSample(tb(s, d, "documents"), "lang", "doc_id",
+        Map("en" -> (1, 4), "de" -> (1, 1), "es" -> (1, 1), "fr" -> (1, 1)))
+        .select(col("doc_id"), col("lang"))),
+    // token-weighted mix cap: ≤ 2000 tokens per language, hash-ordered
+    "t_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetCap(tb(s, d, "documents"), "lang", "doc_id",
+        TextOps.tokenCount(col("text")), budget = 2000L)
+        .select(col("doc_id"), col("lang"))),
     // the curation pass end-to-end AS ONE PLAN: quality gate → exact dedup
     // (lowest id per digest) → per-language quota — the composition a real
     // corpus build runs, demonstrating the operators chain without
@@ -777,6 +787,10 @@ object SparkEntry {
       "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
     "t_quota_sample" ->
       "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 50",
+    "t_mixture" ->
+      """WITH r AS (SELECT * FROM (VALUES ('en', 1, 4), ('de', 1, 1), ('es', 1, 1), ('fr', 1, 1)) AS t(lang, numer, denom)) SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang WHERE ((((d.doc_id % 1000003) * 2654435761) % 1000003) % denom) < numer""",
+    "t_token_budget" ->
+      """SELECT doc_id, lang FROM (SELECT doc_id, lang, sum(nt) OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM (SELECT doc_id, lang, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt FROM documents)) WHERE cum <= 2000""",
     "t_curation_pipeline" ->
       """WITH q AS (SELECT doc_id, lang, text FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20), d AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q) WHERE rn = 1) SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn2 FROM d) WHERE rn2 <= 40""",
     "t_contamination" ->

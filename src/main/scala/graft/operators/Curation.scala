@@ -75,6 +75,53 @@ object Curation {
     df.filter(pmod(hashCol, lit(denom.toLong)) < numer.toLong)
   }
 
+  /** Mixture sampling: per-group keep rates (e.g. upsample wiki, downsample
+    * crawl) applied as ONE deterministic hash filter — `rates` maps group →
+    * keep `numer` in `denom`. Groups absent from `rates` are dropped
+    * (explicit mixes only — silence should not mean "keep everything").
+    * Planned as a broadcast join of the tiny rates table + the same pure
+    * filter as [[hashSample]]: no shuffle of the data side.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      rates: Map[String, (Int, Int)]
+  ): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall { case (n, d) => n >= 0 && d > 0 && n <= d })
+    requireIntegralKey(df, keyCol, "mixtureSample")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.map { case (g, (n, d)) => (g, n.toLong, d.toLong) }
+      .toDF(groupCol, "__numer", "__denom")
+    df.join(broadcast(ratesDf), groupCol)
+      .filter(pmod(portableHash(col(keyCol)), col("__denom")) < col("__numer"))
+      .drop("__numer", "__denom")
+  }
+
+  /** Token-budget cap: keep each group's documents, in deterministic hash
+    * order, until the group's cumulative token count would exceed `budget`
+    * (a doc is kept iff it fits entirely). The token-weighted counterpart of
+    * [[quotaSample]] — "at most N tokens per source/language", which is how
+    * training mixes are actually specified. One partitioned window.
+    */
+  def tokenBudgetCap(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      tokenCountCol: Column,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0)
+    requireIntegralKey(df, keyCol, "tokenBudgetCap")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(portableHash(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokenCountCol.cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Per-group quota sample: at most `quota` rows per group, chosen by the
     * deterministic hash order (ties broken by the key itself, so the
     * selection is a total order — re-runs pick identical rows). One

@@ -91,6 +91,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!top.values.flatten.toSet.contains("common"))
   }
 
+  test("mixtureSample applies per-group rates; unlisted groups are dropped") {
+    val docs = spark.range(0, 3000)
+      .select(col("id").as("doc_id"),
+        element_at(array(lit("wiki"), lit("crawl"), lit("forum")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("source"))
+    val out = Curation.mixtureSample(docs, "source", "doc_id",
+      Map("wiki" -> (1, 1), "crawl" -> (1, 10)))
+    val bySource = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource("wiki") == 1000L)                      // kept wholesale
+    assert(bySource("crawl") > 50 && bySource("crawl") < 200) // ~10%
+    assert(!bySource.contains("forum"))                    // unlisted → dropped
+    // same rows as applying hashSample per group
+    val crawlOnly = Curation.hashSample(docs.filter($"source" === "crawl"), "doc_id", 1, 10)
+    assert(out.filter($"source" === "crawl").select("doc_id").as[Long].collect().sorted
+      .sameElements(crawlOnly.select("doc_id").as[Long].collect().sorted))
+  }
+
+  test("tokenBudgetCap keeps hash-ordered docs while they fit the budget") {
+    val docs = Seq(
+      (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L), (4L, "a", 400L),
+      (10L, "b", 50L), (11L, "b", 60L)
+    ).toDF("doc_id", "grp", "nt")
+    val out = Curation.tokenBudgetCap(docs, "grp", "doc_id", col("nt"), budget = 1000L)
+      .select("doc_id", "grp").as[(Long, String)].collect()
+    // group a: only the first two docs in hash order fit 1000 tokens
+    assert(out.count(_._2 == "a") == 2)
+    // group b fits entirely
+    assert(out.count(_._2 == "b") == 2)
+    // kept set = prefix of the hash order, verified against a manual cumsum
+    val order = docs.filter($"grp" === "a")
+      .select(col("doc_id"), Curation.portableHash(col("doc_id")).as("h"))
+      .orderBy("h", "doc_id").as[(Long, Long)].collect().map(_._1)
+    assert(out.filter(_._2 == "a").map(_._1).toSet == order.take(2).toSet)
+  }
+
   test("chunkDocuments tiles tokens with overlap; tail chunk short; empty doc dropped") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
