@@ -91,6 +91,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!top.values.flatten.toSet.contains("common"))
   }
 
+  test("property: packSequences equals the naive prefix sum for random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 500L)).map(_.distinct)
+      counts <- Gen.listOfN(ids.length, Gen.choose(0L, 5000L))
+      seqLen <- Gen.choose(1L, 4096L)
+      blockSize <- Gen.oneOf(1L, 3L, 16L, 1000000L)
+    } yield (ids.zip(counts), seqLen, blockSize)
+    val prop = Prop.forAll(gen) { case (docs, seqLen, blockSize) =>
+      val df = docs.toDF("doc_id", "nt")
+      val got = Curation.packSequences(df, "doc_id", col("nt"), seqLen, blockSize)
+        .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      var off = 0L
+      val want = docs.sortBy(_._1).map { case (id, n) =>
+        val start = off / seqLen
+        val end = if (n == 0) start else (off + n - 1) / seqLen
+        val r = (id, n, off, start, end)
+        off += n
+        r
+      }
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("mixtureSample applies per-group rates; unlisted groups are dropped") {
     val docs = spark.range(0, 3000)
       .select(col("id").as("doc_id"),
