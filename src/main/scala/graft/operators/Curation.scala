@@ -90,13 +90,18 @@ object Curation {
   ): DataFrame = {
     require(rates.nonEmpty && rates.values.forall { case (n, d) => n >= 0 && d > 0 && n <= d })
     requireIntegralKey(df, keyCol, "mixtureSample")
+    // string rates keys against a non-string group column would type-coerce
+    // to NULL in the join and silently drop the whole corpus
+    require(df.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
+      s"mixtureSample joins string rate keys; '$groupCol' is " +
+        s"${df.schema(groupCol).dataType}")
     val spark = df.sparkSession
     import spark.implicits._
     val ratesDf = rates.toSeq.map { case (g, (n, d)) => (g, n.toLong, d.toLong) }
       .toDF(groupCol, "__numer", "__denom")
     df.join(broadcast(ratesDf), groupCol)
       .filter(pmod(portableHash(col(keyCol)), col("__denom")) < col("__numer"))
-      .drop("__numer", "__denom")
+      .select(df.columns.map(col): _*) // using-join reorders; restore caller's schema
   }
 
   /** Token-budget cap: keep each group's documents, in deterministic hash
@@ -114,10 +119,17 @@ object Curation {
   ): DataFrame = {
     require(budget > 0)
     requireIntegralKey(df, keyCol, "tokenBudgetCap")
+    // same count hygiene as packSequences: NULL counts as 0, a negative
+    // count would make the cumulative sum non-monotonic (docs past the
+    // budget would slip back under it), so it fails the job instead
+    val nt0 = coalesce(tokenCountCol.cast("long"), lit(0L))
+    val nt = when(nt0 < 0L, raise_error(concat(
+      lit("tokenBudgetCap: negative token count for key "), col(keyCol).cast("string"))))
+      .otherwise(nt0)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(portableHash(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(tokenCountCol.cast("long")).over(w))
+    df.withColumn("__cum", sum(nt).over(w))
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
