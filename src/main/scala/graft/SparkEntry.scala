@@ -596,6 +596,15 @@ object SparkEntry {
         Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 4))
         .select(col("media_id"), col("kind"), col("width"), col("height"), col("duration_ms"))
     }),
+    // audio envelope via the REAL javax.sound decode of synthetic WAVs whose
+    // duration is id-derived — the encode→decode loop is SQL-predictable
+    "m_audio_dims" -> ((s, d) => {
+      import s.implicits._
+      val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
+      Multimodal.featureFrame(
+        Multimodal.extractFeatures(Multimodal.syntheticWavCorpus(ids), dim = 4))
+        .select(col("media_id"), col("kind"), col("duration_ms"))
+    }),
     // video frame sampling surface (stub codec, real bounded fan-out):
     // rows-only — row count is deterministic in the stub duration
     "m_frame_sample" -> ((s, d) => {
@@ -825,6 +834,9 @@ object SparkEntry {
     // decode must recover width = 4 + id%13, height = 4 + id%7
     "m_media_dims" ->
       "SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind, CAST(4 + doc_id % 13 AS INTEGER) AS width, CAST(4 + doc_id % 7 AS INTEGER) AS height, CAST(0 AS BIGINT) AS duration_ms FROM documents",
+    // real javax.sound decode must recover duration_ms = 100 + id % 400
+    "m_audio_dims" ->
+      "SELECT CAST(doc_id AS BIGINT) AS media_id, 'audio' AS kind, CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms FROM documents",
     // the DCF fixture is the reference's own in-repo sample (doc/
     // Data_Format.md:36-117) — a constant, so its parse is oracle-able as a
     // literal table (incl. the format's 'RecordDesciption' misspelling)

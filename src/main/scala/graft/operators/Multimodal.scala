@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested — schema, partitioning,
   * batch shape, the `binaryFile` source, and the explode-shaped growth of
-  * frame sampling. The IMAGE codec path is real too (`javax.imageio`:
-  * decode, dimensions, resize, luminance-grid features for PNG/JPEG/BMP/
-  * GIF). Audio/video calls remain STUBBED behind [[Codecs]] (no such
+  * frame sampling. The IMAGE codec path is real (`javax.imageio`: decode,
+  * dimensions, resize, luminance-grid features for PNG/JPEG/BMP/GIF), and
+  * so is the AUDIO path for JRE-supported formats (`javax.sound.sampled`:
+  * WAV/PCM/AIFF/AU decode, duration, RMS-energy-grid features). Compressed
+  * audio (mp3/flac/ogg) and VIDEO remain STUBBED behind [[Codecs]] (no such
   * libraries in this container) as deterministic functions of the input
   * bytes; the swap-in point for a real decoder (JNI/javacv/etc.) is that
   * single object.
@@ -54,11 +56,13 @@ object Multimodal {
 
   /** Codec boundary. The IMAGE path is real: decode / dimensions / resize /
     * luminance-grid features run on `javax.imageio` (in every JRE — PNG,
-    * JPEG, BMP, GIF). Payloads that don't decode as images, and the audio/
-    * video calls (no codec libraries in this container), fall back to the
+    * JPEG, BMP, GIF). The AUDIO path is real for JRE-decodable formats:
+    * `javax.sound.sampled` (WAV/PCM, AIFF, AU) yields duration and
+    * RMS-energy features. Payloads neither API can open — and the video
+    * calls (no codec libraries in this container) — fall back to the
     * original deterministic fakes so every function stays total and pure in
-    * the payload bytes. Swapping in real audio/video decoding still touches
-    * only this object.
+    * the payload bytes. Swapping in further decoders still touches only
+    * this object.
     */
   object Codecs {
     private def h(bytes: Array[Byte], seed: Long): Long = {
@@ -85,8 +89,69 @@ object Multimodal {
       (64 + (Math.floorMod(x, 512L)).toInt, 64 + (Math.floorMod(x >> 16, 512L)).toInt)
     }
 
-    /** Fake media duration (audio/video — no codec libraries shipped). */
+    /** Fake media duration (video, and audio formats the JRE can't open). */
     def durationMs(bytes: Array[Byte]): Long = 1000L + Math.floorMod(h(bytes, 29), 600000L)
+
+    /** A decoded audio clip: envelope + mono-mixed normalized samples. */
+    case class AudioClip(durationMs: Long, sampleRate: Int, channels: Int, samples: Array[Float])
+
+    /** Real audio decode via `javax.sound.sampled` (in every JRE — WAV/PCM,
+      * AIFF, AU). None for formats the JRE has no SPI for (mp3/flac/ogg) —
+      * those keep the deterministic fallback, same contract as images.
+      * Non-16-bit/float inputs are converted to PCM16 by the sound API.
+      */
+    def decodeAudio(bytes: Array[Byte]): Option[AudioClip] =
+      try {
+        val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f0 = ais0.getFormat
+        val pcm16 = new javax.sound.sampled.AudioFormat(
+          f0.getSampleRate, 16, f0.getChannels, true, false)
+        val ais =
+          if (f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f0.getSampleSizeInBits == 16 && !f0.isBigEndian) ais0
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcm16, ais0)
+        val fmt = ais.getFormat
+        val raw = ais.readAllBytes()
+        val ch = fmt.getChannels
+        val frameSize = ch * 2
+        val n = raw.length / frameSize
+        val samples = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0f
+          var c = 0
+          while (c < ch) {
+            val o = i * frameSize + c * 2
+            val v = ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+            acc += v / 32768.0f
+            c += 1
+          }
+          samples(i) = acc / ch
+          i += 1
+        }
+        Some(AudioClip(Math.round(n * 1000.0 / fmt.getSampleRate),
+          fmt.getSampleRate.toInt, ch, samples))
+      } catch { case _: Exception => None }
+
+    /** The audio analog of [[luminanceGrid]]: RMS energy over `dim` equal
+      * time cells, mapped to [-1, 1] — a cheap content signature for
+      * near-dup / similarity over audio columns.
+      */
+    def energyGrid(clip: AudioClip, dim: Int): Array[Float] = {
+      val n = clip.samples.length
+      Array.tabulate(dim) { i =>
+        val from = (i.toLong * n / dim).toInt
+        val to = math.min(n, math.max(from + 1, ((i + 1).toLong * n / dim).toInt))
+        if (from >= n) -1.0f
+        else {
+          var ss = 0.0
+          var j = from
+          while (j < to) { ss += clip.samples(j).toDouble * clip.samples(j); j += 1 }
+          (math.sqrt(ss / (to - from)) * 2.0 - 1.0).toFloat
+        }
+      }
+    }
 
     /** Feature extractor. Decodable images get a real perceptual signature:
       * the image scaled onto a √dim × √dim luminance grid, cell means in
@@ -213,6 +278,37 @@ object Multimodal {
     }
   }
 
+  /** Deterministic WAV corpus keyed by an id column — the audio analog of
+    * [[syntheticPngCorpus]]: each id becomes a real PCM16 mono WAV (8 kHz
+    * sine, id-derived frequency and duration `100 + id % 400` ms), so the
+    * real `javax.sound.sampled` decode path runs end-to-end and the decoded
+    * envelope is SQL-predictable.
+    */
+  def syntheticWavCorpus(ids: Dataset[java.lang.Long]): Dataset[MediaFile] = {
+    import ids.sparkSession.implicits._
+    ids.map { boxed =>
+      val id = boxed.longValue()
+      val durMs = (100 + Math.floorMod(id, 400L)).toInt
+      val n = 8 * durMs // frames at 8 kHz
+      val freq = 200.0 + Math.floorMod(id, 40L) * 50.0
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (math.sin(2.0 * math.Pi * freq * i / 8000.0) * 12000.0).toInt.toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaFile(id, "audio", bos.toByteArray, Map("synthetic" -> "wav"))
+    }
+  }
+
   /** Rebalance so each partition holds ~`rowsPerPartition` payloads — blob
     * columns make byte-based partition sizing meaningless.
     */
@@ -233,15 +329,21 @@ object Multimodal {
         batch.iterator.map { m =>
           val decoded =
             if (m.kind == "image" || m.kind == "video") Codecs.decodeImage(m.bytes) else None
+          val audio = if (m.kind == "audio") Codecs.decodeAudio(m.bytes) else None
           val (w, h) = decoded match {
             case Some(img) => (img.getWidth, img.getHeight)
             case None if m.kind == "image" || m.kind == "video" => Codecs.fakeDims(m.bytes)
             case None => (0, 0)
           }
-          val dur = if (m.kind == "audio" || m.kind == "video") Codecs.durationMs(m.bytes) else 0L
-          val feats = decoded match {
-            case Some(img) => Codecs.luminanceGrid(img, dim)
-            case None      => Codecs.fakeFeatures(m.bytes, dim)
+          val dur = (m.kind, audio) match {
+            case ("audio", Some(clip)) => clip.durationMs
+            case ("audio", None) | ("video", _) => Codecs.durationMs(m.bytes)
+            case _ => 0L
+          }
+          val feats = (decoded, audio) match {
+            case (Some(img), _) => Codecs.luminanceGrid(img, dim)
+            case (_, Some(clip)) => Codecs.energyGrid(clip, dim)
+            case _ => Codecs.fakeFeatures(m.bytes, dim)
           }
           MediaFeatures(m.media_id, m.kind, w, h, dur, m.bytes.length.toLong, feats)
         }

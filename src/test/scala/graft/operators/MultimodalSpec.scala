@@ -100,6 +100,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("real WAV: javax.sound decode yields exact duration and energy features") {
+    val ids = Seq(0L, 7L, 399L, 400L, 1234L).map(java.lang.Long.valueOf).toDS()
+    val feats = extractFeatures(syntheticWavCorpus(ids), dim = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    ids.collect().map(_.longValue()).foreach { id =>
+      val f = feats(id)
+      assert(f.kind == "audio" && f.width == 0 && f.height == 0)
+      assert(f.duration_ms == 100L + id % 400L) // real decode recovers the envelope
+      assert(f.n_bytes > 44L)                   // WAV header + payload
+      // a steady sine's RMS is flat across time cells and far from the
+      // fake-feature distribution: every cell ≈ 2*(A/√2)-1 with A≈0.366
+      assert(f.features.length == 8)
+      assert(f.features.forall(v => math.abs(v - (2 * 12000.0 / 32768.0 / math.sqrt(2) - 1)) < 0.05))
+    }
+    // distinct frequencies → distinct payloads, same flat envelope
+    assert(feats(0L).n_bytes != feats(7L).n_bytes || feats(0L).features.nonEmpty)
+  }
+
+  test("decodeAudio rejects non-audio payloads (falls back to fakes in extract)") {
+    assert(Codecs.decodeAudio(Array.tabulate(128)(_.toByte)).isEmpty)
+    val junk = Seq(media(30, "audio", 17)).toDS()
+    val f = extractFeatures(junk, dim = 4).collect().head
+    assert(f.duration_ms == Codecs.durationMs(junk.collect().head.bytes)) // fake path
+  }
+
   test("binaryFile source round-trip: real extensions map to canonical kinds, payload intact") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     val payload = Array.tabulate(64)(_.toByte)
