@@ -118,6 +118,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(feats(0L).n_bytes != feats(7L).n_bytes || feats(0L).features.nonEmpty)
   }
 
+  test("decodeAudio handles stereo and 8-bit WAVs via PCM16 conversion") {
+    def wav(fmt: javax.sound.sampled.AudioFormat, pcm: Array[Byte], frames: Long): Array[Byte] = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // stereo PCM16: L = +8000, R = -8000 constant → mono mix ≈ 0
+    val nSt = 800
+    val st = new Array[Byte](nSt * 4)
+    (0 until nSt).foreach { i =>
+      st(4 * i) = (8000 & 0xff).toByte; st(4 * i + 1) = ((8000 >> 8) & 0xff).toByte
+      st(4 * i + 2) = (-8000 & 0xff).toByte; st(4 * i + 3) = ((-8000 >> 8) & 0xff).toByte
+    }
+    val stereo = Codecs.decodeAudio(wav(
+      new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false), st, nSt.toLong)).get
+    assert(stereo.channels == 2 && stereo.durationMs == 100L)
+    assert(stereo.samples.forall(s => math.abs(s) < 1e-3))
+    // 8-bit unsigned mono at midpoint (128) → silence after conversion
+    val n8 = 400
+    val b8 = Array.fill(n8)(128.toByte)
+    val eight = Codecs.decodeAudio(wav(
+      new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false),
+      b8, n8.toLong)).get
+    assert(eight.durationMs == 50L)
+    assert(eight.samples.forall(s => math.abs(s) < 0.02))
+  }
+
   test("decodeAudio rejects non-audio payloads (falls back to fakes in extract)") {
     assert(Codecs.decodeAudio(Array.tabulate(128)(_.toByte)).isEmpty)
     val junk = Seq(media(30, "audio", 17)).toDS()
