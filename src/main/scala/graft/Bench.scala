@@ -29,19 +29,30 @@ object Bench {
         .limit(1).writeStream.format("noop")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // a dead warmup silently re-bills state-store init to the first
+      // e_stream_* query — make it visible
+      System.err.println(s"[bench] streaming warmup failed: ${e.getMessage}")
+    }
     // per-query best-of-2: the box shows 2-3x run-to-run scheduling noise on
     // fixed-overhead queries (same binary, same data), so a single shot
     // measures the scheduler more than the engine. Methodology documented in
-    // BASELINE.md; both runs execute the full query.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // BASELINE.md; both runs execute the full query. Failed runs are
+    // excluded from the min (a fast failure must not masquerade as a fast
+    // success); all-runs-failed reports -1.
+    val runs = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2))
     val results = SparkEntry.queries.view.filterKeys(!ValidationOnly.contains(_)).toMap
       .map { case (name, fn) =>
-        val sec = (1 to runs).map { _ =>
+        val samples = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.min
+          val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run failed: ${e.getMessage}"); false
+          }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val good = samples.filter(_._2).map(_._1)
+        val sec = if (good.nonEmpty) good.min else -1.0
         System.err.println(f"[bench] $name%-24s ${sec}%8.2f s")
         name -> sec
       }

@@ -161,7 +161,10 @@ object Multimodal {
     def features(bytes: Array[Byte], dim: Int): Array[Float] =
       decodeImage(bytes) match {
         case Some(img) => luminanceGrid(img, dim)
-        case None      => fakeFeatures(bytes, dim)
+        case None => decodeAudio(bytes) match {
+          case Some(clip) => energyGrid(clip, dim)
+          case None       => fakeFeatures(bytes, dim)
+        }
       }
 
     /** The real image signature from an already-decoded frame (so callers

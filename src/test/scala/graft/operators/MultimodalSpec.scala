@@ -114,8 +114,8 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(f.features.length == 8)
       assert(f.features.forall(v => math.abs(v - (2 * 12000.0 / 32768.0 / math.sqrt(2) - 1)) < 0.05))
     }
-    // distinct frequencies → distinct payloads, same flat envelope
-    assert(feats(0L).n_bytes != feats(7L).n_bytes || feats(0L).features.nonEmpty)
+    // distinct durations → distinct payload sizes (100 ms vs 107 ms)
+    assert(feats(0L).n_bytes != feats(7L).n_bytes)
   }
 
   test("decodeAudio handles stereo and 8-bit WAVs via PCM16 conversion") {
