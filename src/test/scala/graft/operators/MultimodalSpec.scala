@@ -71,6 +71,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(top.count() == 2)
   }
 
+  test("image dedup composition: luminance embeddings feed embeddingDuplicatePairs") {
+    import spark.implicits._
+    // ids 1 and 2 carry the SAME image bytes (a re-uploaded duplicate);
+    // 3 and 4 are genuinely different synthetic PNGs
+    val png = syntheticPngCorpus(Seq(7L).map(java.lang.Long.valueOf).toDS())
+      .collect().head.bytes
+    val corpus = (syntheticPngCorpus(Seq(3L, 4L).map(java.lang.Long.valueOf).toDS()).collect().toSeq ++
+      Seq(MediaFile(1L, "image", png, Map()), MediaFile(2L, "image", png, Map()))).toDS()
+    val emb = featureFrame(extractFeatures(corpus, dim = 16))
+      .select($"media_id".as("vec_id"), $"embedding")
+    val pairs = Dedup.embeddingDuplicatePairs(emb, "embedding", "vec_id",
+      threshold = 0.999, planes = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // identical images → cosine 1 across the real decode; the two distinct
+    // synthetic PNGs pair with nothing at a 0.999 threshold
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("real PNG: imageio decode yields true dims, resize re-encodes, features are luminance") {
     // a real 10×6 PNG with known pixels
     val img = new java.awt.image.BufferedImage(10, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
