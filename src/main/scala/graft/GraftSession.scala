@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the reference's cp1252 CSV fallback needs the full Java charset set;
+      // Spark 4's default CSV whitelist rejects windows-1252 outright
+      .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -277,13 +277,19 @@ object DcfParser {
       val line = raw.stripSuffix("\r")
       val trimmed = line.trim
       if (trimmed.startsWith("[") && trimmed.endsWith("]")) {
+        // a non-relation chunk ends relation mode (pending relation rows
+        // were emitted by resetChunk→endChunk); items/valuesets after a
+        // [Relation] block belong to the record context, so restore
+        // "Records" — otherwise their kv lines would misroute into the
+        // relation row processor and fail the parse
+        def exitRelationMode(): Unit = if (mode == "Relation") mode = "Records"
         trimmed match {
           case "[Dictionary]" => resetChunk("Dictionary"); mode = "Dictionary"
-          case "[Level]"      => resetChunk("Level")
+          case "[Level]"      => resetChunk("Level"); exitRelationMode()
           case "[IdItems]"    => resetChunk("IdItems"); mode = "IdItems"; currentIds.clear()
           case "[Record]"     => resetChunk("Record"); mode = "Records"
-          case "[Item]"       => resetChunk("Item")
-          case "[ValueSet]"   => resetChunk("ValueSet")
+          case "[Item]"       => resetChunk("Item"); exitRelationMode()
+          case "[ValueSet]"   => resetChunk("ValueSet"); exitRelationMode()
           case "[Relation]"   => resetChunk("Relation"); mode = "Relation"
           case other =>
             skippingChunk = true

@@ -32,18 +32,30 @@ object CsvIO {
       .option("encoding", encoding)
       .csv(path)
 
-  /** The reference's fallback chain: try utf-8, re-read as cp1252 on failure
-    * (Spark won't throw on bad bytes at plan time, so the caller decides via
-    * a probe read of a few rows).
+  /** The reference's utf-8→cp1252 fallback, detection-based: Spark's CSV
+    * reader never THROWS on malformed UTF-8 (bad bytes decode leniently into
+    * replacement garbage), so a try/re-read chain can't see the problem —
+    * mojibake would be ingested silently. Instead sniff the head with the
+    * same strict-UTF-8 validator the DCF/DAT paths use and read once with
+    * the detected encoding.
     */
-  def readWithFallback(spark: SparkSession, path: String): DataFrame =
-    try {
-      val df = readAllString(spark, path, "UTF-8")
-      df.limit(1).collect() // force a decode probe
-      df
-    } catch {
-      case _: Throwable => readAllString(spark, path, "cp1252")
+  def readWithFallback(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    // a directory of part files shares one encoding (one writer): sniff the
+    // first data file
+    val target =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName).headOption.map(_.getPath).getOrElse(p)
+      else p
+    val charset = {
+      val in = fs.open(target)
+      try graft.cspro.CharsetSniffer.detectStream(in) finally in.close()
     }
+    readAllString(spark, path, charset.name())
+  }
 
   /** Read a headerless CSV against an explicit column list (all string). */
   def readWithColumns(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =

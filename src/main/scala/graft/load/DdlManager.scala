@@ -46,6 +46,19 @@ object DdlManager {
   private[load] def q(ident: String): String =
     "\"" + ident.toLowerCase.replace("\"", "\"\"") + "\""
 
+  /** Quote a possibly schema-qualified table name: `analytics.rech0` →
+    * `"analytics"."rech0"`. The data sinks (JdbcSink/CopySink) pass dotted
+    * names through to the driver as qualification, so DDL must quote each
+    * part — quoting the whole string as ONE identifier would create (and
+    * index) a different table than the one the load writes.
+    */
+  private[load] def qTable(table: String): String =
+    table.split('.').map(q).mkString(".")
+
+  /** A dotted table name flattened for use INSIDE an index identifier. */
+  private[load] def indexStem(table: String): String =
+    table.toLowerCase.replace('.', '_')
+
   // ---------------------------------------------------------------- create
 
   /** CREATE TABLE with keys first, then data columns; all text. A `surveyid`
@@ -56,7 +69,7 @@ object DdlManager {
     val dataCols = cols.filterNot(c => keySet.contains(c.name.toLowerCase))
     val all = (keys ++ dataCols)
       .map(c => s"${q(c.name)} VARCHAR(${c.width})")
-    s"CREATE TABLE IF NOT EXISTS ${q(table)} (${all.mkString(", ")})"
+    s"CREATE TABLE IF NOT EXISTS ${qTable(table)} (${all.mkString(", ")})"
   }
 
   /** CREATE TABLE for a JSON-packed (wide or country-specific) table: keys
@@ -64,16 +77,16 @@ object DdlManager {
     */
   def createJsonTableSql(table: String, keys: Seq[ColumnDef], dataCol: String = "data"): String = {
     val keyCols = keys.map(c => s"${q(c.name)} VARCHAR(${c.width})")
-    s"CREATE TABLE IF NOT EXISTS ${q(table)} (${(keyCols :+ s"${q(dataCol)} JSONB").mkString(", ")})"
+    s"CREATE TABLE IF NOT EXISTS ${qTable(table)} (${(keyCols :+ s"${q(dataCol)} JSONB").mkString(", ")})"
   }
 
   // ---------------------------------------------------------------- evolve
 
   def addColumnSql(table: String, col: ColumnDef): String =
-    s"ALTER TABLE ${q(table)} ADD COLUMN IF NOT EXISTS ${q(col.name)} VARCHAR(${col.width})"
+    s"ALTER TABLE ${qTable(table)} ADD COLUMN IF NOT EXISTS ${q(col.name)} VARCHAR(${col.width})"
 
   def widenColumnSql(table: String, col: ColumnDef): String =
-    s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(col.name)} TYPE VARCHAR(${col.width})"
+    s"ALTER TABLE ${qTable(table)} ALTER COLUMN ${q(col.name)} TYPE VARCHAR(${col.width})"
 
   /** Diff target schema against the current one: plan ADDs for missing
     * columns and widens where the declared width grew. Never narrows, never
@@ -98,12 +111,12 @@ object DdlManager {
     */
   def indexPlan(table: String, keys: Seq[String]): DdlPlan = {
     val ks = keys.map(_.toLowerCase)
-    val perKey = ks.map(k => s"CREATE INDEX IF NOT EXISTS idx_${table.toLowerCase}_$k ON ${q(table)} (${q(k)})")
+    val perKey = ks.map(k => s"CREATE INDEX IF NOT EXISTS idx_${indexStem(table)}_$k ON ${qTable(table)} (${q(k)})")
     val covering =
       if (ks.size > 1)
-        Seq(s"CREATE INDEX IF NOT EXISTS idx_${table.toLowerCase}_all ON ${q(table)} (${ks.map(q).mkString(", ")})") ++
+        Seq(s"CREATE INDEX IF NOT EXISTS idx_${indexStem(table)}_all ON ${qTable(table)} (${ks.map(q).mkString(", ")})") ++
           (if (ks.size > 2)
-            Seq(s"CREATE INDEX IF NOT EXISTS idx_${table.toLowerCase}_parent ON ${q(table)} (${ks.init.map(q).mkString(", ")})")
+            Seq(s"CREATE INDEX IF NOT EXISTS idx_${indexStem(table)}_parent ON ${qTable(table)} (${ks.init.map(q).mkString(", ")})")
           else Nil)
       else Nil
     DdlPlan(perKey ++ covering)
@@ -111,8 +124,8 @@ object DdlManager {
 
   def dropIndexPlan(table: String, keys: Seq[String]): DdlPlan = {
     val ks = keys.map(_.toLowerCase)
-    val names = ks.map(k => s"idx_${table.toLowerCase}_$k") ++
-      Seq(s"idx_${table.toLowerCase}_all", s"idx_${table.toLowerCase}_parent")
+    val names = ks.map(k => s"idx_${indexStem(table)}_$k") ++
+      Seq(s"idx_${indexStem(table)}_all", s"idx_${indexStem(table)}_parent")
     DdlPlan(names.map(n => s"DROP INDEX IF EXISTS $n"))
   }
 
@@ -122,7 +135,7 @@ object DdlManager {
     * (delete the slice, then append fresh rows).
     */
   def deleteSurveySliceSql(table: String, surveyId: String): String =
-    s"DELETE FROM ${q(table)} WHERE ${q("surveyid")} = '${surveyId.replace("'", "''")}'"
+    s"DELETE FROM ${qTable(table)} WHERE ${q("surveyid")} = '${surveyId.replace("'", "''")}'"
 
   // ---------------------------------------------------------------- planning
 

@@ -46,7 +46,12 @@ object AsOfJoin {
     val l = left
       .select(Seq(col(leftTimeCol).as("_t"), lit(1).as("_side"), col(keyCol).as("_k")) ++
         leftCols.map(col) :+ lit(null).cast(payloadType).as("_p"): _*)
-    val r = right
+    // SQL join equality never matches NULL keys, and `r.ts <= l.ts` is never
+    // true for a NULL timestamp — but the window partitioner groups NULL
+    // keys together and sorts NULL _t FIRST (it would seed every row of the
+    // key), so drop both up front; NULL-keyed/timed left rows then fall
+    // through with a null match (left-outer)
+    val r = right.filter(col(keyCol).isNotNull && col(rightTimeCol).isNotNull)
       .select(Seq(col(rightTimeCol).as("_t"), lit(0).as("_side"), col(keyCol).as("_k")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("_p"): _*)

@@ -117,11 +117,20 @@ object Dedup {
   /** The (doc, sh) projection every near-dup path starts from — computed
     * once and shared so tokenize+shingle (the dominant narrow-stage cost)
     * doesn't run per consumer.
+    *
+    * Documents with FEWER than `shingleSize` tokens have an empty shingle
+    * set and are excluded: set-similarity is undefined on empty sets (the
+    * `denom·I ≥ numer·U` gate degenerates to 0 ≥ 0 = always-duplicate), and
+    * every such doc produces the identical degenerate MinHash signature —
+    * at web scale millions of short docs would collapse into ONE quadratic
+    * LSH bucket while being declared mutual duplicates. Short docs belong to
+    * exact dedup ([[exactDuplicateGroups]]), not n-gram similarity.
     */
   def shingleFrame(docs: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame =
     docs.select(
       col(idCol).as("doc"),
       graft.functions.VectorHash.wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** Candidate pairs from a precomputed [[shingleFrame]]. */
   def minhashCandidatePairsFromShingles(
@@ -220,9 +229,11 @@ object Dedup {
       numer: Int,
       denom: Int
   ): DataFrame = {
+    // same short-doc exclusion as shingleFrame: empty sets must not pair
     val withShingles = docs.select(
       col(idCol).as("doc"),
       graft.functions.VectorHash.wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
     val a = withShingles.alias("sa")
     val b = withShingles.alias("sb")
     val (inter, union) = setOverlap(col("sa.sh"), col("sb.sh"))
@@ -234,10 +245,17 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** Per-document 64-bit SimHash sketch (native expression). */
+  /** Per-document 64-bit SimHash sketch (native expression). Zero-token
+    * documents are excluded: they all sketch to 0L (every bit counter is 0),
+    * so unrelated empty/whitespace docs would be declared one identical
+    * cluster — and at scale would form a single quadratic join bucket.
+    */
   def simhashSketches(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc"),
-      graft.functions.VectorHash.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+      TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc"),
+        graft.functions.VectorHash.simhash64(col("__toks")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
     *
@@ -375,6 +393,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // silently-wrong is the one unacceptable outcome for a dedup keeper
+    // decision: labels mid-propagation look plausible but split clusters
+    require(converged,
+      s"duplicateClusters did not converge within maxIter=$maxIter iterations " +
+        "(component diameter exceeds the bound); raise maxIter")
     labels.select(col("doc"), col("label").as("cluster"))
   }
 

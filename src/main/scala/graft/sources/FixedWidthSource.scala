@@ -143,7 +143,10 @@ private class FixedWidthScan(
     s"fixedwidth: ${specs.count(_.itemType != "RecordDesciption")} fields, reading ${required.length}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // the session's Hadoop conf, not a bare Configuration — credentials and
+    // filesystem settings (spark.hadoop.fs.*) must reach the connector the
+    // same way they reach every other read path
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -158,13 +161,16 @@ private class FixedWidthScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(specs, required, surveyId)
+    new FixedWidthReaderFactory(specs, required, surveyId,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private case class FixedWidthPartition(path: String) extends InputPartition
 
 private class FixedWidthReaderFactory(
-    specs: Seq[ColumnSpec], required: StructType, surveyId: Option[String])
+    specs: Seq[ColumnSpec], required: StructType, surveyId: Option[String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   /** Same character set as [[DatReader.stripWs]] (Java-regex `\s`) so the
@@ -205,9 +211,10 @@ private class FixedWidthReaderFactory(
     }
 
     new PartitionReader[InternalRow] {
-      private val conf = new org.apache.hadoop.conf.Configuration()
+      // the driver's Hadoop conf, shipped via SerializableConfiguration —
+      // executors otherwise see a bare Configuration with no session settings
       private val fsPath = new Path(p.path)
-      private val fs = fsPath.getFileSystem(conf)
+      private val fs = fsPath.getFileSystem(hadoopConf.value)
       // sniff the charset from a bounded head, then decode line-by-line off
       // the stream — the reader never holds more than one line plus the
       // BufferedReader's buffer (a multi-GB landing DAT must not OOM an

@@ -24,6 +24,20 @@ class CharsetAndSpecWriterSpec extends AnyFunSuite with SparkTestBase {
     assert(CharsetSniffer.detect(truncated) == StandardCharsets.UTF_8)
   }
 
+  test("CSV readWithFallback detects cp1252 by sniffing, not by catch") {
+    // Spark never throws on bad UTF-8, so only detection can catch this
+    val dir = java.nio.file.Files.createTempDirectory("cp1252csv")
+    val f = dir.resolve("data.csv")
+    java.nio.file.Files.write(f, "name\ncafé-résumé\n".getBytes("windows-1252"))
+    val df = graft.load.CsvIO.readWithFallback(spark, f.toString)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("café-résumé"))
+    // and a clean utf-8 file still round-trips
+    val f2 = dir.resolve("utf8.csv")
+    java.nio.file.Files.write(f2, "name\ncafé\n".getBytes(StandardCharsets.UTF_8))
+    assert(graft.load.CsvIO.readWithFallback(spark, f2.toString)
+      .collect().head.getString(0) == "café")
+  }
+
   test("spec writer emits the reference's three flat tables with exact columns") {
     val dcf =
       """[Dictionary]

@@ -249,6 +249,44 @@ class DcfParserSpec extends AnyFunSuite {
     assert(r.items.find(_.name == "HVIDX").get.itemType == "JoinableItem")
   }
 
+  test("an [Item] after a [Relation] block parses into the record, not the relation") {
+    val dcf = baseDcf +
+      """
+        |[Record]
+        |Label=Household schedule
+        |Name=RECH1
+        |RecordTypeValue='H01'
+        |
+        |[Item]
+        |Label=Line number
+        |Name=HVIDX
+        |Start=19
+        |Len=2
+        |
+        |[Relation]
+        |Name=TestRelation
+        |Primary=RECH1
+        |Secondary=RECH4
+        |SecondaryLink=IDXH4
+        |
+        |[Item]
+        |Label=After relations
+        |Name=HV901
+        |Start=21
+        |Len=2
+        |
+        |[ValueSet]
+        |Label=After relations
+        |Name=HV901_VS1
+        |Value=1;Yes
+        |""".stripMargin
+    val r = DcfParser.parse(dcf, "BJHR71")
+    val late = r.items.find(_.name == "HV901")
+    assert(late.isDefined && late.get.recordName == "RECH1")
+    assert(r.values.exists(v => v.name == "HV901" && v.value == "1"))
+    assert(r.relations.map(_.secondaryTable) == Vector("RECH4")) // relation intact
+  }
+
   test("kv lines split at the first '=' only") {
     val dcf = baseDcf.replace("Label=Cluster number", "Label=Cluster = number")
     val r = DcfParser.parse(dcf, "BJHR71")

@@ -21,6 +21,17 @@ class DdlManagerSpec extends AnyFunSuite {
     assert(!sql.contains("\"a\"b\""))
   }
 
+  test("schema-qualified table names quote each part; index names flatten the dot") {
+    val sql = createTableSql("analytics.RECH0", keys = Seq(ColumnDef("hhid", 12)), cols = Nil)
+    assert(sql.startsWith("""CREATE TABLE IF NOT EXISTS "analytics"."rech0" ("""))
+    val idx = indexPlan("analytics.RECH0", Seq("hhid", "idx1", "idx2")).statements
+    assert(idx.forall(_.contains(""" ON "analytics"."rech0" """)))
+    assert(idx.exists(_.contains("idx_analytics_rech0_hhid")))
+    assert(idx.forall(s => !s.substring(s.indexOf("idx_")).takeWhile(_ != ' ').contains('.')))
+    assert(deleteSurveySliceSql("analytics.RECH0", "x")
+      .startsWith("""DELETE FROM "analytics"."rech0" """))
+  }
+
   test("json-packed create: keys + jsonb data column") {
     val sql = createJsonTableSql("REC95", Seq(ColumnDef("caseid", 15)))
     assert(sql == """CREATE TABLE IF NOT EXISTS "rec95" ("caseid" VARCHAR(15), "data" JSONB)""")

@@ -53,6 +53,23 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("p_value"))) // NOT 1.0 carried from the older row
   }
 
+  test("as-of join: NULL keys and NULL right timestamps never match (SQL semantics)") {
+    val left = Seq(
+      (1L, Some(9L), ts("2024-01-01 12:00:00")),
+      (2L, None, ts("2024-01-01 12:00:00")) // NULL key: left-outer null match
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(9L), Some(ts("2024-01-01 10:00:00")), 1.0),
+      (None, Some(ts("2024-01-01 11:00:00")), 666.0),   // NULL key must never carry
+      (Some(9L), None, 777.0)                            // NULL ts must never carry
+    ).toDF("user_id", "p_ts", "p_value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "p_ts", Seq("p_ts", "p_value"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("p_value"))) None else Some(r.getAs[Double]("p_value")))).toMap
+    assert(out(1L).contains(1.0)) // not 777 (null ts sorts first) nor 666
+    assert(out(2L).isEmpty)       // null-keyed left row gets no match
+  }
+
   test("as-of join rejects reserved internal column names") {
     val left = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("user_id", "ts", "_t")
     val right = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "p_ts")

@@ -295,6 +295,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "und")
   }
 
+  test("short and empty docs never pair in shingle or simhash dedup") {
+    val shorts = Seq(
+      (1L, ""), (2L, "   "), (3L, "one"), (4L, "one two"),
+      (5L, "totally different words here repeated repeated"),
+      (6L, "totally different words here repeated repeated") // true dup pair
+    ).toDF("doc_id", "text")
+    // brute force: empty shingle sets must not satisfy the 0 >= 0 gate
+    val brute = Dedup.jaccardPairsBruteForce(shorts, "text", "doc_id", 3, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(brute == Set((5L, 6L)))
+    // LSH path: degenerate identical signatures must not bucket short docs
+    val lsh = Dedup.jaccardDuplicatePairs(shorts, "text", "doc_id", 3, 1, 2, 8, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((5L, 6L)))
+    // simhash: zero-token docs all sketch to 0L and must be excluded
+    val sim = Dedup.simhashDuplicatePairs(shorts, "text", "doc_id", maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!sim.exists(p => p._1 == 1L || p._1 == 2L || p._2 == 2L))
+  }
+
   test("BPE-style token count splits contractions, digits, punctuation") {
     val t = Seq(
       (1L, "it's 2024, don't panic!"),
