@@ -430,6 +430,22 @@ object SparkEntry {
     // --- text analysis -----------------------------------------------------
     "t_token_count" -> ((s, d) =>
       tb(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
+    // canonical normalization over text with injected control/whitespace
+    // noise (so the patterns actually fire; both engines build the same
+    // noisy input from doc_id)
+    "t_normalize" -> ((s, d) =>
+      tb(s, d, "documents").select(col("doc_id"),
+        TextOps.normalizeText(
+          concat(col("text"), lit("\t\u0007  tail"), lit(" \u009f"))).as("norm"))),
+    // PII redaction over text with synthesized id-derived email/IP/phone
+    "t_redact_pii" -> ((s, d) =>
+      tb(s, d, "documents").select(col("doc_id"),
+        TextOps.redactPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"),
+          lit(" call +1415555"), (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string")
+        )).as("red"))),
     // BPE-style pre-tokenizer count (RE2-compatible pattern — the oracle
     // replays the identical regex)
     "t_token_count_bpe" -> ((s, d) =>
@@ -769,6 +785,10 @@ object SparkEntry {
       """WITH sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess), wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events) SELECT user_id, session_start, session_end, n_events FROM (SELECT s.*, row_number() OVER (PARTITION BY user_id ORDER BY session_end DESC) AS rn FROM sess s) s2, wm WHERE rn > 1 OR (epoch_us(session_end) + 1800 * 1000000 + 999) // 1000 < wm_ms""",
     "t_token_count" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
+    "t_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(text || chr(9) || chr(7) || '  tail' || ' ' || chr(159), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g')) AS norm FROM documents""",
+    "t_redact_pii" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' || ' call +1415555' || CAST(1000 + doc_id % 9000 AS VARCHAR), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '\+\d{7,15}', '<PHONE>', 'g') AS red FROM documents""",
     "t_token_count_bpe" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe FROM documents""",
     // NOT EXISTS, not NOT IN: three-valued NOT IN semantics would diverge

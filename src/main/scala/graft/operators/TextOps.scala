@@ -113,6 +113,38 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Canonical text normalization for corpus ingest: strip C0/C1 control
+    * characters (except \t \n \r, which then normalize as whitespace),
+    * collapse whitespace runs to single spaces, trim. Pure codegen'd
+    * `regexp_replace` chain — zero shuffle, and every pattern is
+    * RE2-compatible so other engines replay it byte-identically. Standard
+    * first step before token counting / shingling / dedup so that
+    * formatting noise doesn't defeat near-dup detection.
+    */
+  def normalizeText(text: Column): Column = {
+    val noCtrl = regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", "")
+    trim(regexp_replace(noCtrl, "\\s+", " "))
+  }
+
+  /** PII redaction patterns (RE2-safe: no lookarounds/backrefs, so the same
+    * regexes run in Spark's Java engine and RE2-based engines identically).
+    * Deliberately high-recall simple shapes — a redaction pass prefers
+    * over-masking to leaking.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val IntlPhonePattern: String = "\\+\\d{7,15}"
+
+  /** Redact emails, IPv4 addresses, and international-format phone numbers
+    * with typed mask tokens. Order matters: emails first (an email's domain
+    * must not be half-eaten by another pattern), then IPs, then phones.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, IntlPhonePattern, "<PHONE>")
+  }
+
   /** Top-k characteristic terms per document by tf-idf
     * (`tf · ln((N+1)/(df+1))`), ties broken by term — the standard
     * keyword-extraction / topic-fingerprint primitive. Three shuffles, all

@@ -295,6 +295,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "und")
   }
 
+  test("normalizeText strips controls and collapses whitespace; redactPii masks typed spans") {
+    val t = Seq(
+      (1L, "a\u0000b\u0007c  \t\n d \u009f"),
+      (2L, "contact bob.smith+x@mail.example.org or 10.0.0.1 or +14155550123 now")
+    ).toDF("doc_id", "text")
+    val out = t.select(col("doc_id"),
+      TextOps.normalizeText(col("text")).as("norm"),
+      TextOps.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "abc d")
+    assert(out(2L)._2 == "contact <EMAIL> or <IP> or <PHONE> now")
+    // idempotent: masks survive a second pass
+    val twice = t.select(TextOps.redactPii(TextOps.redactPii(col("text"))).as("r"))
+      .collect()(1).getString(0)
+    assert(twice == "contact <EMAIL> or <IP> or <PHONE> now")
+  }
+
   test("short and empty docs never pair in shingle or simhash dedup") {
     val shorts = Seq(
       (1L, ""), (2L, "   "), (3L, "one"), (4L, "one two"),
