@@ -23,6 +23,15 @@ object CharsetSniffer {
   def detect(bytes: Array[Byte]): Charset = {
     if (bytes.length >= 3 && bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
       return StandardCharsets.UTF_8
+    // UTF-32LE's BOM (FF FE 00 00) starts with UTF-16LE's (FF FE): the
+    // 4-byte checks must run first or UTF-32 files decode as NUL-riddled
+    // UTF-16
+    if (bytes.length >= 4 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte &&
+      bytes(2) == 0 && bytes(3) == 0)
+      return Charset.forName("UTF-32LE")
+    if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+      bytes(2) == 0xFE.toByte && bytes(3) == 0xFF.toByte)
+      return Charset.forName("UTF-32BE")
     if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
       return StandardCharsets.UTF_16LE
     if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)

@@ -10,8 +10,11 @@ class CharsetAndSpecWriterSpec extends AnyFunSuite with SparkTestBase {
   test("charset: BOMs, clean utf-8, and cp1252 fallback") {
     import CharsetSniffer.detect
     assert(detect(Array(0xEF, 0xBB, 0xBF, 'a').map(_.toByte)) == StandardCharsets.UTF_8)
-    assert(detect(Array(0xFF, 0xFE, 0, 0).map(_.toByte)) == StandardCharsets.UTF_16LE)
-    assert(detect(Array(0xFE, 0xFF, 0, 0).map(_.toByte)) == StandardCharsets.UTF_16BE)
+    assert(detect(Array(0xFF, 0xFE, 'a', 0).map(_.toByte)) == StandardCharsets.UTF_16LE)
+    assert(detect(Array(0xFE, 0xFF, 0, 'a').map(_.toByte)) == StandardCharsets.UTF_16BE)
+    // UTF-32 BOMs share a prefix with UTF-16's and must win
+    assert(detect(Array(0xFF, 0xFE, 0, 0).map(_.toByte)).name == "UTF-32LE")
+    assert(detect(Array(0, 0, 0xFE, 0xFF).map(_.toByte)).name == "UTF-32BE")
     assert(detect("plain ascii [Dictionary]".getBytes) == StandardCharsets.UTF_8)
     assert(detect("café utf8".getBytes(StandardCharsets.UTF_8)) == StandardCharsets.UTF_8)
     // 0xE9 alone (latin-1 é) is malformed utf-8 → cp1252

@@ -81,7 +81,7 @@ class DcfSourceSpec extends AnyFunSuite with SparkTestBase {
       graft.model.ColumnSpec("IdItem", "F", "RECH0", "H00", "RECH0", "HHID", "HHID", 1, 12, 1, false, false, 0, "L", "L"),
       graft.model.ColumnSpec("Item", "F", "RECH0", "H00", "RECH0", "HV001", "HV001", 19, 3, 1, false, false, 0, "L", "L"),
       graft.model.ColumnSpec("IdItem", "F", "RECH1", "H01", "RECH1", "HHID", "HHID", 1, 12, 1, false, false, 0, "L", "L"),
-      graft.model.ColumnSpec("Item", "F", "RECH1", "H01", "HVIDX", "HVIDX", "HVIDX", 19, 2, 1, false, false, 0, "L", "L"))
+      graft.model.ColumnSpec("Item", "F", "RECH1", "H01", "RECH1", "HVIDX", "HVIDX", 19, 2, 1, false, false, 0, "L", "L"))
     val lines = Seq(
       "     100   7   H00 42",
       "     100   7   H01 1 ",

@@ -68,7 +68,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 3L))) // identical signatures always collide
     assert(cands.contains((1L, 2L)) && cands.contains((2L, 3L))) // planted near-dup
-    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L && p._1 != 5L))
+    // unrelated docs 4 and 5 must not appear in ANY candidate pair
+    assert(!cands.exists(p => Set(p._1, p._2).exists(Set(4L, 5L))))
   }
 
   test("jaccard LSH pairs agree with brute force on the planted corpus") {

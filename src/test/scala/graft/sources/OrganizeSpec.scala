@@ -28,7 +28,8 @@ class OrganizeSpec extends AnyFunSuite with SparkTestBase {
     // re-run overwrites, same outputs
     val out2 = Organize.unzipAndSort(zip, "511", new File(tmp, "staging").getPath).sorted
     assert(out2 == out1)
-    assert(scala.io.Source.fromFile(out1.head).mkString == "data")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out1.head)), "UTF-8") == "data")
   }
 
   test("manifest parse extracts (filename, surveyid) from URL query strings") {
