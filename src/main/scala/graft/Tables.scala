@@ -12,17 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The harness events table stores TIMESTAMP(NANOS), which Spark only
-    // reads as a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    // Verify/Bench/test sessions). Normalize back to a timestamp here;
-    // integer `div` (not `/`) because nanos exceed double's 53-bit mantissa.
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
-    }
+    // nanos-long → timestamp normalization lives in EventStream.normalize
+    // (one copy of the `ts div 1000` rule, shared with the streaming reader)
+    graft.streaming.EventStream.normalize(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Load with compute-friendly partitioning: the harness stores each table

@@ -91,7 +91,11 @@ object DatReader {
       var out = lines
         .filter(substring(line, rtStart, rtLen) === tag)
         .select(fields.map(f => fieldColumn(line, f)): _*)
-      surveyId.foreach(id => out = out.withColumn("surveyid", lit(id)))
+      // withColumn REPLACES an existing column: if the DCF declares its own
+      // SURVEYID item, that field's data wins over the injected constant
+      surveyId.foreach(id =>
+        if (!out.columns.contains("surveyid"))
+          out = out.withColumn("surveyid", lit(id)))
       recordNames.head -> out
     }
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -200,9 +200,15 @@ object VectorHash {
   }
 
   case class CosineSimExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_cosine"
+    // the eval reads 4-byte floats positionally; without a declared input
+    // type an array<double> column would be reinterpreted as garbage — the
+    // implicit cast coerces array<double> (and errors on non-arrays) at
+    // analysis time instead
+    override def inputTypes =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
 
     protected override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -224,23 +230,37 @@ object VectorHash {
   }
 
   case class HyperplaneBucketExpr(child: Expression, planes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
     require(planes > 0 && planes <= 30)
     override def dataType: DataType = IntegerType
     override def prettyName: String = "graft_hyperplane_bucket"
+    override def inputTypes = Seq(ArrayType(FloatType))
+
+    // the (plane, dim) → ±1 Rademacher matrix is a pure function of the
+    // hash — materialize it once per expression instance (growing to the
+    // largest dimension seen) instead of paying planes×dim XXH64 calls per
+    // ROW: for 12 planes × 768 dims that is 9,216 hashes/row on the hot
+    // bucketing path of lshTopK/embeddingDuplicatePairs
+    @transient private var signs: Array[Array[Float]] = _
+    private def signsFor(n: Int): Array[Array[Float]] = {
+      if (signs == null || signs(0).length < n)
+        signs = Array.tabulate(planes)(p => Array.tabulate(n)(i =>
+          if ((XXH64.hashLong(i.toLong, p.toLong) & 1L) == 1L) 1.0f else -1.0f))
+      signs
+    }
 
     protected override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val n = v.numElements()
+      val s = signsFor(n)
       var bucket = 0
       var p = 0
       while (p < planes) {
+        val row = s(p)
         var proj = 0.0
         var i = 0
         while (i < n) {
-          // deterministic ±1 component per (plane, dim)
-          val comp = if ((XXH64.hashLong(i.toLong, p.toLong) & 1L) == 1L) 1.0 else -1.0
-          proj += v.getFloat(i) * comp
+          proj += v.getFloat(i) * row(i)
           i += 1
         }
         bucket = (bucket << 1) | (if (proj >= 0) 1 else 0)

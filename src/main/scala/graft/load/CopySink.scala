@@ -194,8 +194,13 @@ object CopySink {
     checkCopyableSchema(schema)
     tableRef(table) // fail on the driver, not per-partition
     val columns = schema.fieldNames.toSeq
+    // repartition, NOT coalesce: coalesce folds the UPSTREAM stages into
+    // maxWriters tasks too, so an expensive lineage (shingling, feature
+    // math) would compute on 8 cores of a 64-core cluster before writing.
+    // The extra shuffle buys full upstream parallelism; only the write
+    // fan-out is bounded.
     val bounded =
-      if (df.rdd.getNumPartitions > maxWriters) df.coalesce(maxWriters) else df
+      if (df.rdd.getNumPartitions > maxWriters) df.repartition(maxWriters) else df
     // Properties is not serializable-friendly across closures; flatten
     val propPairs = {
       val it = props.stringPropertyNames().iterator()

@@ -47,8 +47,10 @@ object JdbcSink {
         .jdbc(url, table, props)
       CopySink.append(df, url, table, props, batchSize, maxWriters)
     } else {
+      // repartition, not coalesce — see CopySink.append: coalesce would
+      // throttle the upstream compute to maxWriters tasks as well
       val bounded =
-        if (df.rdd.getNumPartitions > maxWriters) df.coalesce(maxWriters) else df
+        if (df.rdd.getNumPartitions > maxWriters) df.repartition(maxWriters) else df
       val w = bounded.write.mode(SaveMode.Append)
         .option("batchsize", batchSize.toString)
       columnTypes.fold(w)(ct => w.option("createTableColumnTypes", ct))

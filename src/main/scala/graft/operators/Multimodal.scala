@@ -232,6 +232,12 @@ object Multimodal {
     * rows. Kind is the canonical media kind mapped from the extension
     * ("other" when unrecognized); path/length/modtime land in the metadata
     * map (typed envelope, payload untouched).
+    *
+    * `media_id` is a 63-bit path hash — convenient as a join key, but a
+    * birthday collision becomes plausible around ~3B files, so
+    * `meta("path")` remains the authoritative identity; pipelines at that
+    * scale should key on the path (or a 128-bit digest of it) and treat
+    * media_id as a bucketing convenience.
     */
   def readMediaDir(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaFile] = {
     import spark.implicits._

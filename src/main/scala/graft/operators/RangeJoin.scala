@@ -32,15 +32,18 @@ object RangeJoin {
 
   /** Band id for one column: exact integer floor-division when the column
     * is integral (double math loses resolution above 2^53 and truncates
-    * toward zero on negatives), double path only for fractional columns.
-    * pmod keeps the numerator an exact multiple, so `div` is exact floor.
+    * toward zero on negatives), FLOOR — never cast-truncation — on the
+    * fractional path. Both paths implement the same mathematical floor, so
+    * a LongType point column bands identically to a DoubleType interval
+    * column; truncation-toward-zero would disagree with the integral path
+    * on negatives and silently drop matches.
     */
   private def bandOf(df: DataFrame, colName: String, bandWidth: Long): Column =
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
         expr(s"(`$colName` - pmod(`$colName`, ${bandWidth}L)) div ${bandWidth}L")
-      case _ => (col(colName) / bandWidth).cast("long")
+      case _ => floor(col(colName) / bandWidth).cast("long")
     }
 
   /** Banded equi-join form for large interval tables. */

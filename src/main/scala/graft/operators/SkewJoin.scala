@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Deterministic per-row salt in [0, buckets). */
+  /** Per-row salt in [0, buckets). Content hashing alone cannot spread a hot
+    * key whose rows are byte-identical (a key-only projection — the exact
+    * shape salting exists for), so the row's partition-local ordinal is
+    * mixed in: identical rows then round-robin across buckets. The salt
+    * varies with physical row placement, but the JOIN RESULT does not —
+    * every big row still carries exactly one salt and meets the full small
+    * side.
+    */
   def salt(cols: Seq[Column], buckets: Int): Column =
-    pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
+    pmod(xxhash64((cols :+ monotonically_increasing_id()): _*),
+      lit(buckets.toLong)).cast("int")
 
   /** Equi-join `big ⋈ small` on `keys`, salted into `buckets`.
     *

@@ -87,8 +87,13 @@ object FixedWidthSource {
   def schemaFor(specs: Seq[ColumnSpec], options: CaseInsensitiveStringMap): StructType = {
     val dataFields = specs.filter(_.itemType != "RecordDesciption")
       .map(f => StructField(f.name.toLowerCase, StringType))
+    // a DCF can itself declare an item named SURVEYID: the declared field
+    // wins and the injected constant is skipped — appending a second column
+    // of the same name would shadow the file's data with the option value
     val withSurvey =
-      if (options.containsKey("surveyid")) dataFields :+ StructField("surveyid", StringType)
+      if (options.containsKey("surveyid") &&
+        !dataFields.exists(_.name == "surveyid"))
+        dataFields :+ StructField("surveyid", StringType)
       else dataFields
     StructType(withSurvey)
   }
@@ -194,7 +199,12 @@ private class FixedWidthReaderFactory(
     // per-column extraction plan for the REQUIRED columns only
     val byName = fields.map(f => f.name.toLowerCase -> f).toMap
     val extractors: Array[String => UTF8String] = required.fields.map { rf =>
-      if (rf.name == "surveyid") { (_: String) => UTF8String.fromString(surveyId.getOrElse("")) }
+      // injected constant only when the DCF does not declare the field
+      // itself — a declared SURVEYID item reads its file bytes like any
+      // other column
+      if (rf.name == "surveyid" && !byName.contains("surveyid")) {
+        (_: String) => UTF8String.fromString(surveyId.getOrElse(""))
+      }
       else {
         val f = byName.getOrElse(rf.name,
           throw new IllegalArgumentException(s"unknown column ${rf.name}"))

@@ -169,7 +169,14 @@ object EventStream {
                 case s if us - s.last > gapSeconds * 1000000L =>
                   out ::= flush(userId, s)
                   st = SessionState(us, us, 1)
-                case s => st = SessionState(s.start, us, s.n + 1)
+                case s =>
+                  // a LATE-but-within-watermark event from a previous batch
+                  // can precede the stored bounds: extend with min/max, never
+                  // overwrite — otherwise session_end regresses below a
+                  // contained event and the timeout fires early. (With
+                  // watermarkDelay ≤ gap a late event can never be a separate
+                  // EARLIER session, so merging is exact.)
+                  st = SessionState(math.min(s.start, us), math.max(s.last, us), s.n + 1)
               }
             }
             if (emitOpenAtEnd) {
