@@ -70,6 +70,18 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L).isEmpty)       // null-keyed left row gets no match
   }
 
+  test("banded range join: integral points vs double intervals band identically on negatives") {
+    import spark.implicits._
+    // truncation-toward-zero on the double path would put -3 in band 0
+    // while the integral path floors it into band -1 → dropped match
+    val points = Seq((1L, -3L), (2L, -10L), (3L, 4L)).toDF("pid", "x")
+    val intervals = Seq((100L, -5.0, -1.0), (200L, -12.0, -8.0), (300L, 3.0, 6.0))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.banded(points, intervals, "x", "lo", "hi", bandWidth = 7L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 200L), (3L, 300L)))
+  }
+
   test("as-of join rejects reserved internal column names") {
     val left = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("user_id", "ts", "_t")
     val right = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "p_ts")

@@ -29,6 +29,20 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(salts.map(_.getLong(1)).max < 1000L * 0.3) // no bucket dominates
   }
 
+  test("byte-identical hot-key rows still spread across salt buckets") {
+    // a key-only projection: every row of the hot key is identical, so a
+    // content-only hash would park them all in ONE bucket
+    val big = Seq.fill(1000)((1L, "same")).toDF("k", "payload")
+    val salts = big
+      .select(SkewJoin.salt(Seq(big("k"), big("payload")), 8).as("s"))
+      .groupBy("s").count().collect()
+    assert(salts.length > 1)
+    assert(salts.map(_.getLong(1)).max < 1000L * 0.5)
+    // and the join result is still exactly the plain join
+    val small = Seq((1L, "x")).toDF("k", "v")
+    assert(SkewJoin.saltedJoin(big, small, Seq("k"), buckets = 8).count() == 1000)
+  }
+
   test("left join keeps unmatched big-side rows exactly once") {
     val big = ((1 to 10).map(i => (1L, i)) ++ Seq((99L, 0))).toDF("k", "i")
     val small = Seq((1L, "x")).toDF("k", "v")

@@ -90,6 +90,34 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming mode: a late-but-within-watermark event extends, never regresses, the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStateful(mem.toDS(), gapSeconds = 1800L,
+      emitOpenAtEnd = false, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable() // watermark → 09:50
+      // late by 2 minutes but above the watermark: must be accepted and
+      // EXTEND the stored session downward (state last must stay 10:00)
+      mem.addData(Event(2, ts("2024-01-01 09:58:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // > gap jump closes the session via the gap rule
+      mem.addData(Event(3, ts("2024-01-01 11:00:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_late").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getTimestamp(1) == ts("2024-01-01 09:58:00")) // start extended down
+      assert(r.getTimestamp(2) == ts("2024-01-01 10:00:00")) // end NOT regressed
+      assert(r.getLong(3) == 2L)
+    } finally q.stop()
+  }
+
   test("windowed stats on a stream equal the batch group-by") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
