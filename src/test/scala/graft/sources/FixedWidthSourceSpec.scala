@@ -152,6 +152,22 @@ class FixedWidthSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(bomDf.count() == 1)
   }
 
+  test("a DCF-declared SURVEYID item wins over the injected surveyid option") {
+    val dir = Files.createTempDirectory("fwsid")
+    val dcfSid = dcf.replace(
+      "[Item]\nLabel=Cluster\nName=HV001\nStart=22\nLen=3",
+      "[Item]\nLabel=Declared survey id field\nName=SURVEYID\nStart=22\nLen=3\nDataType=Alpha")
+    val dcfPath = dir.resolve("511.X.DCF"); Files.writeString(dcfPath, dcfSid)
+    val datPath = dir.resolve("511.X.DAT")
+    Files.writeString(datPath, "     100   7   H00BJ7abc\n")
+    val df = spark.read.format("fixedwidth")
+      .option("dcf", dcfPath.toString).option("record", "RECH0")
+      .option("surveyid", "999") // must NOT shadow the declared field
+      .load(datPath.toString)
+    assert(df.columns.count(_ == "surveyid") == 1)
+    assert(df.select("surveyid").collect().map(_.getString(0)).toSeq == Seq("abc"))
+  }
+
   test("missing record type is a clear error") {
     val (dcfPath, datPath) = writeFixture()
     val e = intercept[Exception] {
