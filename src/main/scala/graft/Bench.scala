@@ -12,7 +12,8 @@ object Bench {
     * build on the O(n²) brute-force pair generation whose only purpose is
     * anchoring the LSH paths to an exact oracle at small scale.
     */
-  val ValidationOnly: Set[String] = Set("d_jaccard_brute", "d_dup_clusters", "d_embed_brute")
+  val ValidationOnly: Set[String] =
+    Set("d_jaccard_brute", "d_jaccard_char", "d_dup_clusters", "d_embed_brute")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

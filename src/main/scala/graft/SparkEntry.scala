@@ -539,6 +539,11 @@ object SparkEntry {
     "d_jaccard_brute" -> ((s, d) =>
       Dedup.jaccardPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2)),
+    // char-level Jaccard (the no-whitespace-text variant of the shingle
+    // family); 5-grams at J ≥ 3/4 — validation-only like the other brutes
+    "d_jaccard_char" -> ((s, d) =>
+      Dedup.jaccardCharPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
+        n = 5, numer = 3, denom = 4)),
     "d_jaccard_lsh" -> ((s, d) =>
       Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)),
@@ -828,6 +833,8 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
+    "d_jaccard_char" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(length(t) - 4, 0)), i -> substr(t, i, 5))) AS sh FROM (SELECT doc_id, lower(text) AS t FROM documents) WHERE length(t) >= 5) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 4 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 3""",
     "d_dup_clusters" -> DupClusterClosureSql,
     // the LSH-fed composition converges to the same clusters (recall 1.0
     // at this threshold/banding), so it shares the closure oracle

@@ -243,6 +243,34 @@ object Dedup {
       .filter(col("inter_sz") * denom >= col("union_sz") * numer)
   }
 
+  /** Exact character-n-gram Jaccard pairs (brute force — the small-scale
+    * oracle for char-level near-dup). Character shingles are the right unit
+    * when whitespace tokenization fails (CJK text, no-space boilerplate,
+    * aggressive minification); at scale the same MinHash/LSH machinery
+    * applies — feed [[minhashCandidatePairsFromShingles]] a char-shingle
+    * frame instead of a word-shingle one.
+    */
+  def jaccardCharPairsBruteForce(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numer: Int,
+      denom: Int
+  ): DataFrame = {
+    val withShingles = docs.select(
+      col(idCol).as("doc"),
+      array_distinct(TextOps.charNgrams(lower(col(textCol)), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = withShingles.alias("sa")
+    val b = withShingles.alias("sb")
+    val (inter, union) = setOverlap(col("sa.sh"), col("sb.sh"))
+    a.join(b, col("sa.doc") < col("sb.doc"))
+      .select(col("sa.doc").as("doc_a"), col("sb.doc").as("doc_b"),
+        inter.cast("bigint").as("inter_sz"), union.cast("bigint").as("union_sz"))
+      .filter(col("inter_sz") * denom >= col("union_sz") * numer)
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** Per-document 64-bit SimHash sketch (native expression). Zero-token

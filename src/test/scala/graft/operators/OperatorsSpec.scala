@@ -296,6 +296,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "und")
   }
 
+  test("char-ngram Jaccard pairs no-whitespace near-dups that word shingles miss") {
+    val cjkish = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "abcdefghijklmnopqrstuvwxyz012345678X"), // 1-char tail edit
+      (3L, "zyxwvutsrqponmlkjihgfedcba9876543210")  // reversed: unrelated
+    ).toDF("doc_id", "text")
+    // word shingles see one token per doc → no shingle overlap possible
+    val word = Dedup.jaccardPairsBruteForce(cjkish, "text", "doc_id", 3, 1, 2)
+    assert(word.count() == 0)
+    val char = Dedup.jaccardCharPairsBruteForce(cjkish, "text", "doc_id", n = 5, numer = 3, denom = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(char == Set((1L, 2L)))
+  }
+
   test("normalizeText strips controls and collapses whitespace; redactPii masks typed spans") {
     val t = Seq(
       (1L, "a\u0000b\u0007c  \t\n d \u009f"),
