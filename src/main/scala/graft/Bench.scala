@@ -57,12 +57,24 @@ object Bench {
         System.err.println(f"[bench] $name%-24s ${sec}%8.2f s")
         name -> sec
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rendering: sub-millisecond digits are pure noise on this box
+    // and the driver keeps only a bounded tail of the output — every byte of
+    // the JSON line counts against the headline total staying visible
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel per-query; they must not make the
     // headline total FASTER — sum successes only
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness captures a fixed-size tail of this process's output. As the
+    // query set grows, the full per-query map can push the headline total out
+    // of that window — so re-print a compact, contract-shaped summary LAST
+    // (total + the slowest queries), guaranteed to survive truncation.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

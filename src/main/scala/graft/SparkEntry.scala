@@ -594,7 +594,8 @@ object SparkEntry {
       val o = t(s, d, "orders").withColumnRenamed("o_custkey", "custkey")
       val c = t(s, d, "customer")
         .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
-      graft.operators.SkewJoin.saltedJoin(o, c, Seq("custkey"), buckets = 8)
+      graft.operators.SkewJoin.saltedJoin(o, c, Seq("custkey"), buckets = 8,
+          uniqueIdCol = Some("o_orderkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
     }),
@@ -602,10 +603,13 @@ object SparkEntry {
     "m_media_features" -> ((s, d) => {
       import s.implicits._
       // document ids → real executor-encoded PNGs → real javax.imageio
-      // decode → dimensions + luminance-grid features; narrow end-to-end
+      // decode → dimensions + luminance-grid features; narrow end-to-end.
+      // The feature vector is serialized to JSON: the verify harness sorts
+      // every result column, and a raw array column is not sortable there.
       val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
       Multimodal.featureFrame(
         Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 16))
+        .withColumn("embedding", to_json(col("embedding")))
     }),
     // envelope-only media features: width/height come from the REAL imageio
     // decode of the synthetic PNGs, whose dims are id-derived — so the whole

@@ -20,17 +20,38 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object CsvIO {
 
+  /** Charsets whose code unit is wider than one byte. Spark's CSV reader
+    * splits records on raw 0x0A bytes when `lineSep` is unset, which
+    * misaligns these encodings (every record after the first would start
+    * with a stray NUL under UTF-16LE) — they need the delimiter encoded in
+    * the file's charset.
+    */
+  private val MultiByteUnitCharsets: Set[String] =
+    Set("UTF-16", "UTF-16LE", "UTF-16BE", "UTF-32", "UTF-32LE", "UTF-32BE")
+
   /** Read a header CSV with every column StringType; no inference ever. */
   def readAllString(
       spark: SparkSession,
       path: String,
       encoding: String = "UTF-8",
-      header: Boolean = true): DataFrame =
-    spark.read
+      header: Boolean = true): DataFrame = {
+    val base = spark.read
       .option("header", header.toString)
       .option("inferSchema", "false")
       .option("encoding", encoding)
-      .csv(path)
+    // lineSep is encoded with the charset option by the reader, so "\n"
+    // becomes 0A 00 under UTF-16LE etc. — record-aligned splits
+    val reader =
+      if (MultiByteUnitCharsets.contains(encoding.toUpperCase)) base.option("lineSep", "\n")
+      else base
+    val df = reader.csv(path)
+    // under an explicit -LE/-BE charset the file's BOM decodes to U+FEFF and
+    // prefixes the first header cell; strip it so column lookups stay sane
+    df.columns.headOption match {
+      case Some(c0) if c0.startsWith("\uFEFF") => df.withColumnRenamed(c0, c0.substring(1))
+      case _ => df
+    }
+  }
 
   /** The reference's utf-8→cp1252 fallback, detection-based: Spark's CSV
     * reader never THROWS on malformed UTF-8 (bad bytes decode leniently into

@@ -192,8 +192,14 @@ object Curation {
     // the base frame feeds both the intra-block window and the block-total
     // aggregate; when tokenCountCol is expensive (a tokenizer over the raw
     // text), reuseBase pins the 24-byte/doc projection once instead of
-    // re-scanning and re-tokenizing the corpus per branch
-    val base = if (reuseBase) base0.localCheckpoint(false) else base0
+    // re-scanning and re-tokenizing the corpus per branch.
+    // persist (recomputable lineage), NOT localCheckpoint: lazy local
+    // checkpoints live only on executors with no replication, so one lost
+    // executor mid-job kills the whole query — unacceptable as the default
+    // on clusters where executor churn is routine
+    val base =
+      if (reuseBase) base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     val intraW = Window.partitionBy(col("__blk")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val intra = base.withColumn("__intra",

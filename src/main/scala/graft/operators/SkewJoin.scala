@@ -21,17 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Per-row salt in [0, buckets). Content hashing alone cannot spread a hot
-    * key whose rows are byte-identical (a key-only projection — the exact
-    * shape salting exists for), so the row's partition-local ordinal is
-    * mixed in: identical rows then round-robin across buckets. The salt
-    * varies with physical row placement, but the JOIN RESULT does not —
-    * every big row still carries exactly one salt and meets the full small
-    * side.
+  /** Per-row salt in [0, buckets), a pure content hash of `cols`.
+    *
+    * DETERMINISM IS LOAD-BEARING: the salt feeds the shuffle key, and Spark
+    * recomputes only the lost map partitions after a fetch failure
+    * (SPARK-23207). A salt mixed from `monotonically_increasing_id` or
+    * `spark_partition_id` changes on recompute — rows land in different
+    * buckets than the first attempt and reducers that already fetched old
+    * outputs silently drop or duplicate them. On a 1000-executor cluster,
+    * where executor loss is routine, that is silent corruption. A content
+    * hash recomputes to the same bucket every attempt.
+    *
+    * The cost: byte-identical rows share a bucket. Pass a unique-id column
+    * (every real corpus has one — doc_id, digest, file+offset) to spread
+    * them; see [[saltedJoin]]'s `uniqueIdCol`.
     */
   def salt(cols: Seq[Column], buckets: Int): Column =
-    pmod(xxhash64((cols :+ monotonically_increasing_id()): _*),
-      lit(buckets.toLong)).cast("int")
+    pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
 
   /** Equi-join `big ⋈ small` on `keys`, salted into `buckets`.
     *
@@ -42,13 +48,20 @@ object SkewJoin {
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame, keys: Seq[String], buckets: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", uniqueIdCol: Option[String] = None): DataFrame = {
     require(buckets > 0)
     val jt = joinType.toLowerCase.replace("_", "")
     require(!Set("right", "rightouter", "full", "fullouter", "outer").contains(jt),
       s"saltedJoin cannot preserve unmatched small-side rows (joinType=$joinType): " +
         "the exploded small side would emit them once per salt bucket")
-    val saltCols = big.columns.map(col).toSeq // whole row → uniform salt
+    // salt input: a caller-supplied unique id spreads even byte-identical
+    // hot-key rows; the whole-row fallback is equally retry-safe but leaves
+    // exact duplicate rows sharing a bucket (residual skew bounded by the
+    // max duplicate-row multiplicity)
+    val saltCols = uniqueIdCol match {
+      case Some(id) => (keys :+ id).map(col)
+      case None     => big.columns.map(col).toSeq
+    }
     val b = big.withColumn("_salt", salt(saltCols, buckets))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1)))) // int bounds → array<int>

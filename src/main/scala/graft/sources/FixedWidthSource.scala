@@ -120,13 +120,21 @@ private class FixedWidthTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new FixedWidthScanBuilder(specs, schema(), paths, Option(options.get("surveyid")))
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the OWNING session's Hadoop conf here: newScanBuilder runs
+    // under the session that created this DataFrame, whereas resolving
+    // SparkSession.active later (plan/execution time) can pick up a
+    // different session's credentials/fs settings in a multi-session app
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new FixedWidthScanBuilder(specs, schema(), paths, Option(options.get("surveyid")), hadoopConf)
+  }
 }
 
 private class FixedWidthScanBuilder(
     specs: Seq[ColumnSpec], fullSchema: StructType, paths: Seq[String],
-    surveyId: Option[String])
+    surveyId: Option[String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -134,12 +142,13 @@ private class FixedWidthScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new FixedWidthScan(specs, required, paths, surveyId)
+  override def build(): Scan = new FixedWidthScan(specs, required, paths, surveyId, hadoopConf)
 }
 
 private class FixedWidthScan(
     specs: Seq[ColumnSpec], required: StructType, paths: Seq[String],
-    surveyId: Option[String])
+    surveyId: Option[String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -148,10 +157,11 @@ private class FixedWidthScan(
     s"fixedwidth: ${specs.count(_.itemType != "RecordDesciption")} fields, reading ${required.length}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // the session's Hadoop conf, not a bare Configuration — credentials and
-    // filesystem settings (spark.hadoop.fs.*) must reach the connector the
-    // same way they reach every other read path
-    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    // the OWNING session's Hadoop conf, captured at scan-builder creation —
+    // credentials and filesystem settings (spark.hadoop.fs.*) must reach the
+    // connector the same way they reach every other read path, and must not
+    // depend on whichever session happens to be thread-active at plan time
+    val conf = hadoopConf.value
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -166,9 +176,7 @@ private class FixedWidthScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(specs, required, surveyId,
-      new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+    new FixedWidthReaderFactory(specs, required, surveyId, hadoopConf)
 }
 
 private case class FixedWidthPartition(path: String) extends InputPartition

@@ -41,6 +41,29 @@ class CharsetAndSpecWriterSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getString(0) == "café")
   }
 
+  test("CSV readWithFallback decodes UTF-16/32 with record-aligned line splits") {
+    // without an explicit lineSep Spark splits on raw 0x0A bytes, which
+    // misaligns 2-/4-byte code units (every line after the first starts with
+    // a stray NUL under UTF-16LE) — these files must decode cleanly
+    val dir = java.nio.file.Files.createTempDirectory("utf16csv")
+    for ((enc, fname) <- Seq(("UTF-16LE", "u16le.csv"), ("UTF-16BE", "u16be.csv"),
+                             ("UTF-32LE", "u32le.csv"), ("UTF-32BE", "u32be.csv"))) {
+      val f = dir.resolve(fname)
+      val bom = enc match {
+        case "UTF-16LE" => Array(0xFF, 0xFE).map(_.toByte)
+        case "UTF-16BE" => Array(0xFE, 0xFF).map(_.toByte)
+        case "UTF-32LE" => Array(0xFF, 0xFE, 0x00, 0x00).map(_.toByte)
+        case "UTF-32BE" => Array(0x00, 0x00, 0xFE, 0xFF).map(_.toByte)
+      }
+      java.nio.file.Files.write(f, bom ++ "name,v\ncafé,1\nrésumé,2\n".getBytes(enc))
+      val df = graft.load.CsvIO.readWithFallback(spark, f.toString)
+      // BOM stripped from the first header cell, all rows record-aligned
+      assert(df.columns.toSeq == Seq("name", "v"), enc)
+      assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+        Set(("café", "1"), ("résumé", "2")), enc)
+    }
+  }
+
   test("spec writer emits the reference's three flat tables with exact columns") {
     val dcf =
       """[Dictionary]

@@ -29,18 +29,36 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(salts.map(_.getLong(1)).max < 1000L * 0.3) // no bucket dominates
   }
 
-  test("byte-identical hot-key rows still spread across salt buckets") {
-    // a key-only projection: every row of the hot key is identical, so a
-    // content-only hash would park them all in ONE bucket
-    val big = Seq.fill(1000)((1L, "same")).toDF("k", "payload")
+  test("salt is deterministic: same row content always lands in the same bucket") {
+    // retry-safety contract: the salt feeds the shuffle key, so recomputed
+    // map partitions (fetch-failure recovery) must reproduce it exactly
+    val big = (1 to 500).map(i => (i.toLong % 7, s"row$i")).toDF("k", "payload")
+    val once = big.select(big("k"), big("payload"),
+      SkewJoin.salt(Seq(big("k"), big("payload")), 8).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+    val again = big.repartition(13) // different physical layout
+    val twice = again.select(again("k"), again("payload"),
+      SkewJoin.salt(Seq(again("k"), again("payload")), 8).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(once == twice)
+  }
+
+  test("uniqueIdCol spreads byte-identical hot-key rows across buckets") {
+    // a key-only projection plus a unique id: the id is the deterministic
+    // spreader for rows whose other columns are all identical
+    val big = (1 to 1000).map(i => (1L, "same", i.toLong)).toDF("k", "payload", "row_id")
     val salts = big
-      .select(SkewJoin.salt(Seq(big("k"), big("payload")), 8).as("s"))
+      .select(SkewJoin.salt(Seq(big("k"), big("row_id")), 8).as("s"))
       .groupBy("s").count().collect()
-    assert(salts.length > 1)
-    assert(salts.map(_.getLong(1)).max < 1000L * 0.5)
+    assert(salts.length == 8)
+    assert(salts.map(_.getLong(1)).max < 1000L * 0.3)
     // and the join result is still exactly the plain join
     val small = Seq((1L, "x")).toDF("k", "v")
-    assert(SkewJoin.saltedJoin(big, small, Seq("k"), buckets = 8).count() == 1000)
+    assert(SkewJoin.saltedJoin(big, small, Seq("k"), buckets = 8,
+      uniqueIdCol = Some("row_id")).count() == 1000)
+    // whole-row fallback stays exact too (identical rows just share a bucket)
+    val noId = Seq.fill(100)((1L, "same")).toDF("k", "payload")
+    assert(SkewJoin.saltedJoin(noId, small, Seq("k"), buckets = 8).count() == 100)
   }
 
   test("left join keeps unmatched big-side rows exactly once") {
