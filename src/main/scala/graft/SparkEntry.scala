@@ -191,6 +191,20 @@ object SparkEntry {
         expr("percentile(l_extendedprice, 0.25)").as("p25"),
         expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.75)").as("p75"))),
+    "a11_cube" -> ((s, d) =>
+      // full grouping-set lattice (rollup's big sibling) — partial
+      // aggregation below the exchange applies per grouping set, so the
+      // shuffle carries pre-combined rows at every granularity
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+    "a12_pivot" -> ((s, d) =>
+      // pivot with PINNED values: an unpinned pivot runs an extra distinct
+      // job over the corpus just to discover column names — never at scale
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))),
     "w6_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -198,6 +212,17 @@ object SparkEntry {
       t(s, d, "orders").select(
         col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice")).over(w).as("running_spend"))
+    }),
+    "w7_lag_lead" -> ((s, d) => {
+      // neighbor-row analytics per key: prior/next order price and spend
+      // quartile — one partitioned window, no self-join
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"))
     }),
     "j7_nullsafe_join" -> ((s, d) => {
       val a = t(s, d, "lineitem")
@@ -679,6 +704,18 @@ object SparkEntry {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
         k = 5, centroids, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    "s_knn_shuffled" -> ((s, d) => {
+      // the large-query-set path: NO broadcast of the query side — the
+      // probe join is a bucket-key sort-merge, the shape that survives when
+      // the query set is another corpus rather than a driver-small lookup.
+      // nprobe = #centroids keeps it provably equal to brute force, so the
+      // shuffled join itself rides the hash gate
+      val emb = tb(s, d, "embeddings")
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+        k = 5, centroids, nprobe = 8, broadcastQueries = false)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     })
   )
 
@@ -721,6 +758,14 @@ object SparkEntry {
       "SELECT p_brand, max(substring(p_type, length(p_type)-1)) AS max_ver FROM part GROUP BY 1",
     "a8_rollup" ->
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "a11_cube" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+    // pivot = conditional aggregation; quoted aliases pin the exact
+    // pivot-value column names Spark produces
+    "a12_pivot" ->
+      """SELECT l_returnflag, sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS "F", sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS "O" FROM lineitem GROUP BY 1""",
+    "w7_lag_lead" ->
+      "SELECT o_custkey, o_orderkey, lag(o_totalprice, 1) OVER w AS prev_price, lead(o_totalprice, 1) OVER w AS next_price, CAST(ntile(4) OVER w AS INTEGER) AS quartile FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
     "w6_running_sum" ->
       "SELECT o_custkey, o_orderkey, sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend FROM orders",
     "j7_nullsafe_join" ->
@@ -860,6 +905,10 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // nprobe = #centroids probes every bucket → identical to brute force
     "s_knn_ivf_exact" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // same exactness argument, exercised through the NON-broadcast
+    // (sort-merge probe join) plan — the large-query-set path
+    "s_knn_shuffled" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // the synthetic-PNG loop is id-deterministic end-to-end: real imageio
     // decode must recover width = 4 + id%13, height = 4 + id%7
