@@ -483,6 +483,9 @@ object SparkEntry {
         sig("avg_tok_len_x100").as("avg_tok_len_x100"), sig("n_digits").as("n_digits"),
         sig("n_punct").as("n_punct"), sig("low_quality").as("low_quality"))
     }),
+    // Gopher/C4 repetition filters: top-token share + repeated-bigram share
+    "t_repetition" -> ((s, d) =>
+      TextOps.repetitionSignals(tb(s, d, "documents"), "text", "doc_id")),
     "t_langid" -> ((s, d) =>
       tb(s, d, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
@@ -516,6 +519,11 @@ object SparkEntry {
     "t_quota_sample" -> ((s, d) =>
       Curation.quotaSample(tb(s, d, "documents"), "lang", "doc_id", quota = 50)
         .select(col("doc_id"), col("lang"))),
+    // per-domain cap (the Common-Crawl anti-spam shape: no single host may
+    // dominate the corpus) — same stratified-quota machinery keyed on source
+    "t_domain_cap" -> ((s, d) =>
+      Curation.quotaSample(tb(s, d, "documents"), "source", "doc_id", quota = 10)
+        .select(col("doc_id"), col("source"))),
     // training-mix rates: 1-in-4 of en, all of de/es/fr, zh unlisted → dropped
     "t_mixture" -> ((s, d) =>
       Curation.mixtureSample(tb(s, d, "documents"), "lang", "doc_id",
@@ -870,6 +878,10 @@ object SparkEntry {
       "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
     "t_quota_sample" ->
       "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 50",
+    "t_domain_cap" ->
+      "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 10",
+    "t_repetition" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS tok FROM documents) GROUP BY 1, 2), ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, CAST(max(cnt) AS BIGINT) AS top_cnt FROM tc GROUP BY 1), bs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents)) GROUP BY 1) SELECT d.doc_id, COALESCE(ts.n_tokens, 0) AS n_tokens, CAST(CASE WHEN COALESCE(ts.n_tokens, 0) > 0 THEN ts.top_cnt * 1000 // ts.n_tokens ELSE 0 END AS BIGINT) AS top_token_frac_x1000, CAST(CASE WHEN COALESCE(bs.n_bigrams, 0) > 0 THEN (bs.n_bigrams - bs.n_distinct) * 1000 // bs.n_bigrams ELSE 0 END AS BIGINT) AS dup_bigram_frac_x1000 FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id LEFT JOIN bs ON d.doc_id = bs.doc_id""",
     "t_mixture" ->
       """WITH r AS (SELECT * FROM (VALUES ('en', 1, 4), ('de', 1, 1), ('es', 1, 1), ('fr', 1, 1)) AS t(lang, numer, denom)) SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang WHERE ((((d.doc_id % 1000003) * 2654435761) % 1000003) % denom) < numer""",
     "t_token_budget" ->

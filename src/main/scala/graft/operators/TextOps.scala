@@ -177,6 +177,56 @@ object TextOps {
       .select(col(idCol), col("term"), col("rank"))
   }
 
+  /** Within-document repetition signals — the Gopher/C4 quality-filter
+    * family: the share of tokens taken by the single most frequent token,
+    * and the share of adjacent bigrams that are repeats. Boilerplate-heavy
+    * and template-generated pages score high on both; training-data
+    * pipelines threshold on them before anything expensive runs.
+    *
+    * Integer-scaled (x1000, floor) so the values hash identically across
+    * engines. Shape: explode → two-level aggregate — fully distributed; the
+    * shuffle carries (id, token) pairs, never document text, and the
+    * per-token counts partial-aggregate map-side before the exchange.
+    */
+  def repetitionSignals(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val tokStats = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_tokens"),
+        max(col("cnt")).as("top_cnt"))
+    // adjacent bigrams, staged through a separate select so the token array
+    // is evaluated once (never rebuild an expensive array inside a HOF)
+    val biStats = docs
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol),
+        zip_with(
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)).as("bgs"))
+      .select(col(idCol), explode(col("bgs")).as("bg"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct"))
+    // empty / one-token docs drop out of the exploded branches: re-anchor on
+    // the full id set so every document gets a (possibly zero) signal row
+    docs.select(col(idCol))
+      .join(tokStats, Seq(idCol), "left")
+      .join(biStats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).cast("bigint").as("n_tokens"),
+        when(col("n_tokens") > 0, floor(col("top_cnt") * 1000L / col("n_tokens")))
+          .otherwise(lit(0L)).cast("bigint").as("top_token_frac_x1000"),
+        when(col("n_bigrams") > 0,
+          floor((col("n_bigrams") - col("n_distinct")) * 1000L / col("n_bigrams")))
+          .otherwise(lit(0L)).cast("bigint").as("dup_bigram_frac_x1000"))
+  }
+
   /** 64-bit content fingerprint: order-sensitive rolling combination of
     * token hashes, done as a single `aggregate` fold — the document-
     * fingerprinting primitive for shard-level dedup manifests. Chained

@@ -360,6 +360,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 8L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("repetition signals: top-token and duplicate-bigram shares, edge docs kept") {
+    val t = Seq(
+      (1L, "a a a b"),       // top 'a' 3/4 → 750; bigrams [a a, a a, a b]: 3 total, 2 distinct → 333
+      (2L, "x y z"),         // top 1/3 → 333; bigrams all distinct → 0
+      (3L, "spam spam spam"),// top 3/3 → 1000; bigrams [spam spam]×2 → 1/2 repeated → 500
+      (4L, "solo"),          // one token: no bigrams → 0
+      (5L, "")               // empty: zero row, not a dropped row
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(t, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 750L, 333L)),
+      2L -> ((3L, 333L, 0L)),
+      3L -> ((3L, 1000L, 500L)),
+      4L -> ((1L, 1000L, 0L)),
+      5L -> ((0L, 0L, 0L))))
+  }
+
   test("incremental dedup drops seen digests and self-dedups the batch") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val batch = Seq(
