@@ -569,6 +569,20 @@ object SparkEntry {
         "text", "doc_id")
         .select(col("doc_id"))
     }),
+    // incremental NEAR-dup: the batch checked against the standing corpus's
+    // signature manifest (band keys + hashed shingles, no corpus text).
+    // J ≥ 1/2 with 32×2 bands → recall 1.0 (the d_jaccard_lsh ≡ brute
+    // argument), so the kept set is exactly the brute-force oracle's
+    "d_incremental_neardup" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Dedup.dropSeenNearDuplicates(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        Dedup.nearDupManifest(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+          "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2),
+        "text", "doc_id", shingleSize = 3, numer = 1, denom = 2,
+        bands = 32, rowsPerBand = 2)
+        .select(col("doc_id"))
+    }),
     "d_jaccard_brute" -> ((s, d) =>
       Dedup.jaccardPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2)),
@@ -857,6 +871,10 @@ object SparkEntry {
     // from Spark's left_anti (null keys never match) if a text were NULL
     "d_incremental" ->
       """WITH corpus AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 4 != 0), batch AS (SELECT doc_id, md5(text) AS h, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents WHERE doc_id % 4 = 0) SELECT doc_id FROM batch b WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)""",
+    // batch docs kept iff NO corpus doc reaches J ≥ 1/2 (short docs shingle
+    // to nothing and pass through, mirroring the manifest's exclusion)
+    "d_incremental_neardup" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3) SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 0 AND NOT EXISTS (SELECT 1 FROM s b JOIN s c ON b.doc_id = d.doc_id AND c.doc_id % 4 != 0 WHERE len(list_intersect(b.sh, c.sh)) * 2 >= (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) * 1)""",
     "t_quality_signals" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN (length(text) * 100) // len(regexp_extract_all(text, '\\S+')) ELSE 0 END AS BIGINT) AS avg_tok_len_x100, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits, CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS BIGINT) AS n_punct, CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) < 5 OR length(text) < 20 THEN 1 ELSE 0 END AS BIGINT) AS low_quality FROM documents",
     "a10_percentile" ->

@@ -71,6 +71,70 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
+  /** Near-dup signature manifest of a standing corpus: one row per doc with
+    * its LSH band keys and xxhash64'd shingle set — the persisted face of
+    * NEAR-duplicate dedup for incremental pipelines, as [[digestManifest]]
+    * is for exact. ~1 KB/doc, no raw text: a 100 TB corpus condenses to a
+    * manifest a fraction of a percent of its size, and each arriving batch
+    * is checked against it with [[dropSeenNearDuplicates]] without ever
+    * re-reading corpus text. Docs too short to shingle are absent (they
+    * cannot near-dup by this measure).
+    */
+  def nearDupManifest(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame =
+    // staged projection: the shingle array is referenced by both the
+    // signature and the hashed-set column — one eval per row
+    shingleFrame(docs, textCol, idCol, shingleSize)
+      .select(col("doc"),
+        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"),
+        transform(col("sh"), s => xxhash64(s)).as("shh"))
+      .select(col("doc"),
+        lshBandKeys(col("sig"), bands, rowsPerBand).as("keys"), col("shh"))
+
+  /** Incremental near-dup dedup: rows of `batch` with NO near-duplicate
+    * (shingle Jaccard ≥ numer/denom) in the corpus behind `manifest`
+    * (a [[nearDupManifest]] built with the SAME shingleSize/bands/
+    * rowsPerBand). Candidates come from a band-key equi-join of the batch's
+    * signatures against the manifest — shuffle volume is band keys and
+    * hashed shingle sets, never text, and never a cross product — then
+    * exact-verified on the hashed shingle sets. Batch docs too short to
+    * shingle pass through (consistent with the manifest's exclusion);
+    * batch-internal near-dups are out of scope — compose with
+    * [[dropNearDuplicates]] over [[jaccardDuplicatePairs]] for those.
+    */
+  def dropSeenNearDuplicates(
+      batch: DataFrame,
+      manifest: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numer: Int = 7,
+      denom: Int = 10,
+      bands: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val bm = nearDupManifest(batch, textCol, idCol, shingleSize, bands, rowsPerBand)
+    val bBand = bm.select(col("doc").as("b_doc"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val cBand = manifest.select(col("doc").as("c_doc"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val cands = bBand.join(cBand, Seq("band", "key"))
+      .select(col("b_doc"), col("c_doc")).distinct()
+    val (inter, union) = setOverlap(col("bb.shh"), col("cc.shh"))
+    val seen = cands
+      .join(bm.select(col("doc"), col("shh")).alias("bb"), col("b_doc") === col("bb.doc"))
+      .join(manifest.select(col("doc"), col("shh")).alias("cc"), col("c_doc") === col("cc.doc"))
+      .filter(inter * denom >= union * numer)
+      .select(col("b_doc")).distinct()
+    batch.join(seen, batch(idCol) === seen("b_doc"), "left_anti")
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash signature (array of `k` 64-bit minima) over a shingle array.

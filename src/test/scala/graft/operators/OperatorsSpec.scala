@@ -390,4 +390,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(11L, 13L))
   }
+
+  test("incremental near-dup drops batch docs with a corpus near-dup, keeps the rest") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about spark shuffles and joins here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                        // exact copy → dropped
+      (11L, base + " tonight"),           // near-dup (one appended token) → dropped
+      (12L, "unrelated text mentioning catalyst optimizer rules and codegen stages"),
+      (13L, "too short")                  // shingles to nothing → passes through
+    ).toDF("doc_id", "text")
+    val manifest = Dedup.nearDupManifest(corpus, "text", "doc_id",
+      shingleSize = 3, bands = 32, rowsPerBand = 2)
+    val kept = Dedup.dropSeenNearDuplicates(batch, manifest, "text", "doc_id",
+      shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(12L, 13L))
+    // the manifest never carries text, and condenses to band keys + hashes
+    assert(manifest.columns.toSeq == Seq("doc", "keys", "shh"))
+  }
 }
