@@ -40,6 +40,16 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Reuse materialization for multiply-referenced frames: persist with
+    * recomputable lineage (MEMORY_AND_DISK), NOT localCheckpoint — lazy
+    * local checkpoints live only on executors with no replication, so one
+    * lost executor mid-job would kill the whole query instead of recomputing
+    * a partition. Storage is freed by the ContextCleaner once the frame is
+    * unreferenced.
+    */
+  private def persistReuse(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Digest manifest of a corpus: the persisted face of exact dedup for
     * INCREMENTAL pipelines — write this once per corpus snapshot, and dedup
     * each arriving batch against it with [[dropSeenDocuments]] instead of
@@ -174,7 +184,7 @@ object Dedup {
     // both sides of the band self-join re-evaluate the shingle projection;
     // see jaccardDuplicatePairs for the reuse trade-off
     val plan = shingleFrame(docs, textCol, idCol, shingleSize)
-    val sh = if (reuseShingles) plan.localCheckpoint(false) else plan
+    val sh = if (reuseShingles) persistReuse(plan) else plan
     minhashCandidatePairsFromShingles(sh, bands, rowsPerBand, reuseBanded = reuseShingles)
   }
 
@@ -217,7 +227,7 @@ object Dedup {
     // both sides of the self-join re-evaluate shingle+signature math;
     // `reuseBanded` materializes the (doc, band, key) frame — ~1 KB per doc,
     // orders of magnitude smaller than the text it derives from
-    val banded = if (reuseBanded) banded0.localCheckpoint(false) else banded0
+    val banded = if (reuseBanded) persistReuse(banded0) else banded0
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -256,12 +266,12 @@ object Dedup {
     // one shingle pass feeds both the candidate generation and the exact
     // verify joins — tokenize+shingle is the dominant narrow-stage cost.
     // The PLAN references it four times (both sides of the band self-join +
-    // both verify joins); `reuseShingles` materializes it once via a lazy
-    // localCheckpoint (storage freed by the ContextCleaner when the result
-    // is dropped) — measured ~1.9× on pair generation at 100k docs. Leave
-    // off when the corpus dwarfs executor storage and recompute is cheaper.
+    // both verify joins); `reuseShingles` materializes it once (see
+    // persistReuse — recomputable under executor loss) — measured ~1.9× on
+    // pair generation at 100k docs. Leave off when the corpus dwarfs
+    // executor storage and recompute is cheaper.
     val plan = shingleFrame(docs, textCol, idCol, shingleSize)
-    val withShingles = if (reuseShingles) plan.localCheckpoint(false) else plan
+    val withShingles = if (reuseShingles) persistReuse(plan) else plan
     val cands = minhashCandidatePairsFromShingles(withShingles, bands, rowsPerBand, reuseBanded = reuseShingles)
     // exact verify runs on 64-bit shingle HASHES: intersecting long arrays
     // is several times cheaper than UTF8 string arrays at millions of
@@ -384,7 +394,7 @@ object Dedup {
     */
   def simhashPairsFromSketches(
       sk0: DataFrame, maxDist: Int, reuseSketches: Boolean = false): DataFrame = {
-    val sk = if (reuseSketches) sk0.localCheckpoint(false) else sk0
+    val sk = if (reuseSketches) persistReuse(sk0) else sk0
     val valuePairs = simhashValuePairs(sk.select(col("simhash")).distinct(), maxDist)
     // identical sketches: expand within each value group, dist = 0
     val x = sk.alias("x")
