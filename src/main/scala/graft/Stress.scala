@@ -84,7 +84,18 @@ object Stress {
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "text", "doc_id", n = 3, broadcastBenchmark = false).count()),
       time(s"quota_sample_x$mult")(operators.Curation.quotaSample(
-        docs, "lang", "doc_id", quota = 1000).count())
+        docs, "lang", "doc_id", quota = 1000).count()),
+      time(s"repetition_x$mult")(operators.TextOps.repetitionSignals(
+        docs, "text", "doc_id").count()),
+      // incremental near-dup at scale: 1/4 of the corpus as the arriving
+      // batch, checked against the other 3/4's signature manifest — the
+      // candidate join must stay band-bucket-bounded, never batch×corpus
+      time(s"incr_neardup_x$mult")(operators.Dedup.dropSeenNearDuplicates(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        operators.Dedup.nearDupManifest(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+          "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2),
+        "text", "doc_id", shingleSize = 3, numer = 1, denom = 2,
+        bands = 32, rowsPerBand = 2).count())
     )
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","mult":$mult,"ops":$qs}""")

@@ -459,10 +459,18 @@ object Dedup {
     * fixpoint; `maxIter` bounds adversarial chains.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // eager local checkpoint, not persist: every iteration's joins re-plan
+    // this frame, so a persisted-but-untruncated input would re-analyze and
+    // re-optimize the entire upstream lineage (for LSH-fed pairs, the whole
+    // shingle/signature expression forest) once per iteration — measured as
+    // tens of seconds of pure driver planning at 100k docs. Lineage
+    // truncation at the operator boundary is the point, exactly as for the
+    // iteration checkpoints below; executor loss costs a job retry, never a
+    // silent wrong answer.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .persist()
@@ -494,7 +502,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    // edges' checkpoint blocks are freed by the ContextCleaner once the
+    // frame is unreferenced (the returned labels no longer depend on it
+    // only through recomputable lineage, so no explicit unpersist here)
     // silently-wrong is the one unacceptable outcome for a dedup keeper
     // decision: labels mid-propagation look plausible but split clusters
     require(converged,
