@@ -60,7 +60,10 @@ object Bench {
     // 3-decimal rendering: sub-millisecond digits are pure noise on this box
     // and the driver keeps only a bounded tail of the output — every byte of
     // the JSON line counts against the headline total staying visible
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which renders
+    // 44.2 as "44,200" on comma-decimal JVMs — malformed JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel per-query; they must not make the

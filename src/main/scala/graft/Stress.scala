@@ -93,7 +93,9 @@ object Stress {
       time(s"incr_neardup_x$mult")(operators.Dedup.dropSeenNearDuplicates(
         docs.filter(pmod(col("doc_id"), lit(4)) === 0),
         operators.Dedup.nearDupManifest(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
-          "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2),
+          "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2)
+          // in-flight manifest is read twice downstream — persist per the API doc
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         "text", "doc_id", shingleSize = 3, numer = 1, denom = 2,
         bands = 32, rowsPerBand = 2).count())
     )

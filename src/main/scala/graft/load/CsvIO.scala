@@ -1,6 +1,7 @@
 package graft.load
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, regexp_replace, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** CSV source/sink with the reference's typing discipline.
@@ -20,14 +21,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object CsvIO {
 
-  /** Charsets whose code unit is wider than one byte. Spark's CSV reader
-    * splits records on raw 0x0A bytes when `lineSep` is unset, which
-    * misaligns these encodings (every record after the first would start
-    * with a stray NUL under UTF-16LE) — they need the delimiter encoded in
-    * the file's charset.
+  /** Charsets whose code unit is wider than one byte, endianness-explicit.
+    * Spark's CSV reader splits records on raw 0x0A bytes when `lineSep` is
+    * unset, which misaligns these encodings (every record after the first
+    * would start with a stray NUL under UTF-16LE) — they need the delimiter
+    * encoded in the file's charset. Only -LE/-BE names belong here: Java
+    * encodes "\n" under generic "UTF-16" as a BOM-PREFIXED FE FF 00 0A,
+    * a delimiter that never occurs between records.
     */
   private val MultiByteUnitCharsets: Set[String] =
-    Set("UTF-16", "UTF-16LE", "UTF-16BE", "UTF-32", "UTF-32LE", "UTF-32BE")
+    Set("UTF-16LE", "UTF-16BE", "UTF-32LE", "UTF-32BE")
 
   /** Read a header CSV with every column StringType; no inference ever. */
   def readAllString(
@@ -35,21 +38,49 @@ object CsvIO {
       path: String,
       encoding: String = "UTF-8",
       header: Boolean = true): DataFrame = {
+    // generic UTF-16/32 can DECODE (the BOM decides endianness) but cannot
+    // round-trip a record delimiter (see MultiByteUnitCharsets) — require
+    // the caller (or the sniffer, which always does) to pick the byte order
+    require(!Set("UTF-16", "UTF-32").contains(encoding.toUpperCase),
+      s"readAllString: pass an endianness-explicit charset (${encoding}LE / " +
+        s"${encoding}BE), not generic $encoding — the record delimiter cannot " +
+        "be encoded without knowing byte order")
+    val multiByte = MultiByteUnitCharsets.contains(encoding.toUpperCase)
     val base = spark.read
       .option("header", header.toString)
       .option("inferSchema", "false")
       .option("encoding", encoding)
     // lineSep is encoded with the charset option by the reader, so "\n"
     // becomes 0A 00 under UTF-16LE etc. — record-aligned splits
-    val reader =
-      if (MultiByteUnitCharsets.contains(encoding.toUpperCase)) base.option("lineSep", "\n")
-      else base
-    val df = reader.csv(path)
-    // under an explicit -LE/-BE charset the file's BOM decodes to U+FEFF and
-    // prefixes the first header cell; strip it so column lookups stay sane
-    df.columns.headOption match {
-      case Some(c0) if c0.startsWith("\uFEFF") => df.withColumnRenamed(c0, c0.substring(1))
-      case _ => df
+    val reader = if (multiByte) base.option("lineSep", "\n") else base
+    val df0 = reader.csv(path)
+    if (!multiByte) df0
+    else {
+      // an explicit lineSep bypasses Hadoop's CRLF normalization: a
+      // Windows-origin file leaves a decoded \r glued to the LAST field of
+      // every record — including the HEADER row, where it lands in the last
+      // column NAME. Strip both (a field legitimately ending in a bare \r
+      // is pathological-by-construction; trade documented here)
+      val df1 = df0.columns.lastOption match {
+        case Some(cn) if cn.endsWith("\r") => df0.withColumnRenamed(cn, cn.stripSuffix("\r"))
+        case _ => df0
+      }
+      val lastCol = df1.columns.last
+      val df = df1.withColumn(lastCol, regexp_replace(col(lastCol), "\r$", ""))
+      // the file BOM decodes to U+FEFF prefixing the FIRST cell: under
+      // header=true that is the first column NAME; under header=false it is
+      // row 1's first value
+      if (header)
+        df.columns.headOption match {
+          case Some(c0) if c0.startsWith("\uFEFF") => df.withColumnRenamed(c0, c0.substring(1))
+          case _ => df
+        }
+      else {
+        val c0 = df.columns.head
+        df.withColumn(c0,
+          when(col(c0).startsWith("\uFEFF"), expr(s"substring(`$c0`, 2)"))
+            .otherwise(col(c0)))
+      }
     }
   }
 

@@ -129,7 +129,13 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4
   ): DataFrame = {
-    val bm = nearDupManifest(batch, textCol, idCol, shingleSize, bands, rowsPerBand)
+    // the batch manifest is referenced twice (band explode + verify join):
+    // materialize it once or the tokenize+shingle+minhash pass over the
+    // batch text runs twice. The CALLER's manifest is also read twice — a
+    // parquet-backed manifest re-scans cheaply (pruned columns), but an
+    // in-flight computed one should be persisted by the caller.
+    val bm = persistReuse(
+      nearDupManifest(batch, textCol, idCol, shingleSize, bands, rowsPerBand))
     val bBand = bm.select(col("doc").as("b_doc"),
       posexplode(col("keys")).as(Seq("band", "key")))
     val cBand = manifest.select(col("doc").as("c_doc"),

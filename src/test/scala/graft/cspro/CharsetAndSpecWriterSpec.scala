@@ -64,6 +64,29 @@ class CharsetAndSpecWriterSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("UTF-16 CSV edge shapes: CRLF endings, headerless BOM, generic charset refused") {
+    val dir = java.nio.file.Files.createTempDirectory("utf16edge")
+    val bomLE = Array(0xFF, 0xFE).map(_.toByte)
+    // Windows-origin CRLF: explicit lineSep splits at \n, the stray \r on
+    // the last field must be stripped
+    val crlf = dir.resolve("crlf.csv")
+    java.nio.file.Files.write(crlf, bomLE ++ "name,v\r\ncafé,1\r\nrésumé,2\r\n".getBytes("UTF-16LE"))
+    val df = graft.load.CsvIO.readWithFallback(spark, crlf.toString)
+    assert(df.columns.toSeq == Seq("name", "v"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("café", "1"), ("résumé", "2")))
+    // headerless: the BOM lands in row 1's first VALUE, not a column name
+    val nohdr = dir.resolve("nohdr.csv")
+    java.nio.file.Files.write(nohdr, bomLE ++ "café,1\nrésumé,2\n".getBytes("UTF-16LE"))
+    val df2 = graft.load.CsvIO.readAllString(spark, nohdr.toString, "UTF-16LE", header = false)
+    assert(df2.collect().map(_.getString(0)).toSet == Set("café", "résumé"))
+    // generic UTF-16 cannot encode a record delimiter (Java BOM-prefixes it)
+    val e = intercept[IllegalArgumentException] {
+      graft.load.CsvIO.readAllString(spark, nohdr.toString, "UTF-16")
+    }
+    assert(e.getMessage.contains("endianness-explicit"))
+  }
+
   test("spec writer emits the reference's three flat tables with exact columns") {
     val dcf =
       """[Dictionary]
