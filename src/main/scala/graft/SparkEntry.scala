@@ -414,6 +414,19 @@ object SparkEntry {
       graft.streaming.EventStream.runToCompletion(s,
         graft.streaming.EventStream.windowedStats(stream, "1 hour"), "e_stream_window")
     }),
+    // stream-static enrichment: events joined to the customer dim inside
+    // each micro-batch (broadcast — the stream never shuffles), aggregated
+    // per segment; equals the plain batch join+agg (oracle)
+    "e_stream_enrich" -> ((s, d) => {
+      val stream = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = graft.streaming.EventStream
+        .enrichWithDim(stream, dim, "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      graft.streaming.EventStream.runToCompletion(s, enriched, "e_stream_enrich")
+    }),
     // at-least-once delivery simulated by self-union (every event delivered
     // twice), restored to effectively-once by watermark-scoped streaming
     // dedup — final per-type counts equal the plain batch counts (oracle)
@@ -856,6 +869,8 @@ object SparkEntry {
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
     "e_stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    "e_stream_enrich" ->
+      "SELECT c_mktsegment, event_type, count(*) AS n, sum(value) AS sum_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2",
     // batch sessions, minus open tails: a session is emitted iff it has a
     // successor (rn > 1 from the end) or its ms-rounded-up timeout deadline
     // is strictly behind the final watermark (max ts, ms-floored, 0s delay)

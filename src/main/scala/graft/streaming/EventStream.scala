@@ -58,6 +58,23 @@ object EventStream {
     normalize(reader)
   }
 
+  // ----------------------------------------------------------------- joins
+
+  /** Stream-static enrichment join: each event matched to a STATIC dimension
+    * frame. Spark re-resolves the static side every micro-batch, so a
+    * dimension refreshed between batches is picked up without restarting the
+    * query; `broadcast` keeps the stream side un-shuffled (the dim ships to
+    * the executors, events never move). No state, no watermark — the
+    * stateless enrichment shape every event pipeline starts with.
+    */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      joinType: String = "inner"): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), joinType)
+
   // ----------------------------------------------------------------- windows
 
   /** Tumbling-window counts per event type. On a stream, `watermark` bounds

@@ -132,6 +132,24 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch join, stream side unshuffled") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      enrichWithDim(df, dim, "user_id", "cust_id")
+        .groupBy("tier", "event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    val streamed = runToCompletion(spark, agg(mem.toDS().toDF()), "enrich_out")
+      .orderBy("tier", "event_type").collect().toSeq
+    val batch = agg(fixture.toDF()).orderBy("tier", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
