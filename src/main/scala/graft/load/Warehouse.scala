@@ -46,4 +46,24 @@ object Warehouse {
 
   /** Read a warehouse table back (bucket metadata rides the catalog). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Range-layout parquet write: `repartitionByRange` on the sort key, then
+    * sort within each partition, so every output file covers a DISJOINT key
+    * range and parquet min/max statistics prune whole files and row groups
+    * for range predicates. The scan-layout complement of [[writeBucketed]]
+    * (which co-locates equi-joins): at warehouse scale this turns
+    * `WHERE ts BETWEEN …` from a full scan into touching only the files
+    * whose stats overlap the predicate. Range boundaries come from a sampled
+    * sketch of the key distribution (Spark's range partitioner), so skewed
+    * keys still land in balanced files.
+    */
+  def writeRangeLayout(
+      df: DataFrame, path: String, sortCols: Seq[String], partitions: Int,
+      mode: String = "overwrite"): Unit = {
+    require(sortCols.nonEmpty && partitions > 0)
+    val cols = sortCols.map(df.col)
+    df.repartitionByRange(partitions, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(mode).parquet(path)
+  }
 }

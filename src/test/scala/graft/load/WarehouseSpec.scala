@@ -55,4 +55,30 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("range-layout write produces files with disjoint key ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rangelayout").toString + "/t"
+    // shuffled insert order — the layout, not the input order, must sort it
+    val df = scala.util.Random.shuffle((1 to 2000).toList)
+      .map(i => (i.toLong, s"payload$i")).toDF("k", "v")
+    Warehouse.writeRangeLayout(df, dir, Seq("k"), partitions = 4)
+    // every part file must cover a key range disjoint from every other —
+    // that is the property parquet min/max pruning needs
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ => ()
+    }
+    // and nothing was lost in the re-layout
+    assert(spark.read.parquet(dir).count() == 2000)
+  }
 }
