@@ -54,7 +54,7 @@ object CsvIO {
     // becomes 0A 00 under UTF-16LE etc. — record-aligned splits
     val reader = if (multiByte) base.option("lineSep", "\n") else base
     val df0 = reader.csv(path)
-    if (!multiByte) df0
+    if (!multiByte || df0.columns.isEmpty) df0
     else {
       // an explicit lineSep bypasses Hadoop's CRLF normalization: a
       // Windows-origin file leaves a decoded \r glued to the LAST field of
@@ -69,7 +69,10 @@ object CsvIO {
       val df = df1.withColumn(lastCol, regexp_replace(col(lastCol), "\r$", ""))
       // the file BOM decodes to U+FEFF prefixing the FIRST cell: under
       // header=true that is the first column NAME; under header=false it is
-      // row 1's first value
+      // row 1's first value. The headerless strip applies to every row (row
+      // identity is meaningless distributed) — a survey field legitimately
+      // BEGINNING with a zero-width no-break space is pathological-by-
+      // construction, the same documented trade as the \r strip above
       if (header)
         df.columns.headOption match {
           case Some(c0) if c0.startsWith("\uFEFF") => df.withColumnRenamed(c0, c0.substring(1))

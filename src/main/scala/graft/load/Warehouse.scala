@@ -54,8 +54,10 @@ object Warehouse {
     * (which co-locates equi-joins): at warehouse scale this turns
     * `WHERE ts BETWEEN …` from a full scan into touching only the files
     * whose stats overlap the predicate. Range boundaries come from a sampled
-    * sketch of the key distribution (Spark's range partitioner), so skewed
-    * keys still land in balanced files.
+    * sketch of the key distribution (Spark's range partitioner), which
+    * balances BETWEEN distinct keys; a single hot key still lands wholly in
+    * one partition — cap oversized output with
+    * `spark.sql.files.maxRecordsPerFile` if one key dominates.
     */
   def writeRangeLayout(
       df: DataFrame, path: String, sortCols: Seq[String], partitions: Int,

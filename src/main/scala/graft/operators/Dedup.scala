@@ -44,8 +44,13 @@ object Dedup {
     * recomputable lineage (MEMORY_AND_DISK), NOT localCheckpoint — lazy
     * local checkpoints live only on executors with no replication, so one
     * lost executor mid-job would kill the whole query instead of recomputing
-    * a partition. Storage is freed by the ContextCleaner once the frame is
-    * unreferenced.
+    * a partition. LIFECYCLE: cache entries registered this way live until
+    * an explicit unpersist / `spark.catalog.clearCache()` / session end
+    * (the CacheManager holds strong references — the ContextCleaner does
+    * NOT reap Dataset caches). Each entry is small (digests, band keys,
+    * sketches — never text), so per-job accumulation is bounded; a
+    * long-lived service calling these per arriving batch should
+    * clearCache() between batches or pass the reuse flag as false.
     */
   private def persistReuse(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -73,7 +73,10 @@ object EventStream {
       eventKey: String,
       dimKey: String,
       joinType: String = "inner"): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), joinType)
+    // side-qualified keys: bare col() would be AMBIGUOUS_REFERENCE whenever
+    // the two key names match (the most common enrichment shape) or either
+    // name exists on both sides
+    events.join(broadcast(dim), events.col(eventKey) === dim.col(dimKey), joinType)
 
   // ----------------------------------------------------------------- windows
 

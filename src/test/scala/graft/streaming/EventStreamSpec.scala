@@ -148,6 +148,16 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     val batch = agg(fixture.toDF()).orderBy("tier", "event_type").collect().toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+    // the load-bearing plan property: the dim broadcasts, the event side is
+    // never exchanged into the join (asserted on the batch plan — the same
+    // enrichWithDim plan each micro-batch executes)
+    val joined = enrichWithDim(fixture.toDF(), dim, "user_id", "cust_id")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical)
+    // same-name keys must not be ambiguous (the most common enrichment shape)
+    val sameName = dim.withColumnRenamed("cust_id", "user_id")
+    assert(enrichWithDim(fixture.toDF(), sameName, "user_id", "user_id")
+      .count() > 0)
   }
 
   test("streaming dedup within watermark drops cross-batch duplicates") {
