@@ -519,6 +519,10 @@ object SparkEntry {
     // top-3 characteristic terms per doc by tf-idf
     "t_tfidf_top" -> ((s, d) =>
       TextOps.tfIdfTopTerms(tb(s, d, "documents"), "text", "doc_id", k = 3)),
+    // C4-style span dedup: 8-token spans, first corpus occurrence wins,
+    // documents reassembled from surviving spans
+    "t_span_dedup" -> ((s, d) =>
+      Curation.dropDuplicateSpans(tb(s, d, "documents"), "text", "doc_id", spanTokens = 8)),
     // sliding-window chunking (32-token chunks, stride 24 → 8-token overlap)
     "t_chunks" -> ((s, d) =>
       Curation.chunkDocuments(tb(s, d, "documents"), "text", "doc_id",
@@ -911,6 +915,8 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS nt FROM toks WHERE len(tk) > 0), idx AS (SELECT doc_id, tk, nt, unnest(generate_series(0, CASE WHEN nt > 32 THEN (nt - 32 + 24 - 1) // 24 ELSE 0 END)) AS chunk_idx FROM base) SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_from, least(32, nt - chunk_idx * 24) AS n_take, array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + least(32, nt - chunk_idx * 24)], ' ') AS chunk_text FROM idx""",
     "t_hash_sample" ->
       "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
+    "t_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), spans AS (SELECT doc_id, i - 1 AS span_idx, array_to_string(tk[(i-1)*8+1 : least(i*8, len(tk))], ' ') AS span_text FROM (SELECT doc_id, tk, unnest(generate_series(1, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i FROM toks WHERE len(tk) > 0)), kept AS (SELECT doc_id, span_idx, span_text, row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn FROM spans) SELECT d.doc_id, COALESCE(k.t, '') AS text_deduped FROM documents d LEFT JOIN (SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS t FROM kept WHERE rn = 1 GROUP BY 1) k ON d.doc_id = k.doc_id""",
     "t_quota_sample" ->
       "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 50",
     "t_domain_cap" ->

@@ -258,6 +258,51 @@ object Curation {
     * (`array_join` over the token slice) plus (doc_id, chunk_idx, tok_from,
     * n_take) for writers that carry offsets instead of text.
     */
+  /** Span-level dedup (the C4 curation move): split every document into
+    * consecutive `spanTokens`-token spans, drop every span whose exact text
+    * already occurred EARLIER in the corpus (first occurrence wins, ordered
+    * by (id, span position)), and reassemble each document from its
+    * surviving spans. Kills boilerplate repeated ACROSS documents (headers,
+    * navigation, license blocks) that document-level dedup can't touch —
+    * without dropping whole documents.
+    *
+    * Scale shape: one explode to (id, span_idx, span_text); the only
+    * duplicate decision is a window over span-text HASH (the shuffle key is
+    * a 64-bit hash + the tiny keeper ordinal, never full spans twice);
+    * reassembly is a groupBy(id) of surviving spans. Empty documents keep a
+    * row with empty text (re-anchored on the full id set).
+    */
+  def dropDuplicateSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanTokens: Int
+  ): DataFrame = {
+    require(spanTokens > 0)
+    val k = spanTokens.toLong
+    val spans = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).cast("long").as("__nt"))
+      .filter(col("__nt") > 0L)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, (__nt - 1) div $k), i -> " +
+            s"array_join(slice(__toks, cast(i * $k + 1 as int), $k), ' '))"))
+          .as(Seq("span_idx", "span_text")))
+    val w = Window.partitionBy(xxhash64(col("span_text")))
+      .orderBy(col(idCol), col("span_idx"))
+    val kept = spans.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("span_idx"), col("span_text")))),
+          s => s.getField("span_text")), " ").as("text_deduped"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   def chunkDocuments(
       docs: DataFrame,
       textCol: String,

@@ -202,4 +202,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains(2L) && !got.contains(4L))
     assert(got(1L) > 0 && got(3L) > 0)
   }
+
+  test("span dedup drops repeated spans corpus-wide, first occurrence wins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // spans (k=3): [a b c] [d e f]
+      (2L, "a b c x y z"),       // [a b c] repeats doc 1 → dropped; [x y z] kept
+      (3L, "x y z"),             // repeats doc 2's span → dropped entirely
+      (4L, "")                   // empty doc keeps an empty row
+    ).toDF("doc_id", "text")
+    val got = Curation.dropDuplicateSpans(docs, "text", "doc_id", spanTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "a b c d e f",
+      2L -> "x y z",
+      3L -> "",
+      4L -> ""))
+  }
 }
