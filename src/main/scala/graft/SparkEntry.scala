@@ -665,6 +665,19 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
     }),
+    // bloom-pruned join must also be a drop-in: the filter only removes
+    // provably-unmatched big rows before the shuffle, so the plain-join
+    // oracle hash-matches exactly
+    "j12_bloom_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val p = t(s, d, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.operators.BloomJoin.bloomPrunedJoin(li, p, Seq("partkey"),
+          expectedItems = 10000L, fpp = 0.01)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
     // --- multimodal (rows-only: features are real imageio decodes) ----------
     "m_media_features" -> ((s, d) => {
       import s.implicits._
@@ -954,6 +967,8 @@ object SparkEntry {
       s"""WITH clusters AS ($DupClusterClosureSql) SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc AND c.doc != c.cluster WHERE c.doc IS NULL""",
     "j11_salted_join" ->
       "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",
+    "j12_bloom_join" ->
+      "SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_size = 1 GROUP BY 1",
     "s_knn_brute" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // nprobe = #centroids probes every bucket → identical to brute force
