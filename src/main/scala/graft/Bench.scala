@@ -13,7 +13,8 @@ object Bench {
     * anchoring the LSH paths to an exact oracle at small scale.
     */
   val ValidationOnly: Set[String] =
-    Set("d_jaccard_brute", "d_jaccard_char", "d_dup_clusters", "d_embed_brute")
+    Set("d_jaccard_brute", "d_jaccard_char", "d_dup_clusters", "d_embed_brute",
+      "d_semantic_keepers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -729,6 +729,14 @@ object SparkEntry {
     "d_embed_neardup" -> ((s, d) =>
       Dedup.embeddingDuplicatePairs(tb(s, d, "embeddings"), "embedding", "vec_id",
         threshold = 0.4, planes = 4)),
+    // SemDeDup keeper selection, exact-pair-fed so the recursive-CTE closure
+    // oracle applies (validation-only in bench: the pair stage is O(n²); the
+    // production path is semanticKeepers(exact = false), LSH-fed, pinned to
+    // this one by the planted-duplicate spec)
+    "d_semantic_keepers" -> ((s, d) =>
+      Dedup.semanticKeepers(tb(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4, exact = true)
+        .select(col("vec_id"))),
     // --- similarity ---------------------------------------------------------
     "s_knn_brute" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
@@ -962,6 +970,10 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
     "d_embed_brute" ->
       "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+    // SemDeDup survivors = embeddings minus non-minimum members of each
+    // cosine-pair connected component (same closure shape as d_keepers)
+    "d_semantic_keepers" ->
+      """WITH RECURSIVE pairs AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4), edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs), reach(src, dst) AS (SELECT a, a FROM edges UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), clusters AS (SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1) SELECT v.vec_id FROM embeddings v LEFT JOIN clusters c ON v.vec_id = c.doc AND c.doc != c.cluster WHERE c.doc IS NULL""",
     // keepers = all documents minus each cluster's non-minimum members
     "d_keepers" ->
       s"""WITH clusters AS ($DupClusterClosureSql) SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc AND c.doc != c.cluster WHERE c.doc IS NULL""",

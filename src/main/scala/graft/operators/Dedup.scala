@@ -556,4 +556,49 @@ object Dedup {
         Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Exact-cosine pair generation: every (id_a < id_b) pair with
+    * cosine ≥ threshold. O(n²) — the validation oracle for the LSH path,
+    * never the production path.
+    */
+  def embeddingPairsBruteForce(
+      embs: DataFrame, vecCol: String, idCol: String, threshold: Double): DataFrame = {
+    val a = embs.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
+    val b = embs.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Semantic dedup (the SemDeDup curation move): keep one representative
+    * per cluster of cosine-near-duplicate embeddings — the minimum id — and
+    * every embedding outside any cluster. Returns the surviving rows of
+    * `embs` unchanged.
+    *
+    * Pair generation is pluggable because recall/cost differ by regime:
+    * `exact = true` compares all pairs (O(n²) — the small-scale oracle);
+    * the default routes through random-hyperplane LSH buckets
+    * ([[embeddingDuplicatePairs]]) so candidate generation is a bucket
+    * equi-join. At production thresholds (SemDeDup uses ≥ 0.95, i.e. near-
+    * parallel vectors) bucket agreement is near-certain, so LSH recall is
+    * effectively 1; the spec pins LSH ≡ brute on planted duplicate groups.
+    * Clustering and keeper selection are [[duplicateClusters]] /
+    * [[dropNearDuplicates]] — same scale shape as the text path.
+    */
+  def semanticKeepers(
+      embs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      exact: Boolean = false,
+      planes: Int = 12
+  ): DataFrame = {
+    val pairs =
+      if (exact) embeddingPairsBruteForce(embs, vecCol, idCol, threshold)
+      else embeddingDuplicatePairs(embs, vecCol, idCol, threshold, planes)
+        .select(col("doc_a"), col("doc_b"))
+    dropNearDuplicates(embs, pairs, idCol)
+  }
 }

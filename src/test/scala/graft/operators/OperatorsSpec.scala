@@ -189,6 +189,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("semanticKeepers: LSH-fed equals exact-fed on planted duplicate groups") {
+    // three duplicate groups (identical vectors — cosine 1, so hyperplane
+    // buckets agree regardless of plane count) + orthogonal-ish singletons
+    val groups = (0 until 3).flatMap { g =>
+      val base = Array.tabulate(16)(i =>
+        math.sin((g + 1) * (i + 3) * 1.7).toFloat)
+      (0 until 3).map(m => (g * 10L + m, base))
+    }
+    val singles = Seq(
+      (100L, Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f)),
+      (101L, Array.tabulate(16)(i => if (i % 3 == 0) 1f else 0f)))
+    val embs = (groups ++ singles).toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.semanticKeepers(embs, "embedding", "vec_id",
+      threshold = 0.95, exact = true))
+    val lsh = ids(Dedup.semanticKeepers(embs, "embedding", "vec_id",
+      threshold = 0.95, exact = false, planes = 12))
+    assert(exact == Set(0L, 10L, 20L, 100L, 101L)) // min id per group + singletons
+    assert(lsh == exact)
+  }
+
   test("brute-force top-k: self excluded, ranked by cosine, k respected") {
     val embs = Seq(
       (1L, Array(1f, 0f, 0f)),
