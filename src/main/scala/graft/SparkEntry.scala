@@ -427,6 +427,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       graft.streaming.EventStream.runToCompletion(s, enriched, "e_stream_enrich")
     }),
+    // stream-stream interval join: purchases attributed to same-user clicks
+    // within the preceding hour — both sides are streams, matched in keyed
+    // join state bounded by watermark + range; equals the batch interval
+    // join (oracle)
+    "e_stream_join" -> ((s, d) => {
+      val clicks = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val purchases = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      val joined = graft.streaming.EventStream.intervalJoin(
+        clicks, purchases, "user_id", "p_user", "click_ts", "purchase_ts",
+        maxLagSeconds = 3600, watermarkDelay = "1 hour")
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+          col("purchase_value"))
+      graft.streaming.EventStream.runAppendToCompletion(s, joined, "e_stream_join")
+    }),
     // at-least-once delivery simulated by self-union (every event delivered
     // twice), restored to effectively-once by watermark-scoped streaming
     // dedup — final per-type counts equal the plain batch counts (oracle)
@@ -896,6 +915,8 @@ object SparkEntry {
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     "e_stream_enrich" ->
       "SELECT c_mktsegment, event_type, count(*) AS n, sum(value) AS sum_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2",
+    "e_stream_join" ->
+      "SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR",
     // batch sessions, minus open tails: a session is emitted iff it has a
     // successor (rn > 1 from the end) or its ms-rounded-up timeout deadline
     // is strictly behind the final watermark (max ts, ms-floored, 0s delay)

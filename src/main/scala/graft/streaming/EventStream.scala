@@ -78,6 +78,38 @@ object EventStream {
     // name exists on both sides
     events.join(broadcast(dim), events.col(eventKey) === dim.col(dimKey), joinType)
 
+  /** Stream-stream event-time interval join: right-side events matched to
+    * left-side events of the same key within `[leftTs, leftTs + maxLag]`
+    * (attribution: purchases to the clicks they follow). Both sides are
+    * streams — unlike [[enrichWithDim]] neither fits in a broadcast, so
+    * each side is shuffled ONCE on its key and matching happens in the
+    * join's keyed state store.
+    *
+    * The watermark + time-range condition are what make this bounded at
+    * scale: Spark derives each side's state retention from them (a left row
+    * is evictable once the right watermark passes `leftTs + maxLag`), so
+    * state holds only the lag window per key, not the stream's history.
+    * Inner join emits exactly the pairs the equivalent batch join would —
+    * late data beyond the watermark is dropped, the standard trade
+    * (`e_stream_join` oracle-matches the batch interval join).
+    *
+    * Callers project both sides to disjoint column names first (the join
+    * condition references columns by bare name).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxLagSeconds: Long,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxLagSeconds SECONDS"))
+  }
+
   // ----------------------------------------------------------------- windows
 
   /** Tumbling-window counts per event type. On a stream, `watermark` bounds
@@ -261,6 +293,20 @@ object EventStream {
     val q = agg.writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** [[runToCompletion]] for append-mode plans (stream-stream joins, which
+    * reject Complete mode). The memory sink accumulates appended rows across
+    * micro-batches; AvailableNow drains the finite source.
+    */
+  def runAppendToCompletion(spark: SparkSession, plan: DataFrame, name: String): DataFrame = {
+    val q = plan.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -160,6 +160,48 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       .count() > 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 09:00:00"))).toDF("user_id", "click_ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 5.0),  // within 1h of click 1
+      (1L, ts("2024-01-01 11:30:00"), 6.0),  // matches neither (>1h, before 2nd)
+      (1L, ts("2024-01-01 12:00:00"), 7.0),  // boundary: lag 0 of click 2
+      (2L, ts("2024-01-01 10:00:00"), 8.0),  // boundary: exactly +1h
+      (3L, ts("2024-01-01 10:00:00"), 9.0))  // no click for user 3
+      .toDF("p_user", "purchase_ts", "purchase_value")
+    val memC = MemoryStream[(Long, java.sql.Timestamp)]
+    val memP = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    memC.addData(Seq((1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00")), (2L, ts("2024-01-01 09:00:00"))): _*)
+    memP.addData(Seq(
+      (1L, ts("2024-01-01 10:30:00"), 5.0), (1L, ts("2024-01-01 11:30:00"), 6.0),
+      (1L, ts("2024-01-01 12:00:00"), 7.0), (2L, ts("2024-01-01 10:00:00"), 8.0),
+      (3L, ts("2024-01-01 10:00:00"), 9.0)): _*)
+    val streamed = runAppendToCompletion(spark,
+      intervalJoin(
+        memC.toDS().toDF("user_id", "click_ts"),
+        memP.toDS().toDF("p_user", "purchase_ts", "purchase_value"),
+        "user_id", "p_user", "click_ts", "purchase_ts", 3600),
+      "sj_out")
+      .select("user_id", "click_ts", "purchase_ts", "purchase_value")
+      .collect().map(_.toSeq).toSet
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 3600 SECONDS"))
+      .select("user_id", "click_ts", "purchase_ts", "purchase_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // both inclusive boundaries present; unmatched users absent
+    assert(batch.exists(r => r(3) == 7.0) && batch.exists(r => r(3) == 8.0))
+    assert(!batch.exists(r => r(3) == 6.0) && !batch.exists(r => r(3) == 9.0))
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
