@@ -538,6 +538,14 @@ object SparkEntry {
     // top-3 characteristic terms per doc by tf-idf
     "t_tfidf_top" -> ((s, d) =>
       TextOps.tfIdfTopTerms(tb(s, d, "documents"), "text", "doc_id", k = 3)),
+    // corpus-wide top-50 bigrams, exact (explode -> partial-agg -> top-k)
+    "t_ngram_top" -> ((s, d) =>
+      graft.operators.Sketches.ngramTop(tb(s, d, "documents"), "text", n = 2, k = 50)),
+    // Misra-Gries heavy hitters in the exact regime (capacity >= the 31-token
+    // vocabulary), so the sketch equals the true top-20 token counts
+    "t_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketches.heavyHitters(tb(s, d, "documents"), "text",
+        capacity = 256, k = 20)),
     // C4-style span dedup: 8-token spans, first corpus occurrence wins,
     // documents reassembled from surviving spans
     "t_span_dedup" -> ((s, d) =>
@@ -924,6 +932,10 @@ object SparkEntry {
       """WITH sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess), wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events) SELECT user_id, session_start, session_end, n_events FROM (SELECT s.*, row_number() OVER (PARTITION BY user_id ORDER BY session_end DESC) AS rn FROM sess s) s2, wm WHERE rn > 1 OR (epoch_us(session_end) + 1800 * 1000000 + 999) // 1000 < wm_ms""",
     "t_token_count" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
+    "t_ngram_top" ->
+      """WITH tk AS (SELECT list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i] || ' ' || tk[i+1])) AS ngram FROM tk) SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 50""",
+    "t_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS token FROM documents) SELECT token, count(*) AS n FROM tok GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
     "t_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(text || chr(9) || chr(7) || '  tail' || ' ' || chr(159), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g')) AS norm FROM documents""",
     "t_redact_pii" ->

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators: exact n-gram frequencies (the declarative
+  * path — partial aggregation makes the shuffle carry one row per distinct
+  * n-gram per partition) and a Misra–Gries heavy-hitters sketch (the
+  * bounded-memory path for when the distinct universe itself is too large
+  * to shuffle).
+  */
+object Sketches {
+
+  /** All word n-grams of a token array, NON-distinct (each occurrence
+    * counts — unlike [[TextOps.shingles]], whose distinctness is the set
+    * semantics dedup wants). Same short-doc guard: `sequence` descends when
+    * the doc is shorter than n, fabricating garbage without it.
+    */
+  def ngramOccurrences(tokenArr: Column, n: Int): Column = {
+    require(n >= 1)
+    val m = size(tokenArr) - (n - 1)
+    when(m > 0,
+      transform(sequence(lit(1), m), i => array_join(slice(tokenArr, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact corpus-wide top-k n-grams by occurrence count, total-ordered
+    * (count desc, n-gram asc) so the cut at k is deterministic.
+    *
+    * Scale shape: explode → hash aggregate. Partial (map-side) aggregation
+    * means the shuffle moves one row per distinct n-gram per input
+    * partition, not one per occurrence; the final top-k is a
+    * TakeOrdered over the aggregated frame — no global sort materialized.
+    */
+  def ngramTop(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs
+      .select(explode(ngramOccurrences(TextOps.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+
+  /** Misra–Gries frequency summary: at most `capacity` counters per
+    * partition, merged pairwise (Agarwal et al., "Mergeable Summaries",
+    * PODS'12: sum counters, subtract the (capacity+1)-th largest, drop
+    * non-positive). Each stored count undercounts by at most
+    * N/(capacity+1); every token with true frequency above that bound is
+    * guaranteed present. When `capacity` ≥ the distinct-token count the
+    * decrement branches never fire and the summary is EXACT — the regime
+    * the oracle pins (`t_heavy_hitters`); production use on open
+    * vocabularies is the approximate regime, where shuffling the full
+    * distinct universe (ngramTop's shape) is what this avoids.
+    */
+  class MisraGriesAgg(capacity: Int)
+      extends Aggregator[Seq[String], Map[String, Long], Map[String, Long]] {
+    require(capacity > 0)
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], tokens: Seq[String]): Map[String, Long] = {
+      val m = scala.collection.mutable.HashMap.from(b)
+      tokens.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1L)
+          case None if m.size < capacity => m.update(t, 1L)
+          case None => // decrement-all step: the new token and one unit of
+            // every stored counter annihilate; zeros drop out
+            m.mapValuesInPlace((_, c) => c - 1L)
+            m.filterInPlace((_, c) => c > 0L)
+        }
+      }
+      m.toMap
+    }
+
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val summed = scala.collection.mutable.HashMap.from(b1)
+      b2.foreach { case (t, c) => summed.update(t, summed.getOrElse(t, 0L) + c) }
+      if (summed.size <= capacity) summed.toMap
+      else {
+        // (capacity+1)-th largest count; subtracting it leaves at most
+        // `capacity` strictly-positive counters
+        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        summed.mapValuesInPlace((_, c) => c - cut)
+        summed.filterInPlace((_, c) => c > 0L)
+        summed.toMap
+      }
+    }
+
+    override def finish(m: Map[String, Long]): Map[String, Long] = m
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+  }
+
+  /** Top-k tokens by Misra–Gries summary count (see [[MisraGriesAgg]] for
+    * the exact-vs-approximate regimes), total-ordered like [[ngramTop]].
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, capacity: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val summary: org.apache.spark.sql.Dataset[Map[String, Long]] = docs
+      .select(TextOps.tokens(col(textCol)).as("toks"))
+      .as[Seq[String]]
+      .select(new MisraGriesAgg(capacity).toColumn)
+    summary
+      .flatMap(_.toSeq)
+      .toDF("token", "n")
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("ngramTop: exact bigram counts, short docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: [a b] [b a] [a b] [b c]
+      (2L, "a b"),       // [a b]
+      (3L, "x"),         // too short for bigrams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Sketches.ngramTop(docs, "text", n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // count-desc, then ngram-asc for the tied 1-counts
+    assert(got == List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("heavy hitters exact regime: capacity >= distinct equals true counts") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i =>
+      (i.toLong, if (i % 5 == 0) "common rare" else "common common other"))
+      .toDF("doc_id", "text").repartition(8) // force multi-partition merge
+    val got = Sketches.heavyHitters(docs, "text", capacity = 16, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // common: 40 docs x 2 + 10 docs x 1 = 90; other: 40; rare: 10
+    assert(got == List(("common", 90L), ("other", 40L), ("rare", 10L)))
+  }
+
+  test("heavy hitters approximate regime: undercount bounded by N/(cap+1)") {
+    import spark.implicits._
+    // 26 distinct tokens, capacity 8: heavy token must survive with a
+    // count no lower than true - N/(capacity+1)
+    val heavy = Seq.fill(200)("zz")
+    val noise = (0 until 26).flatMap(i => Seq.fill(10)(('a' + i).toChar.toString))
+    val docs = scala.util.Random.shuffle(heavy ++ noise).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .repartition(4)
+    val n = 200 + 26 * 10
+    val got = Sketches.heavyHitters(docs, "text", capacity = 8, k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.contains("zz"))
+    assert(got("zz") <= 200L && got("zz") >= 200L - n / 9L)
+  }
+}
