@@ -538,6 +538,14 @@ object SparkEntry {
     // top-3 characteristic terms per doc by tf-idf
     "t_tfidf_top" -> ((s, d) =>
       TextOps.tfIdfTopTerms(tb(s, d, "documents"), "text", "doc_id", k = 3)),
+    // inverted index rows; postings rendered "doc:tf doc:tf" (the driver's
+    // compare can't hash array columns)
+    "t_inverted_index" -> ((s, d) =>
+      TextOps.invertedIndex(tb(s, d, "documents"), "text", "doc_id")
+        .select(col("term"), col("df"), col("total_tf"),
+          array_join(transform(col("postings"),
+            p => concat(p.getField("doc").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), " ").as("postings"))),
     // corpus-wide top-50 bigrams, exact (explode -> partial-agg -> top-k)
     "t_ngram_top" -> ((s, d) =>
       graft.operators.Sketches.ngramTop(tb(s, d, "documents"), "text", n = 2, k = 50)),
@@ -932,6 +940,8 @@ object SparkEntry {
       """WITH sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess), wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events) SELECT user_id, session_start, session_end, n_events FROM (SELECT s.*, row_number() OVER (PARTITION BY user_id ORDER BY session_end DESC) AS rn FROM sess s) s2, wm WHERE rn > 1 OR (epoch_us(session_end) + 1800 * 1000000 + 999) // 1000 < wm_ms""",
     "t_token_count" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
+    "t_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS term FROM documents), tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2) SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf, string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings FROM tf GROUP BY 1""",
     "t_ngram_top" ->
       """WITH tk AS (SELECT list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i] || ' ' || tk[i+1])) AS ngram FROM tk) SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 50""",
     "t_heavy_hitters" ->

@@ -177,6 +177,39 @@ object TextOps {
       .select(col(idCol), col("term"), col("rank"))
   }
 
+  /** Inverted index: one row per term with document frequency, total term
+    * frequency, and the postings list — (doc, tf) sorted by doc id — the
+    * core retrieval / BM25-precursor structure.
+    *
+    * Scale shape: explode → (term, doc) partial-aggregated tf → one
+    * aggregate keyed on term. The shuffle carries (term, doc, tf) triples,
+    * never text. The one genuine hazard at corpus scale is posting-list
+    * skew: a stopword's list is O(corpus) and `collect_list` materializes
+    * it in a single aggregation buffer. `maxPostings` caps the materialized
+    * list (lowest doc ids kept, the stable prefix); `df`/`total_tf` stay
+    * exact either way because they aggregate before the cap. Production
+    * indexes shard long lists instead — the cap is the honest single-table
+    * rendering of that.
+    */
+  def invertedIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      maxPostings: Int = Int.MaxValue
+  ): org.apache.spark.sql.DataFrame = {
+    require(maxPostings > 0)
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        slice(array_sort(collect_list(struct(col("doc"), col("tf")))),
+          1, maxPostings).as("postings"))
+  }
+
   /** Within-document repetition signals — the Gopher/C4 quality-filter
     * family: the share of tokens taken by the single most frequent token,
     * and the share of adjacent bigrams that are repeats. Boilerplate-heavy

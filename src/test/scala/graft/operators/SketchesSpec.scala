@@ -20,6 +20,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(got == List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("inverted index: postings sorted by doc, tf exact, cap keeps prefix") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "b a b"),
+      (1L, "a b a"),
+      (2L, "a x")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.invertedIndex(docs, "text", "doc_id")
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getSeq[org.apache.spark.sql.Row](3).map(p => (p.getLong(0), p.getLong(1))))
+      }.toMap
+    assert(rows("a") == ((3L, 4L, Seq((1L, 2L), (2L, 1L), (3L, 1L)))))
+    assert(rows("b") == ((2L, 3L, Seq((1L, 1L), (3L, 2L)))))
+    assert(rows("x") == ((1L, 1L, Seq((2L, 1L)))))
+    val capped = TextOps.invertedIndex(docs, "text", "doc_id", maxPostings = 2)
+      .filter(col("term") === "a").collect().head
+    assert(capped.getLong(1) == 3L && capped.getLong(2) == 4L) // df/tf exact
+    assert(capped.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(0)) == Seq(1L, 2L))
+  }
+
   test("heavy hitters exact regime: capacity >= distinct equals true counts") {
     import spark.implicits._
     val docs = (1 to 50).map(i =>
