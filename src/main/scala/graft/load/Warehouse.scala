@@ -68,4 +68,53 @@ object Warehouse {
       .sortWithinPartitions(cols: _*)
       .write.mode(mode).parquet(path)
   }
+
+  /** Z-order (Morton-curve) layout over 2+ numeric columns: every output
+    * file covers a SMALL min/max box on EVERY z-dimension, so parquet file
+    * stats prune scans filtered on any of them — [[writeRangeLayout]]
+    * concentrates one column's range per file but leaves the others spread
+    * across the full domain, which prunes nothing for queries on a
+    * secondary column.
+    *
+    * Mechanics: each column is rank-normalized into `2^bitsPerDim` cells
+    * using approx-quantile boundaries (rank, not min/max scaling — a skewed
+    * or heavy-tailed column still spreads across all cells); cell indices
+    * are bit-interleaved into one long z-value; the write is a range layout
+    * on that z-value. Cost at corpus scale: one quantile-sketch pass per
+    * column (driver holds 2^bitsPerDim doubles per dim), then a per-row
+    * O(2^bitsPerDim) boundary scan — keep `bitsPerDim` modest (the default
+    * 6 → 64 cells/dim resolves 4096 distinct files for 2 dims, plenty,
+    * since the z-value only needs to out-resolve the file count).
+    */
+  def writeZOrderLayout(
+      df: DataFrame, path: String, zCols: Seq[String], partitions: Int,
+      bitsPerDim: Int = 6, mode: String = "overwrite"): Unit = {
+    // named imports: functions.mode would shadow the `mode` parameter
+    import org.apache.spark.sql.functions.{bitwise_not => _, mode => _, _}
+    require(zCols.size >= 2, "z-order needs >= 2 columns (use writeRangeLayout for 1)")
+    require(bitsPerDim >= 1 && bitsPerDim * zCols.size <= 63,
+      s"bitsPerDim * dims must fit a long (got $bitsPerDim x ${zCols.size})")
+    require(partitions > 0)
+    val cells = 1 << bitsPerDim
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
+    val nDims = zCols.size
+    // one quantile-sketch job per column, up front; rank cell of a value =
+    // how many boundaries it exceeds (nulls sort to cell 0)
+    val cellCols = zCols.map { c =>
+      val bounds = typedlit(df.stat.approxQuantile(c, probs, 0.001).toSeq)
+      size(filter(bounds, b => col(c).cast("double") > b))
+    }
+    val zval = (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, bit) =>
+      cellCols.zipWithIndex.foldLeft(acc) { case (a, (cell, d)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(cell, bit).bitwiseAND(lit(1)).cast("long"),
+          bit * nDims + (nDims - 1 - d)))
+      }
+    }
+    df.withColumn("__z", zval)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
 }

@@ -81,4 +81,46 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     // and nothing was lost in the re-layout
     assert(spark.read.parquet(dir).count() == 2000)
   }
+
+  test("z-order layout bounds per-file ranges on BOTH dims; linear layout does not") {
+    import org.apache.spark.sql.functions.{min, max, input_file_name}
+    import spark.implicits._
+    // 64x64 grid, shuffled: a box query on (x, y) should touch few files
+    val grid = scala.util.Random.shuffle(
+      (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)).toList)
+      .toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString + "/t"
+    Warehouse.writeZOrderLayout(grid, zDir, Seq("x", "y"), partitions = 16, bitsPerDim = 6)
+    Warehouse.writeRangeLayout(grid, linDir, Seq("x"), partitions = 16)
+
+    def fileRanges(dir: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+
+    val zRanges = fileRanges(zDir)
+    assert(zRanges.size >= 8)
+    // every z-file's box is narrow on BOTH dims: with 16 files over a 64x64
+    // grid each file holds ~256 cells = a ~16x16 z-box (plus quantile-edge
+    // slack). Half-domain width is a conservative bound that linear layout
+    // makes no attempt to meet.
+    zRanges.foreach { case (x0, x1, y0, y1) =>
+      assert(x1 - x0 <= 32, s"x range too wide: [$x0,$x1]")
+      assert(y1 - y0 <= 32, s"y range too wide: [$y0,$y1]")
+    }
+    // linear layout: x is concentrated but y spans the full domain per file
+    val linRanges = fileRanges(linDir)
+    assert(linRanges.forall { case (_, _, y0, y1) => y1 - y0 >= 60 })
+    // file-skipping evidence: fraction of files overlapping a 8x8 box query
+    val box = (x0: Long, x1: Long, y0: Long, y1: Long) =>
+      !(x1 < 24 || x0 > 31 || y1 < 24 || y0 > 31)
+    val zTouched = zRanges.count((box.apply _).tupled)
+    val linTouched = linRanges.count((box.apply _).tupled)
+    assert(zTouched < linTouched,
+      s"z-order should touch fewer files ($zTouched vs $linTouched)")
+    assert(spark.read.parquet(zDir).count() == 64L * 64L)
+  }
 }
