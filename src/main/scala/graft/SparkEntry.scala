@@ -409,6 +409,14 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"))),
+    // ordered conversion funnel: each stage requires an event strictly after
+    // the user's earliest completion of the previous stage
+    "e_funnel" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnel(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+    // first-seen-day cohorts × day offset distinct-user retention grid
+    "e_retention" -> ((s, d) =>
+      graft.operators.EventAnalytics.retention(t(s, d, "events"), "user_id", "ts")),
     "e_stream_window" -> ((s, d) => {
       val stream = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
       graft.streaming.EventStream.runToCompletion(s,
@@ -538,6 +546,11 @@ object SparkEntry {
     // top-3 characteristic terms per doc by tf-idf
     "t_tfidf_top" -> ((s, d) =>
       TextOps.tfIdfTopTerms(tb(s, d, "documents"), "text", "doc_id", k = 3)),
+    // corpus-trained bigram LM, self-scored: the distributable perplexity
+    // proxy for quality filtering (sum order differs from the oracle only in
+    // float ulps — inside the verifier's 6-sig-digit canonicalization)
+    "t_lm_score" -> ((s, d) =>
+      graft.operators.NgramLm.selfScore(tb(s, d, "documents"), "text", "doc_id")),
     // inverted index rows; postings rendered "doc:tf doc:tf" (the driver's
     // compare can't hash array columns)
     "t_inverted_index" -> ((s, d) =>
@@ -665,6 +678,24 @@ object SparkEntry {
         Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
           shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
           .select(col("doc_a"), col("doc_b")))),
+    // alternating large-star/small-star components over the SAME LSH pair
+    // set: the O(log n)-round scale path must land the identical clusters,
+    // so it shares the recursive-CTE closure oracle
+    "d_cc_altstar" -> ((s, d) =>
+      Dedup.connectedComponentsAltStar(
+        Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
+          .select(col("doc_a"), col("doc_b")))),
+    // cluster-aware train/holdout assignment: near-dups never straddle the
+    // split; the mixer replays in SQL so the oracle recomputes every label
+    "d_split_leakfree" -> ((s, d) =>
+      graft.operators.Curation.leakFreeSplit(
+        tb(s, d, "documents"),
+        Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_id", numer = 4, denom = 5)
+        .select(col("doc_id"), col("split"))),
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3, reuseSketches = true)),
     // exact-cosine pair oracle for the embedding near-dup path (O(n²),
@@ -925,6 +956,10 @@ object SparkEntry {
       "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod, count(*) AS n FROM events GROUP BY 1",
     "e_sessionize" ->
       """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess""",
+    "e_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t WHERE e.event_type = 'click' GROUP BY 1), s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, count(*) AS users FROM s1 UNION ALL SELECT 2, count(*) FROM s2 UNION ALL SELECT 3, count(*) FROM s3""",
+    "e_retention" ->
+      """WITH firsts AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1) SELECT f.cohort, datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset, count(DISTINCT e.user_id) AS users FROM events e JOIN firsts f ON e.user_id = f.u GROUP BY 1, 2""",
     "e_stream_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
     "e_stream_dedup" ->
@@ -979,6 +1014,11 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS nt FROM toks WHERE len(tk) > 0), idx AS (SELECT doc_id, tk, nt, unnest(generate_series(0, CASE WHEN nt > 32 THEN (nt - 32 + 24 - 1) // 24 ELSE 0 END)) AS chunk_idx FROM base) SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_from, least(32, nt - chunk_idx * 24) AS n_take, array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + least(32, nt - chunk_idx * 24)], ' ') AS chunk_text FROM idx""",
     "t_hash_sample" ->
       "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
+    // bigram LM replayed in SQL: same tokenizer, same add-one smoothing; the
+    // self-scored corpus means every doc bigram exists in the model (the
+    // engine's left join and this inner join agree)
+    "t_lm_score" ->
+      """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), bigt AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 2)), bc AS (SELECT w1, w2, count(*) AS c FROM bigt GROUP BY 1, 2), cc AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT t) AS vsz FROM (SELECT unnest(tk) AS t FROM toks)) SELECT b.doc_id, count(*) AS n_bigrams, sum(ln((bc.c + 1.0) / (cc.c1 + v.vsz))) / count(*) AS avg_logp FROM bigt b JOIN bc USING (w1, w2) JOIN cc USING (w1), v GROUP BY 1""",
     "t_span_dedup" ->
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), spans AS (SELECT doc_id, i - 1 AS span_idx, array_to_string(tk[(i-1)*8+1 : least(i*8, len(tk))], ' ') AS span_text FROM (SELECT doc_id, tk, unnest(generate_series(1, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i FROM toks WHERE len(tk) > 0)), kept AS (SELECT doc_id, span_idx, span_text, row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn FROM spans) SELECT d.doc_id, COALESCE(k.t, '') AS text_deduped FROM documents d LEFT JOIN (SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS t FROM kept WHERE rn = 1 GROUP BY 1) k ON d.doc_id = k.doc_id""",
     "t_quota_sample" ->
@@ -1005,6 +1045,12 @@ object SparkEntry {
     // the LSH-fed composition converges to the same clusters (recall 1.0
     // at this threshold/banding), so it shares the closure oracle
     "d_dup_clusters_lsh" -> DupClusterClosureSql,
+    // alternating-star components are exactly the same min-label closure
+    "d_cc_altstar" -> DupClusterClosureSql,
+    // split label = portable mixer over the cluster representative (the
+    // closure's min id; singletons hash their own id), 4-in-5 to train
+    "d_split_leakfree" ->
+      s"""WITH clusters AS ($DupClusterClosureSql) SELECT d.doc_id, CASE WHEN (((coalesce(c.cluster, d.doc_id) % 1000003) * 2654435761) % 1000003) % 5 < 4 THEN 'train' ELSE 'holdout' END AS split FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc""",
     // LSH recall is 1.0 at J ≥ 1/2 with 32×2 bands on this corpus (identical
     // signatures always collide; the spec asserts LSH ≡ brute), so the LSH
     // path shares the brute-force oracle — a hash mismatch here would mean

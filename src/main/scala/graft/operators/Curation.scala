@@ -364,4 +364,36 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit"))
   }
+
+  /** Leak-free train/holdout split: a per-document hash split leaks when two
+    * near-duplicate documents land on opposite sides (the holdout is then
+    * effectively in the training set). This splits by DUPLICATE CLUSTER:
+    * every member hashes its cluster representative (singletons: their own
+    * id) through the portable mixer, so near-dups always land together and
+    * the assignment replays identically in any engine.
+    *
+    * `pairs` is any near-dup pair frame (doc_a, doc_b) — LSH-fed in
+    * production. Keeps `numer`/`denom` of clusters in "train", the rest in
+    * "holdout". Returns `docs` plus a `split` column.
+    *
+    * Scale shape: clustering is [[Dedup.duplicateClusters]] (or swap in
+    * [[Dedup.connectedComponentsAltStar]] for chain-heavy graphs); the
+    * assignment itself is one left join of docs against the (tiny relative
+    * to corpus) cluster labels plus a pure filter-stage hash.
+    */
+  def leakFreeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      numer: Int,
+      denom: Int
+  ): DataFrame = {
+    requireIntegralKey(docs, idCol, "leakFreeSplit")
+    val clusters = Dedup.duplicateClusters(pairs)
+    docs.join(clusters, docs(idCol) === clusters("doc"), "left")
+      .withColumn("split",
+        when(pmod(portableHash(coalesce(col("cluster"), col(idCol))),
+          lit(denom.toLong)) < numer.toLong, lit("train")).otherwise(lit("holdout")))
+      .drop("doc", "cluster")
+  }
 }

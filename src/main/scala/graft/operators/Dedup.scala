@@ -524,6 +524,67 @@ object Dedup {
     labels.select(col("doc"), col("label").as("cluster"))
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log² n) rounds REGARDLESS of component
+    * diameter, where min-label propagation ([[duplicateClusters]]) needs
+    * O(diameter) rounds. Dup clusters are clique-like (diameter 2-3), so
+    * propagation wins there; this is the scale path when the pair graph
+    * chains — span-overlap graphs, URL-link dedup, adversarial templates —
+    * and a long chain at corpus scale would turn per-round shuffles into
+    * hundreds of sequential jobs. Same output contract as
+    * [[duplicateClusters]]: (doc, cluster = min reachable id).
+    *
+    * Each round is two grouped-min shuffles over the edge set; edges only
+    * ever carry (long, long) ids. Fixpoint = edge set unchanged (checked
+    * with two anti-joins on the checkpointed frames, one job each).
+    */
+  def connectedComponentsAltStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val verts = pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+      .localCheckpoint(true)
+    // canonical directed form: u > v, edges point from the larger id down
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: group the closed neighborhood at each node (neighbors
+      // from BOTH directions); every strictly-larger neighbor connects to
+      // the neighborhood minimum. Skew-safe: a hub node's group computes one
+      // min, not a pairwise product.
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbrs.join(lmins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: group each (u > v) edge at its larger endpoint; u and
+      // all its smaller neighbors connect to the minimum neighbor
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+      val next = small.localCheckpoint(true)
+      val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count()
+      val shrank = edges.join(next, Seq("u", "v"), "left_anti").limit(1).count()
+      edges = next
+      converged = grew + shrank == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsAltStar did not converge within maxIter=$maxIter rounds")
+    // fixpoint is a star forest: every non-root has exactly one edge to its
+    // component min; roots (the mins themselves) have none
+    verts.join(edges, verts("doc") === edges("u"), "left")
+      .select(col("doc"), coalesce(col("v"), col("doc")).as("cluster"))
+  }
+
   /** Survivors after near-dup clustering: docs that are either outside any
     * cluster or their cluster's minimum id.
     */

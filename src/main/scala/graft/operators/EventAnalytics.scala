@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over event streams: ordered-funnel conversion and cohort
+  * retention — the two queries every product-events warehouse runs daily,
+  * and natural companions to the engine's sessionization
+  * ([[graft.streaming.EventStream]]).
+  *
+  * Design for 100 TB: both operators shuffle on the user key only (events
+  * never self-join on time windows), and every stage of the funnel keys the
+  * SAME column, so Catalyst reuses one hash-partitioning across the chained
+  * joins instead of re-exchanging per stage.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each stage i, the number of users who completed
+    * stages 0..i IN ORDER — a user reaches stage i+1 only with a qualifying
+    * event strictly after their earliest completion of stage i (the classic
+    * "view → click → purchase" conversion measure; out-of-order events don't
+    * count).
+    *
+    * Shape: stage 0 is one grouped min over the filtered events; each later
+    * stage is an equi-join of the (small, shrinking) reached-set against the
+    * stage's filtered events plus a grouped min — all keyed on the user
+    * column. Returns (stage: 1-based Int, users: Long).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var reached = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+    def stageCount(i: Int, r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), col("users"))
+    val counts = Seq.newBuilder[DataFrame]
+    counts += stageCount(0, reached)
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u2"), col(tsCol).as("ts2"))
+        .join(reached, col("u2") === col("u") && col("ts2") > col("t"))
+        .groupBy(col("u2").as("u")).agg(min(col("ts2")).as("t"))
+      counts += stageCount(i, reached)
+    }
+    counts.result().reduce(_ union _)
+  }
+
+  /** Cohort retention: users cohorted by their first-seen day; for every
+    * (cohort day, day offset) cell, the number of distinct cohort users
+    * active that many days after their first day. The day-0 diagonal is the
+    * cohort size.
+    *
+    * Shape: one grouped min for first-seen, one equi-join back on the user
+    * key (the first-seen frame is per-user — small relative to events;
+    * Catalyst/AQE broadcasts it when it fits), one distinct-count aggregate.
+    * Returns (cohort: Date, day_offset: Int, users: Long).
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol).as("u"))
+      .agg(min(to_date(col(tsCol))).as("cohort"))
+    events.select(col(userCol).as("u2"), to_date(col(tsCol)).as("day"))
+      .join(firsts, col("u2") === col("u"))
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count_distinct(col("u")).as("users"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel counts users per stage, in order only") {
+    // u1 completes all three in order; u2 views then purchases (no click —
+    // stops at stage 1); u3 clicks BEFORE viewing (the out-of-order click
+    // must not count) then clicks again after; u4 never views
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (2L, ts("2024-01-01 11:30:00"), "purchase"),
+      (3L, ts("2024-01-01 09:00:00"), "click"),
+      (3L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 09:45:00"), "click"),
+      (4L, ts("2024-01-01 12:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel stage boundary is strict: same-timestamp events do not advance") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click") // not strictly after the view
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("retention grids distinct users by cohort day and offset") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // u1 cohort Jan 1
+      (1L, ts("2024-01-02 10:00:00")), // active day 1
+      (1L, ts("2024-01-02 18:00:00")), // same day — still ONE distinct user
+      (2L, ts("2024-01-01 12:00:00")), // u2 cohort Jan 1, never returns
+      (3L, ts("2024-01-02 09:00:00")), // u3 cohort Jan 2
+      (3L, ts("2024-01-04 09:00:00"))  // active day 2
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.retention(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 2) -> 1L))
+  }
+
+  test("bigram LM self-score matches the hand-computed smoothed probabilities") {
+    // corpus: "a b a b", "a c", "solo". vocab = {a,b,c,solo} → V=4
+    // bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; contexts: a=3, b=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = NgramLm.selfScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1 bigrams: (a,b),(b,a),(a,b) → ln(3/7), ln(2/5), ln(3/7)
+    val d1 = (math.log(3.0 / 7) + math.log(2.0 / 5) + math.log(3.0 / 7)) / 3
+    // doc 2: (a,c) → ln(2/7)
+    val d2 = math.log(2.0 / 7)
+    assert(got.keySet == Set(1L, 2L)) // "solo" has no bigrams → unscorable
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - d1) < 1e-12)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - d2) < 1e-12)
+  }
+
+  test("corpus-trained LM scores unseen documents via smoothing") {
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = NgramLm.train(train, "text", "doc_id")
+    // "x y": both bigram and context unseen → ln((0+1)/(0+3))
+    val got = NgramLm.score(Seq((9L, "x y")).toDF("doc_id", "text"),
+        model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(9L) - math.log(1.0 / 3)) < 1e-12)
+  }
+
+  test("leak-free split never separates near-duplicate pairs") {
+    // 60 docs, pair graph linking i and i+30 (30 clusters of 2)
+    val docs = (0L until 60L).toDF("doc_id")
+    val pairs = (0L until 30L).map(i => (i, i + 30)).toDF("doc_a", "doc_b")
+    val split = Curation.leakFreeSplit(docs, pairs, "doc_id", numer = 1, denom = 2)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(split.size == 60)
+    for (i <- 0L until 30L) assert(split(i) == split(i + 30), s"pair $i split apart")
+    // both labels actually occur (it is a split, not a constant)
+    assert(split.values.toSet == Set("train", "holdout"))
+  }
+}

@@ -107,6 +107,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(clusters.values.forall(_ == 1L))
   }
 
+  test("alternating-star components equal label propagation on chains and forests") {
+    // long chain (the case propagation is worst at), two components, a
+    // self-loop pair, and a hub — altStar must produce identical labels
+    val cases = Seq(
+      (1L until 24L).map(i => (i, i + 1)),              // diameter-23 chain
+      Seq((1L, 2L), (2L, 3L), (7L, 9L), (11L, 11L)),    // forest + self-pair
+      (2L to 10L).map(i => (1L, i)) ++ Seq((10L, 20L))  // hub + tail
+    )
+    for (edges <- cases) {
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val viaStar = Dedup.connectedComponentsAltStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaProp = Dedup.duplicateClusters(pairs, maxIter = 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaProp, s"edge set $edges")
+    }
+  }
+
+  test("alternating-star converges in far fewer rounds than the chain diameter") {
+    // diameter-40 chain: propagation would need 40 rounds (> its default
+    // bound); altStar's doubling finishes inside its default 30
+    val chain = (1L until 41L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.connectedComponentsAltStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 41)
+    assert(clusters.values.forall(_ == 1L))
+  }
+
   test("simhash pigeonhole finds close sketches and respects maxDist") {
     val pairs = Dedup.simhashDuplicatePairs(docs, "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
