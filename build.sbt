@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // local[32] puts driver + all 32 executor threads in ONE heap: at 8g the
+  // tail of a long query sequence degrades into GC churn (measured: same
+  // query 12x slower late in a 100-query run than isolated). The box has
+  // 128 GiB; give the single JVM a real executor's worth.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p").toSeq ++
+  (if (sys.env.get("SPARK_GRAFT_PARALLEL_GC").contains("1")) Seq("-XX:+UseParallelGC") else Seq.empty)

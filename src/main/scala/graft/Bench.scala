@@ -44,7 +44,22 @@ object Bench {
     // success); all-runs-failed reports -1.
     val runs = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2))
-    val results = SparkEntry.queries.view.filterKeys(!ValidationOnly.contains(_)).toMap
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows to named queries (perf triage);
+    // SPARK_GRAFT_BENCH_EXPLAIN=1 dumps each formatted plan to stderr first
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val explain = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")
+    val results = SparkEntry.queries.view.filterKeys(!ValidationOnly.contains(_))
+      .filterKeys(k => only.forall(_.contains(k))).toMap
+      .map { case (name, fn) =>
+        if (explain) {
+          System.err.println(s"==== $name ====")
+          try System.err.println(fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          catch { case e: Throwable => System.err.println(s"explain failed: $e") }
+        }
+        name -> fn
+      }
       .map { case (name, fn) =>
         val samples = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
@@ -55,6 +70,11 @@ object Bench {
         }
         val good = samples.filter(_._2).map(_._1)
         val sec = if (good.nonEmpty) good.min else -1.0
+        // NO inter-query cache/RDD cleanup here: it was tried and measured
+        // HARMFUL at local[32] — unpersist storms between queries stall the
+        // next query's AQE stage scheduling (same 4-query set: 8 s without
+        // cleanup, 30-90 s with). Leftover blocks are evictable storage
+        // memory; the ContextCleaner reclaims them safely in the background.
         System.err.println(f"[bench] $name%-24s ${sec}%8.2f s")
         name -> sec
       }

@@ -44,8 +44,16 @@ object GraftSession {
 
   /** Local session with `cpus` cores (the harness shape). */
   def local(cpus: Int): SparkSession = {
-    val s = builder(s"local[$cpus]", cpus).getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    // ad-hoc conf overrides for experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
+    // (diagnostics only — the engine's supported settings live in builder())
+    val b = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(builder(s"local[$cpus]", cpus)) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        acc.config(k, v)
+      }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
     s
   }
 

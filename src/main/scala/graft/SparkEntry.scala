@@ -417,6 +417,9 @@ object SparkEntry {
     // first-seen-day cohorts × day offset distinct-user retention grid
     "e_retention" -> ((s, d) =>
       graft.operators.EventAnalytics.retention(t(s, d, "events"), "user_id", "ts")),
+    // per-user daily counts densified with zero-filled silent days
+    "e_gapfill" -> ((s, d) =>
+      graft.operators.EventAnalytics.dailyGapFill(t(s, d, "events"), "user_id", "ts")),
     "e_stream_window" -> ((s, d) => {
       val stream = graft.streaming.EventStream.readEvents(s, s"$d/events.parquet")
       graft.streaming.EventStream.runToCompletion(s,
@@ -567,6 +570,24 @@ object SparkEntry {
     "t_heavy_hitters" -> ((s, d) =>
       graft.operators.Sketches.heavyHitters(tb(s, d, "documents"), "text",
         capacity = 256, k = 20)),
+    // distributed BPE training: 8 merges learned from the corpus word table
+    // (rows-only: the iterative argmax+contract is not SQL-expressible;
+    // BpeTrainerSpec pins the textbook merge sequence)
+    "t_bpe_merges" -> ((s, d) =>
+      graft.operators.BpeTrainer.train(tb(s, d, "documents"), "text", numMerges = 8)),
+    // count-min sketch one-sided contract: the sketch must never
+    // UNDER-estimate a count; the frame of violations is empty and the gate
+    // hash-checks the emptiness (width 256 << 2000 distinct parts, so
+    // collisions — and overcounts — definitely occur; none may undercount)
+    "t_cms_bound" -> ((s, d) =>
+      graft.operators.Sketches.cmsBoundViolations(
+        t(s, d, "lineitem"), col("l_partkey"), depth = 5, width = 256)),
+    // percentile_approx rank-error contract: each answered quantile must sit
+    // within the sketch's guaranteed rank window; violations frame is empty
+    "a13_quantile_bound" -> ((s, d) =>
+      graft.operators.Sketches.quantileBoundViolations(
+        t(s, d, "lineitem"), col("l_extendedprice"),
+        qs = Seq(0.5, 0.9, 0.99), accuracy = 100)),
     // C4-style span dedup: 8-token spans, first corpus occurrence wins,
     // documents reassembled from surviving spans
     "t_span_dedup" -> ((s, d) =>
@@ -775,6 +796,21 @@ object SparkEntry {
         Multimodal.extractFeatures(Multimodal.syntheticWavCorpus(ids), dim = 4))
         .select(col("media_id"), col("kind"), col("duration_ms"))
     }),
+    // perceptual-hash image near-dup: 50 distinct synthetic PNGs plus an
+    // exact twin of each (media_id offset) — twins must pair at dist 0
+    // through the same pigeonhole machinery the text SimHash path uses.
+    // rows-only: the grids come from real imageio decodes
+    "m_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = tb(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      val feats = Multimodal.featureFrame(
+        Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 64))
+        .select(col("media_id"), col("embedding"))
+      val twins = feats.withColumn("media_id", col("media_id") + 1000)
+      Multimodal.imageNearDupPairs(feats.union(twins), maxDist = 3)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+    }),
     // video frame sampling surface (stub codec, real bounded fan-out):
     // rows-only — row count is deterministic in the stub duration
     "m_frame_sample" -> ((s, d) => {
@@ -960,6 +996,8 @@ object SparkEntry {
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t WHERE e.event_type = 'click' GROUP BY 1), s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, count(*) AS users FROM s1 UNION ALL SELECT 2, count(*) FROM s2 UNION ALL SELECT 3, count(*) FROM s3""",
     "e_retention" ->
       """WITH firsts AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1) SELECT f.cohort, datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset, count(DISTINCT e.user_id) AS users FROM events e JOIN firsts f ON e.user_id = f.u GROUP BY 1, 2""",
+    "e_gapfill" ->
+      """WITH spans AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l FROM events GROUP BY 1), cal AS (SELECT user_id, CAST(unnest(generate_series(CAST(f AS TIMESTAMP), CAST(l AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM spans), cnts AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2) SELECT c.user_id, c.day, coalesce(n.n, CAST(0 AS BIGINT)) AS n FROM cal c LEFT JOIN cnts n ON c.user_id = n.user_id AND c.day = n.day""",
     "e_stream_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
     "e_stream_dedup" ->
@@ -1014,6 +1052,12 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS nt FROM toks WHERE len(tk) > 0), idx AS (SELECT doc_id, tk, nt, unnest(generate_series(0, CASE WHEN nt > 32 THEN (nt - 32 + 24 - 1) // 24 ELSE 0 END)) AS chunk_idx FROM base) SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_from, least(32, nt - chunk_idx * 24) AS n_take, array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + least(32, nt - chunk_idx * 24)], ' ') AS chunk_text FROM idx""",
     "t_hash_sample" ->
       "SELECT doc_id, lang, source FROM documents WHERE ((((doc_id % 1000003) * 2654435761) % 1000003) % 20) < 1",
+    // one-sided sketch contracts: the violation frames are provably empty,
+    // and emptiness is exactly what the oracle states
+    "t_cms_bound" ->
+      "SELECT CAST(l_partkey AS VARCHAR) AS item, CAST(0 AS BIGINT) AS est, CAST(0 AS BIGINT) AS exact_n FROM lineitem WHERE 1 = 0",
+    "a13_quantile_bound" ->
+      "SELECT 0.0 AS q, CAST(0 AS BIGINT) AS n_below, CAST(0 AS BIGINT) AS n FROM lineitem WHERE 1 = 0",
     // bigram LM replayed in SQL: same tokenizer, same add-one smoothing; the
     // self-scored corpus means every doc bigram exists in the model (the
     // engine's left join and this inner join agree)

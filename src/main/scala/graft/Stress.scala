@@ -39,6 +39,9 @@ object Stress {
         when(pmod(col("doc_id"), lit(5)) === 0, col("text"))
           .otherwise(concat(col("text"), lit(" variant "), col("doc_id"))))
     val embs = expand(Tables.balanced(spark, sfDir, "embeddings"), mult, Map("vec_id" -> ""))
+    // event ids remapped, user ids kept: replication deepens per-user
+    // histories (the dimension funnel/retention state grows along)
+    val events = expand(Tables(spark, sfDir, "events"), mult, Map("event_id" -> ""))
 
     def time(name: String)(body: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
@@ -97,7 +100,26 @@ object Stress {
           // in-flight manifest is read twice downstream — persist per the API doc
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         "text", "doc_id", shingleSize = 3, numer = 1, denom = 2,
-        bands = 32, rowsPerBand = 2).count())
+        bands = 32, rowsPerBand = 2).count()),
+      // alternating-star components over the same LSH pair set: the
+      // O(log n)-round path must track the propagation path's cost on the
+      // clique-like dup graph (its win case — long chains — can't occur here)
+      time(s"cc_altstar_x$mult")(operators.Dedup.connectedComponentsAltStar(
+        operators.Dedup.jaccardDuplicatePairs(docs, "text", "doc_id",
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
+          .select(col("doc_a"), col("doc_b"))).count()),
+      time(s"funnel_x$mult")(operators.EventAnalytics.funnel(
+        events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).count()),
+      time(s"retention_x$mult")(operators.EventAnalytics.retention(
+        events, "user_id", "ts").count()),
+      time(s"lm_score_x$mult")(operators.NgramLm.selfScore(
+        docs, "text", "doc_id").count()),
+      // BPE merges: the word-count reduction must keep iteration cost bound
+      // to the DISTINCT-word table (which barely grows under replication),
+      // not the corpus
+      time(s"bpe_train_x$mult")(
+        operators.BpeTrainer.train(docs, "text", numMerges = 4).count())
     )
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","mult":$mult,"ops":$qs}""")

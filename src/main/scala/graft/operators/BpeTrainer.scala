@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
+  * building step of an LLM data pipeline, run as Spark jobs.
+  *
+  * Standard reduction (Sennrich et al. 2016): training never touches the
+  * corpus after the first pass. Pass 1 collapses the corpus to a
+  * (word, count) table; every merge iteration then works on that table —
+  * explode adjacent symbol pairs weighted by word count, pick the global
+  * max, contract the winning pair inside each word's symbol array. At 100 TB
+  * the word table is orders of magnitude smaller than the corpus (Zipf), and
+  * each iteration is one weighted groupBy + one narrow map.
+  *
+  * Tie-breaking is (count desc, pair asc) so the learned merge list is
+  * deterministic — reproducible tokenizers are as load-bearing as
+  * reproducible samples.
+  */
+object BpeTrainer {
+
+  /** (word, n) table of the corpus. Words are [[TextOps.tokens]] (lowercased
+    * whitespace tokens); the end-of-word marker `</w>` is appended as its
+    * own initial symbol, per the original algorithm.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Initial symbol sequence of a word: one symbol per character plus the
+    * terminal `</w>` marker.
+    */
+  private def initialSymbols(word: Column): Column =
+    concat(split(word, ""), array(lit("</w>")))
+
+  /** Adjacent symbol pairs of a symbol array (non-distinct, order kept). */
+  private def symbolPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** Contract every non-overlapping occurrence of (a, b) in the symbol
+    * array, left to right — the merge step. Implemented as a single
+    * aggregate fold so it stays one codegen'd expression per row.
+    */
+  private def contractPair(syms: Column, a: String, b: String): Column = {
+    // fold state: the rebuilt array; append-or-fuse per symbol
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+  }
+
+  /** Learn `numMerges` BPE merges from the corpus. Returns the merge table
+    * (rank, left, right, pair_count) in learned order.
+    *
+    * Each iteration runs ONE aggregation job over the word table (the
+    * arg-max pair), then rewrites the symbol column; the word table is
+    * re-checkpointed every few iterations so plan depth stays bounded —
+    * the same lineage discipline as the iterative clustering operators.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = wordCounts(docs, textCol)
+      .select(col("n"), initialSymbols(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words
+        .select(col("n"), explode(symbolPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((rank, a, b, c))
+        val next = words.select(col("n"), contractPair(col("syms"), a, b).as("syms"))
+        words = if (rank % 5 == 4) next.localCheckpoint(true) else next
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a learned merge list: per-document BPE token count — the budget
+    * signal tokenizer-aware packing wants. Words are exploded so the merge
+    * chain evaluates once per word occurrence (never nested inside another
+    * lambda), then summed back per document.
+    *
+    * The merge chain compiles to one column expression per merge — linear,
+    * each stage referenced exactly once. Fine for merge lists in the
+    * hundreds; a native Expression is the escape hatch beyond that.
+    */
+  def bpeTokenCount(
+      docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tokenized = merges.foldLeft(initialSymbols(col("word")))(
+      (syms, m) => contractPair(syms, m._1, m._2))
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .select(col(idCol), size(tokenized).as("n_sym"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+}

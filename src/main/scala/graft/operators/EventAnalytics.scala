@@ -69,4 +69,30 @@ object EventAnalytics {
       .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
       .agg(count_distinct(col("u")).as("users"))
   }
+
+  /** Time-series densification: per-key daily event counts with the silent
+    * days filled in as zero, from each key's first day through its last —
+    * the gap-fill step before any rolling/trend computation (a rolling mean
+    * over a sparse frame silently skips the zeros).
+    *
+    * Shape: one grouped min/max per key, then `explode(sequence(first,
+    * last))` generates each key's calendar INSIDE its partition — no range
+    * join, no driver-side calendar table — and the counts left-join back on
+    * (key, day). Fan-out is bounded by each key's active span. Returns
+    * (key, day, n).
+    */
+  def dailyGapFill(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val counts = events
+      .groupBy(col(keyCol).as("k2"), to_date(col(tsCol)).as("day2"))
+      .agg(count(lit(1)).as("n2"))
+    val calendar = events
+      .groupBy(col(keyCol).as(keyCol))
+      .agg(min(to_date(col(tsCol))).as("first_day"),
+        max(to_date(col(tsCol))).as("last_day"))
+      .select(col(keyCol),
+        explode(sequence(col("first_day"), col("last_day"))).as("day"))
+    calendar
+      .join(counts, col(keyCol) === col("k2") && col("day") === col("day2"), "left")
+      .select(col(keyCol), col("day"), coalesce(col("n2"), lit(0L)).as("n"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` + typed
@@ -394,4 +394,38 @@ object Multimodal {
     feats.toDF().select(
       col("media_id"), col("kind"), col("width"), col("height"),
       col("duration_ms"), col("n_bytes"), col("features").as("embedding"))
+
+  /** 64-bit average perceptual hash (aHash) over the luminance grid: one
+    * bit per cell, set iff the cell is brighter than the image mean. Feed
+    * the 8×8 grid — [[extractFeatures]] with `dim = 64`. Resize/crop/
+    * brightness variants of an image land within small Hamming distance.
+    *
+    * The grid mean is staged through its own projection so the folds do not
+    * re-sum it per cell, and the hash is assembled from two 32-bit
+    * accumulate-folds (`acc*2 + bit` over 64 cells would overflow a signed
+    * long at the top bit under ANSI mode; 32-bit halves never do).
+    */
+  def withPHash(features: DataFrame, gridCol: String = "embedding",
+      idCol: String = "media_id"): DataFrame = {
+    def foldBits(cells: Column, mean: Column): Column =
+      aggregate(cells, lit(0L),
+        (a, v) => a * 2 + when(v > mean, lit(1L)).otherwise(lit(0L)))
+    val staged = features.withColumn("_mean",
+      aggregate(col(gridCol), lit(0.0d), (a, x) => a + x) / size(col(gridCol)))
+    staged.withColumn("phash",
+        shiftleft(foldBits(slice(col(gridCol), 1, 32), col("_mean")), 32)
+          .bitwiseOR(foldBits(slice(col(gridCol), 33, 32), col("_mean"))))
+      .drop("_mean")
+  }
+
+  /** Image near-duplicate pairs: perceptual hashes within Hamming distance
+    * `maxDist`, candidates from the same distinct-value-collapsed block-pair
+    * pigeonhole the text SimHash path uses ([[Dedup.simhashPairsFromSketches]])
+    * — one machinery, two modalities. Returns (doc_a, doc_b, dist) over
+    * `media_id`s.
+    */
+  def imageNearDupPairs(features: DataFrame, maxDist: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSketches(
+      withPHash(features).select(col("media_id").as("doc"), col("phash").as("simhash")),
+      maxDist)
 }

@@ -109,4 +109,70 @@ object Sketches {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
   }
+
+  /** Count-min sketch as a DataFrame plan: `depth` hash rows × `width`
+    * buckets, estimate = min over rows of the item's bucket count. Estimates
+    * are biased HIGH, never low — the classic one-sided guarantee
+    * (overcount ≤ 2N/width with probability 1 - 2^-depth).
+    *
+    * Unlike Spark's built-in `count_min_sketch` (an opaque binary blob the
+    * driver must deserialize), the sketch here IS a DataFrame of at most
+    * depth×width rows, so building it shuffles bounded keys regardless of
+    * corpus size, it joins/unions like any table, and two sketches merge by
+    * summing bucket counts — the mergeable-summary shape a 100 TB ingest
+    * wants. Returns one (item, est) row per distinct item in `df`.
+    */
+  def cmsEstimates(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    val keyed = df.select(itemCol.cast("string").as("item"))
+      .select(col("item"), explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          pmod(xxhash64(col("item"), lit(d)), lit(width.toLong)).as("b"))): _*)).as("k"))
+      .select(col("item"), col("k.d").as("d"), col("k.b").as("b"))
+    // the sketch: ≤ depth×width rows however large the input
+    val buckets = keyed.groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+    keyed.distinct()
+      .join(buckets, Seq("d", "b"))
+      .groupBy(col("item"))
+      .agg(min(col("c")).as("est"))
+  }
+
+  /** Zero-violation contract frame for [[cmsEstimates]]: rows where the
+    * sketch UNDER-estimates an exact count — by construction there are
+    * none, and the correctness gate hash-checks the emptiness (a
+    * distributed invariant the DuckDB oracle can state as `WHERE false`).
+    */
+  def cmsBoundViolations(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
+    val exact = df.select(itemCol.cast("string").as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("exact_n"))
+    cmsEstimates(df, itemCol, depth, width)
+      .join(exact, Seq("item"))
+      .filter(col("est") < col("exact_n"))
+  }
+
+  /** Zero-violation contract frame for `percentile_approx`: for each
+    * requested quantile q, the number of values ≤ the approximate answer
+    * must sit within the rank window n·(q ± 1/accuracy) the KLL-style
+    * sketch guarantees. Emits one row per violated quantile — none, and the
+    * gate checks emptiness.
+    */
+  def quantileBoundViolations(
+      df: DataFrame, valueCol: Column, qs: Seq[Double], accuracy: Int): DataFrame = {
+    require(qs.nonEmpty && accuracy >= 1)
+    val vals = df.select(valueCol.cast("double").as("v")).filter(col("v").isNotNull)
+    val approx = vals.agg(
+      percentile_approx(col("v"),
+        array(qs.map(lit): _*), lit(accuracy)).as("av"),
+      count(lit(1)).as("n"))
+      .select(explode(arrays_zip(array(qs.map(lit): _*).as("q"), col("av").as("a"))).as("z"),
+        col("n"))
+      .select(col("z.q").as("q"), col("z.a").as("a"), col("n"))
+    val eps = 1.0 / accuracy
+    vals.join(approx)
+      .groupBy(col("q"), col("a"), col("n"))
+      .agg(sum(when(col("v") <= col("a"), 1L).otherwise(0L)).as("n_below"))
+      .filter(col("n_below") < floor((col("q") - eps) * col("n")) ||
+        col("n_below") > ceil((col("q") + eps) * col("n")))
+      .select(col("q"), col("n_below"), col("n"))
+  }
 }

@@ -57,6 +57,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       ("2024-01-02", 0) -> 1L, ("2024-01-02", 2) -> 1L))
   }
 
+  test("gap-fill densifies each key's span with zero days") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-04 09:00:00")), // Jan 2, 3 silent
+      (2L, ts("2024-02-10 08:00:00"))  // single-day span
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.dailyGapFill(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, "2024-01-01") -> 2L, (1L, "2024-01-02") -> 0L,
+      (1L, "2024-01-03") -> 0L, (1L, "2024-01-04") -> 1L,
+      (2L, "2024-02-10") -> 1L))
+  }
+
   test("bigram LM self-score matches the hand-computed smoothed probabilities") {
     // corpus: "a b a b", "a c", "solo". vocab = {a,b,c,solo} → V=4
     // bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; contexts: a=3, b=1

@@ -174,6 +174,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f.duration_ms == Codecs.durationMs(junk.collect().head.bytes)) // fake path
   }
 
+  test("perceptual hash: twins at dist 0, brightness variant near, noise far") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(y => (0 until 32).foreach(x => img.setRGB(x, y, f(x, y))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    // left-dark/right-bright gradient; a mildly brightened variant keeps the
+    // same above/below-mean structure; checkerboard noise does not
+    val grad = png((x, _) => grey(x * 8))
+    val bright = png((x, _) => grey(math.min(255, x * 8 + 12)))
+    val noise = png((x, y) => grey(if ((x + y) % 2 == 0) 0 else 255))
+    val corpus = Seq(
+      MediaFile(1L, "image", grad, Map()), MediaFile(2L, "image", grad, Map()),
+      MediaFile(3L, "image", bright, Map()), MediaFile(4L, "image", noise, Map())
+    ).toDS()
+    val feats = featureFrame(extractFeatures(corpus, dim = 64))
+    val hashed = withPHash(feats).select(col("media_id"), col("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(1L) == hashed(2L)) // identical bytes → identical hash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(1L), hashed(3L)) <= 3, "brightness variant should be near")
+    assert(ham(hashed(1L), hashed(4L)) > 10, "checkerboard should be far")
+
+    val pairs = imageNearDupPairs(feats, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L)))
+    assert(!pairs.exists(p => Set(p._1, p._2).contains(4L)))
+  }
+
   test("binaryFile source round-trip: real extensions map to canonical kinds, payload intact") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     val payload = Array.tabulate(64)(_.toByte)

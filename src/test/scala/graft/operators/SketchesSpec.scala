@@ -67,4 +67,31 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains("zz"))
     assert(got("zz") <= 200L && got("zz") >= 200L - n / 9L)
   }
+
+  test("count-min estimates: never below exact, exact when width avoids collisions") {
+    import spark.implicits._
+    // 100 distinct keys with skewed frequencies (key i appears i+1 times)
+    val rows = (0 until 100).flatMap(i => Seq.fill(i + 1)(i.toLong))
+      .zipWithIndex.map { case (k, j) => (j.toLong, k) }.toDF("row_id", "key")
+    val exact = (0 until 100).map(i => i.toString -> (i + 1L)).toMap
+    // tiny width forces collisions: estimates may overcount, never under
+    val tight = Sketches.cmsEstimates(rows, col("key"), depth = 3, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight.keySet == exact.keySet)
+    exact.foreach { case (k, n) => assert(tight(k) >= n, s"undercount at $k") }
+    assert(tight.exists { case (k, n) => n > exact(k) }) // collisions really happened
+    // generous width: every estimate lands exact with high probability
+    val wide = Sketches.cmsEstimates(rows, col("key"), depth = 5, width = 8192)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == exact)
+    // the gate-facing contract frame is empty even under heavy collision
+    assert(Sketches.cmsBoundViolations(rows, col("key"), depth = 3, width = 16).isEmpty)
+  }
+
+  test("quantile bound violations: empty at honest accuracy") {
+    import spark.implicits._
+    val vals = (1 to 10000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    assert(Sketches.quantileBoundViolations(vals, col("v"),
+      qs = Seq(0.1, 0.5, 0.9, 0.99), accuracy = 50).isEmpty)
+  }
 }
