@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.storage.StorageLevel
+
+/** Scoped lifecycle for operator-internal materializations (persisted reuse
+  * frames and eager local checkpoints).
+  *
+  * WHY: operators like [[graft.operators.Dedup.jaccardDuplicatePairs]]
+  * persist small intermediate frames (digests, band keys, sketches) that are
+  * consumed several times within one query. Spark's CacheManager holds those
+  * entries STRONGLY until an explicit unpersist — and every subsequent
+  * query pays a plan-canonicalization comparison against every live entry
+  * during cache lookup. A long-running service (or a benchmark harness)
+  * composing hundreds of such queries in one session accumulates entries
+  * and storage blocks without bound; the round-3 full-set bench measured a
+  * ~10× collapse from exactly that accumulation.
+  *
+  * CONTRACT: a scope is opened around one unit of work (one query build +
+  * execute), is confined to the opening thread, and frees every
+  * materialization registered inside it when the unit completes:
+  *
+  * {{{
+  * CacheScope.withScope {
+  *   val pairs = Dedup.jaccardDuplicatePairs(docs, "text", "doc_id", reuseShingles = true)
+  *   pairs.count()   // consumers run INSIDE the scope
+  * }                  // persisted frames + checkpoints freed here
+  * }}}
+  *
+  * Outside any scope, behavior is unchanged (entries live until
+  * `spark.catalog.clearCache()` / session end) — existing callers that
+  * manage their own lifecycle keep working. Registration binds to the scope
+  * open on the REGISTERING thread at plan-build time, so concurrent queries
+  * on separate threads (the Verify harness shape) get independent scopes.
+  *
+  * Checkpoint caveat: a `localCheckpoint` truncates lineage, so freeing it
+  * is only safe once every consumer job has finished — which is precisely
+  * the scope-close point. Never close a scope while one of its frames is
+  * still lazily un-consumed.
+  */
+object CacheScope {
+
+  final class Scope private[CacheScope] () {
+    private val actions = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    private[CacheScope] def add(a: () => Unit): Unit = synchronized { actions += a }
+    private[CacheScope] def close(): Unit = synchronized {
+      // reverse order: later materializations may sit atop earlier ones
+      actions.reverseIterator.foreach(a => try a() catch { case _: Throwable => () })
+      actions.clear()
+    }
+    private[CacheScope] def count: Int = synchronized(actions.length)
+  }
+
+  private val scopes = new ThreadLocal[List[Scope]] {
+    override def initialValue(): List[Scope] = Nil
+  }
+
+  /** Is a scope open on this thread? */
+  def active: Boolean = scopes.get.nonEmpty
+
+  /** Number of cleanups registered in the innermost open scope (test hook). */
+  def registeredCount: Int = scopes.get.headOption.map(_.count).getOrElse(0)
+
+  /** Persist `ds` (MEMORY_AND_DISK — recomputable lineage, NOT a
+    * checkpoint: a lost executor recomputes a partition instead of killing
+    * the query) and register its unpersist with the innermost open scope.
+    * Without a scope this is exactly the legacy `persist` call.
+    */
+  def persist[T](ds: Dataset[T]): Dataset[T] =
+    track(ds.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Register an already-persisted Dataset for unpersist at scope close.
+    * `unpersist` removes the CacheManager ENTRY (not just the blocks), so a
+    * closed scope leaves no per-query growth in cache-lookup state.
+    */
+  def track[T](ds: Dataset[T]): Dataset[T] = {
+    scopes.get match {
+      case s :: _ => s.add(() => { ds.unpersist(blocking = false); () })
+      case Nil    => ()
+    }
+    ds
+  }
+
+  /** Eager local checkpoint whose storage is freed at scope close. The
+    * checkpointed RDD is reached through the returned frame's `LogicalRDD`
+    * plan node; each call checkpoints a fresh RDD, so a scope only ever
+    * frees checkpoints it created (safe under concurrent scopes, unlike
+    * persisted-plan entries which CacheManager dedupes across threads).
+    */
+  def localCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    scopes.get match {
+      case s :: _ =>
+        checkpointRdd(cp).foreach(r => s.add(() => { r.unpersist(blocking = false); () }))
+      case Nil => ()
+    }
+    cp
+  }
+
+  private def checkpointRdd(cp: DataFrame): Option[RDD[_]] =
+    cp.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** Run `body` in a fresh scope on this thread; free everything registered
+    * inside it afterwards (including on exception). Scopes nest: inner
+    * registrations free at the inner close.
+    */
+  def withScope[T](body: => T): T = {
+    val s = new Scope
+    scopes.set(s :: scopes.get)
+    try body
+    finally {
+      scopes.set(scopes.get match { case _ :: t => t; case Nil => Nil })
+      s.close()
+    }
+  }
+}

@@ -45,11 +45,16 @@ object GraftSession {
   /** Local session with `cpus` cores (the harness shape). */
   def local(cpus: Int): SparkSession = {
     // ad-hoc conf overrides for experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
-    // (diagnostics only — the engine's supported settings live in builder())
+    // (diagnostics only — the engine's supported settings live in builder()).
+    // Every applied override is announced on stderr so a verified/benched
+    // run that used the escape hatch is visibly tainted — a silent override
+    // of e.g. ANSI mode or the session timezone could change verified
+    // semantics with no trace in the output.
     val b = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
       .foldLeft(builder(s"local[$cpus]", cpus)) { (acc, kv) =>
         val Array(k, v) = kv.split("=", 2)
+        System.err.println(s"[graft] WARN: SPARK_GRAFT_CONF override applied: $k=$v")
         acc.config(k, v)
       }
     val s = b.getOrCreate()

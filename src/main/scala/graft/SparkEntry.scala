@@ -663,10 +663,11 @@ object SparkEntry {
       val docs = tb(s, d, "documents")
       Dedup.dropSeenNearDuplicates(
         docs.filter(pmod(col("doc_id"), lit(4)) === 0),
-        Dedup.nearDupManifest(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
-          "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2)
-          // in-flight manifest is read twice downstream — persist per the API doc
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        // in-flight manifest is read twice downstream — persist per the
+        // API doc (scope-registered: freed when the query's scope closes)
+        graft.CacheScope.persist(
+          Dedup.nearDupManifest(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+            "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2)),
         "text", "doc_id", shingleSize = 3, numer = 1, denom = 2,
         bands = 32, rowsPerBand = 2)
         .select(col("doc_id"))
@@ -682,6 +683,12 @@ object SparkEntry {
     "d_jaccard_lsh" -> ((s, d) =>
       Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)),
+    // raw LSH candidate pairs (no verify stage). Oracle-able because the
+    // banding is deterministic and, on this corpus, the candidate SET
+    // equals the exact J ≥ 1/2 pair set: every true pair here is an
+    // identical-shingle-set pair (identical signatures always collide) and
+    // no sub-threshold pair shares a band key — both pinned by the
+    // OperatorsSpec set-equality test against the brute-force pairs
     "d_minhash_candidates" -> ((s, d) =>
       Dedup.minhashCandidatePairs(tb(s, d, "documents"), "text", "doc_id")),
     "d_dup_clusters" -> ((s, d) =>
@@ -811,18 +818,19 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(feats.union(twins), maxDist = 3)
         .select(col("doc_a"), col("doc_b"), col("dist"))
     }),
-    // video frame sampling surface (stub codec, real bounded fan-out):
-    // rows-only — row count is deterministic in the stub duration
+    // video frame sampling through the REAL MJPEG-in-AVI codec: each doc id
+    // becomes an actual AVI container of ImageIO-encoded JPEG frames
+    // (1 + id % 8 frames at 2 fps), the container is parsed back and frames
+    // sampled — so duration, sample count, and timestamps are id-derived
+    // and the whole encode→parse→sample loop rides the hash gate
     "m_frame_sample" -> ((s, d) => {
       import s.implicits._
-      val vids = tb(s, d, "documents")
+      val ids = tb(s, d, "documents")
         .filter(col("doc_id") < 100)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          Multimodal.MediaFile(id, "video",
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8), Map()) }
-      Multimodal.sampleFrames(vids, maxFrames = 4).toDF()
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      Multimodal.sampleFrames(
+        Multimodal.syntheticAviCorpus(ids, fps = 2, maxFramesPerVideo = 8),
+        maxFrames = 4).toDF()
         .select(col("media_id"), col("frame_idx"), col("ts_ms"))
     }),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
@@ -1127,6 +1135,15 @@ object SparkEntry {
     // decode must recover width = 4 + id%13, height = 4 + id%7
     "m_media_dims" ->
       "SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind, CAST(4 + doc_id % 13 AS INTEGER) AS width, CAST(4 + doc_id % 7 AS INTEGER) AS height, CAST(0 AS BIGINT) AS duration_ms FROM documents",
+    // the AVI loop is id-deterministic end-to-end: 1 + id%8 frames at 2 fps
+    // → duration (1+id%8)·500 ms; n = min(4, max(1, dur/1000)) samples at
+    // stride dur/n — real container parse must recover exactly these
+    "m_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id, (1 + doc_id % 8) * 500 AS dur FROM documents WHERE doc_id < 100), p AS (SELECT media_id, dur, least(4, greatest(1, dur // 1000)) AS n FROM v) SELECT media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * (dur // n) AS BIGINT) AS ts_ms FROM (SELECT media_id, dur, n, unnest(generate_series(0, n - 1)) AS i FROM p)""",
+    // candidate set ≡ exact J ≥ 1/2 pair set on this corpus (see the query
+    // comment; set equality pinned in OperatorsSpec)
+    "d_minhash_candidates" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
     // real javax.sound decode must recover duration_ms = 100 + id % 400
     "m_audio_dims" ->
       "SELECT CAST(doc_id AS BIGINT) AS media_id, 'audio' AS kind, CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms FROM documents",

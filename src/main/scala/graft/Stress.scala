@@ -45,7 +45,9 @@ object Stress {
 
     def time(name: String)(body: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
-      val n = body
+      // per-op scope: each measured op frees its own persisted/checkpointed
+      // frames at exit, so later ops never pay for earlier ops' cache state
+      val n = CacheScope.withScope(body)
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[stress] $name%-22s ${sec}%8.2f s   rows=$n")
       (name, sec, n)
@@ -95,10 +97,11 @@ object Stress {
       // candidate join must stay band-bucket-bounded, never batch×corpus
       time(s"incr_neardup_x$mult")(operators.Dedup.dropSeenNearDuplicates(
         docs.filter(pmod(col("doc_id"), lit(4)) === 0),
-        operators.Dedup.nearDupManifest(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
-          "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2)
-          // in-flight manifest is read twice downstream — persist per the API doc
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        // in-flight manifest is read twice downstream — persist per the API
+        // doc (scope-registered: freed when this op's scope closes)
+        CacheScope.persist(
+          operators.Dedup.nearDupManifest(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+            "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2)),
         "text", "doc_id", shingleSize = 3, numer = 1, denom = 2,
         bands = 32, rowsPerBand = 2).count()),
       // alternating-star components over the same LSH pair set: the

@@ -15,8 +15,14 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // per-query scope: frames persisted while building/writing this
+        // query are freed at scope close. Scopes are thread-confined and
+        // each future builds + executes on one pool thread, so concurrent
+        // queries get independent scopes.
+        try CacheScope.withScope {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

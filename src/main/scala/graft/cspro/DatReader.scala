@@ -125,8 +125,11 @@ object DatReader {
       charset: Option[String] = None
   ): DatScan = {
     val reader = spark.read
-    val lines = charset.fold(reader)(cs => reader.option("encoding", cs)).text(datPath)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // scope-registered as well as release()-able: inside a CacheScope the
+    // scan is freed at scope close even if the caller forgets release()
+    val lines = graft.CacheScope.track(
+      charset.fold(reader)(cs => reader.option("encoding", cs)).text(datPath)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     DatScan(projectLines(lines, specs, "value", surveyId), lines)
   }
 

@@ -67,9 +67,9 @@ object BpeTrainer {
     require(numMerges >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = wordCounts(docs, textCol)
-      .select(col("n"), initialSymbols(col("word")).as("syms"))
-      .localCheckpoint(true)
+    var words = graft.CacheScope.localCheckpoint(
+      wordCounts(docs, textCol)
+        .select(col("n"), initialSymbols(col("word")).as("syms")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -86,7 +86,7 @@ object BpeTrainer {
         val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((rank, a, b, c))
         val next = words.select(col("n"), contractPair(col("syms"), a, b).as("syms"))
-        words = if (rank % 5 == 4) next.localCheckpoint(true) else next
+        words = if (rank % 5 == 4) graft.CacheScope.localCheckpoint(next) else next
         rank += 1
       }
     }

@@ -198,7 +198,7 @@ object Curation {
     // executor mid-job kills the whole query — unacceptable as the default
     // on clusters where executor churn is routine
     val base =
-      if (reuseBase) base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (reuseBase) graft.CacheScope.persist(base0)
       else base0
     val intraW = Window.partitionBy(col("__blk")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

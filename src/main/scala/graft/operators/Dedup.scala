@@ -44,16 +44,17 @@ object Dedup {
     * recomputable lineage (MEMORY_AND_DISK), NOT localCheckpoint — lazy
     * local checkpoints live only on executors with no replication, so one
     * lost executor mid-job would kill the whole query instead of recomputing
-    * a partition. LIFECYCLE: cache entries registered this way live until
-    * an explicit unpersist / `spark.catalog.clearCache()` / session end
-    * (the CacheManager holds strong references — the ContextCleaner does
-    * NOT reap Dataset caches). Each entry is small (digests, band keys,
-    * sketches — never text), so per-job accumulation is bounded; a
-    * long-lived service calling these per arriving batch should
-    * clearCache() between batches or pass the reuse flag as false.
+    * a partition. LIFECYCLE: registration goes through [[graft.CacheScope]]
+    * — inside a `CacheScope.withScope { ... }` the entry is unpersisted
+    * (cache entry removed, not just blocks dropped) when the scope closes,
+    * so a long-lived service composing many queries accrues no per-query
+    * cache growth. Outside any scope the legacy behavior stands: the entry
+    * lives until explicit unpersist / `spark.catalog.clearCache()` /
+    * session end (each entry is small — digests, band keys, sketches —
+    * never text).
     */
   private def persistReuse(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.persist(df)
 
   /** Digest manifest of a corpus: the persisted face of exact dedup for
     * INCREMENTAL pipelines — write this once per corpus snapshot, and dedup
@@ -478,10 +479,10 @@ object Dedup {
     // truncation at the operator boundary is the point, exactly as for the
     // iteration checkpoints below; executor loss costs a job retry, never a
     // silent wrong answer.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = graft.CacheScope.localCheckpoint(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .persist()
@@ -502,10 +503,10 @@ object Dedup {
           min(when(col("is_self"), col("label"))).as("old"))
       // cut the per-iteration lineage growth so high-diameter (adversarial
       // chain) graphs don't blow up plan size / closure serialization.
-      // (Checkpoint blocks outlive the unpersist below; the ContextCleaner
-      // frees them once the superseded frame is unreferenced.)
+      // (Checkpoint storage is scope-registered — freed when the caller's
+      // CacheScope closes, after every consumer job has run.)
       val next =
-        if (iter % 5 == 4) merged.localCheckpoint(true)
+        if (iter % 5 == 4) graft.CacheScope.localCheckpoint(merged)
         else merged.persist()
       val changed = next.filter(col("label") =!= col("old")).count()
       labels.unpersist()
@@ -513,14 +514,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    // edges' checkpoint blocks are freed by the ContextCleaner once the
-    // frame is unreferenced (the returned labels no longer depend on it
-    // only through recomputable lineage, so no explicit unpersist here)
     // silently-wrong is the one unacceptable outcome for a dedup keeper
     // decision: labels mid-propagation look plausible but split clusters
     require(converged,
       s"duplicateClusters did not converge within maxIter=$maxIter iterations " +
         "(component diameter exceeds the bound); raise maxIter")
+    // the final labels frame stays persisted for the caller's consumer
+    // jobs; its entry is freed when the enclosing CacheScope closes
+    graft.CacheScope.track(labels)
     labels.select(col("doc"), col("label").as("cluster"))
   }
 
@@ -540,15 +541,15 @@ object Dedup {
     * with two anti-joins on the checkpointed frames, one job each).
     */
   def connectedComponentsAltStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val verts = pairs.select(col("doc_a").as("doc"))
-      .union(pairs.select(col("doc_b").as("doc"))).distinct()
-      .localCheckpoint(true)
+    val verts = graft.CacheScope.localCheckpoint(
+      pairs.select(col("doc_a").as("doc"))
+        .union(pairs.select(col("doc_b").as("doc"))).distinct())
     // canonical directed form: u > v, edges point from the larger id down
-    var edges = pairs
-      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+    var edges = graft.CacheScope.localCheckpoint(
+      pairs
+        .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -570,7 +571,7 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
-      val next = small.localCheckpoint(true)
+      val next = graft.CacheScope.localCheckpoint(small)
       val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count()
       val shrank = edges.join(next, Seq("u", "v"), "left_anti").limit(1).count()
       edges = next

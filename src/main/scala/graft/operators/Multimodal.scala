@@ -209,9 +209,111 @@ object Multimodal {
           out
       }
 
-    /** Fake frame decode at a timestamp (video codecs not shipped). */
+    /** Fake frame decode at a timestamp (for containers [[decodeVideo]]
+      * can't open — everything but MJPEG-in-AVI).
+      */
     def frameAt(bytes: Array[Byte], tsMs: Long): Array[Byte] =
       Array.tabulate(32)(i => (h(bytes, tsMs + i) & 0xff).toByte)
+
+    /** A parsed video: envelope + per-frame JPEG payloads (each payload is
+      * a standalone image `javax.imageio` decodes — the MJPEG property).
+      */
+    case class VideoClip(
+        width: Int, height: Int, usPerFrame: Long, frames: IndexedSeq[Array[Byte]]) {
+      def durationMs: Long = frames.length.toLong * usPerFrame / 1000L
+      def frameImageAt(i: Int): Option[java.awt.image.BufferedImage] =
+        decodeImage(frames(math.min(frames.length - 1, math.max(0, i))))
+    }
+
+    /** REAL video container decode: MJPEG-in-AVI — the one mainstream video
+      * format fully decodable with JRE-only codecs, because the RIFF/AVI
+      * container is a plain chunk list and every MJPEG frame is a complete
+      * JPEG for `javax.imageio`. Parses the RIFF tree (avih → frame
+      * timing, strf/BITMAPINFOHEADER → dimensions, movi `..dc`/`..db`
+      * chunks → frame payloads). None for any other container (mp4/mkv
+      * need external codec libraries; those payloads keep the deterministic
+      * fallback, same contract as images/audio).
+      */
+    def decodeVideo(bytes: Array[Byte]): Option[VideoClip] =
+      try {
+        def le32(o: Int): Long =
+          (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+        def fourcc(o: Int): String =
+          new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+        else {
+          var usPerFrame = 0L
+          var w = 0
+          var hgt = 0
+          val frames = IndexedSeq.newBuilder[Array[Byte]]
+          def walk(from: Int, to: Int): Unit = {
+            var o = from
+            while (o + 8 <= to) {
+              val id = fourcc(o)
+              val sz = le32(o + 4).toInt
+              val body = o + 8
+              id match {
+                case "LIST" => walk(body + 4, math.min(to, body + sz))
+                case "avih" => usPerFrame = le32(body) // dwMicroSecPerFrame
+                case "strf" => // BITMAPINFOHEADER: biWidth @ +4, biHeight @ +8
+                  w = le32(body + 4).toInt; hgt = le32(body + 8).toInt
+                case s if s.length == 4 && (s.endsWith("dc") || s.endsWith("db")) =>
+                  frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+                case _ => ()
+              }
+              o = body + sz + (sz & 1) // chunk bodies pad to even offsets
+            }
+          }
+          walk(12, math.min(bytes.length, 8 + le32(4).toInt))
+          val fr = frames.result()
+          if (fr.isEmpty || usPerFrame <= 0L) None
+          else Some(VideoClip(w, hgt, usPerFrame, fr))
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Minimal MJPEG-in-AVI writer (RIFF container per the AVI 1.0 layout:
+    * hdrl(avih, strl(strh, strf)) + movi of `00dc` JPEG chunks). Paired
+    * with [[Codecs.decodeVideo]] for the synthetic corpus, and a valid AVI
+    * for any standards-compliant player — the container carries real
+    * ImageIO-encoded JPEGs.
+    */
+  private[graft] object AviWriter {
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    private def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ body)
+
+    def write(w: Int, h: Int, usPerFrame: Long, jpegs: Seq[Array[Byte]]): Array[Byte] = {
+      val maxSz = jpegs.map(_.length).max
+      val avih = chunk("avih",
+        le32(usPerFrame) ++ le32(maxSz.toLong * 1000000L / usPerFrame) ++ le32(0) ++
+          le32(0x10 /* AVIF_HASINDEX off; plain sequential */ & 0) ++
+          le32(jpegs.length.toLong) ++ le32(0) ++ le32(1) ++ le32(maxSz.toLong) ++
+          le32(w.toLong) ++ le32(h.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val strh = chunk("strh",
+        cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+          le32(usPerFrame) /* dwScale */ ++ le32(1000000L) /* dwRate */ ++
+          le32(0) ++ le32(jpegs.length.toLong) ++ le32(maxSz.toLong) ++
+          le32(0xffffffffL /* default quality */) ++ le32(0) ++
+          le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+      val strf = chunk("strf",
+        le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+          cc("MJPG") ++ le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi", jpegs.toArray.flatMap(j => chunk("00dc", j)))
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
   }
 
   // ------------------------------------------------------------------ source
@@ -318,6 +420,43 @@ object Multimodal {
     }
   }
 
+  /** Deterministic MJPEG-in-AVI corpus keyed by an id column — the video
+    * analog of [[syntheticPngCorpus]]: each id becomes a REAL AVI container
+    * of `1 + id % maxFramesPerVideo` ImageIO-encoded JPEG frames at `fps`
+    * frames/sec, so the full container parse + per-frame JPEG decode path
+    * runs end-to-end and the envelope (duration, frame count, sample
+    * timestamps) is SQL-predictable: duration_ms = nFrames * 1000 / fps.
+    */
+  def syntheticAviCorpus(
+      ids: Dataset[java.lang.Long], fps: Int = 2, maxFramesPerVideo: Int = 8): Dataset[MediaFile] = {
+    import ids.sparkSession.implicits._
+    ids.map { boxed =>
+      val id = boxed.longValue()
+      val nFrames = 1 + Math.floorMod(id, maxFramesPerVideo.toLong).toInt
+      val w = 8 + 2 * Math.floorMod(id, 5L).toInt
+      val h = 8 + 2 * Math.floorMod(id, 3L).toInt
+      val jpegs = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = id * 6364136223846793005L + f * 7919L + x * 9632L + y * 97L
+            img.setRGB(x, y, (v & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      MediaFile(id, "video",
+        AviWriter.write(w, h, 1000000L / fps, jpegs), Map("synthetic" -> "avi"))
+    }
+  }
+
   /** Rebalance so each partition holds ~`rowsPerPartition` payloads — blob
     * columns make byte-based partition sizing meaningless.
     */
@@ -336,17 +475,25 @@ object Multimodal {
         // one "decoder call" per batch — the amortization point; each image
         // payload is decoded ONCE, dims + features derived from that frame
         batch.iterator.map { m =>
-          val decoded =
-            if (m.kind == "image" || m.kind == "video") Codecs.decodeImage(m.bytes) else None
-          val audio = if (m.kind == "audio") Codecs.decodeAudio(m.bytes) else None
-          val (w, h) = decoded match {
-            case Some(img) => (img.getWidth, img.getHeight)
-            case None if m.kind == "image" || m.kind == "video" => Codecs.fakeDims(m.bytes)
-            case None => (0, 0)
+          // real-video payloads: envelope from the container, features from
+          // the first frame's real JPEG decode (one container parse)
+          val video = if (m.kind == "video") Codecs.decodeVideo(m.bytes) else None
+          val decoded = video match {
+            case Some(clip) => clip.frameImageAt(0)
+            case None if m.kind == "image" || m.kind == "video" => Codecs.decodeImage(m.bytes)
+            case None => None
           }
-          val dur = (m.kind, audio) match {
-            case ("audio", Some(clip)) => clip.durationMs
-            case ("audio", None) | ("video", _) => Codecs.durationMs(m.bytes)
+          val audio = if (m.kind == "audio") Codecs.decodeAudio(m.bytes) else None
+          val (w, h) = (video, decoded) match {
+            case (Some(clip), _) => (clip.width, clip.height)
+            case (None, Some(img)) => (img.getWidth, img.getHeight)
+            case (None, None) if m.kind == "image" || m.kind == "video" => Codecs.fakeDims(m.bytes)
+            case _ => (0, 0)
+          }
+          val dur = (m.kind, video, audio) match {
+            case ("video", Some(clip), _) => clip.durationMs
+            case ("audio", _, Some(clip)) => clip.durationMs
+            case ("audio", _, None) | ("video", None, _) => Codecs.durationMs(m.bytes)
             case _ => 0L
           }
           val feats = (decoded, audio) match {
@@ -380,10 +527,26 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaFile], maxFrames: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val dur = Codecs.durationMs(m.bytes)
-      val n = math.min(maxFrames, math.max(1, (dur / 1000L).toInt))
-      val stride = dur / n
-      (0 until n).iterator.map(i => Frame(m.media_id, i, i * stride, Codecs.frameAt(m.bytes, i * stride)))
+      Codecs.decodeVideo(m.bytes) match {
+        case Some(clip) =>
+          // real path (MJPEG-in-AVI): duration from the container, payload
+          // = the sampled frame's actual JPEG bytes
+          val dur = clip.durationMs
+          val n = math.min(maxFrames, math.max(1, (dur / 1000L).toInt))
+          val stride = dur / n
+          (0 until n).iterator.map { i =>
+            val ts = i * stride
+            val idx = math.min(clip.frames.length - 1, (ts * 1000L / clip.usPerFrame).toInt)
+            Frame(m.media_id, i, ts, clip.frames(idx))
+          }
+        case None =>
+          // undecodable container: deterministic stub, same fan-out contract
+          val dur = Codecs.durationMs(m.bytes)
+          val n = math.min(maxFrames, math.max(1, (dur / 1000L).toInt))
+          val stride = dur / n
+          (0 until n).iterator.map(i =>
+            Frame(m.media_id, i, i * stride, Codecs.frameAt(m.bytes, i * stride)))
+      }
     }
   }
 
@@ -410,8 +573,16 @@ object Multimodal {
     def foldBits(cells: Column, mean: Column): Column =
       aggregate(cells, lit(0L),
         (a, v) => a * 2 + when(v > mean, lit(1L)).otherwise(lit(0L)))
-    val staged = features.withColumn("_mean",
-      aggregate(col(gridCol), lit(0.0d), (a, x) => a + x) / size(col(gridCol)))
+    val staged = features
+      // the two 32-cell fold slices silently truncate/misalign on any other
+      // grid size — a wrong-dim caller must fail loudly, not hash garbage
+      .withColumn(gridCol,
+        when(size(col(gridCol)) === 64, col(gridCol))
+          .otherwise(raise_error(concat(
+            lit(s"withPHash needs a 64-cell grid (extractFeatures dim = 64); got "),
+            size(col(gridCol)).cast("string"), lit(" cells")))))
+      .withColumn("_mean",
+        aggregate(col(gridCol), lit(0.0d), (a, x) => a + x) / size(col(gridCol)))
     staged.withColumn("phash",
         shiftleft(foldBits(slice(col(gridCol), 1, 32), col("_mean")), 32)
           .bitwiseOR(foldBits(slice(col(gridCol), 33, 32), col("_mean"))))

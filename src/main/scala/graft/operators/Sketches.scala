@@ -122,18 +122,35 @@ object Sketches {
     * summing bucket counts — the mergeable-summary shape a 100 TB ingest
     * wants. Returns one (item, est) row per distinct item in `df`.
     */
-  def cmsEstimates(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
+  def cmsEstimates(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame =
+    cmsEstimatesFromCounts(itemExactCounts(df, itemCol), depth, width)
+      .select(col("item"), col("est"))
+
+  /** ONE aggregation pass over the raw input; everything downstream (sketch
+    * buckets, probes, exact comparisons) derives from this small
+    * (item, exact_n) table. Scope-persisted because the derived plan
+    * references it more than once — without the persist each reference
+    * re-scans the raw input.
+    */
+  private def itemExactCounts(df: DataFrame, itemCol: Column): DataFrame =
+    graft.CacheScope.persist(
+      df.select(itemCol.cast("string").as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("exact_n")))
+
+  private def cmsEstimatesFromCounts(counts: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1)
-    val keyed = df.select(itemCol.cast("string").as("item"))
-      .select(col("item"), explode(array((0 until depth).map(d =>
+    val keyed = counts.select(col("item"), col("exact_n"),
+      explode(array((0 until depth).map(d =>
         struct(lit(d).as("d"),
           pmod(xxhash64(col("item"), lit(d)), lit(width.toLong)).as("b"))): _*)).as("k"))
-      .select(col("item"), col("k.d").as("d"), col("k.b").as("b"))
-    // the sketch: ≤ depth×width rows however large the input
-    val buckets = keyed.groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
-    keyed.distinct()
+      .select(col("item"), col("exact_n"), col("k.d").as("d"), col("k.b").as("b"))
+    // the sketch: ≤ depth×width rows however large the input — bucket
+    // counts are SUMS of the pre-aggregated per-item counts, identical to
+    // counting raw occurrences
+    val buckets = keyed.groupBy(col("d"), col("b")).agg(sum(col("exact_n")).as("c"))
+    keyed
       .join(buckets, Seq("d", "b"))
-      .groupBy(col("item"))
+      .groupBy(col("item"), col("exact_n"))
       .agg(min(col("c")).as("est"))
   }
 
@@ -142,13 +159,10 @@ object Sketches {
     * none, and the correctness gate hash-checks the emptiness (a
     * distributed invariant the DuckDB oracle can state as `WHERE false`).
     */
-  def cmsBoundViolations(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
-    val exact = df.select(itemCol.cast("string").as("item"))
-      .groupBy(col("item")).agg(count(lit(1)).as("exact_n"))
-    cmsEstimates(df, itemCol, depth, width)
-      .join(exact, Seq("item"))
+  def cmsBoundViolations(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame =
+    cmsEstimatesFromCounts(itemExactCounts(df, itemCol), depth, width)
       .filter(col("est") < col("exact_n"))
-  }
+      .select(col("item"), col("est"), col("exact_n"))
 
   /** Zero-violation contract frame for `percentile_approx`: for each
     * requested quantile q, the number of values ≤ the approximate answer
@@ -168,11 +182,20 @@ object Sketches {
         col("n"))
       .select(col("z.q").as("q"), col("z.a").as("a"), col("n"))
     val eps = 1.0 / accuracy
+    // rank-window checks with TIES handled asymmetrically: the sketch
+    // guarantees SOME rank in [floor((q-eps)n), ceil((q+eps)n)] maps to the
+    // answer `a`. count(v <= a) is the LARGEST rank of a; count(v < a) + 1
+    // the smallest. With a point mass at a, count(v <= a) legitimately
+    // exceeds the window's top (every tie sits at/below a), so the upper
+    // check must use the STRICT count: only when even the smallest rank of
+    // a (strictly-below count) clears the ceiling is the answer truly out
+    // of window. Symmetrically the lower check keeps count(v <= a).
     vals.join(approx)
       .groupBy(col("q"), col("a"), col("n"))
-      .agg(sum(when(col("v") <= col("a"), 1L).otherwise(0L)).as("n_below"))
+      .agg(sum(when(col("v") <= col("a"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") < col("a"), 1L).otherwise(0L)).as("n_strictly_below"))
       .filter(col("n_below") < floor((col("q") - eps) * col("n")) ||
-        col("n_below") > ceil((col("q") + eps) * col("n")))
+        col("n_strictly_below") > ceil((col("q") + eps) * col("n")))
       .select(col("q"), col("n_below"), col("n"))
   }
 }

@@ -226,4 +226,59 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       MediaFile(2, "jpg", payload, Map())).toDS()).collect()
     assert(feats.find(_.media_id == 1).get.width > 0)
   }
+
+  test("real AVI: writer→decodeVideo round trip recovers envelope and JPEG frames") {
+    val vids = syntheticAviCorpus(
+      spark.createDataset((0L until 16L).map(java.lang.Long.valueOf)),
+      fps = 2, maxFramesPerVideo = 8).collect()
+    vids.foreach { m =>
+      val clip = Codecs.decodeVideo(m.bytes)
+        .getOrElse(fail(s"AVI for id ${m.media_id} did not parse"))
+      val id = m.media_id
+      assert(clip.frames.length == 1 + (id % 8).toInt, "frame count from container")
+      assert(clip.width == 8 + 2 * (id % 5).toInt && clip.height == 8 + 2 * (id % 3).toInt)
+      assert(clip.usPerFrame == 500000L)
+      assert(clip.durationMs == (1 + id % 8) * 500L)
+      // every MJPEG frame is a standalone JPEG for the real imageio decode
+      clip.frames.zipWithIndex.foreach { case (jpeg, i) =>
+        val img = Codecs.decodeImage(jpeg).getOrElse(fail(s"frame $i not a JPEG"))
+        assert(img.getWidth == clip.width && img.getHeight == clip.height)
+      }
+    }
+    // non-AVI bytes stay on the deterministic stub path
+    assert(Codecs.decodeVideo(Array.tabulate(64)(_.toByte)).isEmpty)
+  }
+
+  test("sampleFrames on real AVIs: id-derived count, stride, and real frame payloads") {
+    val ds = syntheticAviCorpus(
+      spark.createDataset((0L until 32L).map(java.lang.Long.valueOf)),
+      fps = 2, maxFramesPerVideo = 8)
+    val frames = sampleFrames(ds, maxFrames = 4).collect().groupBy(_.media_id)
+    (0L until 32L).foreach { id =>
+      val dur = (1 + id % 8) * 500L
+      val n = math.min(4L, math.max(1L, dur / 1000L)).toInt
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.length == n, s"id $id: expected $n samples")
+      assert(fs.map(_.ts_ms).toSeq == (0 until n).map(_ * (dur / n)))
+      // payloads are the container's actual JPEG frames, not stub bytes
+      fs.foreach(f => assert(Codecs.decodeImage(f.pixels).isDefined))
+    }
+  }
+
+  test("extractFeatures on real AVI: envelope from container, features from first frame") {
+    val ds = syntheticAviCorpus(
+      spark.createDataset(Seq(java.lang.Long.valueOf(7L))), fps = 2, maxFramesPerVideo = 8)
+    val f = extractFeatures(ds, dim = 16).collect().head
+    assert(f.kind == "video")
+    assert(f.width == 8 + 2 * (7 % 5) && f.height == 8 + 2 * (7 % 3))
+    assert(f.duration_ms == (1 + 7 % 8) * 500L)
+    assert(f.features.length == 16 && f.features.forall(v => v >= -1.0f && v <= 1.0f))
+  }
+
+  test("withPHash rejects non-64-cell grids loudly") {
+    val feats = featureFrame(extractFeatures(
+      syntheticPngCorpus(spark.createDataset(Seq(java.lang.Long.valueOf(1L)))), dim = 16))
+    val e = intercept[Exception](withPHash(feats).collect())
+    assert(e.getMessage != null)
+  }
 }

@@ -462,4 +462,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // the manifest never carries text, and condenses to band keys + hashes
     assert(manifest.columns.toSeq == Seq("doc", "keys", "shh"))
   }
+
+  test("minhash candidate SET equals the exact J>=1/2 pair set on the harness corpus " +
+      "(d_minhash_candidates oracle validity)") {
+    // the correctness gate's oracle for d_minhash_candidates is the exact
+    // Jaccard pair SQL — valid iff, on the gate's corpus, LSH candidates
+    // have perfect recall (identical shingle sets → identical signatures →
+    // certain collision) AND no sub-threshold false positive shares a band
+    // key. Both are deterministic given the fixed hash family; this pins
+    // the set equality on the actual sf0.01 gate input.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables(spark, dir, "documents")
+    val cands = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.jaccardPairsBruteForce(docs, "text", "doc_id",
+      shingleSize = 3, numer = 1, denom = 2)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == brute,
+      s"extra candidates: ${(cands -- brute).take(5)}; missed pairs: ${(brute -- cands).take(5)}")
+  }
 }
