@@ -284,6 +284,21 @@ object EventStream {
         write(batch.toDF(), batchId))
       .start()
 
+  /** Session clone with stream-sized shuffle parallelism. A stateful
+    * operator materializes one state STORE per shuffle partition, and every
+    * micro-batch writes each store's checkpoint delta + crc files — so at
+    * batch-y parallelism (32 here) a small stream pays 32× the store
+    * init/flush fixed cost per stateful op while each store holds a few
+    * thousand rows. Result CONTENT never depends on partition count; only
+    * the fixed cost does. Production deployments size this to sustained
+    * stream volume instead.
+    */
+  def streamSession(spark: SparkSession, partitions: Int = 8): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s2
+  }
+
   /** Run a streaming aggregation over a (finite) file-source stream to
     * completion and return the final result as a batch DataFrame: memory
     * sink + AvailableNow. This is the harness adapter — production callers
