@@ -55,6 +55,65 @@ object ApiSource {
       .select(col("_row.*"))
   }
 
+  /** Production HTTP transport on `java.net.http` (JDK 11+, no extra
+    * dependency): GET with JSON accept header, per-request timeout, and
+    * bounded exponential-backoff retries on transient failures (connect/IO
+    * errors and 5xx/429 responses — the failure modes of a long-running
+    * listing poll). Any other non-2xx status fails immediately: a 404/403
+    * retried is a 404/403 slower. Mirrors the reference's
+    * `requests.get(url).json()` call sites (ref 01.ipynb:196-197,
+    * 03.ipynb:337) with the reliability wrapper a scheduled pipeline needs.
+    *
+    * Untestable in this CI (zero egress) — exercised by the
+    * ignored-by-default integration case in ApiSourceSpec; the paging/
+    * parsing logic above is transport-agnostic and fully tested through
+    * [[fileTransport]].
+    */
+  def httpTransport(
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(30),
+      maxAttempts: Int = 4,
+      initialBackoffMs: Long = 500L,
+      headers: Map[String, String] = Map.empty): Transport = {
+    require(maxAttempts >= 1)
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    url => {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(timeout)
+        .header("Accept", "application/json")
+        .GET()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val req = b.build()
+      var attempt = 0
+      var result: Option[String] = None
+      var lastFailure: String = ""
+      while (result.isEmpty && attempt < maxAttempts) {
+        if (attempt > 0)
+          Thread.sleep(initialBackoffMs * (1L << (attempt - 1)))
+        attempt += 1
+        try {
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString(
+              java.nio.charset.StandardCharsets.UTF_8))
+          val code = resp.statusCode()
+          if (code >= 200 && code < 300) result = Some(resp.body())
+          else if (code >= 500 || code == 429) lastFailure = s"HTTP $code"
+          else throw new java.io.IOException(
+            s"API request failed (non-retryable): HTTP $code for $url")
+        } catch {
+          case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.startsWith("API request failed (non-retryable)") => throw e
+          case e: java.io.IOException => lastFailure = e.toString
+          case e: InterruptedException => Thread.currentThread().interrupt(); throw e
+        }
+      }
+      result.getOrElse(throw new java.io.IOException(
+        s"API request failed after $maxAttempts attempts: $lastFailure for $url"))
+    }
+  }
+
   /** Offline transport: resolve each URL to a response file under `root`,
     * named by [[cacheFileName]]. Pair with a separate download step (or the
     * reference's manual cache) so the engine-side dataflow is identical
