@@ -111,11 +111,32 @@ object Stress {
         operators.Dedup.jaccardDuplicatePairs(docs, "text", "doc_id",
           shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
           .select(col("doc_a"), col("doc_b"))).count()),
+      // pure chain graph (worst case for label propagation: diameter = n).
+      // alt-star must close it in O(log n) ROUNDS regardless of the
+      // 100k·mult-hop diameter — the scale shape long URL/template chains
+      // force at corpus size
+      time(s"cc_altstar_chain_x$mult") {
+        val n = 100000L * mult
+        val chain = spark.range(n - 1)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        operators.Dedup.connectedComponentsAltStar(chain, maxIter = 60).count()
+      },
       time(s"funnel_x$mult")(operators.EventAnalytics.funnel(
         events, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase")).count()),
       time(s"retention_x$mult")(operators.EventAnalytics.retention(
         events, "user_id", "ts").count()),
+      // per-user calendar densification: the explode is bounded by each
+      // user's OWN first..last day span (never a global calendar), so
+      // deepened per-user histories must grow output ~linearly
+      time(s"gapfill_x$mult")(operators.EventAnalytics.dailyGapFill(
+        events, "user_id", "ts").count()),
+      // exact corpus-wide bigram top-k: shuffle carries one row per
+      // distinct n-gram per partition (partial agg), never per occurrence
+      time(s"ngram_top_x$mult")(operators.Sketches.ngramTop(
+        docs, "text", n = 2, k = 50).count()),
+      time(s"inverted_index_x$mult")(operators.TextOps.invertedIndex(
+        docs, "text", "doc_id").count()),
       time(s"lm_score_x$mult")(operators.NgramLm.selfScore(
         docs, "text", "doc_id").count()),
       // BPE merges: the word-count reduction must keep iteration cost bound

@@ -537,8 +537,10 @@ object Dedup {
     * [[duplicateClusters]]: (doc, cluster = min reachable id).
     *
     * Each round is two grouped-min shuffles over the edge set; edges only
-    * ever carry (long, long) ids. Fixpoint = edge set unchanged (checked
-    * with two anti-joins on the checkpointed frames, one job each).
+    * ever carry (long, long) ids. Fixpoint = edge set unchanged, checked as
+    * |next| == |edges| AND next∖edges == ∅ — the count of a just-
+    * checkpointed frame is one cheap narrow job, so convergence costs one
+    * anti-join per round instead of two.
     */
   def connectedComponentsAltStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val verts = graft.CacheScope.localCheckpoint(
@@ -552,6 +554,7 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct())
     var converged = false
     var iter = 0
+    var edgeCount = edges.count()
     while (!converged && iter < maxIter) {
       // large-star: group the closed neighborhood at each node (neighbors
       // from BOTH directions); every strictly-larger neighbor connects to
@@ -572,10 +575,15 @@ object Dedup {
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
       val next = graft.CacheScope.localCheckpoint(small)
-      val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count()
-      val shrank = edges.join(next, Seq("u", "v"), "left_anti").limit(1).count()
+      // set equality as |next| == |edges| ∧ next∖edges == ∅ (anti-join only
+      // when counts agree — rounds that still shrink skip it entirely)
+      val nextCount = next.count()
+      val grew =
+        if (nextCount == edgeCount) next.join(edges, Seq("u", "v"), "left_anti").limit(1).count()
+        else 1L
       edges = next
-      converged = grew + shrank == 0
+      edgeCount = nextCount
+      converged = grew == 0
       iter += 1
     }
     require(converged,

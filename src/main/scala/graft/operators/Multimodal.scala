@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing here is real and tested — schema, partitioning,
   * batch shape, the `binaryFile` source, and the explode-shaped growth of
   * frame sampling. The IMAGE codec path is real (`javax.imageio`: decode,
-  * dimensions, resize, luminance-grid features for PNG/JPEG/BMP/GIF), and
-  * so is the AUDIO path for JRE-supported formats (`javax.sound.sampled`:
-  * WAV/PCM/AIFF/AU decode, duration, RMS-energy-grid features). Compressed
-  * audio (mp3/flac/ogg) and VIDEO remain STUBBED behind [[Codecs]] (no such
-  * libraries in this container) as deterministic functions of the input
-  * bytes; the swap-in point for a real decoder (JNI/javacv/etc.) is that
-  * single object.
+  * dimensions, resize, luminance-grid features for PNG/JPEG/BMP/GIF), the
+  * AUDIO path is real for JRE-supported formats (`javax.sound.sampled`:
+  * WAV/PCM/AIFF/AU decode, duration, RMS-energy-grid features), and the
+  * VIDEO path is real for MJPEG-in-AVI ([[Codecs.decodeVideo]]: RIFF
+  * container parse, per-frame ImageIO JPEG decode — the one mainstream
+  * video format needing no external codec). Compressed audio (mp3/flac/
+  * ogg) and other video containers (mp4/mkv — no such libraries in this
+  * container) fall back to deterministic functions of the input bytes; the
+  * swap-in point for further decoders (JNI/javacv/etc.) is the single
+  * [[Codecs]] object.
   *
   * Scale design:
   *  - media rows never shuffle with their payload unless the caller asks —
