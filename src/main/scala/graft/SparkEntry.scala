@@ -642,6 +642,27 @@ object SparkEntry {
         "lang", "doc_id", quota = 40)
         .select(col("doc_id"), col("lang"))
     }),
+    // deterministic corpus shuffle: reproducible pseudo-random total order
+    // via the portable mixer, two-level (bucket ranks + prefix-summed
+    // offsets) so no global sort ever materializes
+    "t_shuffle_order" -> ((s, d) =>
+      Curation.shuffleOrder(tb(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("shuffle_pos"))),
+    // vocabulary coverage: per-doc out-of-vocabulary rate against the
+    // corpus' own top-20 tokens (integer thousandths — engine-exact)
+    "t_oov_rate" -> ((s, d) =>
+      TextOps.oovRate(tb(s, d, "documents"), "text", "doc_id",
+        vocabSize = 20, reuseTokens = true)),
+    // per-vector int8 scalar quantization (the ANN memory/IO lever);
+    // binary64-staged arithmetic → codes are engine-replayable
+    "s_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(tb(s, d, "embeddings"), "embedding", "vec_id")
+        .select(col("vec_id"), col("vmin"), col("vmax"),
+          array_join(transform(col("qvec"), q => q.cast("string")), " ").as("qcodes"))),
+    // quantize→dequantize round-trip contract: every element reconstructs
+    // within half a bucket width; the violations frame is provably empty
+    "s_quantize_bound" -> ((s, d) =>
+      Similarity.quantizationBoundViolations(tb(s, d, "embeddings"), "embedding", "vec_id")),
     // benchmark-contamination screen: docs (id % 50 != 0) sharing a word
     // 3-gram with the benchmark slice (id % 50 == 0), with overlap counts
     "t_contamination" -> ((s, d) => {
@@ -1096,6 +1117,14 @@ object SparkEntry {
       """WITH q AS (SELECT doc_id, lang, text FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20), d AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q) WHERE rn = 1) SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn2 FROM d) WHERE rn2 <= 40""",
     "t_contamination" ->
       """WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3), bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1""",
+    "t_shuffle_order" ->
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY mix % 1024, mix, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM (SELECT doc_id, (((doc_id % 1000003) * 2654435761) % 1000003) AS mix FROM documents)",
+    "t_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS tok FROM documents), vocab AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tok GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20)), pd AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY 1) SELECT d.doc_id, COALESCE(pd.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, COALESCE(pd.n_oov, CAST(0 AS BIGINT)) AS n_oov, CAST(CASE WHEN COALESCE(pd.n_tokens, 0) > 0 THEN (pd.n_oov * 1000) // pd.n_tokens ELSE 0 END AS BIGINT) AS oov_x1000 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
+    "s_quantize_int8" ->
+      "SELECT vec_id, vmin, vmax, array_to_string(CASE WHEN vmax > vmin THEN list_transform(dv, x -> CAST(least(255, floor((x - vmin) * 255.0 / (vmax - vmin))) AS INTEGER)) ELSE list_transform(dv, x -> 0) END, ' ') AS qcodes FROM (SELECT vec_id, dv, list_min(dv) AS vmin, list_max(dv) AS vmax FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings))",
+    "s_quantize_bound" ->
+      "SELECT CAST(0 AS BIGINT) AS vec_id, 0.0 AS max_err, 0.0 AS bound FROM embeddings WHERE 1 = 0",
     "d_exact_dup_groups" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->

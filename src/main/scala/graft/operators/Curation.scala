@@ -134,6 +134,38 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Deterministic corpus shuffle order: assign every row a reproducible
+    * pseudo-random position 0..n-1 — the "shuffle the training examples,
+    * identically on every re-run and in every engine" step a data pipeline
+    * runs before sequence packing / sharding.
+    *
+    * Scale shape: a global `row_number()` is a single-partition sort, dead
+    * at corpus scale. Instead the total order is (bucket, mix, id) with
+    * bucket = mix mod `buckets`: within-bucket ranks come from a
+    * PARTITIONED window (parallel, one shuffle), bucket offsets from a
+    * prefix sum over the ≤`buckets`-row count table (driver-trivial,
+    * broadcast back). Same two-level prefix-sum discipline as
+    * [[packSequences]]; nothing global ever exceeds `buckets` rows.
+    * Engine-replayable: the identical order is one SQL `row_number()` for
+    * the oracle.
+    */
+  def shuffleOrder(df: DataFrame, keyCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1)
+    requireIntegralKey(df, keyCol, "shuffleOrder")
+    val withB = df
+      .withColumn("__mix", portableHash(col(keyCol)))
+      .withColumn("__b", pmod(col("__mix"), lit(buckets.toLong)))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__mix"), col(keyCol))
+    val ranked = withB.withColumn("__rk", row_number().over(w).cast("long"))
+    val offW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .select(col("__b"), coalesce(sum(col("__n")).over(offW), lit(0L)).as("__off"))
+    ranked.join(broadcast(offsets), "__b")
+      .withColumn("shuffle_pos", col("__off") + col("__rk") - 1L)
+      .drop("__mix", "__b", "__rk", "__off")
+  }
+
   /** Per-group quota sample: at most `quota` rows per group, chosen by the
     * deterministic hash order (ties broken by the key itself, so the
     * selection is a total order — re-runs pick identical rows). One

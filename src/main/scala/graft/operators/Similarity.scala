@@ -182,4 +182,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  // ---------------------------------------------------------- quantization
+
+  /** Per-vector scalar int8 quantization: each embedding's values mapped to
+    * codes 0..255 against its own [min, max] range — the 4× memory/IO
+    * reduction that keeps a corpus-scale ANN index in executor memory
+    * (probe on codes, exact re-rank on the float originals of the short
+    * candidate list). Asymmetric per-vector scaling needs no global
+    * statistics pass, so quantization is a narrow map.
+    *
+    * All arithmetic is staged in binary64 (inputs cast to double FIRST)
+    * with one expression shape, so the codes are bit-deterministic and
+    * engine-replayable: code = min(255, floor((x - vmin)·255 / (vmax -
+    * vmin))). Degenerate constant vectors (vmax == vmin) code to all-0.
+    * Output: (id, vmin, vmax, qvec array<int>).
+    */
+  def quantizeInt8(embs: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    // staged projections: vmin/vmax are referenced per ELEMENT inside the
+    // transform lambda — inlined they would re-reduce the array per cell
+    embs
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__dv"))
+      .select(col(idCol), col("__dv"),
+        array_min(col("__dv")).as("vmin"), array_max(col("__dv")).as("vmax"))
+      .select(col(idCol), col("vmin"), col("vmax"),
+        when(col("vmax") > col("vmin"),
+          transform(col("__dv"), x =>
+            least(lit(255L),
+              floor(((x - col("vmin")) * lit(255.0)) / (col("vmax") - col("vmin"))))
+              .cast("int")))
+          .otherwise(transform(col("__dv"), _ => lit(0)))
+          .as("qvec"))
+  }
+
+  /** Midpoint dequantization of [[quantizeInt8]] codes: x̂ = vmin +
+    * (code + 0.5)·(vmax - vmin)/255 — reconstruction error is at most half
+    * a bucket width per element.
+    */
+  def dequantizeInt8(quantized: DataFrame, qvecCol: String = "qvec"): DataFrame =
+    quantized.withColumn("dqvec",
+      transform(col(qvecCol), q =>
+        col("vmin") + (q.cast("double") + lit(0.5)) *
+          (col("vmax") - col("vmin")) / lit(255.0)))
+
+  /** Zero-violation contract for the quantize→dequantize round trip: every
+    * element must reconstruct within half a bucket width (+1 ulp slack for
+    * the float→double path). The violations frame is provably empty and
+    * the gate hash-checks the emptiness — same contract shape as the CMS
+    * and quantile-sketch bounds.
+    */
+  def quantizationBoundViolations(
+      embs: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val dq = dequantizeInt8(
+      quantizeInt8(embs, vecCol, idCol))
+      .join(embs.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__orig")),
+        Seq(idCol))
+    dq.select(col(idCol),
+        aggregate(
+          zip_with(col("__orig"), col("dqvec"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"),
+        ((col("vmax") - col("vmin")) / lit(255.0) * lit(0.5000001)).as("bound"))
+      .filter(col("max_err") > col("bound"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale document pipelines.
@@ -295,4 +295,44 @@ object TextOps {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Out-of-vocabulary rate per document against the corpus' own top-
+    * `vocabSize` tokens — the vocabulary-coverage signal tokenizer and
+    * quality work want (a doc whose tokens are mostly outside the frequent
+    * vocabulary is boilerplate, code, another language, or noise).
+    *
+    * The vocabulary is the top `vocabSize` tokens by corpus count (ties
+    * lexically ascending, so the cutoff is a deterministic total order).
+    * Scale shape: vocabulary = partial-agg + TakeOrdered (one row per
+    * distinct token per partition in the shuffle, never per occurrence),
+    * then a BROADCAST left join per token occurrence — the corpus side
+    * never shuffles. Output: one row per input doc (docs with zero tokens
+    * report 0/0/0), `oov_x1000` in integer thousandths so the value is
+    * engine-exact.
+    */
+  def oovRate(
+      docs: DataFrame, textCol: String, idCol: String, vocabSize: Int,
+      reuseTokens: Boolean = false): DataFrame = {
+    require(vocabSize >= 1)
+    val tok0 = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+    // the token table feeds both the vocabulary count and the per-doc
+    // probe; reuse pins the tokenize pass to once (scope-managed)
+    val tok = if (reuseTokens) graft.CacheScope.persist(tok0) else tok0
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok").as("vtok"))
+    val perDoc = tok.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("doc"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      // integer division (`div`) so the rate is engine-exact, never a float
+      .withColumn("oov_x1000",
+        when(col("n_tokens") > 0L, expr("(n_oov * 1000) div n_tokens"))
+          .otherwise(lit(0L)).cast("bigint"))
+  }
 }

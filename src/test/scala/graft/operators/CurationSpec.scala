@@ -219,4 +219,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       3L -> "",
       4L -> ""))
   }
+
+  test("shuffleOrder: a permutation of 0..n-1, equal to the naive global order, stable") {
+    import spark.implicits._
+    val df = (0L until 997L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Curation.shuffleOrder(df, "doc_id", buckets = 16)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // permutation of 0..n-1
+    assert(out.map(_._2).sorted.toSeq == (0L until 997L))
+    // two-level order == the naive single-partition global row_number
+    val mix = Curation.portableHash(col("doc_id"))
+    val naive = df
+      .withColumn("m", mix)
+      .select(col("doc_id"), col("m"), pmod(col("m"), lit(16L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, m, b) => (b, m, id) }
+      .zipWithIndex.map { case ((id, _, _), pos) => id -> pos.toLong }.toMap
+    assert(out.forall { case (id, pos) => naive(id) == pos })
+    // not the identity order (it actually shuffles)
+    assert(out.toMap.count { case (id, pos) => id == pos } < 100)
+    // deterministic across runs / repartitionings
+    val again = Curation.shuffleOrder(df.repartition(7), "doc_id", buckets = 16)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.toMap == again)
+  }
 }

@@ -463,6 +463,55 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(manifest.columns.toSeq == Seq("doc", "keys", "shh"))
   }
 
+  test("oovRate: corpus-top-k vocabulary, per-doc OOV fractions, zero-token docs kept") {
+    import spark.implicits._
+    // 'the' x4, 'cat' x3, 'dog' x2 — vocab(2) = {the, cat}
+    val docs = Seq(
+      (1L, "the cat the dog"),     // oov: dog → 1/4
+      (2L, "the cat cat"),         // oov: 0/3
+      (3L, "dog zebra"),           // oov: 2/2
+      (4L, "   "),                 // zero tokens
+      (5L, "the")                  // 0/1
+    ).toDF("doc_id", "text")
+    val got = TextOps.oovRate(docs, "text", "doc_id", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 250L)))
+    assert(got(2L) == ((3L, 0L, 0L)))
+    assert(got(3L) == ((2L, 2L, 1000L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+    assert(got(5L) == ((1L, 0L, 0L)))
+  }
+
+  test("int8 quantization: codes bounded, round trip within half a bucket, contract empty") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f, -1.0f)),
+      (2L, Array(3.0f, 3.0f, 3.0f, 3.0f)), // degenerate: constant vector
+      (3L, Array(-2.5f, 7.25f, 0.125f, 3.75f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(embs, "embedding", "vec_id")
+    val rows = q.collect().map(r => r.getLong(0) ->
+      ((r.getDouble(1), r.getDouble(2), r.getSeq[Int](3)))).toMap
+    // codes in range; min maps to 0, max to 255 (non-degenerate vectors)
+    rows.values.foreach { case (_, _, codes) =>
+      assert(codes.forall(c => c >= 0 && c <= 255)) }
+    assert(rows(1L)._3.contains(0) && rows(1L)._3.contains(255))
+    assert(rows(2L)._3.forall(_ == 0)) // degenerate → all zeros, no NaN
+    // round-trip error bound holds elementwise
+    val dq = Similarity.dequantizeInt8(q)
+      .join(embs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("orig")), "vec_id")
+      .select(col("vec_id"), col("vmin"), col("vmax"), col("dqvec"), col("orig"))
+      .collect()
+    dq.foreach { r =>
+      val w = (r.getDouble(2) - r.getDouble(1)) / 255.0
+      r.getSeq[Double](3).zip(r.getSeq[Double](4)).foreach { case (d, o) =>
+        assert(math.abs(d - o) <= w / 2 + 1e-12, s"vec ${r.getLong(0)}: |$d - $o| > ${w / 2}") }
+    }
+    // and the zero-violation contract frame is empty
+    assert(Similarity.quantizationBoundViolations(embs, "embedding", "vec_id").count() == 0L)
+  }
+
   test("minhash candidate SET equals the exact J>=1/2 pair set on the harness corpus " +
       "(d_minhash_candidates oracle validity)") {
     // the correctness gate's oracle for d_minhash_candidates is the exact
