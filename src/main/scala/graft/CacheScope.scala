@@ -104,6 +104,26 @@ object CacheScope {
       case _ => None
     }
 
+  /** Eagerly free a checkpoint BEFORE its scope closes. Iterative operators
+    * checkpoint every round; scope-close-only reclamation would pin
+    * O(rounds × data) storage at once, so each loop frees round N-1's
+    * checkpoint as soon as round N's has truncated lineage past it and
+    * every intermediate consumer job has run. Idempotent (RDD.unpersist on
+    * an already-freed RDD is a no-op), so the scope's own close repeating
+    * the unpersist is harmless.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(r => { r.unpersist(blocking = false); () })
+
+  /** [[Dataset.persist]] + scope-track only when a scope is OPEN; outside
+    * any scope the frame is returned un-persisted. For operators that want
+    * single-scan behavior under harness/service scopes without changing
+    * their legacy (scope-less) footprint — a scope-less caller gets plan-
+    * level re-evaluation, never an unreclaimed cache entry.
+    */
+  def persistIfScoped(df: DataFrame): DataFrame =
+    if (active) persist(df) else df
+
   /** Run `body` in a fresh scope on this thread; free everything registered
     * inside it afterwards (including on exception). Scopes nest: inner
     * registrations free at the inner close.

@@ -24,6 +24,14 @@ object ApiSource {
   /** GET a URL, return the response body. */
   type Transport = String => String
 
+  /** A definitive HTTP failure (4xx other than 429): retrying cannot help,
+    * so [[httpTransport]] fails immediately. Typed — retry control flow
+    * must never hinge on matching an exception-message string.
+    */
+  final class NonRetryableHttpException(val code: Int, url: String)
+    extends java.io.IOException(
+      s"API request failed (non-retryable): HTTP $code for $url")
+
   /** Fetch all pages of a paged JSON API and flatten the per-page data
     * arrays into one DataFrame (schema inferred across every page).
     *
@@ -100,11 +108,9 @@ object ApiSource {
           val code = resp.statusCode()
           if (code >= 200 && code < 300) result = Some(resp.body())
           else if (code >= 500 || code == 429) lastFailure = s"HTTP $code"
-          else throw new java.io.IOException(
-            s"API request failed (non-retryable): HTTP $code for $url")
+          else throw new NonRetryableHttpException(code, url)
         } catch {
-          case e: java.io.IOException if e.getMessage != null &&
-              e.getMessage.startsWith("API request failed (non-retryable)") => throw e
+          case e: NonRetryableHttpException => throw e
           case e: java.io.IOException => lastFailure = e.toString
           case e: InterruptedException => Thread.currentThread().interrupt(); throw e
         }

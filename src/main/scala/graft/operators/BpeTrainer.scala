@@ -73,6 +73,9 @@ object BpeTrainer {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
+    // free each superseded re-checkpoint once the next one is materialized
+    // (long merge runs would otherwise pin every 5th word-table copy)
+    var prevCp = words
     while (rank < numMerges && !exhausted) {
       val top = words
         .select(col("n"), explode(symbolPairs(col("syms"))).as("p"))
@@ -86,7 +89,11 @@ object BpeTrainer {
         val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((rank, a, b, c))
         val next = words.select(col("n"), contractPair(col("syms"), a, b).as("syms"))
-        words = if (rank % 5 == 4) graft.CacheScope.localCheckpoint(next) else next
+        if (rank % 5 == 4) {
+          words = graft.CacheScope.localCheckpoint(next)
+          graft.CacheScope.unpersistCheckpoint(prevCp)
+          prevCp = words
+        } else words = next
         rank += 1
       }
     }

@@ -152,9 +152,11 @@ object Curation {
   def shuffleOrder(df: DataFrame, keyCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets >= 1)
     requireIntegralKey(df, keyCol, "shuffleOrder")
-    val withB = df
+    // referenced by both the rank window and the offsets aggregate — under
+    // a CacheScope the persist pins the source scan + hash to one pass
+    val withB = graft.CacheScope.persistIfScoped(df
       .withColumn("__mix", portableHash(col(keyCol)))
-      .withColumn("__b", pmod(col("__mix"), lit(buckets.toLong)))
+      .withColumn("__b", pmod(col("__mix"), lit(buckets.toLong))))
     val w = Window.partitionBy(col("__b")).orderBy(col("__mix"), col(keyCol))
     val ranked = withB.withColumn("__rk", row_number().over(w).cast("long"))
     val offW = Window.orderBy(col("__b"))

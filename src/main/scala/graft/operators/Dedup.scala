@@ -488,6 +488,10 @@ object Dedup {
       .persist()
     var converged = false
     var iter = 0
+    // superseded lineage-truncation checkpoints (every 5th iteration) are
+    // freed once the NEXT one lands — by then every persisted frame that
+    // could recompute through the old one has itself been unpersisted
+    var prevLabelsCp: DataFrame = null
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("doc"))
@@ -510,6 +514,10 @@ object Dedup {
         else merged.persist()
       val changed = next.filter(col("label") =!= col("old")).count()
       labels.unpersist()
+      if (iter % 5 == 4) {
+        if (prevLabelsCp ne null) graft.CacheScope.unpersistCheckpoint(prevLabelsCp)
+        prevLabelsCp = next
+      }
       labels = next
       converged = changed == 0
       iter += 1
@@ -555,6 +563,10 @@ object Dedup {
     var converged = false
     var iter = 0
     var edgeCount = edges.count()
+    // round N-1's checkpoint is dead once round N's is materialized and
+    // the convergence jobs have run — free it then, or a long run pins
+    // O(rounds × |E|) storage until scope close
+    var prevCheckpoint: DataFrame = null
     while (!converged && iter < maxIter) {
       // large-star: group the closed neighborhood at each node (neighbors
       // from BOTH directions); every strictly-larger neighbor connects to
@@ -581,6 +593,10 @@ object Dedup {
       val grew =
         if (nextCount == edgeCount) next.join(edges, Seq("u", "v"), "left_anti").limit(1).count()
         else 1L
+      // the previous round's edges checkpoint has no remaining consumer
+      // (next is materialized, the anti-join above has run) — free it now
+      if (prevCheckpoint ne null) graft.CacheScope.unpersistCheckpoint(prevCheckpoint)
+      prevCheckpoint = edges
       edges = next
       edgeCount = nextCount
       converged = grew == 0
@@ -588,6 +604,7 @@ object Dedup {
     }
     require(converged,
       s"connectedComponentsAltStar did not converge within maxIter=$maxIter rounds")
+    if (prevCheckpoint ne null) graft.CacheScope.unpersistCheckpoint(prevCheckpoint)
     // fixpoint is a star forest: every non-root has exactly one edge to its
     // component min; roots (the mins themselves) have none
     verts.join(edges, verts("doc") === edges("u"), "left")

@@ -249,23 +249,37 @@ object Multimodal {
           var usPerFrame = 0L
           var w = 0
           var hgt = 0
+          // a real AVI carries one strl per stream; only the VIDEO stream's
+          // strf is a BITMAPINFOHEADER (an audio strf is WAVEFORMATEX, and
+          // last-wins parsing would report sample rates as dimensions)
+          var inVideoStream = false
           val frames = IndexedSeq.newBuilder[Array[Byte]]
           def walk(from: Int, to: Int): Unit = {
             var o = from
-            while (o + 8 <= to) {
+            var ok = true
+            while (ok && o + 8 <= to) {
               val id = fourcc(o)
               val sz = le32(o + 4).toInt
               val body = o + 8
-              id match {
-                case "LIST" => walk(body + 4, math.min(to, body + sz))
-                case "avih" => usPerFrame = le32(body) // dwMicroSecPerFrame
-                case "strf" => // BITMAPINFOHEADER: biWidth @ +4, biHeight @ +8
-                  w = le32(body + 4).toInt; hgt = le32(body + 8).toInt
-                case s if s.length == 4 && (s.endsWith("dc") || s.endsWith("db")) =>
-                  frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
-                case _ => ()
+              // hostile/corrupt size fields (negative after toInt, or sized
+              // past the buffer) must BAIL, not loop: sz = -8 would make the
+              // next offset equal o forever — a hung executor task, which no
+              // catch-all exception handler ever sees
+              if (sz < 0 || body.toLong + sz > to) ok = false
+              else {
+                id match {
+                  case "LIST" => walk(body + 4, body + sz)
+                  case "avih" => usPerFrame = le32(body) // dwMicroSecPerFrame
+                  case "strh" => inVideoStream = fourcc(body) == "vids"
+                  case "strf" if inVideoStream =>
+                    // BITMAPINFOHEADER: biWidth @ +4, biHeight @ +8
+                    w = le32(body + 4).toInt; hgt = le32(body + 8).toInt
+                  case s if s.length == 4 && (s.endsWith("dc") || s.endsWith("db")) =>
+                    frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+                  case _ => ()
+                }
+                o = body + sz + (sz & 1) // chunk bodies pad to even offsets
               }
-              o = body + sz + (sz & 1) // chunk bodies pad to even offsets
             }
           }
           walk(12, math.min(bytes.length, 8 + le32(4).toInt))

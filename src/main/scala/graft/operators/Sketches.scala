@@ -128,12 +128,14 @@ object Sketches {
 
   /** ONE aggregation pass over the raw input; everything downstream (sketch
     * buckets, probes, exact comparisons) derives from this small
-    * (item, exact_n) table. Scope-persisted because the derived plan
-    * references it more than once — without the persist each reference
-    * re-scans the raw input.
+    * (item, exact_n) table. Persisted only when a [[graft.CacheScope]] is
+    * open (the harness/service shape — freed at scope close): the derived
+    * plan references it more than once, so the persist pins one input scan.
+    * A scope-less caller gets plan-level re-evaluation instead of an
+    * unreclaimable cache entry — never a leak.
     */
   private def itemExactCounts(df: DataFrame, itemCol: Column): DataFrame =
-    graft.CacheScope.persist(
+    graft.CacheScope.persistIfScoped(
       df.select(itemCol.cast("string").as("item"))
         .groupBy(col("item")).agg(count(lit(1)).as("exact_n")))
 
@@ -194,8 +196,10 @@ object Sketches {
       .groupBy(col("q"), col("a"), col("n"))
       .agg(sum(when(col("v") <= col("a"), 1L).otherwise(0L)).as("n_below"),
         sum(when(col("v") < col("a"), 1L).otherwise(0L)).as("n_strictly_below"))
+      // smallest rank of a = n_strictly_below + 1; it clears the ceiling
+      // iff n_strictly_below + 1 > ceil(...) ⟺ n_strictly_below >= ceil(...)
       .filter(col("n_below") < floor((col("q") - eps) * col("n")) ||
-        col("n_strictly_below") > ceil((col("q") + eps) * col("n")))
+        col("n_strictly_below") >= ceil((col("q") + eps) * col("n")))
       .select(col("q"), col("n_below"), col("n"))
   }
 }

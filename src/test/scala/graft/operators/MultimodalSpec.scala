@@ -275,6 +275,45 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f.features.length == 16 && f.features.forall(v => v >= -1.0f && v <= 1.0f))
   }
 
+  test("decodeVideo: hostile chunk sizes bail (no hang); audio-stream strf never becomes dims") {
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]) = cc(id) ++ le32(body.length.toLong) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def lst(t: String, body: Array[Byte]) = chunk("LIST", cc(t) ++ body)
+
+    // a chunk size of 0xFFFFFFF8 (-8 as Int) makes the walk offset stand
+    // still — without the negative-size guard this call never returns
+    val hostile = cc("RIFF") ++ le32(100L) ++ cc("AVI ") ++
+      cc("junk") ++ le32(0xFFFFFFF8L) ++ Array.fill(88)(0.toByte)
+    assert(Codecs.decodeVideo(hostile).isEmpty)
+
+    // audio strl FIRST (a WAVEFORMATEX strf: 44100 samples/sec at the
+    // offset where BITMAPINFOHEADER keeps biWidth) then the video strl —
+    // last-wins/any-wins strf parsing would report 44100 × 176400 "dims"
+    val img = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val avih = chunk("avih", le32(500000L) ++ Array.fill(13)(le32(0L)).flatten)
+    val strhAud = chunk("strh", cc("auds") ++ Array.fill(52)(0.toByte))
+    val strfAud = chunk("strf", le16(1) ++ le16(1) ++ le32(44100L) ++ le32(176400L) ++
+      le16(2) ++ le16(16))
+    val strhVid = chunk("strh", cc("vids") ++ cc("MJPG") ++ Array.fill(48)(0.toByte))
+    val strfVid = chunk("strf", le32(40L) ++ le32(10L) ++ le32(6L) ++ le16(1) ++ le16(24) ++
+      cc("MJPG") ++ le32(180L) ++ Array.fill(4)(le32(0L)).flatten)
+    val hdrl = lst("hdrl", avih ++ lst("strl", strhAud ++ strfAud) ++ lst("strl", strhVid ++ strfVid))
+    val movi = lst("movi", chunk("00dc", jpeg))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    val avi = cc("RIFF") ++ le32(body.length.toLong) ++ body
+    val clip = Codecs.decodeVideo(avi).getOrElse(fail("two-stream AVI did not parse"))
+    assert(clip.width == 10 && clip.height == 6, s"got ${clip.width}x${clip.height}")
+    assert(clip.frames.length == 1)
+  }
+
   test("withPHash rejects non-64-cell grids loudly") {
     val feats = featureFrame(extractFeatures(
       syntheticPngCorpus(spark.createDataset(Seq(java.lang.Long.valueOf(1L)))), dim = 16))
