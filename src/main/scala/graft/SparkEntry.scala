@@ -648,6 +648,12 @@ object SparkEntry {
     "t_shuffle_order" -> ((s, d) =>
       Curation.shuffleOrder(tb(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("shuffle_pos"))),
+    // balanced contiguous-range shards over the shuffled order — the
+    // training-loader layout (shard sizes differ by ≤1, assignment is a
+    // pure expression of (pos, n))
+    "t_shards" -> ((s, d) =>
+      Curation.shardAssignments(tb(s, d, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shuffle_pos"), col("shard"))),
     // vocabulary coverage: per-doc out-of-vocabulary rate against the
     // corpus' own top-20 tokens (integer thousandths — engine-exact)
     "t_oov_rate" -> ((s, d) =>
@@ -1119,6 +1125,8 @@ object SparkEntry {
       """WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3), bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1""",
     "t_shuffle_order" ->
       "SELECT doc_id, CAST(row_number() OVER (ORDER BY mix % 1024, mix, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM (SELECT doc_id, (((doc_id % 1000003) * 2654435761) % 1000003) AS mix FROM documents)",
+    "t_shards" ->
+      "WITH o AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY mix % 1024, mix, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM (SELECT doc_id, (((doc_id % 1000003) * 2654435761) % 1000003) AS mix FROM documents)), nn AS (SELECT count(*) AS n FROM documents) SELECT doc_id, shuffle_pos, CAST((shuffle_pos * 8) // nn.n AS BIGINT) AS shard FROM o, nn",
     "t_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS tok FROM documents), vocab AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tok GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20)), pd AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY 1) SELECT d.doc_id, COALESCE(pd.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, COALESCE(pd.n_oov, CAST(0 AS BIGINT)) AS n_oov, CAST(CASE WHEN COALESCE(pd.n_tokens, 0) > 0 THEN (pd.n_oov * 1000) // pd.n_tokens ELSE 0 END AS BIGINT) AS oov_x1000 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
     "s_quantize_int8" ->

@@ -168,6 +168,40 @@ object Curation {
       .drop("__mix", "__b", "__rk", "__off")
   }
 
+  /** Contiguous-range shard assignment over the [[shuffleOrder]] positions:
+    * shard = pos·numShards div n — shard sizes differ by at most one row,
+    * every shard is a contiguous slice of the shuffled order (so reading
+    * shards in sequence replays the full shuffled corpus), and the
+    * assignment is a pure expression of (pos, n) — deterministic and
+    * engine-replayable. `n` rides a count aggregate broadcast into the
+    * projection; nothing global beyond one scalar.
+    */
+  def shardAssignments(df: DataFrame, keyCol: String, numShards: Int, buckets: Int = 1024): DataFrame = {
+    require(numShards >= 1)
+    val ordered = shuffleOrder(df, keyCol, buckets)
+    val total = ordered.select(count(lit(1)).as("__n"))
+    ordered.join(broadcast(total))
+      .withColumn("shard",
+        when(col("__n") > 0L, expr(s"(shuffle_pos * $numShards) div __n"))
+          .otherwise(lit(0L)).cast("bigint"))
+      .drop("__n")
+  }
+
+  /** Write the corpus as `numShards` balanced parquet shards in shuffled
+    * order (`path/shard=K/`): the standard layout feeding a data loader —
+    * shard count = loader worker count, per-shard order = the reproducible
+    * shuffle. One shuffle (repartition on the shard id); files within a
+    * shard are written in shuffle_pos order via sortWithinPartitions.
+    */
+  def writeShards(
+      df: DataFrame, keyCol: String, numShards: Int, path: String,
+      buckets: Int = 1024): Unit = {
+    shardAssignments(df, keyCol, numShards, buckets)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Per-group quota sample: at most `quota` rows per group, chosen by the
     * deterministic hash order (ties broken by the key itself, so the
     * selection is a total order — re-runs pick identical rows). One

@@ -245,4 +245,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out.toMap == again)
   }
+
+  test("shardAssignments: balanced contiguous slices; writeShards lays out shard=K dirs") {
+    import spark.implicits._
+    val df = (0L until 103L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val shards = Curation.shardAssignments(df, "doc_id", numShards = 4, buckets = 8)
+      .select(col("doc_id"), col("shuffle_pos"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sizes differ by at most one
+    val sizes = shards.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // each shard is a contiguous slice of the shuffled order
+    sizes.keySet.foreach { k =>
+      val pos = shards.filter(_._3 == k).map(_._2).sorted
+      assert(pos.last - pos.head + 1 == pos.length, s"shard $k not contiguous")
+    }
+    // the writer materializes one dir per shard with the full corpus
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.writeShards(df, "doc_id", numShards = 4, path = dir, buckets = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 103L)
+    assert(back.select(col("shard")).distinct().count() == 4L)
+  }
 }
