@@ -143,7 +143,26 @@ object Stress {
       // to the DISTINCT-word table (which barely grows under replication),
       // not the corpus
       time(s"bpe_train_x$mult")(
-        operators.BpeTrainer.train(docs, "text", numMerges = 4).count())
+        operators.BpeTrainer.train(docs, "text", numMerges = 4).count()),
+      // reproducible shuffle + sharding: aggregates over shuffle_pos force
+      // the full two-level order (a bare count would let Catalyst prune the
+      // rank window away); the sum doubles as a permutation check
+      time(s"shuffle_order_x$mult") {
+        val n = docs.count()
+        val s = operators.Curation.shuffleOrder(docs, "doc_id")
+          .agg(sum(col("shuffle_pos"))).collect().head.getLong(0)
+        require(s == n * (n - 1) / 2, "shuffle positions are not a permutation")
+        n
+      },
+      time(s"shards_x$mult")(operators.Curation.shardAssignments(
+        docs, "doc_id", numShards = 1024)
+        .groupBy(col("shard")).count().count()),
+      // sum-of-sizes forces the code arrays to actually evaluate
+      time(s"quantize_x$mult")(operators.Similarity.quantizeInt8(
+        embs, "embedding", "vec_id")
+        .agg(sum(size(col("qvec")))).collect().head.getLong(0)),
+      time(s"oov_rate_x$mult")(operators.TextOps.oovRate(
+        docs, "text", "doc_id", vocabSize = 1000, reuseTokens = true).count())
     )
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","mult":$mult,"ops":$qs}""")

@@ -179,7 +179,10 @@ object Curation {
   def shardAssignments(df: DataFrame, keyCol: String, numShards: Int, buckets: Int = 1024): DataFrame = {
     require(numShards >= 1)
     val ordered = shuffleOrder(df, keyCol, buckets)
-    val total = ordered.select(count(lit(1)).as("__n"))
+    // count the INPUT, not the ordered frame: same scalar, but counting
+    // `ordered` would drag the whole rank-window plan through the
+    // optimizer just to produce n
+    val total = df.select(count(lit(1)).as("__n"))
     ordered.join(broadcast(total))
       .withColumn("shard",
         when(col("__n") > 0L, expr(s"(shuffle_pos * $numShards) div __n"))
@@ -195,12 +198,16 @@ object Curation {
     */
   def writeShards(
       df: DataFrame, keyCol: String, numShards: Int, path: String,
-      buckets: Int = 1024): Unit = {
-    shardAssignments(df, keyCol, numShards, buckets)
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("shuffle_pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
-  }
+      buckets: Int = 1024): Unit =
+    // own scope: the write action runs INSIDE it, so the shuffle/hash
+    // projection materializes once (not ~4 scans of the source for
+    // scope-less callers) and is freed when the write completes
+    graft.CacheScope.withScope {
+      shardAssignments(df, keyCol, numShards, buckets)
+        .repartition(numShards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("shuffle_pos"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    }
 
   /** Per-group quota sample: at most `quota` rows per group, chosen by the
     * deterministic hash order (ties broken by the key itself, so the

@@ -254,35 +254,53 @@ object Multimodal {
           // last-wins parsing would report sample rates as dimensions)
           var inVideoStream = false
           val frames = IndexedSeq.newBuilder[Array[Byte]]
-          def walk(from: Int, to: Int): Unit = {
+          // Hostile-input posture: this parser runs on untrusted corpus
+          // bytes inside executor tasks, so every failure mode must end in
+          // None or a skipped chunk, never a hang or a task-killing Error.
+          //  - NEGATIVE declared sizes bail (sz = -8 would pin the walk
+          //    offset in place forever — no exception for a catch to see);
+          //  - sizes past the buffer CLAMP rather than bail: a truncated
+          //    download still salvages every complete frame before it;
+          //  - handlers only fire when the chunk really holds the fixed
+          //    offsets they read (a 4-byte strf must not read the next
+          //    chunk's header as dimensions);
+          //  - recursion depth is capped: real AVIs nest 3 levels, and a
+          //    crafted 87k-deep LIST chain would otherwise end in
+          //    StackOverflowError — an Error, NOT caught by the Exception
+          //    handler below, killing the task and with it the whole job.
+          def walk(from: Int, to: Int, depth: Int): Unit = {
             var o = from
-            var ok = true
+            var ok = depth <= 16
             while (ok && o + 8 <= to) {
               val id = fourcc(o)
               val sz = le32(o + 4).toInt
               val body = o + 8
-              // hostile/corrupt size fields (negative after toInt, or sized
-              // past the buffer) must BAIL, not loop: sz = -8 would make the
-              // next offset equal o forever — a hung executor task, which no
-              // catch-all exception handler ever sees
-              if (sz < 0 || body.toLong + sz > to) ok = false
+              if (sz < 0) ok = false
               else {
+                val end = math.min(to.toLong, body.toLong + sz).toInt
                 id match {
-                  case "LIST" => walk(body + 4, body + sz)
-                  case "avih" => usPerFrame = le32(body) // dwMicroSecPerFrame
-                  case "strh" => inVideoStream = fourcc(body) == "vids"
-                  case "strf" if inVideoStream =>
+                  case "LIST" if body + 4 <= end =>
+                    walk(body + 4, end, depth + 1)
+                  case "avih" if body + 4 <= end =>
+                    usPerFrame = le32(body) // dwMicroSecPerFrame
+                  case "strh" if body + 4 <= end =>
+                    inVideoStream = fourcc(body) == "vids"
+                  case "strf" if inVideoStream && body + 12 <= end =>
                     // BITMAPINFOHEADER: biWidth @ +4, biHeight @ +8
                     w = le32(body + 4).toInt; hgt = le32(body + 8).toInt
-                  case s if s.length == 4 && (s.endsWith("dc") || s.endsWith("db")) =>
+                  case s if s.length == 4 && (s.endsWith("dc") || s.endsWith("db")) &&
+                      body.toLong + sz <= to =>
+                    // complete frame payloads only — a truncated tail frame
+                    // is dropped, not decoded as garbage
                     frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
                   case _ => ()
                 }
+                // sz >= 0 ⇒ the offset strictly advances every iteration
                 o = body + sz + (sz & 1) // chunk bodies pad to even offsets
               }
             }
           }
-          walk(12, math.min(bytes.length, 8 + le32(4).toInt))
+          walk(12, math.min(bytes.length, 8 + le32(4).toInt), 0)
           val fr = frames.result()
           if (fr.isEmpty || usPerFrame <= 0L) None
           else Some(VideoClip(w, hgt, usPerFrame, fr))

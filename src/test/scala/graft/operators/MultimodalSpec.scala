@@ -312,6 +312,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val clip = Codecs.decodeVideo(avi).getOrElse(fail("two-stream AVI did not parse"))
     assert(clip.width == 10 && clip.height == 6, s"got ${clip.width}x${clip.height}")
     assert(clip.frames.length == 1)
+
+    // deep LIST nesting must end in None, not StackOverflowError (an Error
+    // escapes the Exception catch and kills the executor task)
+    val depth = 100000
+    val inner = Array.fill(8)(0.toByte)
+    val nested = new java.io.ByteArrayOutputStream()
+    nested.write(cc("RIFF")); nested.write(le32((depth * 12 + 4 + inner.length).toLong))
+    nested.write(cc("AVI "))
+    (0 until depth).foreach { i =>
+      nested.write(cc("LIST"))
+      nested.write(le32(((depth - i - 1) * 12 + 4 + inner.length).toLong))
+      nested.write(cc("hdrl"))
+    }
+    nested.write(inner)
+    assert(Codecs.decodeVideo(nested.toByteArray).isEmpty)
+
+    // a TRUNCATED download still salvages every complete frame before the
+    // cut (the scraped-corpus reality); the half-frame tail is dropped
+    val multi = syntheticAviCorpus(
+      spark.createDataset(Seq(java.lang.Long.valueOf(7L))),
+      fps = 2, maxFramesPerVideo = 8).collect().head
+    val full = Codecs.decodeVideo(multi.bytes).get
+    assert(full.frames.length == 8)
+    val cut = java.util.Arrays.copyOfRange(multi.bytes, 0,
+      multi.bytes.length - full.frames.last.length / 2)
+    val salvaged = Codecs.decodeVideo(cut).getOrElse(fail("truncated AVI should still parse"))
+    assert(salvaged.frames.length == 7, s"salvaged ${salvaged.frames.length} of 7 complete frames")
   }
 
   test("withPHash rejects non-64-cell grids loudly") {
