@@ -591,6 +591,17 @@ object SparkEntry {
     "t_cms_bound" -> ((s, d) =>
       graft.operators.Sketches.cmsBoundViolations(
         t(s, d, "lineitem"), col("l_partkey"), depth = 5, width = 256)),
+    // CMS mergeability contract: folding per-part sketches (here lineitem
+    // split by orderkey parity — the daily-batch shape) must estimate
+    // identically to sketching the whole; exact because bucket counts are
+    // linear. The violations frame is provably empty
+    "t_cms_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.operators.Sketches.cmsMergeViolations(
+        Seq(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0)),
+        col("l_partkey"), depth = 5, width = 256)
+    }),
     // percentile_approx rank-error contract: each answered quantile must sit
     // within the sketch's guaranteed rank window; violations frame is empty
     "a13_quantile_bound" -> ((s, d) =>
@@ -1100,6 +1111,8 @@ object SparkEntry {
     // and emptiness is exactly what the oracle states
     "t_cms_bound" ->
       "SELECT CAST(l_partkey AS VARCHAR) AS item, CAST(0 AS BIGINT) AS est, CAST(0 AS BIGINT) AS exact_n FROM lineitem WHERE 1 = 0",
+    "t_cms_merge" ->
+      "SELECT CAST(l_partkey AS VARCHAR) AS item, CAST(0 AS BIGINT) AS est_merged, CAST(0 AS BIGINT) AS est_full FROM lineitem WHERE 1 = 0",
     "a13_quantile_bound" ->
       "SELECT 0.0 AS q, CAST(0 AS BIGINT) AS n_below, CAST(0 AS BIGINT) AS n FROM lineitem WHERE 1 = 0",
     // bigram LM replayed in SQL: same tokenizer, same add-one smoothing; the

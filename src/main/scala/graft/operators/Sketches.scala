@@ -166,6 +166,75 @@ object Sketches {
       .filter(col("est") < col("exact_n"))
       .select(col("item"), col("est"), col("exact_n"))
 
+  // ------------------------------------------------------- mergeable sketch
+
+  /** The count-min sketch ITSELF as a table: (d, b, c) bucket counts,
+    * ≤ depth×width rows however large the input. This is the persisted /
+    * shipped face of the sketch for incremental ingest: build one per
+    * batch/day/shard, store it like any table, merge with
+    * [[cmsMergeSketches]], probe with [[cmsEstimateFromSketch]] — the
+    * corpus is never re-read.
+    */
+  def cmsSketch(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    itemExactCounts(df, itemCol)
+      .select(col("item"), col("exact_n"),
+        explode(array((0 until depth).map(d =>
+          struct(lit(d).as("d"),
+            pmod(xxhash64(col("item"), lit(d)), lit(width.toLong)).as("b"))): _*)).as("k"))
+      .groupBy(col("k.d").as("d"), col("k.b").as("b"))
+      .agg(sum(col("exact_n")).as("c"))
+  }
+
+  /** Merge sketches built with the SAME (depth, width): bucket counts are
+    * linear, so summing them gives EXACTLY the sketch of the concatenated
+    * input — the mergeable-summaries property that lets a 100 TB ingest
+    * sketch each arriving batch independently and fold.
+    */
+  def cmsMergeSketches(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty)
+    sketches.reduce(_ unionByName _).groupBy(col("d"), col("b")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Estimates for the distinct items of `probe` against a prebuilt sketch
+    * table (buckets a probed item never touched count 0 — the sketch of an
+    * empty stream estimates everything at 0).
+    */
+  def cmsEstimateFromSketch(
+      sketch: DataFrame, probe: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    probe.select(itemCol.cast("string").as("item")).distinct()
+      .select(col("item"), explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          pmod(xxhash64(col("item"), lit(d)), lit(width.toLong)).as("b"))): _*)).as("k"))
+      .select(col("item"), col("k.d").as("d"), col("k.b").as("b"))
+      .join(sketch, Seq("d", "b"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** Zero-violation mergeability contract: estimates probed against the
+    * MERGE of per-part sketches must equal estimates against the sketch of
+    * the whole — exactly, because bucket counts are linear in the input.
+    * Provably empty; the gate hash-checks emptiness (`WHERE false` in the
+    * oracle). This is the invariant an incremental ingest leans on when it
+    * folds daily sketches instead of resketching history.
+    */
+  def cmsMergeViolations(
+      parts: Seq[DataFrame], itemCol: Column, depth: Int, width: Int): DataFrame = {
+    require(parts.nonEmpty)
+    val whole = parts.reduce(_ unionByName _)
+    val merged = cmsMergeSketches(parts.map(p => cmsSketch(p, itemCol, depth, width)))
+    val direct = cmsEstimateFromSketch(merged, whole, itemCol, depth, width)
+      .withColumnRenamed("est", "est_merged")
+    cmsEstimates(whole, itemCol, depth, width)
+      .withColumnRenamed("est", "est_full")
+      .join(direct, Seq("item"), "full_outer")
+      .filter(col("est_full") =!= col("est_merged") ||
+        col("est_full").isNull || col("est_merged").isNull)
+      .select(col("item"), col("est_merged"), col("est_full"))
+  }
+
   /** Zero-violation contract frame for `percentile_approx`: for each
     * requested quantile q, the number of values ≤ the approximate answer
     * must sit within the rank window n·(q ± 1/accuracy) the KLL-style

@@ -94,4 +94,39 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(Sketches.quantileBoundViolations(vals, col("v"),
       qs = Seq(0.1, 0.5, 0.9, 0.99), accuracy = 50).isEmpty)
   }
+
+  test("quantile bound violations: a point mass at the answer does not false-positive") {
+    import spark.implicits._
+    // 10k identical values: every quantile answers the mass point and
+    // count(v <= a) = n vastly exceeds the window top — only the STRICT
+    // count may drive the upper check (the r3 advisor finding)
+    val mass = (1 to 10000).map(i => (i.toLong, 42.0)).toDF("id", "v")
+    assert(Sketches.quantileBoundViolations(mass, col("v"),
+      qs = Seq(0.1, 0.5, 0.9), accuracy = 100).isEmpty)
+  }
+
+  test("CMS sketch merge: folded per-part sketches estimate exactly like the whole") {
+    import spark.implicits._
+    val rows = (1 to 6000).map(i => (i.toLong, s"k${i % 97}")).toDF("id", "key")
+    val parts = Seq(
+      rows.filter(col("id") % 3 === 0),
+      rows.filter(col("id") % 3 === 1),
+      rows.filter(col("id") % 3 === 2))
+    // tight width so collisions definitely occur — linearity must hold
+    // exactly even through colliding buckets
+    val merged = Sketches.cmsMergeSketches(
+      parts.map(p => Sketches.cmsSketch(p, col("key"), depth = 3, width = 16)))
+    val viaMerge = Sketches.cmsEstimateFromSketch(merged, rows, col("key"), depth = 3, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.cmsEstimates(rows, col("key"), depth = 3, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaMerge == direct)
+    // the gate-facing contract frame agrees
+    assert(Sketches.cmsMergeViolations(parts, col("key"), depth = 3, width = 16).isEmpty)
+    // an item the sketch never saw estimates 0, not null/missing
+    val unseen = Sketches.cmsEstimateFromSketch(
+      merged, Seq((1L, "never-seen")).toDF("id", "key"), col("key"), depth = 3, width = 16)
+      .collect()
+    assert(unseen.length == 1 && unseen.head.getLong(1) >= 0L)
+  }
 }
