@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,6 +174,70 @@ object Similarity {
     // for corpus-scale query sets
     val qSide = if (broadcastQueries) broadcast(q) else q.hint("merge")
     val scored = c.join(qSide, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  // ------------------------------------------------------- persisted index
+
+  /** Persist an IVF index: `path/centroids` (cluster → vector) and
+    * `path/corpus` (vec id, embedding, cluster) PARTITIONED BY cluster —
+    * the on-disk layout that makes a probe read only its probed clusters'
+    * files (partition pruning / dynamic pruning under the probe join).
+    * Build once over the standing corpus; extend with [[appendToIvfIndex]];
+    * probe forever with [[ivfTopKFromIndex]] — the corpus is never
+    * re-assigned.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignToIndex(corpus, vecCol, idCol, centroids)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
+  }
+
+  /** Append a batch to an existing index WITHOUT retraining: vectors are
+    * assigned against the FROZEN stored centroids and appended to their
+    * cluster partitions — the incremental-ingest shape (drifted corpora
+    * retrain + rewrite on their own cadence).
+    */
+  def appendToIvfIndex(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit =
+    assignToIndex(batch, vecCol, idCol, readIvfCentroids(batch.sparkSession, path))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/corpus")
+
+  private def assignToIndex(
+      df: DataFrame, vecCol: String, idCol: String, centroids: Seq[Seq[Float]]): DataFrame =
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      nearestCentroid(col(vecCol), centroids).as("cluster"))
+
+  def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] =
+    spark.read.parquet(s"$path/centroids").orderBy(col("cluster"))
+      .select(col("centroid")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** Probe a persisted index: same shape as [[ivfTopK]], but the corpus
+    * side is the stored cluster-partitioned table — no re-assignment, and
+    * only the probed clusters' files are read.
+    */
+  def ivfTopKFromIndex(
+      spark: SparkSession, path: String, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val c = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cluster"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeCentroids(col(vecCol), centroids, nprobe)).as("cluster"))
+    val qSide = if (broadcastQueries) broadcast(q) else q.hint("merge")
+    val scored = c.join(qSide, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))

@@ -512,6 +512,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.quantizationBoundViolations(embs, "embedding", "vec_id").count() == 0L)
   }
 
+  test("persisted IVF index: build, frozen-centroid append, probe == brute force") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(8)(j =>
+      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val half1 = all.filter(col("vec_id") < 20)
+    val half2 = all.filter(col("vec_id") >= 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val centroids = Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 4)
+    Similarity.writeIvfIndex(half1, "embedding", "vec_id", centroids, path)
+    // stored centroids round-trip exactly
+    assert(Similarity.readIvfCentroids(spark, path) == centroids)
+    // append the second half against the FROZEN centroids — no retrain
+    Similarity.appendToIvfIndex(half2, "embedding", "vec_id", path)
+    assert(spark.read.parquet(s"$path/corpus").count() == 40L)
+    // exhaustive probe over the persisted index == brute force on the union
+    val queries = all.filter(col("vec_id") < 5)
+    val viaIndex = Similarity.ivfTopKFromIndex(spark, path, queries,
+      "embedding", "vec_id", k = 3, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, all, "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == brute)
+  }
+
   test("minhash candidate SET equals the exact J>=1/2 pair set on the harness corpus " +
       "(d_minhash_candidates oracle validity)") {
     // the correctness gate's oracle for d_minhash_candidates is the exact
