@@ -734,6 +734,14 @@ object SparkEntry {
     "d_jaccard_lsh" -> ((s, d) =>
       Dedup.jaccardDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)),
+    // manifest-only re-dedup: the SAME pair set as d_jaccard_lsh, computed
+    // from the corpus' signature manifest with zero text re-read — shares
+    // the brute-force oracle by the same recall-1.0 banding argument
+    "d_manifest_pairs" -> ((s, d) =>
+      Dedup.nearDupPairsFromManifest(
+        Dedup.nearDupManifest(tb(s, d, "documents"), "text", "doc_id",
+          shingleSize = 3, bands = 32, rowsPerBand = 2),
+        numer = 1, denom = 2)),
     // raw LSH candidate pairs (no verify stage). Oracle-able because the
     // banding is deterministic and, on this corpus, the candidate SET
     // equals the exact J ≥ 1/2 pair set: every true pair here is an
@@ -1187,6 +1195,10 @@ object SparkEntry {
     // path shares the brute-force oracle — a hash mismatch here would mean
     // either lost recall or broken verify math
     "d_jaccard_lsh" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
+    // manifest path lands the identical pair set (recall-1.0 banding +
+    // hashed-shingle verify ≡ string verify) → same oracle
+    "d_manifest_pairs" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
     "d_embed_brute" ->
       "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",

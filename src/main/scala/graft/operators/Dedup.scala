@@ -113,6 +113,37 @@ object Dedup {
       .select(col("doc"),
         lshBandKeys(col("sig"), bands, rowsPerBand).as("keys"), col("shh"))
 
+  /** Near-dup pairs of a standing corpus from its OWN signature manifest —
+    * zero text re-read. Candidates from a band-key SELF-join over the
+    * manifest's keys, exact-verified on the stored hashed shingle sets.
+    * Because the manifest is ~1 KB/doc, this re-runs a changed dedup
+    * policy (different `numer`/`denom` threshold, new keeper rule
+    * downstream) over a corpus at manifest-scale IO instead of corpus-
+    * scale — the 100 TB answer to "legal wants the similarity threshold
+    * tightened". Thresholds STRICTER than the banding's design point keep
+    * recall 1 (candidates only shrink under verification); looser ones
+    * need a manifest rebuilt with looser banding.
+    */
+  def nearDupPairsFromManifest(manifest0: DataFrame, numer: Int, denom: Int): DataFrame = {
+    // both the self-join sides and the two verify joins read the manifest —
+    // under a CacheScope it materializes once (it is small by construction)
+    val manifest = graft.CacheScope.persistIfScoped(manifest0)
+    val banded = manifest.select(col("doc"), posexplode(col("keys")).as(Seq("band", "key")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    val (inter, union) = setOverlap(col("sa.shh"), col("sb.shh"))
+    cands
+      .join(manifest.select(col("doc"), col("shh")).alias("sa"), col("doc_a") === col("sa.doc"))
+      .join(manifest.select(col("doc"), col("shh")).alias("sb"), col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("bigint").as("inter_sz"), union.cast("bigint").as("union_sz"))
+      .filter(col("inter_sz") * denom >= col("union_sz") * numer)
+  }
+
   /** Incremental near-dup dedup: rows of `batch` with NO near-duplicate
     * (shingle Jaccard ≥ numer/denom) in the corpus behind `manifest`
     * (a [[nearDupManifest]] built with the SAME shingleSize/bands/

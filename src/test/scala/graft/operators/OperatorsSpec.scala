@@ -512,6 +512,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.quantizationBoundViolations(embs, "embedding", "vec_id").count() == 0L)
   }
 
+  test("manifest-only re-dedup equals the text path; stricter thresholds need no rebuild") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " kilo"),
+      (4L, "completely different content about spark catalyst and tungsten engines"),
+      (5L, "another unrelated doc mentioning shuffles exchanges and partitions")
+    ).toDF("doc_id", "text")
+    val manifest = Dedup.nearDupManifest(docs, "text", "doc_id",
+      shingleSize = 3, bands = 32, rowsPerBand = 2)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // manifest path ≡ text path at the design threshold
+    assert(pairSet(Dedup.nearDupPairsFromManifest(manifest, numer = 1, denom = 2)) ==
+      pairSet(Dedup.jaccardDuplicatePairs(docs, "text", "doc_id",
+        shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)))
+    // a STRICTER threshold re-runs on the same manifest: only the exact
+    // duplicates survive J >= 95/100, the appended-token neighbor drops
+    val strict = pairSet(Dedup.nearDupPairsFromManifest(manifest, numer = 95, denom = 100))
+    assert(strict == Set((1L, 2L)))
+  }
+
   test("persisted IVF index: build, frozen-centroid append, probe == brute force") {
     import spark.implicits._
     def vec(seed: Int) = Array.tabulate(8)(j =>
