@@ -78,6 +78,14 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+
   private def fixedWidthV2Scan(s: SparkSession, dir: String): DataFrame = {
     val (dcfFile, datDirCached) = fwv2Cache.computeIfAbsent(dir, _ => {
       val (d, dat) = buildFwv2Fixture(s, dir)
@@ -942,11 +950,15 @@ object SparkEntry {
       // nprobe = #centroids keeps it provably equal to brute force, so the
       // whole write→read→probe loop rides the hash gate
       val emb = tb(s, d, "embeddings")
+      // cached per dataset dir for the JVM lifetime (a dataset regenerated
+      // in place mid-JVM would serve a stale index — the harness never
+      // does); the full corpus-sized fixture is deleted at JVM exit
       val path = ivfIndexCache.computeIfAbsent(d, _ => {
-        val p = java.nio.file.Files.createTempDirectory("ivfidx").toString
+        val dir = java.nio.file.Files.createTempDirectory("ivfidx")
+        deleteRecursivelyOnExit(dir)
         Similarity.writeIvfIndex(emb, "embedding", "vec_id",
-          Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8), p)
-        p
+          Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8), dir.toString)
+        dir.toString
       })
       Similarity.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, nprobe = 8)

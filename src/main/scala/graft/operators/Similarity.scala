@@ -132,9 +132,21 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, centroids: Seq[Seq[Float]], nprobe: Int = 2,
-      broadcastQueries: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      nearestCentroid(col(vecCol), centroids).as("cluster"))
+      broadcastQueries: Boolean = true): DataFrame =
+    probeAssignedCorpus(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        nearestCentroid(col(vecCol), centroids).as("cluster")),
+      queries, vecCol, idCol, k, centroids, nprobe, broadcastQueries)
+
+  /** The probe join + exact re-rank shared by the in-memory and the
+    * persisted-index IVF paths — ONE copy, because the two paths are
+    * oracle-pinned to agree and a tie-break/self-filter fix applied to one
+    * but not the other would silently split them.
+    */
+  private def probeAssignedCorpus(
+      c: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, centroids: Seq[Seq[Float]], nprobe: Int,
+      broadcastQueries: Boolean): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(probeCentroids(col(vecCol), centroids, nprobe)).as("cluster"))
     // lookup workloads broadcast the (small) query side; for query sets
@@ -232,19 +244,10 @@ object Similarity {
       vecCol: String, idCol: String, k: Int, nprobe: Int,
       broadcastQueries: Boolean = true): DataFrame = {
     val centroids = readIvfCentroids(spark, path)
-    val c = spark.read.parquet(s"$path/corpus")
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cluster"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probeCentroids(col(vecCol), centroids, nprobe)).as("cluster"))
-    val qSide = if (broadcastQueries) broadcast(q) else q.hint("merge")
-    val scored = c.join(qSide, Seq("cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    probeAssignedCorpus(
+      spark.read.parquet(s"$path/corpus")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cluster")),
+      queries, vecCol, idCol, k, centroids, nprobe, broadcastQueries)
   }
 
   // ---------------------------------------------------------- quantization

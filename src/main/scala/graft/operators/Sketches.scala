@@ -139,12 +139,20 @@ object Sketches {
       df.select(itemCol.cast("string").as("item"))
         .groupBy(col("item")).agg(count(lit(1)).as("exact_n")))
 
-  private def cmsEstimatesFromCounts(counts: DataFrame, depth: Int, width: Int): DataFrame = {
+  /** The (d, b) bucket keys of an item — THE wire contract between a
+    * persisted sketch and every future probe, so it exists exactly once:
+    * a drifted copy (seed, width cast, mod variant) would silently probe
+    * wrong buckets of a stored sketch.
+    */
+  private def cmsBucketKeys(depth: Int, width: Int): Column = {
     require(depth >= 1 && width >= 1)
-    val keyed = counts.select(col("item"), col("exact_n"),
-      explode(array((0 until depth).map(d =>
-        struct(lit(d).as("d"),
-          pmod(xxhash64(col("item"), lit(d)), lit(width.toLong)).as("b"))): _*)).as("k"))
+    explode(array((0 until depth).map(d =>
+      struct(lit(d).as("d"),
+        pmod(xxhash64(col("item"), lit(d)), lit(width.toLong)).as("b"))): _*))
+  }
+
+  private def cmsEstimatesFromCounts(counts: DataFrame, depth: Int, width: Int): DataFrame = {
+    val keyed = counts.select(col("item"), col("exact_n"), cmsBucketKeys(depth, width).as("k"))
       .select(col("item"), col("exact_n"), col("k.d").as("d"), col("k.b").as("b"))
     // the sketch: ≤ depth×width rows however large the input — bucket
     // counts are SUMS of the pre-aggregated per-item counts, identical to
@@ -175,16 +183,11 @@ object Sketches {
     * [[cmsMergeSketches]], probe with [[cmsEstimateFromSketch]] — the
     * corpus is never re-read.
     */
-  def cmsSketch(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && width >= 1)
+  def cmsSketch(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame =
     itemExactCounts(df, itemCol)
-      .select(col("item"), col("exact_n"),
-        explode(array((0 until depth).map(d =>
-          struct(lit(d).as("d"),
-            pmod(xxhash64(col("item"), lit(d)), lit(width.toLong)).as("b"))): _*)).as("k"))
+      .select(col("item"), col("exact_n"), cmsBucketKeys(depth, width).as("k"))
       .groupBy(col("k.d").as("d"), col("k.b").as("b"))
       .agg(sum(col("exact_n")).as("c"))
-  }
 
   /** Merge sketches built with the SAME (depth, width): bucket counts are
     * linear, so summing them gives EXACTLY the sketch of the concatenated
@@ -201,17 +204,23 @@ object Sketches {
     * empty stream estimates everything at 0).
     */
   def cmsEstimateFromSketch(
-      sketch: DataFrame, probe: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && width >= 1)
-    probe.select(itemCol.cast("string").as("item")).distinct()
-      .select(col("item"), explode(array((0 until depth).map(d =>
-        struct(lit(d).as("d"),
-          pmod(xxhash64(col("item"), lit(d)), lit(width.toLong)).as("b"))): _*)).as("k"))
+      sketch: DataFrame, probe: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame =
+    estimateForItems(sketch, probe.select(itemCol.cast("string").as("item")).distinct(),
+      depth, width)
+
+  /** Probe a sketch for a prepared distinct (item) frame. Buckets the
+    * sketch never touched count 0 — note this makes a NEVER-SEEN item
+    * estimate 0 only when ALL its buckets are untouched; colliding buckets
+    * overestimate, per the usual one-sided CMS guarantee.
+    */
+  private def estimateForItems(
+      sketch: DataFrame, items: DataFrame, depth: Int, width: Int): DataFrame =
+    items
+      .select(col("item"), cmsBucketKeys(depth, width).as("k"))
       .select(col("item"), col("k.d").as("d"), col("k.b").as("b"))
       .join(sketch, Seq("d", "b"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
-  }
 
   /** Zero-violation mergeability contract: estimates probed against the
     * MERGE of per-part sketches must equal estimates against the sketch of
@@ -225,14 +234,22 @@ object Sketches {
     require(parts.nonEmpty)
     val whole = parts.reduce(_ unionByName _)
     val merged = cmsMergeSketches(parts.map(p => cmsSketch(p, itemCol, depth, width)))
-    val direct = cmsEstimateFromSketch(merged, whole, itemCol, depth, width)
+    // ONE aggregation of the concatenated input feeds both sides: the
+    // direct estimates derive from it, and its item set is the probe set
+    val counts = itemExactCounts(whole, itemCol)
+    val direct = estimateForItems(merged, counts.select(col("item")), depth, width)
       .withColumnRenamed("est", "est_merged")
-    cmsEstimates(whole, itemCol, depth, width)
-      .withColumnRenamed("est", "est_full")
-      .join(direct, Seq("item"), "full_outer")
+      .withColumnRenamed("item", "item_m")
+    cmsEstimatesFromCounts(counts, depth, width)
+      .select(col("item"), col("est").as("est_full"))
+      // null-SAFE join: a NULL item hashes deterministically and estimates
+      // on both sides — EqualTo would strand the two null rows unmatched
+      // and fabricate a violation out of nothing
+      .join(direct, col("item") <=> col("item_m"), "full_outer")
       .filter(col("est_full") =!= col("est_merged") ||
         col("est_full").isNull || col("est_merged").isNull)
-      .select(col("item"), col("est_merged"), col("est_full"))
+      .select(coalesce(col("item"), col("item_m")).as("item"),
+        col("est_merged"), col("est_full"))
   }
 
   /** Zero-violation contract frame for `percentile_approx`: for each

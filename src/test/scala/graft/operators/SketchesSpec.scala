@@ -123,10 +123,28 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(viaMerge == direct)
     // the gate-facing contract frame agrees
     assert(Sketches.cmsMergeViolations(parts, col("key"), depth = 3, width = 16).isEmpty)
-    // an item the sketch never saw estimates 0, not null/missing
-    val unseen = Sketches.cmsEstimateFromSketch(
-      merged, Seq((1L, "never-seen")).toDF("id", "key"), col("key"), depth = 3, width = 16)
-      .collect()
-    assert(unseen.length == 1 && unseen.head.getLong(1) >= 0L)
+    // an item whose buckets the sketch provably never touched estimates
+    // EXACTLY 0 (missing buckets count 0, not null). Needs a SPARSE sketch
+    // — at width 16 the 97-key sketch occupies every bucket — so build one
+    // from 3 items at width 8192 and pick a probe whose (d, b) keys are
+    // verifiably disjoint from the occupied set
+    val sparse = Sketches.cmsSketch(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "key"),
+      col("key"), depth = 3, width = 8192)
+    val occupied = sparse.select(col("d"), col("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val candidates = (0 until 50).map(i => s"unseen-$i")
+    val candBuckets = candidates.toDF("item")
+      .select(col("item"), explode(array((0 until 3).map(d =>
+        struct(lit(d).as("d"), pmod(xxhash64(col("item"), lit(d)), lit(8192L)).as("b"))): _*)).as("k"))
+      .select(col("item"), col("k.d"), col("k.b"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
+    val item = candidates.find(c => candBuckets(c).intersect(occupied).isEmpty)
+      .getOrElse(fail("no bucket-disjoint probe among 50 candidates at width 8192"))
+    val est = Sketches.cmsEstimateFromSketch(
+      sparse, Seq((1L, item)).toDF("id", "key"), col("key"), depth = 3, width = 8192)
+      .collect().head.getLong(1)
+    assert(est == 0L, s"untouched-bucket probe '$item' must estimate 0, got $est")
   }
 }
