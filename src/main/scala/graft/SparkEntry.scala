@@ -731,6 +731,16 @@ object SparkEntry {
         bands = 32, rowsPerBand = 2)
         .select(col("doc_id"))
     }),
+    // Bloom-manifest soundness: batch rows kept by the memory-resident
+    // Bloom dedup gate that exact digests prove were in the corpus — the
+    // no-false-negative property as a provably-empty frame
+    "d_bloom_sound" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Dedup.bloomSeenViolations(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "text", "doc_id", expectedItems = 100000L)
+    }),
     "d_jaccard_brute" -> ((s, d) =>
       Dedup.jaccardPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2)),
@@ -1186,6 +1196,8 @@ object SparkEntry {
       "SELECT vec_id, vmin, vmax, array_to_string(CASE WHEN vmax > vmin THEN list_transform(dv, x -> CAST(least(255, floor((x - vmin) * 255.0 / (vmax - vmin))) AS INTEGER)) ELSE list_transform(dv, x -> 0) END, ' ') AS qcodes FROM (SELECT vec_id, dv, list_min(dv) AS vmin, list_max(dv) AS vmax FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings))",
     "s_quantize_bound" ->
       "SELECT CAST(0 AS BIGINT) AS vec_id, 0.0 AS max_err, 0.0 AS bound FROM embeddings WHERE 1 = 0",
+    "d_bloom_sound" ->
+      "SELECT doc_id FROM documents WHERE 1 = 0",
     "d_exact_dup_groups" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->

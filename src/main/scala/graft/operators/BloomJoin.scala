@@ -75,10 +75,16 @@ object BloomJoin {
     out.toByteArray
   }
 
+  /** Membership-test column for a composite key against a built filter —
+    * for callers that need the complement or a flag column rather than the
+    * pruned frame (e.g. [[Dedup.dropSeenDocumentsBloom]]).
+    */
+  def mightContainColumn(keys: Seq[String], filterBytes: Array[Byte]): Column =
+    Bridge.column(BloomMightContainExpr(Bridge.expression(keyHash(keys)), filterBytes))
+
   /** Filter `df` to rows whose composite key might be in `filterBytes`. */
   def pruneByFilter(df: DataFrame, keys: Seq[String], filterBytes: Array[Byte]): DataFrame =
-    df.filter(Bridge.column(
-      BloomMightContainExpr(Bridge.expression(keyHash(keys)), filterBytes)))
+    df.filter(mightContainColumn(keys, filterBytes))
 
   /** `big ⋈ small` on `keys`, with the big side Bloom-pruned first.
     *

@@ -113,6 +113,53 @@ object Dedup {
       .select(col("doc"),
         lshBandKeys(col("sig"), bands, rowsPerBand).as("keys"), col("shh"))
 
+  /** Exact-dedup manifest as a Bloom filter: ~10 bits/doc at 1% fpp versus
+    * [[digestManifest]]'s 16 bytes/doc — the MEMORY-RESIDENT membership
+    * face of the corpus for high-throughput ingest gates (the whole filter
+    * for a billion documents is ~1.2 GB and ships in a task closure; the
+    * digest manifest at that size is a 16 GB join side). One-sided by
+    * construction: Bloom filters have NO false negatives, so a document
+    * already in the corpus is ALWAYS dropped; a false positive drops an
+    * unseen document at rate ≤ fpp — the safe direction for dedup (loses a
+    * sliver of new data, never re-admits a duplicate). Pipelines that
+    * cannot tolerate the sliver use [[dropSeenDocuments]].
+    */
+  def bloomDigestManifest(
+      docs: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
+    BloomJoin.buildKeyFilter(docs.select(col(textCol)), Seq(textCol), expectedItems, fpp)
+
+  /** Incremental exact dedup against a [[bloomDigestManifest]]: the batch
+    * is self-deduped (lowest id per digest), then rows the filter
+    * recognizes are dropped — a narrow scan-stage filter, no join, no
+    * shuffle of the manifest.
+    */
+  def dropSeenDocumentsBloom(
+      batch: DataFrame, manifest: Array[Byte], textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .filter(!BloomJoin.mightContainColumn(Seq(textCol), manifest))
+      .drop("__rn")
+  }
+
+  /** Zero-violation soundness contract for the Bloom manifest: rows KEPT by
+    * [[dropSeenDocumentsBloom]] whose exact digest IS in the corpus — by
+    * the no-false-negative property there are none, and the gate
+    * hash-checks the emptiness. (The converse — unseen rows wrongly
+    * dropped — is the bounded fpp trade, not a correctness property.)
+    */
+  def bloomSeenViolations(
+      batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val kept = dropSeenDocumentsBloom(
+      batch, bloomDigestManifest(corpus, textCol, expectedItems, fpp), textCol, idCol)
+    kept.join(corpus.select(md5(col(textCol)).as("__ch")).distinct(),
+        md5(kept(textCol)) === col("__ch"), "left_semi")
+      .select(col(idCol))
+  }
+
   /** Near-dup pairs of a standing corpus from its OWN signature manifest —
     * zero text re-read. Candidates from a band-key SELF-join over the
     * manifest's keys, exact-verified on the stored hashed shingle sets.

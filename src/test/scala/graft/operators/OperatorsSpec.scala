@@ -512,6 +512,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.quantizationBoundViolations(embs, "embedding", "vec_id").count() == 0L)
   }
 
+  test("bloom dedup manifest: seen docs always dropped, kept set within the exact gate") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i => (i.toLong, s"corpus document number $i payload")).toDF("doc_id", "text")
+    val batch = (
+      (0 until 50).map(i => (1000L + i, s"corpus document number $i payload")) ++ // seen
+      (0 until 50).map(i => (2000L + i, s"fresh unseen document $i content")) ++  // new
+      Seq((3000L, "fresh unseen document 0 content"))                             // batch-internal dup
+    ).toDF("doc_id", "text")
+    val manifest = Dedup.bloomDigestManifest(corpus, "text", expectedItems = 1000L, fpp = 0.01)
+    val kept = Dedup.dropSeenDocumentsBloom(batch, manifest, "text", "doc_id")
+      .select(col("doc_id")).as[Long].collect().toSet
+    // NO false negatives: every corpus text and the batch-internal dup gone
+    assert(kept.forall(id => id >= 2000L && id < 2050L))
+    // false positives only lose a bounded sliver of the 50 fresh docs
+    assert(kept.size >= 45, s"fpp=1% lost ${50 - kept.size} of 50 fresh docs")
+    // bloom-kept ⊆ exact-kept (the gate can only be stricter)
+    val exactKept = Dedup.dropSeenDocuments(batch, Dedup.digestManifest(corpus, "text"),
+      "text", "doc_id").select(col("doc_id")).as[Long].collect().toSet
+    assert(kept.subsetOf(exactKept))
+    // and the gate-facing soundness frame is empty
+    assert(Dedup.bloomSeenViolations(batch, corpus, "text", "doc_id",
+      expectedItems = 1000L).isEmpty)
+  }
+
   test("manifest-only re-dedup equals the text path; stricter thresholds need no rebuild") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
