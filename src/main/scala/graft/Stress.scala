@@ -162,7 +162,24 @@ object Stress {
         embs, "embedding", "vec_id")
         .agg(sum(size(col("qvec")))).collect().head.getLong(0)),
       time(s"oov_rate_x$mult")(operators.TextOps.oovRate(
-        docs, "text", "doc_id", vocabSize = 1000, reuseTokens = true).count())
+        docs, "text", "doc_id", vocabSize = 1000, reuseTokens = true).count()),
+      // memory-resident Bloom dedup gate: build over 3/4 of the corpus,
+      // gate the other 1/4 — the filter build is one treeAggregate, the
+      // gate a scan-stage test (no join anywhere)
+      time(s"bloom_gate_x$mult") {
+        val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        operators.Dedup.dropSeenDocumentsBloom(batch,
+          operators.Dedup.bloomDigestManifest(corpus, "text",
+            expectedItems = 200000L * mult), "text", "doc_id").count()
+      },
+      // manifest-only re-dedup: pair recompute at manifest-scale IO (the
+      // corpus text is never touched after the manifest build)
+      time(s"manifest_pairs_x$mult") {
+        val manifest = operators.Dedup.nearDupManifest(docs, "text", "doc_id",
+          shingleSize = 3, bands = 32, rowsPerBand = 2)
+        operators.Dedup.nearDupPairsFromManifest(manifest, numer = 1, denom = 2).count()
+      }
     )
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","mult":$mult,"ops":$qs}""")

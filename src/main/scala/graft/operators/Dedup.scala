@@ -114,35 +114,39 @@ object Dedup {
         lshBandKeys(col("sig"), bands, rowsPerBand).as("keys"), col("shh"))
 
   /** Exact-dedup manifest as a Bloom filter: ~10 bits/doc at 1% fpp versus
-    * [[digestManifest]]'s 16 bytes/doc — the MEMORY-RESIDENT membership
-    * face of the corpus for high-throughput ingest gates (the whole filter
-    * for a billion documents is ~1.2 GB and ships in a task closure; the
-    * digest manifest at that size is a 16 GB join side). One-sided by
-    * construction: Bloom filters have NO false negatives, so a document
-    * already in the corpus is ALWAYS dropped; a false positive drops an
-    * unseen document at rate ≤ fpp — the safe direction for dedup (loses a
-    * sliver of new data, never re-admits a duplicate). Pipelines that
-    * cannot tolerate the sliver use [[dropSeenDocuments]].
+    * [[digestManifest]]'s 32 bytes/doc (md5 hex string) — the MEMORY-
+    * RESIDENT membership face of the corpus for high-throughput ingest
+    * gates (the whole filter for a billion documents is ~1.2 GB and ships
+    * in a task closure; the digest manifest at that size is a ~32 GB join
+    * side). One-sided by construction: Bloom filters have NO false
+    * negatives, so a document already in the corpus is ALWAYS dropped; a
+    * false positive drops an unseen document at rate ≤ fpp — the safe
+    * direction for dedup (loses a sliver of new data, never re-admits a
+    * duplicate). Pipelines that cannot tolerate the sliver use
+    * [[dropSeenDocuments]].
     */
   def bloomDigestManifest(
       docs: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
     BloomJoin.buildKeyFilter(docs.select(col(textCol)), Seq(textCol), expectedItems, fpp)
 
-  /** Incremental exact dedup against a [[bloomDigestManifest]]: the batch
-    * is self-deduped (lowest id per digest), then rows the filter
-    * recognizes are dropped — a narrow scan-stage filter, no join, no
-    * shuffle of the manifest.
+  /** Incremental exact dedup against a [[bloomDigestManifest]]: rows the
+    * filter recognizes are dropped IN THE SCAN STAGE (no join, no shuffle
+    * of the manifest, and — because the membership test runs before the
+    * self-dedup window — a mostly-seen batch never pays the window's
+    * exchange for its seen rows); survivors are then self-deduped through
+    * [[dropExactDuplicates]], the same keeper rule as the exact path.
+    * NULL-text rows bypass the membership test to match
+    * [[dropSeenDocuments]]'s semantics exactly (its anti-join never
+    * matches a NULL digest), so the ONLY divergence from the exact gate is
+    * the bounded false-positive sliver.
     */
   def dropSeenDocumentsBloom(
-      batch: DataFrame, manifest: Array[Byte], textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    batch
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .filter(!BloomJoin.mightContainColumn(Seq(textCol), manifest))
-      .drop("__rn")
-  }
+      batch: DataFrame, manifest: Array[Byte], textCol: String, idCol: String): DataFrame =
+    dropExactDuplicates(
+      batch.filter(col(textCol).isNull ||
+        !BloomJoin.mightContainColumn(Seq(textCol), manifest)),
+      textCol, idCol)
 
   /** Zero-violation soundness contract for the Bloom manifest: rows KEPT by
     * [[dropSeenDocumentsBloom]] whose exact digest IS in the corpus — by
