@@ -57,8 +57,13 @@ object Bench {
         // runs (skewing warm state) — plan dumps skip them
         if (explain && !name.startsWith("e_stream_")) {
           System.err.println(s"==== $name ====")
-          try System.err.println(fn(spark, sfDir).queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          // scoped: building a plan registers any CacheScope.persist in the
+          // query's build path — left unscoped those entries outlive the
+          // dump and tax every timed run's plan-canonicalization lookup
+          try CacheScope.withScope {
+            System.err.println(fn(spark, sfDir).queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          }
           catch { case e: Throwable => System.err.println(s"explain failed: $e") }
         }
         name -> fn
@@ -99,7 +104,16 @@ object Bench {
     // failed queries carry the -1 sentinel per-query; they must not make the
     // headline total FASTER — sum successes only
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(summary)
+    // the harness keeps only a bounded tail of stdout, so the full per-query
+    // map can be lost to truncation — ALSO write it to a file (lossless
+    // artifact; path overridable for multi-run comparisons)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
     // The harness captures a fixed-size tail of this process's output. As the
     // query set grows, the full per-query map can push the headline total out
     // of that window — so re-print a compact, contract-shaped summary LAST

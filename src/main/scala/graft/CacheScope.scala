@@ -124,6 +124,19 @@ object CacheScope {
   def persistIfScoped(df: DataFrame): DataFrame =
     if (active) persist(df) else df
 
+  /** Is the session's CacheManager entry table empty? The accessor is
+    * `private[sql]`, so this goes through reflection (bytecode access is
+    * public). Shared by CacheLifecycleSpec and the Stress harness's
+    * post-scope asserts: "scope closed" must MEAN "no entries left", and a
+    * stress body added without scope discipline should fail its own run,
+    * not resurface as the round-3 accumulation collapse.
+    */
+  def cacheManagerEmpty(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val ss = spark.sharedState
+    val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
+    cm.getClass.getMethod("isEmpty").invoke(cm).asInstanceOf[Boolean]
+  }
+
   /** Run `body` in a fresh scope on this thread; free everything registered
     * inside it afterwards (including on exception). Scopes nest: inner
     * registrations free at the inner close.

@@ -48,6 +48,11 @@ object Stress {
       // per-op scope: each measured op frees its own persisted/checkpointed
       // frames at exit, so later ops never pay for earlier ops' cache state
       val n = CacheScope.withScope(body)
+      // ... and that must actually be TRUE: a new stress body that persists
+      // outside scope discipline fails its own run here, instead of
+      // resurfacing later as cross-op accumulation (the round-3 collapse)
+      require(CacheScope.cacheManagerEmpty(spark),
+        s"$name leaked CacheManager entries past its scope close")
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[stress] $name%-22s ${sec}%8.2f s   rows=$n")
       (name, sec, n)
@@ -146,12 +151,16 @@ object Stress {
         operators.BpeTrainer.train(docs, "text", numMerges = 4).count()),
       // reproducible shuffle + sharding: aggregates over shuffle_pos force
       // the full two-level order (a bare count would let Catalyst prune the
-      // rank window away); the sum doubles as a permutation check
+      // rank window away). sum == n(n-1)/2 alone is necessary-not-sufficient
+      // (e.g. {0,0,3} sums like {0,1,2}); adding countDistinct == n on the
+      // same aggregated frame pins the actual permutation property
       time(s"shuffle_order_x$mult") {
         val n = docs.count()
-        val s = operators.Curation.shuffleOrder(docs, "doc_id")
-          .agg(sum(col("shuffle_pos"))).collect().head.getLong(0)
-        require(s == n * (n - 1) / 2, "shuffle positions are not a permutation")
+        val r = operators.Curation.shuffleOrder(docs, "doc_id")
+          .agg(sum(col("shuffle_pos")), countDistinct(col("shuffle_pos")))
+          .collect().head
+        require(r.getLong(0) == n * (n - 1) / 2 && r.getLong(1) == n,
+          "shuffle positions are not a permutation of 0..n-1")
         n
       },
       time(s"shards_x$mult")(operators.Curation.shardAssignments(

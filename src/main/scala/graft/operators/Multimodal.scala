@@ -251,7 +251,15 @@ object Multimodal {
           var hgt = 0
           // a real AVI carries one strl per stream; only the VIDEO stream's
           // strf is a BITMAPINFOHEADER (an audio strf is WAVEFORMATEX, and
-          // last-wins parsing would report sample rates as dimensions)
+          // last-wins parsing would report sample rates as dimensions).
+          // Streams are numbered by strh order, and movi frame chunks carry
+          // their stream number as a two-digit fourcc prefix (NNdc/NNdb) —
+          // frames are accepted ONLY for the first video stream, so a
+          // two-video-stream (or audio+video) file never folds other
+          // streams' chunks into the clip, and frame chunks preceding the
+          // header (crafted input) are dropped rather than misattributed
+          var streamCount = 0
+          var videoStream = -1
           var inVideoStream = false
           val frames = IndexedSeq.newBuilder[Array[Byte]]
           // Hostile-input posture: this parser runs on untrusted corpus
@@ -284,11 +292,15 @@ object Multimodal {
                   case "avih" if body + 4 <= end =>
                     usPerFrame = le32(body) // dwMicroSecPerFrame
                   case "strh" if body + 4 <= end =>
-                    inVideoStream = fourcc(body) == "vids"
+                    inVideoStream = fourcc(body) == "vids" && videoStream < 0
+                    if (inVideoStream) videoStream = streamCount
+                    streamCount += 1
                   case "strf" if inVideoStream && body + 12 <= end =>
                     // BITMAPINFOHEADER: biWidth @ +4, biHeight @ +8
                     w = le32(body + 4).toInt; hgt = le32(body + 8).toInt
                   case s if s.length == 4 && (s.endsWith("dc") || s.endsWith("db")) &&
+                      s(0).isDigit && s(1).isDigit &&
+                      (s(0) - '0') * 10 + (s(1) - '0') == videoStream &&
                       body.toLong + sz <= to =>
                     // complete frame payloads only — a truncated tail frame
                     // is dropped, not decoded as garbage

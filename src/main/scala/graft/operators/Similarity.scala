@@ -250,6 +250,32 @@ object Similarity {
       queries, vecCol, idCol, k, centroids, nprobe, broadcastQueries)
   }
 
+  /** Zero-violation recall contract for an ANN path (VERDICT r4 #2): the
+    * approximate result must recover at least `floorX1000`/1000 of the brute-
+    * force top-k pair set, aggregated over all queries. Emits ONE row when
+    * the floor is broken, nothing otherwise — so the frame is provably empty
+    * at the committed floor and the correctness gate hash-checks the
+    * emptiness (the same contract shape as the CMS/quantile/quantize
+    * bounds). Both inputs are deterministic (seeded hashes, fixed data), so
+    * the measured recall is a constant per dataset and the floor is a real
+    * regression tripwire, not a flaky threshold.
+    *
+    * Pure integer arithmetic (n_hit·1000 < n_true·floor) — no float
+    * division anywhere near the hash gate.
+    */
+  def recallFloorViolations(
+      approx: DataFrame, brute: DataFrame, floorX1000: Int): DataFrame =
+    brute.select(col("query_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("n_true").cast("bigint").as("n_true"),
+        col("n_hit").cast("bigint").as("n_hit"),
+        lit(floorX1000).cast("bigint").as("floor_x1000"))
+      .filter(col("n_hit") * 1000L < col("n_true") * col("floor_x1000"))
+
   // ---------------------------------------------------------- quantization
 
   /** Per-vector scalar int8 quantization: each embedding's values mapped to

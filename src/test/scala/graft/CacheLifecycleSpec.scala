@@ -24,14 +24,10 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkTestBase {
   private def persistentRddCount: Int =
     spark.sparkContext.getPersistentRDDs.size
 
-  /** CacheManager entry count via reflection (the accessor is private[sql];
-    * bytecode access is public — test-only introspection).
+  /** Shared with the Stress harness's post-scope asserts — one definition
+    * of "the CacheManager is empty" for spec and harness alike.
     */
-  private def cacheManagerEmpty: Boolean = {
-    val ss = spark.sharedState
-    val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
-    cm.getClass.getMethod("isEmpty").invoke(cm).asInstanceOf[Boolean]
-  }
+  private def cacheManagerEmpty: Boolean = CacheScope.cacheManagerEmpty(spark)
 
   test("withScope frees persistReuse frames: no net growth over 100 invocations") {
     spark.catalog.clearCache()

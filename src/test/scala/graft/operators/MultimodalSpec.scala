@@ -306,12 +306,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val strfVid = chunk("strf", le32(40L) ++ le32(10L) ++ le32(6L) ++ le16(1) ++ le16(24) ++
       cc("MJPG") ++ le32(180L) ++ Array.fill(4)(le32(0L)).flatten)
     val hdrl = lst("hdrl", avih ++ lst("strl", strhAud ++ strfAud) ++ lst("strl", strhVid ++ strfVid))
-    val movi = lst("movi", chunk("00dc", jpeg))
+    // stream numbers follow strl order: audio is stream 00, video stream 01.
+    // The movi list interleaves an audio chunk (00wb), a stray pre-header-
+    // style video-numbered blob from a THIRD stream id (02dc), and the real
+    // video frame (01dc) — only the 01dc frame may land in the clip
+    val movi = lst("movi", chunk("00wb", Array.fill(64)(7.toByte)) ++
+      chunk("02dc", Array.fill(16)(9.toByte)) ++ chunk("01dc", jpeg))
     val body = cc("AVI ") ++ hdrl ++ movi
     val avi = cc("RIFF") ++ le32(body.length.toLong) ++ body
     val clip = Codecs.decodeVideo(avi).getOrElse(fail("two-stream AVI did not parse"))
     assert(clip.width == 10 && clip.height == 6, s"got ${clip.width}x${clip.height}")
-    assert(clip.frames.length == 1)
+    assert(clip.frames.length == 1, "only the video stream's own NNdc chunks belong in the clip")
+    assert(java.util.Arrays.equals(clip.frames(0), jpeg))
+
+    // frame chunks BEFORE any strh (crafted input: no stream is established
+    // yet) are dropped, not misattributed — no frames ⇒ None
+    val headerless = cc("AVI ") ++ lst("movi", chunk("00dc", jpeg)) ++ hdrl
+    val avi2 = cc("RIFF") ++ le32(headerless.length.toLong) ++ headerless
+    assert(Codecs.decodeVideo(avi2).isEmpty,
+      "frames preceding the stream headers must not fold into a clip")
 
     // deep LIST nesting must end in None, not StackOverflowError (an Error
     // escapes the Exception catch and kills the executor task)
