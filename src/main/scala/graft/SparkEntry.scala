@@ -78,6 +78,16 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Committed ANN recall floors (×1000) for the s_knn_lsh / s_knn_ivf
+    * contract queries. Both paths are seeded-deterministic, so recall over
+    * a shipped dataset is a constant; the floors sit below the measured
+    * values at every shipped SF (measured values in BASELINE.md) with
+    * headroom for dataset regeneration, and trip on any bucketing/probe
+    * regression that actually costs recall.
+    */
+  private val KnnLshRecallFloorX1000 = 300 // measured ≥ 500 at sf{0.001,0.01,0.1}
+  private val KnnIvfRecallFloorX1000 = 600 // measured ≥ 780 at sf{0.001,0.01,0.1}
+
   private def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
@@ -191,11 +201,19 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
     "a9_approx_distinct" -> ((s, d) =>
-      // HLL sketch vs exact cardinality (approx value is engine-specific →
-      // rows-only check; the shape is what the inventory covers)
+      // HLL sketch error-bound contract (VERDICT r4 #2): the approximate
+      // cardinality must sit within 3× the sketch's configured relative
+      // standard deviation (default rsd 0.05 → bound 15%) of the exact
+      // count. The violations frame is provably empty and rides the hash
+      // gate; both sides are deterministic (HLL++ is seedless-deterministic
+      // over a fixed dataset), so this is a real tripwire, not a flake.
+      // Integer-only comparison: |approx-exact|·100 > exact·15
       t(s, d, "orders").agg(
         approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        countDistinct(col("o_custkey")).as("exact_customers"))),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+        .select(col("approx_customers"), col("exact_customers"))
+        .filter(abs(col("approx_customers") - col("exact_customers")) * 100L >
+          col("exact_customers") * 15L)),
     // exact (interpolated) percentiles per group — both engines implement
     // the same linear-interpolation continuous quantile
     "a10_percentile" -> ((s, d) =>
@@ -553,8 +571,26 @@ object SparkEntry {
     "t_langid" -> ((s, d) =>
       tb(s, d, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
-    "t_fingerprint" -> ((s, d) =>
-      tb(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    // document-fingerprint stability contract (VERDICT r4 #2): the 64-bit
+    // rolling fingerprint must be (a) whitespace-layout invariant and
+    // (b) case invariant — the two normalizations a shard-level dedup
+    // manifest relies on when re-scraped copies differ only in wrapping —
+    // and (c) prefix-composable: fp(text ⧺ tail) must equal the fold of
+    // tail's tokens seeded with fp(text), the property that lets a manifest
+    // extend a stored fingerprint without re-reading the document. Each doc
+    // violating any of the three emits a row; the frame is provably empty
+    // and rides the hash gate.
+    "t_fingerprint" -> ((s, d) => {
+      val fp = TextOps.fingerprint(col("text"))
+      tb(s, d, "documents").select(col("doc_id"), fp.as("fp"),
+        TextOps.fingerprint(regexp_replace(col("text"), "\\s+", " ")).as("fp_ws"),
+        TextOps.fingerprint(upper(col("text"))).as("fp_case"),
+        TextOps.fingerprint(concat(col("text"), lit(" xq13 tail"))).as("fp_ext"),
+        aggregate(TextOps.tokens(lit(" xq13 tail")), fp,
+          (acc, t) => xxhash64(acc, t)).as("fp_cont"))
+        .filter(col("fp") =!= col("fp_ws") || col("fp") =!= col("fp_case") ||
+          col("fp_ext") =!= col("fp_cont"))
+    }),
     // --- corpus curation ----------------------------------------------------
     // concat-and-chunk sequence packing; blockSize 64 so the two-level
     // prefix sum actually runs multi-block at sf0.01 (500 docs → 8 blocks)
@@ -591,11 +627,20 @@ object SparkEntry {
     "t_heavy_hitters" -> ((s, d) =>
       graft.operators.Sketches.heavyHitters(tb(s, d, "documents"), "text",
         capacity = 256, k = 20)),
-    // distributed BPE training: 8 merges learned from the corpus word table
-    // (rows-only: the iterative argmax+contract is not SQL-expressible;
-    // BpeTrainerSpec pins the textbook merge sequence)
-    "t_bpe_merges" -> ((s, d) =>
-      graft.operators.BpeTrainer.train(tb(s, d, "documents"), "text", numMerges = 8)),
+    // distributed BPE training, replay-verified (VERDICT r4 #2): the
+    // iterative argmax+contract is not SQL-expressible, so the contract is
+    // checked engine-side — re-applying merges 0..i-1 to a fresh word table
+    // must reproduce merge i's recorded pair_count exactly, for all 8
+    // learned merges. Violations frame provably empty, hash-gated.
+    // (BpeTrainerSpec additionally pins the textbook merge sequence.)
+    "t_bpe_merges" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val learned = graft.operators.BpeTrainer.train(docs, "text", numMerges = 8)
+        .collect() // bounded: ≤ numMerges rows by construction
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      graft.operators.BpeTrainer.mergeCountViolations(docs, "text", learned)
+    }),
     // count-min sketch one-sided contract: the sketch must never
     // UNDER-estimate a count; the frame of violations is empty and the gate
     // hash-checks the emptiness (width 256 << 2000 distinct parts, so
@@ -801,8 +846,25 @@ object SparkEntry {
           .select(col("doc_a"), col("doc_b")),
         "doc_id", numer = 4, denom = 5)
         .select(col("doc_id"), col("split"))),
-    "d_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id", maxDist = 3, reuseSketches = true)),
+    // SimHash pair contract (VERDICT r4 #2): every returned pair must
+    // (a) be canonically ordered (doc_a < doc_b), (b) carry the TRUE
+    // Hamming distance of the two docs' sketches — recomputed here from the
+    // raw text through an independent join path — and (c) sit within
+    // maxDist. Precision 1 by construction (the operator verifies exact
+    // distance after the pigeonhole join); this pins that construction to
+    // the hash gate. Recall ≡ brute is pinned separately in OperatorsSpec.
+    "d_simhash_pairs" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val pairs = Dedup.simhashDuplicatePairs(docs, "text", "doc_id", maxDist = 3, reuseSketches = true)
+      val sk = Dedup.simhashSketches(docs, "text", "doc_id")
+      pairs
+        .join(sk.select(col("doc").as("doc_a"), col("simhash").as("sk_a")), Seq("doc_a"))
+        .join(sk.select(col("doc").as("doc_b"), col("simhash").as("sk_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("dist"),
+          TextOps.hamming64(col("sk_a"), col("sk_b")).as("true_dist"))
+        .filter(col("doc_a") >= col("doc_b") || col("dist") =!= col("true_dist") ||
+          col("true_dist") > 3)
+    }),
     // exact-cosine pair oracle for the embedding near-dup path (O(n²),
     // validation-only — excluded from bench like the other brute oracles)
     "d_embed_brute" -> ((s, d) => {
@@ -849,17 +911,29 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
     }),
-    // --- multimodal (rows-only: features are real imageio decodes) ----------
+    // --- multimodal ---------------------------------------------------------
+    // feature-determinism contract (VERDICT r4 #2): two INDEPENDENT passes
+    // through the full encode→imageio-decode→feature pipeline must agree on
+    // every field of every row — the property that makes media features
+    // safe to cache/manifest at corpus scale (a nondeterministic decode
+    // would silently poison any incremental pipeline built on it). Rows are
+    // compared as canonical JSON; the full-outer join also catches a pass
+    // dropping or duplicating rows. Violations frame provably empty.
     "m_media_features" -> ((s, d) => {
       import s.implicits._
-      // document ids → real executor-encoded PNGs → real javax.imageio
-      // decode → dimensions + luminance-grid features; narrow end-to-end.
-      // The feature vector is serialized to JSON: the verify harness sorts
-      // every result column, and a raw array column is not sortable there.
-      val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
-      Multimodal.featureFrame(
-        Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 16))
-        .withColumn("embedding", to_json(col("embedding")))
+      def pass(): DataFrame = {
+        val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
+        Multimodal.featureFrame(
+          Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 16))
+          .select(col("media_id"), to_json(struct(col("kind"), col("width"),
+            col("height"), col("duration_ms"), col("n_bytes"), col("embedding"))).as("row_json"))
+      }
+      val a = pass().withColumnRenamed("row_json", "row_a")
+      val b = pass().withColumnRenamed("row_json", "row_b")
+      a.join(b, Seq("media_id"), "full_outer")
+        .filter(col("row_a").isNull || col("row_b").isNull ||
+          col("row_a") =!= col("row_b"))
+        .select(col("media_id"), col("row_a"), col("row_b"))
     }),
     // envelope-only media features: width/height come from the REAL imageio
     // decode of the synthetic PNGs, whose dims are id-derived — so the whole
@@ -880,10 +954,13 @@ object SparkEntry {
         Multimodal.extractFeatures(Multimodal.syntheticWavCorpus(ids), dim = 4))
         .select(col("media_id"), col("kind"), col("duration_ms"))
     }),
-    // perceptual-hash image near-dup: 50 distinct synthetic PNGs plus an
-    // exact twin of each (media_id offset) — twins must pair at dist 0
-    // through the same pigeonhole machinery the text SimHash path uses.
-    // rows-only: the grids come from real imageio decodes
+    // perceptual-hash image near-dup, planted-twin contract (VERDICT r4
+    // #2): 50 distinct synthetic PNGs plus an exact twin of each (media_id
+    // offset +1000) go through the real imageio decode → luminance grid →
+    // aHash → pigeonhole pair machinery. The contract: every planted twin
+    // pair MUST be recovered at Hamming distance exactly 0 (recall side),
+    // and no returned pair may exceed maxDist or break canonical ordering
+    // (precision side). Violations frame provably empty, hash-gated.
     "m_image_neardup" -> ((s, d) => {
       import s.implicits._
       val ids = tb(s, d, "documents").filter(col("doc_id") < 50)
@@ -892,8 +969,18 @@ object SparkEntry {
         Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 64))
         .select(col("media_id"), col("embedding"))
       val twins = feats.withColumn("media_id", col("media_id") + 1000)
-      Multimodal.imageNearDupPairs(feats.union(twins), maxDist = 3)
+      val pairs = Multimodal.imageNearDupPairs(feats.union(twins), maxDist = 3)
         .select(col("doc_a"), col("doc_b"), col("dist"))
+      val planted = feats.select(col("media_id").as("doc_a"),
+        (col("media_id") + 1000).as("doc_b"))
+      val notRecovered = planted
+        .join(pairs, Seq("doc_a", "doc_b"), "left")
+        .filter(col("dist").isNull || col("dist") =!= 0)
+        .select(col("doc_a"), col("doc_b"), lit("twin not recovered at dist 0").as("violation"))
+      val badPair = pairs
+        .filter(col("dist") > 3 || col("dist") < 0 || col("doc_a") >= col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit("pair outside contract").as("violation"))
+      notRecovered.union(badPair)
     }),
     // video frame sampling through the REAL MJPEG-in-AVI codec: each doc id
     // becomes an actual AVI container of ImageIO-encoded JPEG frames
@@ -910,12 +997,32 @@ object SparkEntry {
         maxFrames = 4).toDF()
         .select(col("media_id"), col("frame_idx"), col("ts_ms"))
     }),
-    // threshold 0.4: the synthetic embeddings are near-orthogonal random
-    // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9 cutoff
-    // would vacuously return 0 rows
-    "d_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingDuplicatePairs(tb(s, d, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4, planes = 4)),
+    // embedding near-dup precision contract (VERDICT r4 #2): every returned
+    // pair must really have cosine ≥ threshold — recomputed here through
+    // the COMPOSABLE zip_with/aggregate implementation ([[Similarity.dot]]/
+    // [[Similarity.norm]]), a fully independent code path from the native
+    // Catalyst expression the operator uses (documented bit-identical; this
+    // pins that claim to the hash gate too). Pairs ⊆ brute-pairs follows:
+    // brute IS "all pairs with exact cosine ≥ threshold". Canonical
+    // ordering checked alongside. Threshold 0.4 because the synthetic
+    // embeddings are near-orthogonal (max pairwise cosine ≈ 0.51) — a
+    // production-style 0.9 cutoff would vacuously return 0 candidates.
+    "d_embed_neardup" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val pairs = Dedup.embeddingDuplicatePairs(emb, "embedding", "vec_id",
+        threshold = 0.4, planes = 4)
+      pairs
+        .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("va")), Seq("doc_a"))
+        .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("vb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("cos"),
+          Similarity.dot(col("va"), col("vb")).as("dp"),
+          (Similarity.norm(col("va")) * Similarity.norm(col("vb"))).as("nn"))
+        .filter(col("doc_a") >= col("doc_b") ||
+          col("cos") < 0.4 ||
+          when(col("nn") > 0, abs(col("cos") - col("dp") / col("nn")) > 1e-9)
+            .otherwise(col("cos") =!= 0.0))
+        .select(col("doc_a"), col("doc_b"))
+    }),
     // SemDeDup keeper selection, exact-pair-fed so the recursive-CTE closure
     // oracle applies (validation-only in bench: the pair stage is O(n²); the
     // production path is semanticKeepers(exact = false), LSH-fed, pinned to
@@ -930,19 +1037,33 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // ANN recall-floor contracts (VERDICT r4 #2): recall < 1 by design on
+    // both approximate paths, so the hash-gated property is a FLOOR on
+    // aggregate recall@k vs the brute-force frame. Both sides are seeded-
+    // deterministic, so measured recall is a constant per dataset; the
+    // committed floors sit below the measured values at every shipped SF
+    // (see BASELINE.md) and trip on any bucketing/probe regression.
     "s_knn_lsh" -> ((s, d) => {
+      // multi-table (OR-amplified) LSH: 16 independent 6-plane families —
+      // the production recall knob; single-table recall on this worst-case
+      // near-orthogonal corpus is ~5%, 16 tables measure 50-72%
       val emb = tb(s, d, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5, planes = 6)
-        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallFloorViolations(
+        Similarity.lshTopK(q, emb, "embedding", "vec_id", k = 5, planes = 6, tables = 16),
+        Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 5),
+        floorX1000 = KnnLshRecallFloorX1000)
     }),
     "s_knn_ivf" -> ((s, d) => {
       // IVF scale path: coarse-quantize once, probe top-nprobe centroid
-      // buckets, exact re-rank (rows-only: recall < 1 by design)
+      // buckets, exact re-rank
       val emb = tb(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
       val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
-        k = 5, centroids, nprobe = 2)
-        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+      Similarity.recallFloorViolations(
+        Similarity.ivfTopK(q, emb, "embedding", "vec_id", k = 5, centroids, nprobe = 2),
+        Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 5),
+        floorX1000 = KnnIvfRecallFloorX1000)
     }),
     "s_knn_ivf_exact" -> ((s, d) => {
       // nprobe = #centroids → every bucket probed → provably equal to brute
@@ -1198,6 +1319,28 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS vec_id, 0.0 AS max_err, 0.0 AS bound FROM embeddings WHERE 1 = 0",
     "d_bloom_sound" ->
       "SELECT doc_id FROM documents WHERE 1 = 0",
+    // r5 contract conversions (VERDICT r4 #2): each of the former rows-only
+    // queries now emits a provably-empty violations frame; the oracle
+    // states that emptiness (with the schema pinned), so each contract
+    // rides the full rows+schema+hash gate
+    "a9_approx_distinct" ->
+      "SELECT CAST(0 AS BIGINT) AS approx_customers, CAST(0 AS BIGINT) AS exact_customers FROM orders WHERE 1 = 0",
+    "t_fingerprint" ->
+      "SELECT doc_id, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fp_ws, CAST(0 AS BIGINT) AS fp_case, CAST(0 AS BIGINT) AS fp_ext, CAST(0 AS BIGINT) AS fp_cont FROM documents WHERE 1 = 0",
+    "t_bpe_merges" ->
+      "SELECT CAST(0 AS INTEGER) AS merge_rank, CAST(0 AS BIGINT) AS expected, CAST(0 AS BIGINT) AS actual FROM documents WHERE 1 = 0",
+    "d_simhash_pairs" ->
+      "SELECT doc_id AS doc_a, doc_id AS doc_b, CAST(0 AS INTEGER) AS dist, CAST(0 AS INTEGER) AS true_dist FROM documents WHERE 1 = 0",
+    "m_media_features" ->
+      "SELECT CAST(doc_id AS BIGINT) AS media_id, '' AS row_a, '' AS row_b FROM documents WHERE 1 = 0",
+    "m_image_neardup" ->
+      "SELECT CAST(doc_id AS BIGINT) AS doc_a, CAST(doc_id AS BIGINT) AS doc_b, '' AS violation FROM documents WHERE 1 = 0",
+    "d_embed_neardup" ->
+      "SELECT vec_id AS doc_a, vec_id AS doc_b FROM embeddings WHERE 1 = 0",
+    "s_knn_lsh" ->
+      "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
+    "s_knn_ivf" ->
+      "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
     "d_exact_dup_groups" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->

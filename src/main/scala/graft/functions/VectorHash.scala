@@ -48,10 +48,13 @@ object VectorHash {
   def cosine(a: Column, b: Column): Column = col(CosineSimExpr(expr(a), expr(b)))
 
   /** Random-hyperplane LSH bucket: `planes` Rademacher-projection sign bits
-    * packed into an int (deterministic seeded component hashes).
+    * packed into an int (deterministic seeded component hashes). `seed`
+    * selects an independent hyperplane family — the per-table seed of
+    * multi-table (OR-amplified) LSH; seed 0 is bit-identical to the
+    * historical single-table behavior.
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column =
-    col(HyperplaneBucketExpr(expr(vec), planes))
+  def hyperplaneBucket(vec: Column, planes: Int, seed: Long = 0L): Column =
+    col(HyperplaneBucketExpr(expr(vec), planes, seed))
 
   /** Distinct word n-gram shingles of a text, one pass: whitespace
     * tokenization (Java regex `\s` class), lowercase, n-grams joined with a
@@ -229,7 +232,7 @@ object VectorHash {
       copy(left = l, right = r)
   }
 
-  case class HyperplaneBucketExpr(child: Expression, planes: Int)
+  case class HyperplaneBucketExpr(child: Expression, planes: Int, seed: Long = 0L)
       extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
     require(planes > 0 && planes <= 30)
     override def dataType: DataType = IntegerType
@@ -240,12 +243,16 @@ object VectorHash {
     // hash — materialize it once per expression instance (growing to the
     // largest dimension seen) instead of paying planes×dim XXH64 calls per
     // ROW: for 12 planes × 768 dims that is 9,216 hashes/row on the hot
-    // bucketing path of lshTopK/embeddingDuplicatePairs
+    // bucketing path of lshTopK/embeddingDuplicatePairs.
+    // `seed` folds in as seed·1000003 + plane, so seed 0 reproduces the
+    // historical per-plane hash stream bit-exactly (stored bucket keys
+    // stay valid) while each seed ≥ 1 draws an independent family — the
+    // per-table seed of multi-table (OR-amplified) LSH
     @transient private var signs: Array[Array[Float]] = _
     private def signsFor(n: Int): Array[Array[Float]] = {
       if (signs == null || signs(0).length < n)
         signs = Array.tabulate(planes)(p => Array.tabulate(n)(i =>
-          if ((XXH64.hashLong(i.toLong, p.toLong) & 1L) == 1L) 1.0f else -1.0f))
+          if ((XXH64.hashLong(i.toLong, seed * 1000003L + p.toLong) & 1L) == 1L) 1.0f else -1.0f))
       signs
     }
 

@@ -100,6 +100,39 @@ object BpeTrainer {
     merges.result().toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Zero-violation contract for a learned merge list (VERDICT r4 #2): for
+    * each merge i, re-applying merges 0..i-1 to a FRESH word table and
+    * recounting pair i's weighted corpus frequency must reproduce the
+    * `pair_count` the trainer recorded when it chose that merge — the
+    * "merges applied reproduce counts" replay. A trainer bug in the
+    * argmax aggregation, the contraction rewrite, or the checkpoint
+    * hand-off shows up as a non-empty frame; the gate hash-checks the
+    * emptiness (the CMS/quantize/recall contract shape).
+    *
+    * The replay chain is the same linear one-column-expression-per-merge
+    * shape as [[bpeTokenCount]]; `merges` is the (collected) output of
+    * [[train]] — bounded at numMerges rows by construction.
+    */
+  def mergeCountViolations(
+      docs: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val base = wordCounts(docs, textCol)
+      .select(col("n"), initialSymbols(col("word")).as("syms"))
+    val checks = merges.zipWithIndex.map { case ((rank, a, b, expected), i) =>
+      val replayed = merges.take(i).foldLeft(col("syms"))(
+        (syms, m) => contractPair(syms, m._2, m._3))
+      base.select(col("n"), explode(symbolPairs(replayed)).as("p"))
+        .filter(col("p.a") === a && col("p.b") === b)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("actual"))
+        .select(lit(rank).as("merge_rank"), lit(expected).as("expected"), col("actual"))
+        .filter(col("actual") =!= col("expected"))
+    }
+    if (checks.isEmpty)
+      docs.sparkSession.range(0)
+        .select(lit(0).as("merge_rank"), lit(0L).as("expected"), lit(0L).as("actual"))
+    else checks.reduce(_.union(_))
+  }
+
   /** Apply a learned merge list: per-document BPE token count — the budget
     * signal tokenizer-aware packing wants. Words are exploded so the merge
     * chain evaluates once per word occurrence (never nested inside another

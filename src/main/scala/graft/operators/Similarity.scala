@@ -43,10 +43,11 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: `planes` Rademacher-projection sign
     * bits packed into an int (native expression; deterministic seeded
     * component hashes). Cosine-similar vectors collide with probability
-    * (1 - θ/π)^planes.
+    * (1 - θ/π)^planes. `seed` selects an independent hyperplane family
+    * (multi-table LSH); seed 0 is the historical single-table family.
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column =
-    graft.functions.VectorHash.hyperplaneBucket(vec, planes)
+  def hyperplaneBucket(vec: Column, planes: Int, seed: Long = 0L): Column =
+    graft.functions.VectorHash.hyperplaneBucket(vec, planes, seed)
 
   /** Exact brute-force cosine top-k. `queries` is expected to be small
     * (broadcast); the corpus is scanned once, the per-query top-k is a
@@ -165,9 +166,16 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN top-k: probe only same-bucket candidates. Trades
-    * recall for a bucket-key equi-join; `planes` tunes bucket granularity.
+    * recall for a bucket-key equi-join; `planes` tunes bucket granularity
+    * (AND-amplification: collision prob (1-θ/π)^planes) and `tables` adds
+    * OR-amplification — each table is an independent hyperplane family, a
+    * candidate needs to collide in ANY table, so recall is
+    * 1-(1-r)^tables at `tables`× the index/join volume. That linear
+    * storage-for-recall trade is the standard production LSH knob; at
+    * corpus scale each table's probe is still a bucket-key equi-join on a
+    * small int pair (table, bucket) — the n·m cross product never appears.
     * Returns the same shape as [[bruteForceTopK]] (possibly fewer than k
-    * when a bucket is sparse).
+    * when buckets are sparse).
     */
   def lshTopK(
       queries: DataFrame,
@@ -176,21 +184,32 @@ object Similarity {
       idCol: String,
       k: Int,
       planes: Int = 8,
-      broadcastQueries: Boolean = true
+      broadcastQueries: Boolean = true,
+      tables: Int = 1
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    require(tables >= 1)
+    def keyed(df: DataFrame, id: String) = {
+      val bucketPerTable = array((0 until tables).map(tId =>
+        struct(lit(tId).as("t"), hyperplaneBucket(col(vecCol), planes, tId.toLong).as("bucket"))): _*)
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
+        explode(bucketPerTable).as("tb"))
+        .select(col(id), col(s"${id}_v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    }
+    val q = keyed(queries, "query_id").withColumnRenamed("query_id_v", "qv")
+    val c = keyed(corpus, "neighbor_id").withColumnRenamed("neighbor_id_v", "cv")
     // see ivfTopK: broadcast for lookup workloads, bucket-key sort-merge
     // for corpus-scale query sets
     val qSide = if (broadcastQueries) broadcast(q) else q.hint("merge")
-    val scored = c.join(qSide, Seq("bucket"))
+    val scored = c.join(qSide, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    // a pair colliding in several tables is the SAME (deterministic) row
+    // after scoring — distinct collapses the multi-table duplicates before
+    // the per-query top-k window
+    val deduped = if (tables == 1) scored else scored.distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    deduped.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }

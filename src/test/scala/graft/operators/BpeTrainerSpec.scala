@@ -46,4 +46,17 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L))
   }
+
+  test("mergeCountViolations: trained merges replay clean; a corrupted count is caught") {
+    val docs = Seq((1L, "low low low lower lower newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val learned = BpeTrainer.train(docs, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(BpeTrainer.mergeCountViolations(docs, "text", learned).isEmpty)
+    // corrupt one recorded count → exactly that merge rank is flagged
+    val corrupted = learned.updated(2, learned(2).copy(_4 = learned(2)._4 + 1))
+    val flagged = BpeTrainer.mergeCountViolations(docs, "text", corrupted).collect()
+    assert(flagged.length == 1 && flagged.head.getInt(0) == learned(2)._1)
+  }
 }

@@ -315,6 +315,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-table lsh top-k: tables=1 ≡ legacy single-table; more tables never lose candidates") {
+    val embs = (1L to 80L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val q = embs.filter($"vec_id" <= 5)
+    def pairs(tables: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(q, embs, "embedding", "vec_id", k = 50, planes = 4, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    val eight = pairs(8)
+    // seed 0 is table 0 of the multi-table family: with k ≥ bucket sizes the
+    // single-table candidate set is a subset of the 8-table one (OR-amplify
+    // only ever ADDS candidates), and 8 tables find strictly more here
+    assert(one.subsetOf(eight), "multi-table LSH lost single-table candidates")
+    assert(eight.size > one.size, "8 tables should surface extra candidates on this corpus")
+    // ranks stay dense per query after the cross-table distinct
+    val res = Similarity.lshTopK(q, embs, "embedding", "vec_id", k = 3, planes = 4, tables = 8)
+    res.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length))
+    }
+    // the recall-floor contract frame is empty at a floor below measured
+    // recall and non-empty at an impossible floor
+    val brute = Similarity.bruteForceTopK(q, embs, "embedding", "vec_id", k = 3)
+    val approx = Similarity.lshTopK(q, embs, "embedding", "vec_id", k = 3, planes = 4, tables = 8)
+    assert(Similarity.recallFloorViolations(approx, brute, floorX1000 = 1).isEmpty)
+    assert(!Similarity.recallFloorViolations(approx, brute, floorX1000 = 1001).isEmpty)
+  }
+
   test("charNgrams on short/empty text yields no phantom grams") {
     val t = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("id", "text")
     val out = t.select(col("id"), TextOps.charNgrams(col("text"), 3).as("g"))
