@@ -188,6 +188,38 @@ object Stress {
         val manifest = operators.Dedup.nearDupManifest(docs, "text", "doc_id",
           shingleSize = 3, bands = 32, rowsPerBand = 2)
         operators.Dedup.nearDupPairsFromManifest(manifest, numer = 1, denom = 2).count()
+      },
+      // persisted IVF index full lifecycle at scale: train+build over 3/4
+      // of the vectors, frozen-centroid append of the arriving 1/4, then
+      // an nprobe probe that reads only the probed clusters' partitions —
+      // the ANN-at-rest shape (build cost amortizes; probes stay pruned)
+      time(s"ivf_index_x$mult") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_ivf")
+        try {
+          val base = embs.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          val batch = embs.filter(pmod(col("vec_id"), lit(4)) === 0)
+          val cents = operators.Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 16)
+          operators.Similarity.writeIvfIndex(base, "embedding", "vec_id", cents, dir.toString)
+          operators.Similarity.appendToIvfIndex(batch, "embedding", "vec_id", dir.toString)
+          operators.Similarity.ivfTopKFromIndex(spark, dir.toString,
+            embs.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, nprobe = 2).count()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      // mergeable CMS at scale: per-part sketches folded must estimate
+      // identically to the sketch of the whole — the incremental-ingest
+      // sketch-table contract, checked (and REQUIRED to hold) over the
+      // full expanded lineitem
+      time(s"cms_merge_x$mult") {
+        val violations = operators.Sketches.cmsMergeViolations(
+          Seq(lineitem.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+            lineitem.filter(pmod(col("l_orderkey"), lit(2)) =!= 0)),
+          col("l_partkey"), depth = 5, width = 256).count()
+        require(violations == 0, s"CMS merge contract broken at ${mult}x: $violations")
+        violations
       }
     )
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")

@@ -293,9 +293,21 @@ object EventStream {
     * the fixed cost does. Production deployments size this to sustained
     * stream volume instead.
     */
-  def streamSession(spark: SparkSession, partitions: Int = 8): SparkSession = {
+  def streamSession(spark: SparkSession, partitions: Int = 8,
+      rocksDb: Boolean = false): SparkSession = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // production state-store scale switch: the default HDFS-backed provider
+    // keeps every store's working set ON HEAP, so long-running sessionize/
+    // dedup state at 100× competes with execution memory and eventually
+    // OOMs or GC-thrashes; RocksDB keeps state off-heap with bounded block
+    // cache + spill-to-disk, and ships changelogs instead of full
+    // snapshots. Content is provider-independent (EventStreamSpec pins
+    // sessionize equality across providers); only the memory/footprint
+    // story changes
+    if (rocksDb)
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     s2
   }
 
