@@ -27,6 +27,12 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("STRESS_MULT", "20").toInt
+    // STRESS_ONLY=op1,op2 isolates named ops (prefix match, the _xN suffix
+    // may be omitted): a full-suite op time on a 30-op shared JVM includes
+    // accumulated GC/shuffle-file pressure — isolate before believing it,
+    // exactly like Bench's SPARK_GRAFT_BENCH_ONLY
+    val only = sys.env.get("STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.localFromEnv()
     import spark.implicits._
 
@@ -43,7 +49,8 @@ object Stress {
     // histories (the dimension funnel/retention state grows along)
     val events = expand(Tables(spark, sfDir, "events"), mult, Map("event_id" -> ""))
 
-    def time(name: String)(body: => Long): (String, Double, Long) = {
+    def time(name: String)(body: => Long): Option[(String, Double, Long)] = {
+      if (only.exists(sel => !sel.exists(name.startsWith))) return None
       val t0 = System.nanoTime()
       // per-op scope: each measured op frees its own persisted/checkpointed
       // frames at exit, so later ops never pay for earlier ops' cache state
@@ -55,7 +62,7 @@ object Stress {
         s"$name leaked CacheManager entries past its scope close")
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[stress] $name%-22s ${sec}%8.2f s   rows=$n")
-      (name, sec, n)
+      Some((name, sec, n))
     }
 
     val results = Seq(
@@ -222,8 +229,9 @@ object Stress {
         violations
       }
     )
-    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","mult":$mult,"ops":$qs}""")
+    val ran = results.flatten
+    val qs = ran.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress_total","value":${ran.map(_._2).sum},"unit":"sec","mult":$mult,"ops":$qs}""")
     spark.stop()
   }
 }

@@ -708,22 +708,39 @@ object Dedup {
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from random-
     * hyperplane LSH buckets (see [[Similarity.hyperplaneBucket]]), verified
     * with exact cosine. At scale the bucket join replaces the n² cross join.
+    *
+    * `tables` adds OR-amplification (independent hyperplane families; a
+    * candidate pair needs bucket agreement in ANY table): at the SemDeDup
+    * production threshold (≥ 0.95, near-parallel vectors) single-table
+    * agreement is near-certain and tables = 1 is right; lower thresholds —
+    * moderately-similar pair mining — use more tables to buy recall at
+    * linearly more candidate-join volume. Precision is always 1 (exact
+    * cosine verify); duplicates across tables collapse via the distinct on
+    * the verified pair set.
     */
   def embeddingDuplicatePairs(
       embs: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
-      planes: Int = 12
+      planes: Int = 12,
+      tables: Int = 1
   ): DataFrame = {
+    require(tables >= 1)
+    val bucketPerTable = array((0 until tables).map(tId =>
+      struct(lit(tId).as("t"), Similarity.hyperplaneBucket(col(vecCol), planes, tId.toLong).as("bucket"))): _*)
     val keyed = embs.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      explode(bucketPerTable).as("tb"))
+      .select(col("doc"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val a = keyed.alias("a")
     val b = keyed.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+    val verified = a.join(b,
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
+    if (tables == 1) verified else verified.distinct()
   }
 
   /** Exact-cosine pair generation: every (id_a < id_b) pair with
@@ -762,11 +779,12 @@ object Dedup {
       idCol: String,
       threshold: Double,
       exact: Boolean = false,
-      planes: Int = 12
+      planes: Int = 12,
+      tables: Int = 1
   ): DataFrame = {
     val pairs =
       if (exact) embeddingPairsBruteForce(embs, vecCol, idCol, threshold)
-      else embeddingDuplicatePairs(embs, vecCol, idCol, threshold, planes)
+      else embeddingDuplicatePairs(embs, vecCol, idCol, threshold, planes, tables)
         .select(col("doc_a"), col("doc_b"))
     dropNearDuplicates(embs, pairs, idCol)
   }

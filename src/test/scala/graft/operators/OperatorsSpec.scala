@@ -217,6 +217,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("multi-table embedding dedup: adds recall, never precision loss, no duplicate pairs") {
+    val embs = (1L to 120L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 0.31 + d * 1.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairSet(tables: Int): Set[(Long, Long)] =
+      Dedup.embeddingDuplicatePairs(embs, "embedding", "vec_id",
+        threshold = 0.5, planes = 8, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairSet(1)
+    val four = pairSet(4)
+    val brute = Dedup.embeddingPairsBruteForce(embs, "embedding", "vec_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.subsetOf(four), "table 0 of the multi-table family is the single table")
+    assert(four.subsetOf(brute), "exact-cosine verify keeps precision 1 at any table count")
+    assert(four.size > one.size, "extra tables should surface extra true pairs here")
+    // distinct across tables: no pair reported twice
+    val df4 = Dedup.embeddingDuplicatePairs(embs, "embedding", "vec_id",
+      threshold = 0.5, planes = 8, tables = 4)
+    assert(df4.count() == df4.select("doc_a", "doc_b").distinct().count())
+  }
+
   test("semanticKeepers: LSH-fed equals exact-fed on planted duplicate groups") {
     // three duplicate groups (identical vectors — cosine 1, so hyperplane
     // buckets agree regardless of plane count) + orthogonal-ish singletons
