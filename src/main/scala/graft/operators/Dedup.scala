@@ -561,10 +561,21 @@ object Dedup {
     // truncation at the operator boundary is the point, exactly as for the
     // iteration checkpoints below; executor loss costs a job retry, never a
     // silent wrong answer.
+    //
+    // Materialize the INPUT once before the union multi-references it: the
+    // two union branches are separate physical subtrees, so an un-
+    // materialized LSH+verify pipeline would execute once per branch —
+    // measured ~200 s per extra execution at 100× stress (60M verified
+    // pairs). The pair frame itself is two longs per row; checkpointing it
+    // first makes each extra reference a ~1 GB scan instead of a re-run.
+    val p0 = graft.CacheScope.localCheckpoint(
+      pairs.select(col("doc_a"), col("doc_b")))
     val edges = graft.CacheScope.localCheckpoint(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      p0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct())
+    // edges is materialized; the raw pair checkpoint has no consumer left
+    graft.CacheScope.unpersistCheckpoint(p0)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .persist()
@@ -633,15 +644,24 @@ object Dedup {
     * anti-join per round instead of two.
     */
   def connectedComponentsAltStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // materialize the input ONCE: verts references the pair plan twice (the
+    // union branches) and the edge canonicalization a third time — three
+    // full executions of an LSH+verify pipeline at ~200 s each at 100×
+    // stress if the checkpoint comes after the multi-reference instead of
+    // before (same lesson as duplicateClusters' input truncation)
+    val p0 = graft.CacheScope.localCheckpoint(
+      pairs.select(col("doc_a"), col("doc_b")))
     val verts = graft.CacheScope.localCheckpoint(
-      pairs.select(col("doc_a").as("doc"))
-        .union(pairs.select(col("doc_b").as("doc"))).distinct())
+      p0.select(col("doc_a").as("doc"))
+        .union(p0.select(col("doc_b").as("doc"))).distinct())
     // canonical directed form: u > v, edges point from the larger id down
     var edges = graft.CacheScope.localCheckpoint(
-      pairs
+      p0
         .select(greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
+    // both derivations are materialized; the raw pair checkpoint is dead
+    graft.CacheScope.unpersistCheckpoint(p0)
     var converged = false
     var iter = 0
     var edgeCount = edges.count()
