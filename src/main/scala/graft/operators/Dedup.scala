@@ -670,6 +670,7 @@ object Dedup {
     // O(rounds × |E|) storage until scope close
     var prevCheckpoint: DataFrame = null
     while (!converged && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       // large-star: group the closed neighborhood at each node (neighbors
       // from BOTH directions); every strictly-larger neighbor connects to
       // the neighborhood minimum. Skew-safe: a hub node's group computes one
@@ -703,6 +704,12 @@ object Dedup {
       edgeCount = nextCount
       converged = grew == 0
       iter += 1
+      // convergence trace (off by default): round time pinpoints WHERE an
+      // adversarial graph spends its budget — hub-skew shows up here long
+      // before it shows up in a whole-op wall time
+      if (sys.env.contains("GRAFT_TRACE"))
+        System.err.println(f"[altstar] round $iter%2d: edges=$nextCount%,d " +
+          f"${(System.nanoTime() - roundT0) / 1e9}%.1f s")
     }
     require(converged,
       s"connectedComponentsAltStar did not converge within maxIter=$maxIter rounds")
