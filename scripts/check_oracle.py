@@ -38,6 +38,12 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"NO_OUTPUT {e}"
             continue
+        if list(got.columns) == ["_error"]:
+            # Verify's explicit crash marker (see Verify.scala): the query
+            # raised instead of producing rows — surface the message verbatim
+            msg = got["_error"].iloc[0] if len(got) else "<no message>"
+            results[name] = f"ERR {msg}"
+            continue
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(got)}"
             continue

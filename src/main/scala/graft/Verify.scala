@@ -13,6 +13,13 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // A failed query must NEVER vanish from the round's correctness artifact
+    // (the r5 e_sessionize crash was invisible: 118 intended, 117 recorded).
+    // On exception: (a) write a 1-row parquet under the query's own name with
+    // a single `_error` column — the driver's compare then reports a loud
+    // schema/rows/hash FAIL instead of silently skipping the key; (b) record
+    // name → message in verify_errors.json next to oracle_sql.json.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         // per-query scope: frames persisted while building/writing this
@@ -24,7 +31,16 @@ object Verify {
             .parquet(s"$outDir/$name")
         }
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+          System.err.println(s"[verify] $name failed: $msg")
+          errors.put(name, msg)
+          try {
+            import spark.implicits._
+            Seq(msg.take(1000)).toDF("_error").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name error-marker write failed: $e2")
+          }
         }
       }
     }
@@ -47,6 +63,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // explicit machine-readable error ledger (empty object when all green) —
+    // consumers can distinguish "query errored" from "query never intended"
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (!errors.isEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keySet().asScala.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

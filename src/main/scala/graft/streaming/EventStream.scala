@@ -23,9 +23,13 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as Spark reads it with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (the harness parquet stores
-    * TIMESTAMP(NANOS)): `ts` arrives as a raw nanos long.
+  /** The events schema as Spark reads the LEGACY harness layout with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (ts stored as
+    * TIMESTAMP(NANOS) → arrives as a raw nanos long). Kept for fixtures that
+    * exercise that layout; [[readEvents]] no longer assumes it — the harness
+    * has regenerated the parquet with a different physical type between
+    * rounds (nanos in r4, TIMESTAMP_NTZ micros in r5), so the file's actual
+    * footer schema is the only trustworthy source.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -35,26 +39,42 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Normalize a raw events frame: nanos long → timestamp (integer `div`,
-    * nanos overflow double's mantissa).
+  /** Normalize an events frame's `ts` to the engine's canonical TimestampType
+    * (µs precision, session-UTC instants), branching on the type the reader
+    * actually produced rather than assuming a physical layout:
+    *  - LongType: the legacy TIMESTAMP(NANOS)+nanosAsLong layout — raw nanos,
+    *    integer `div 1000` to µs (nanos overflow double's mantissa);
+    *  - TimestampNTZType: wall-clock micros (the current harness layout) —
+    *    cast reinterprets in the session timezone, exact under the engine's
+    *    required UTC session;
+    *  - TimestampType: already canonical.
     */
   def normalize(raw: DataFrame): DataFrame =
-    if (raw.schema.exists(f => f.name == "ts" && f.dataType == LongType))
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
 
   /** Open the events parquet as a stream (file source; at scale this is the
     * landing directory new files arrive in). The file-source basePath must be
     * a directory, so a path to a single file is split into
-    * (parent, pathGlobFilter).
+    * (parent, pathGlobFilter). The stream's schema is taken from the file's
+    * own parquet footer (a metadata-only batch read) — declaring a schema the
+    * file doesn't have makes the reader reinterpret raw INT64 values, which
+    * is exactly the silent 1000× time-compression failure mode; the footer
+    * schema + [[normalize]] handles every layout the harness has shipped.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     val p = new java.io.File(path)
+    val fileSchema = spark.read.parquet(path).schema
     val reader =
       if (p.isFile)
-        spark.readStream.schema(rawSchema)
+        spark.readStream.schema(fileSchema)
           .option("pathGlobFilter", p.getName).parquet(p.getParent)
-      else spark.readStream.schema(rawSchema).parquet(path)
+      else spark.readStream.schema(fileSchema).parquet(path)
     normalize(reader)
   }
 
@@ -140,8 +160,11 @@ object EventStream {
   def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     // microsecond-exact gap math (the harness events have µs resolution;
-    // truncating to seconds would move boundary events across engines)
-    val micros = unix_micros(col("ts"))
+    // truncating to seconds would move boundary events across engines).
+    // unix_micros rejects TIMESTAMP_NTZ — the explicit TimestampType cast is
+    // a no-op on canonical input and session-UTC-exact on an NTZ frame that
+    // bypassed normalize.
+    val micros = unix_micros(col("ts").cast(TimestampType))
     val newSession = when(
       lag(micros, 1).over(byUser).isNull ||
         micros - lag(micros, 1).over(byUser) > gapSeconds * 1000000L, 1L).otherwise(0L)

