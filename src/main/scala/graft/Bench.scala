@@ -8,13 +8,20 @@ import org.apache.spark.sql.SparkSession
   * only measure the cross join, not the engine.
   */
 object Bench {
-  /** Validation-only oracles, excluded from throughput measurement: both
+  /** Validation-only oracles, excluded from throughput measurement: all
     * build on the O(n²) brute-force pair generation whose only purpose is
-    * anchoring the LSH paths to an exact oracle at small scale.
+    * anchoring the LSH paths to an exact oracle at small scale. Queries
+    * named `*_contract` (the verify-only siblings of the production
+    * operators, VERDICT r5 #4) are excluded the same way via
+    * [[benchExcluded]] — they measure the verification harness, not the
+    * engine, and their cost would make per-query history incomparable.
     */
   val ValidationOnly: Set[String] =
     Set("d_jaccard_brute", "d_jaccard_char", "d_dup_clusters", "d_embed_brute",
       "d_semantic_keepers")
+
+  def benchExcluded(name: String): Boolean =
+    ValidationOnly.contains(name) || name.endsWith("_contract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +56,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val explain = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")
-    val results = SparkEntry.queries.view.filterKeys(!ValidationOnly.contains(_))
+    val results = SparkEntry.queries.view.filterKeys(!benchExcluded(_))
       .filterKeys(k => only.forall(_.contains(k))).toMap
       .map { case (name, fn) =>
         // building a streaming-backed query's frame RUNS it to completion,

@@ -200,7 +200,14 @@ object SparkEntry {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+    // production HLL sketch (rows-only: the approx value is engine-specific);
+    // its error-bound contract runs as the _contract sibling below — bench
+    // times the operator, verify gates the contract (VERDICT r5 #4)
     "a9_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))),
+    "a9_approx_distinct_contract" -> ((s, d) =>
       // HLL sketch error-bound contract (VERDICT r4 #2): the approximate
       // cardinality must sit within 3× the sketch's configured relative
       // standard deviation (default rsd 0.05 → bound 15%) of the exact
@@ -572,6 +579,10 @@ object SparkEntry {
       tb(s, d, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
     // document-fingerprint stability contract (VERDICT r4 #2): the 64-bit
+    // production rolling fingerprint (rows-only: the hash is engine-
+    // specific); invariance/composition contract = _contract sibling
+    "t_fingerprint" -> ((s, d) =>
+      tb(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
     // rolling fingerprint must be (a) whitespace-layout invariant and
     // (b) case invariant — the two normalizations a shard-level dedup
     // manifest relies on when re-scraped copies differ only in wrapping —
@@ -580,7 +591,7 @@ object SparkEntry {
     // extend a stored fingerprint without re-reading the document. Each doc
     // violating any of the three emits a row; the frame is provably empty
     // and rides the hash gate.
-    "t_fingerprint" -> ((s, d) => {
+    "t_fingerprint_contract" -> ((s, d) => {
       val fp = TextOps.fingerprint(col("text"))
       tb(s, d, "documents").select(col("doc_id"), fp.as("fp"),
         TextOps.fingerprint(regexp_replace(col("text"), "\\s+", " ")).as("fp_ws"),
@@ -627,13 +638,15 @@ object SparkEntry {
     "t_heavy_hitters" -> ((s, d) =>
       graft.operators.Sketches.heavyHitters(tb(s, d, "documents"), "text",
         capacity = 256, k = 20)),
-    // distributed BPE training, replay-verified (VERDICT r4 #2): the
-    // iterative argmax+contract is not SQL-expressible, so the contract is
-    // checked engine-side — re-applying merges 0..i-1 to a fresh word table
-    // must reproduce merge i's recorded pair_count exactly, for all 8
-    // learned merges. Violations frame provably empty, hash-gated.
+    // production distributed BPE training (rows-only: the iterative
+    // argmax+contract is not SQL-expressible); replay contract = sibling
+    "t_bpe_merges" -> ((s, d) =>
+      graft.operators.BpeTrainer.train(tb(s, d, "documents"), "text", numMerges = 8)),
+    // BPE replay contract (VERDICT r4 #2): re-applying merges 0..i-1 to a
+    // fresh word table must reproduce merge i's recorded pair_count exactly,
+    // for all 8 learned merges. Violations frame provably empty, hash-gated.
     // (BpeTrainerSpec additionally pins the textbook merge sequence.)
-    "t_bpe_merges" -> ((s, d) => {
+    "t_bpe_merges_contract" -> ((s, d) => {
       val docs = tb(s, d, "documents")
       val learned = graft.operators.BpeTrainer.train(docs, "text", numMerges = 8)
         .collect() // bounded: ≤ numMerges rows by construction
@@ -846,14 +859,19 @@ object SparkEntry {
           .select(col("doc_a"), col("doc_b")),
         "doc_id", numer = 4, denom = 5)
         .select(col("doc_id"), col("split"))),
+    // production SimHash near-dup pairs (rows-only; distance/order contract
+    // = _contract sibling, recall ≡ brute pinned in OperatorsSpec)
+    "d_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashDuplicatePairs(tb(s, d, "documents"), "text", "doc_id",
+        maxDist = 3, reuseSketches = true)),
     // SimHash pair contract (VERDICT r4 #2): every returned pair must
     // (a) be canonically ordered (doc_a < doc_b), (b) carry the TRUE
     // Hamming distance of the two docs' sketches — recomputed here from the
     // raw text through an independent join path — and (c) sit within
     // maxDist. Precision 1 by construction (the operator verifies exact
     // distance after the pigeonhole join); this pins that construction to
-    // the hash gate. Recall ≡ brute is pinned separately in OperatorsSpec.
-    "d_simhash_pairs" -> ((s, d) => {
+    // the hash gate.
+    "d_simhash_pairs_contract" -> ((s, d) => {
       val docs = tb(s, d, "documents")
       val pairs = Dedup.simhashDuplicatePairs(docs, "text", "doc_id", maxDist = 3, reuseSketches = true)
       val sk = Dedup.simhashSketches(docs, "text", "doc_id")
@@ -912,6 +930,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
     }),
     // --- multimodal ---------------------------------------------------------
+    // production media features: real executor-encoded PNGs → real
+    // javax.imageio decode → dims + luminance-grid features, embedding
+    // JSON-rendered (the verify harness can't sort a raw array column).
+    // rows-only; decode determinism = _contract sibling
+    "m_media_features" -> ((s, d) => {
+      import s.implicits._
+      val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
+      Multimodal.featureFrame(
+        Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 16))
+        .withColumn("embedding", to_json(col("embedding")))
+    }),
     // feature-determinism contract (VERDICT r4 #2): two INDEPENDENT passes
     // through the full encode→imageio-decode→feature pipeline must agree on
     // every field of every row — the property that makes media features
@@ -919,7 +948,7 @@ object SparkEntry {
     // would silently poison any incremental pipeline built on it). Rows are
     // compared as canonical JSON; the full-outer join also catches a pass
     // dropping or duplicating rows. Violations frame provably empty.
-    "m_media_features" -> ((s, d) => {
+    "m_media_features_contract" -> ((s, d) => {
       import s.implicits._
       def pass(): DataFrame = {
         val ids = tb(s, d, "documents").select(col("doc_id").cast("long")).as[java.lang.Long]
@@ -954,14 +983,26 @@ object SparkEntry {
         Multimodal.extractFeatures(Multimodal.syntheticWavCorpus(ids), dim = 4))
         .select(col("media_id"), col("kind"), col("duration_ms"))
     }),
-    // perceptual-hash image near-dup, planted-twin contract (VERDICT r4
-    // #2): 50 distinct synthetic PNGs plus an exact twin of each (media_id
-    // offset +1000) go through the real imageio decode → luminance grid →
-    // aHash → pigeonhole pair machinery. The contract: every planted twin
-    // pair MUST be recovered at Hamming distance exactly 0 (recall side),
-    // and no returned pair may exceed maxDist or break canonical ordering
-    // (precision side). Violations frame provably empty, hash-gated.
+    // production perceptual-hash image near-dup: 50 distinct synthetic PNGs
+    // plus an exact twin of each (media_id offset +1000) through the real
+    // imageio decode → luminance grid → aHash → pigeonhole pair machinery.
+    // rows-only; planted-twin recovery contract = _contract sibling
     "m_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = tb(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      val feats = Multimodal.featureFrame(
+        Multimodal.extractFeatures(Multimodal.syntheticPngCorpus(ids), dim = 64))
+        .select(col("media_id"), col("embedding"))
+      val twins = feats.withColumn("media_id", col("media_id") + 1000)
+      Multimodal.imageNearDupPairs(feats.union(twins), maxDist = 3)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+    }),
+    // planted-twin contract (VERDICT r4 #2): every planted twin pair MUST be
+    // recovered at Hamming distance exactly 0 (recall side), and no returned
+    // pair may exceed maxDist or break canonical ordering (precision side).
+    // Violations frame provably empty, hash-gated.
+    "m_image_neardup_contract" -> ((s, d) => {
       import s.implicits._
       val ids = tb(s, d, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id").cast("long")).as[java.lang.Long]
@@ -997,6 +1038,13 @@ object SparkEntry {
         maxFrames = 4).toDF()
         .select(col("media_id"), col("frame_idx"), col("ts_ms"))
     }),
+    // production embedding near-dup pairs. Threshold 0.4 because the
+    // synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.51)
+    // — a production-style 0.9 cutoff would vacuously return 0 candidates.
+    // rows-only; precision contract = _contract sibling
+    "d_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingDuplicatePairs(tb(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4, planes = 4)),
     // embedding near-dup precision contract (VERDICT r4 #2): every returned
     // pair must really have cosine ≥ threshold — recomputed here through
     // the COMPOSABLE zip_with/aggregate implementation ([[Similarity.dot]]/
@@ -1004,10 +1052,8 @@ object SparkEntry {
     // Catalyst expression the operator uses (documented bit-identical; this
     // pins that claim to the hash gate too). Pairs ⊆ brute-pairs follows:
     // brute IS "all pairs with exact cosine ≥ threshold". Canonical
-    // ordering checked alongside. Threshold 0.4 because the synthetic
-    // embeddings are near-orthogonal (max pairwise cosine ≈ 0.51) — a
-    // production-style 0.9 cutoff would vacuously return 0 candidates.
-    "d_embed_neardup" -> ((s, d) => {
+    // ordering checked alongside.
+    "d_embed_neardup_contract" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
       val pairs = Dedup.embeddingDuplicatePairs(emb, "embedding", "vec_id",
         threshold = 0.4, planes = 4)
@@ -1037,16 +1083,32 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // production multi-table (OR-amplified) LSH top-k: 16 independent
+    // 6-plane families — the production recall knob; single-table recall on
+    // this worst-case near-orthogonal corpus is ~5%, 16 tables measure
+    // 50-72%. rows-only (recall < 1 by design); floor contract = sibling
+    "s_knn_lsh" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+          k = 5, planes = 6, tables = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    // production IVF top-k: coarse-quantize once, probe top-nprobe centroid
+    // buckets, exact re-rank. rows-only; floor contract = sibling
+    "s_knn_ivf" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+          k = 5, centroids, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     // ANN recall-floor contracts (VERDICT r4 #2): recall < 1 by design on
     // both approximate paths, so the hash-gated property is a FLOOR on
     // aggregate recall@k vs the brute-force frame. Both sides are seeded-
     // deterministic, so measured recall is a constant per dataset; the
     // committed floors sit below the measured values at every shipped SF
     // (see BASELINE.md) and trip on any bucketing/probe regression.
-    "s_knn_lsh" -> ((s, d) => {
-      // multi-table (OR-amplified) LSH: 16 independent 6-plane families —
-      // the production recall knob; single-table recall on this worst-case
-      // near-orthogonal corpus is ~5%, 16 tables measure 50-72%
+    "s_knn_lsh_contract" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       Similarity.recallFloorViolations(
@@ -1054,9 +1116,7 @@ object SparkEntry {
         Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 5),
         floorX1000 = KnnLshRecallFloorX1000)
     }),
-    "s_knn_ivf" -> ((s, d) => {
-      // IVF scale path: coarse-quantize once, probe top-nprobe centroid
-      // buckets, exact re-rank
+    "s_knn_ivf_contract" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
@@ -1319,27 +1379,28 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS vec_id, 0.0 AS max_err, 0.0 AS bound FROM embeddings WHERE 1 = 0",
     "d_bloom_sound" ->
       "SELECT doc_id FROM documents WHERE 1 = 0",
-    // r5 contract conversions (VERDICT r4 #2): each of the former rows-only
-    // queries now emits a provably-empty violations frame; the oracle
-    // states that emptiness (with the schema pinned), so each contract
-    // rides the full rows+schema+hash gate
-    "a9_approx_distinct" ->
+    // Contract siblings of the 9 production rows-only queries (VERDICT r5
+    // #4: bench the operator under its original name; verify the contract
+    // as a `_contract` sibling excluded from bench). Each emits a provably-
+    // empty violations frame; the oracle states that emptiness (with the
+    // schema pinned), so each contract rides the full rows+schema+hash gate
+    "a9_approx_distinct_contract" ->
       "SELECT CAST(0 AS BIGINT) AS approx_customers, CAST(0 AS BIGINT) AS exact_customers FROM orders WHERE 1 = 0",
-    "t_fingerprint" ->
+    "t_fingerprint_contract" ->
       "SELECT doc_id, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fp_ws, CAST(0 AS BIGINT) AS fp_case, CAST(0 AS BIGINT) AS fp_ext, CAST(0 AS BIGINT) AS fp_cont FROM documents WHERE 1 = 0",
-    "t_bpe_merges" ->
+    "t_bpe_merges_contract" ->
       "SELECT CAST(0 AS INTEGER) AS merge_rank, CAST(0 AS BIGINT) AS expected, CAST(0 AS BIGINT) AS actual FROM documents WHERE 1 = 0",
-    "d_simhash_pairs" ->
+    "d_simhash_pairs_contract" ->
       "SELECT doc_id AS doc_a, doc_id AS doc_b, CAST(0 AS INTEGER) AS dist, CAST(0 AS INTEGER) AS true_dist FROM documents WHERE 1 = 0",
-    "m_media_features" ->
+    "m_media_features_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS media_id, '' AS row_a, '' AS row_b FROM documents WHERE 1 = 0",
-    "m_image_neardup" ->
+    "m_image_neardup_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc_a, CAST(doc_id AS BIGINT) AS doc_b, '' AS violation FROM documents WHERE 1 = 0",
-    "d_embed_neardup" ->
+    "d_embed_neardup_contract" ->
       "SELECT vec_id AS doc_a, vec_id AS doc_b FROM embeddings WHERE 1 = 0",
-    "s_knn_lsh" ->
+    "s_knn_lsh_contract" ->
       "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
-    "s_knn_ivf" ->
+    "s_knn_ivf_contract" ->
       "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
     "d_exact_dup_groups" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
