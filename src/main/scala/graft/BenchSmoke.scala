@@ -45,6 +45,12 @@ object BenchSmoke {
     val failures =
       try {
         spark.range(1000000).selectExpr("sum(id)").collect()
+        // same table warmup as Bench: parquet footers + scan codegen paths,
+        // so the alphabetically-first query (a1) doesn't absorb the session's
+        // one-time cold cost and trip its own ceiling
+        Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+          .foreach(t => try Tables(spark, sfDir, t).limit(1).count()
+            catch { case _: Throwable => () })
         val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           // same per-query scope shape as Bench: cache lifecycle is part of
