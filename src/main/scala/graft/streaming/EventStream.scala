@@ -67,14 +67,14 @@ object EventStream {
     * is exactly the silent 1000× time-compression failure mode; the footer
     * schema + [[normalize]] handles every layout the harness has shipped.
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+  def readEvents(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val p = new java.io.File(path)
     val fileSchema = spark.read.parquet(path).schema
+    val base = spark.readStream.schema(fileSchema).options(options)
     val reader =
-      if (p.isFile)
-        spark.readStream.schema(fileSchema)
-          .option("pathGlobFilter", p.getName).parquet(p.getParent)
-      else spark.readStream.schema(fileSchema).parquet(path)
+      if (p.isFile) base.option("pathGlobFilter", p.getName).parquet(p.getParent)
+      else base.parquet(path)
     normalize(reader)
   }
 
