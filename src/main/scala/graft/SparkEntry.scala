@@ -501,6 +501,22 @@ object SparkEntry {
           col("purchase_value"))
       graft.streaming.EventStream.runAppendToCompletion(ss, joined, "e_stream_join")
     }),
+    // the same attribution join in BATCH banded equi-join form — the plan
+    // for dense per-key histories at scale (candidates shrink from per-key
+    // history² to per-(key, lag-window) neighborhoods); shares the
+    // streaming join's oracle, so banded ≡ naive rides the hash gate
+    "e_interval_batch" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.streaming.EventStream.intervalJoinBatch(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("value").as("purchase_value")),
+        "user_id", "p_user", "click_ts", "purchase_ts", maxLagSeconds = 3600)
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+          col("purchase_value"))
+    }),
     // at-least-once delivery simulated by self-union (every event delivered
     // twice), restored to effectively-once by watermark-scoped streaming
     // dedup — final per-type counts equal the plain batch counts (oracle)
@@ -1291,6 +1307,8 @@ object SparkEntry {
     "e_stream_enrich" ->
       "SELECT c_mktsegment, event_type, count(*) AS n, sum(value) AS sum_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2",
     "e_stream_join" ->
+      "SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR",
+    "e_interval_batch" ->
       "SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR",
     // batch sessions, minus open tails: a session is emitted iff it has a
     // successor (rn > 1 from the end) or its ms-rounded-up timeout deadline

@@ -317,6 +317,21 @@ object Stress {
           maxLagSeconds = 3600, watermarkDelay = "1 hour")
           .select(col("user_id"), col("click_ts"), col("purchase_ts")))
       },
+      // ...and the BATCH banded equi-join form of the same attribution join:
+      // candidates shrink from per-key history² (the keyed-state probe
+      // model above) to per-(key, lag-window) neighborhoods — the plan that
+      // wins when per-key histories are dense
+      time(s"stream_join_batch_x$mult") {
+        val ev = spark.read.parquet(streamEventsDir)
+        val normalized = streaming.EventStream.normalize(ev)
+        streaming.EventStream.intervalJoinBatch(
+          normalized.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("click_ts")),
+          normalized.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("purchase_ts")),
+          "user_id", "p_user", "click_ts", "purchase_ts",
+          maxLagSeconds = 3600).count()
+      },
       // stateful sessionization: state is one triple per ACTIVE user
       // (O(users), never O(events)); mult× deeper per-user histories grow
       // the per-group sort, not the store

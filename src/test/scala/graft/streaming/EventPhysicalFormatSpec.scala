@@ -191,6 +191,53 @@ class EventPhysicalFormatSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(batch.contains))
   }
 
+  test("intervalJoinBatch (banded) equals the naive range join on both layouts") {
+    for (path <- Seq(ntzPath, nanosPath)) {
+      val df = batchRead(path)
+      def sides(d: DataFrame) = (
+        d.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts")),
+        d.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts")))
+      val (c, p) = sides(df)
+      val banded = intervalJoinBatch(c, p, "user_id", "p_user",
+        "click_ts", "purchase_ts", maxLagSeconds = 3600)
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+        .orderBy("user_id", "click_ts").collect().toSeq
+      val naive = c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 3600 SECONDS"))
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+        .orderBy("user_id", "click_ts").collect().toSeq
+      assert(banded == naive, s"layout $path")
+      assert(naive.nonEmpty)
+    }
+  }
+
+  test("intervalJoinBatch catches matches that straddle a band boundary") {
+    import spark.implicits._
+    // click at 00:59:59.999999, purchase at 01:30:00 — different ts-div-lag
+    // bands, inside the lag window; plus an exact-lag pair and an
+    // out-of-window pair
+    val clicks = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:59:59.999999")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "click_ts")
+    val purchases = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:30:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00.000001")))
+      .toDF("p_user", "purchase_ts")
+    val got = intervalJoinBatch(clicks, purchases, "user_id", "p_user",
+      "click_ts", "purchase_ts", maxLagSeconds = 3600)
+      .select(col("user_id")).orderBy("user_id").collect().map(_.getLong(0)).toSeq
+    // u1 straddles bands (kept), u2 exactly at lag (kept, inclusive), u3 one
+    // microsecond past the window (dropped)
+    assert(got == Seq(1L, 2L))
+  }
+
   test("smoke: readEvents on the real harness sf0.001 parquet round-trips min/max ts vs batch") {
     val real = "/root/testdata/sf0.001/events.parquet"
     assume(new java.io.File(real).exists(), "harness testdata not present")
