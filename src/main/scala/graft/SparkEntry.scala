@@ -87,6 +87,7 @@ object SparkEntry {
     */
   private val KnnLshRecallFloorX1000 = 300 // measured ≥ 500 at sf{0.001,0.01,0.1}
   private val KnnIvfRecallFloorX1000 = 600 // measured ≥ 780 at sf{0.001,0.01,0.1}
+  private val KnnPqRecallFloorX1000 = 600 // measured ≥ 800 at sf{0.001,0.01,0.1} (m=8, ksub=32, rerank=16)
 
   private def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -1151,6 +1152,37 @@ object SparkEntry {
         k = 5, centroids, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // production PQ-ADC top-k: 8 subspaces × 32-centroid codebooks, per-
+    // query LUT built before the probe, top rerank·k by approximate inner
+    // product re-ranked with exact cosine on the candidates' float
+    // originals only. The index payload is 8 ints/vector (vs 64 floats) —
+    // the memory face of 100 TB ANN. rows-only; floor contract = sibling
+    "s_knn_pq" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val books = Similarity.trainPqCodebooks(emb, "embedding", "vec_id", m = 8, ksub = 32)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+          k = 5, books, rerank = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    "s_knn_pq_contract" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val books = Similarity.trainPqCodebooks(emb, "embedding", "vec_id", m = 8, ksub = 32)
+      Similarity.recallFloorViolations(
+        Similarity.pqTopK(q, emb, "embedding", "vec_id", k = 5, books, rerank = 16),
+        Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 5),
+        floorX1000 = KnnPqRecallFloorX1000)
+    }),
+    "s_knn_pq_exact" -> ((s, d) => {
+      // rerank·k ≥ corpus → every candidate re-ranked exactly → provably
+      // equal to brute force: codebook training, encoding, the ADC probe
+      // and the re-rank join all ride the hash gate, not just rows-only
+      val emb = tb(s, d, "embeddings")
+      val books = Similarity.trainPqCodebooks(emb, "embedding", "vec_id", m = 8, ksub = 32)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+          k = 5, books, rerank = 1000000)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     "s_knn_indexed" -> ((s, d) => {
       // the PERSISTED index path: centroids + cluster-partitioned corpus on
       // disk (built once per sf dir), probed without re-assignment.
@@ -1418,6 +1450,11 @@ object SparkEntry {
       "SELECT vec_id AS doc_a, vec_id AS doc_b FROM embeddings WHERE 1 = 0",
     "s_knn_lsh_contract" ->
       "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
+    "s_knn_pq_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
+    // rerank·k ≥ corpus → every candidate exactly re-ranked → brute force
+    "s_knn_pq_exact" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     "s_knn_ivf_contract" ->
       "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
     "d_exact_dup_groups" ->

@@ -337,6 +337,130 @@ object Similarity {
         col("vmin") + (q.cast("double") + lit(0.5)) *
           (col("vmax") - col("vmin")) / lit(255.0)))
 
+  // ------------------------------------------------- product quantization
+
+  /** Train product-quantization codebooks: the vector space splits into `m`
+    * contiguous subspaces of dim/m dims; each subspace gets its own
+    * `ksub`-centroid codebook via Lloyd iterations run as DataFrame plans
+    * (assignment = a narrow pass against broadcast codebook literals, L2 in
+    * the subspace; update = one groupBy aggregation over exploded
+    * subvector dims). Codebooks live on the driver (m·ksub·(dim/m) floats —
+    * tiny); the corpus never leaves executors. Deterministic: seeds are the
+    * subvectors of the first `ksub` vectors by id.
+    *
+    * Returns codebooks(s)(c) = sub-centroid vector of length dim/m.
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iterations: Int = 3): Seq[Seq[Seq[Float]]] = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val seedVecs = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    require(seedVecs.size == ksub, s"corpus smaller than ksub=$ksub")
+    var books: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(s => seedVecs.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    // one exploded (subspace, subvector) frame reused each iteration
+    val subs = corpus.select(
+      explode(array((0 until m).map(sI =>
+        struct(lit(sI).as("s"), slice(col(vecCol), sI * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("e.s").as("s"), col("e.sv").as("sv"))
+    (1 to iterations).foreach { _ =>
+      val updated = subs
+        .select(col("s"), pqSubCode(col("s"), col("sv"), books).as("c"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("s", "c", "pos").agg(avg(col("x")).as("x"))
+        .groupBy("s", "c").agg(
+          array_sort(collect_list(struct(col("pos"), col("x")))).as("dims"))
+        .select(col("s"), col("c"),
+          expr("transform(dims, d -> CAST(d.x AS FLOAT))").as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toSeq).toMap
+      books = books.zipWithIndex.map { case (book, sI) =>
+        book.indices.map(c => updated.getOrElse((sI, c), book(c)))
+      }
+    }
+    books
+  }
+
+  /** Nearest sub-centroid code (L2 in the subspace) for a dynamic subspace
+    * index `s` — the codebooks ride along as one nested literal and
+    * `element_at` selects the right book per row, so assignment across all
+    * m subspaces is a single narrow projection. First-minimum tie-break via
+    * array_position (deterministic: both sides are the same double
+    * computation).
+    */
+  private def pqSubCode(s: Column, sv: Column, books: Seq[Seq[Seq[Float]]]): Column = {
+    val cb = typedLit(books.map(_.map(_.map(_.toDouble))))
+    val dists = transform(element_at(cb, s.cast("int") + 1), cvec =>
+      aggregate(zip_with(sv, cvec, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a, e) => a + e))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** PQ-encode the corpus: (vec_id, codes array<int> of length m). At m=8,
+    * ksub=16 the index payload is 8 small ints per vector vs 64 floats —
+    * the memory face of corpus-scale ANN (the float originals stay on disk
+    * and are touched only for the short re-rank candidate list).
+    */
+  def pqEncode(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.size
+    corpus.select(col(idCol).as("vec_id"),
+      array((0 until m).map(sI =>
+        pqSubCode(lit(sI), slice(col(vecCol), sI * dsub + 1, dsub), books)): _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k: each (small, broadcast) query builds ONE
+    * lookup table lut(s)(c) = ⟨q_s, codebook(s)(c)⟩ before the join; every
+    * corpus code row then scores approx_ip = Σ_s lut(s)(codes(s)) — m array
+    * lookups per candidate instead of a dim-length float fold, against an
+    * index that is m ints per vector. The top `rerank·k` by approximate
+    * inner product are re-ranked with exact cosine against the float
+    * originals of the candidates ONLY (an id equi-join back to the corpus).
+    * Same output shape as [[bruteForceTopK]]; `rerank·k ≥ corpus` makes the
+    * result provably equal to brute force (the hash-gated exactness path).
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, books: Seq[Seq[Seq[Float]]], rerank: Int = 4): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.size
+    val cb = typedLit(books.map(_.map(_.map(_.toDouble))))
+    val codes = pqEncode(corpus, vecCol, idCol, books)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", array((0 until m).map(sI =>
+        transform(element_at(cb, sI + 1), cvec =>
+          aggregate(
+            zip_with(slice(col("qv"), sI * dsub + 1, dsub), cvec,
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (a, e) => a + e))): _*))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, sI) =>
+          acc + element_at(element_at(col("lut"), sI),
+            element_at(col("codes"), sI) + 1)).as("approx_ip"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_ip").desc, col("neighbor_id").asc)
+    val cands = scored.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Zero-violation contract for the quantize→dequantize round trip: every
     * element must reconstruct within half a bucket width (+1 ulp slack for
     * the float→double path). The violations frame is provably empty and

@@ -324,6 +324,52 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == brute) // nprobe = k → exact
   }
 
+  test("PQ: codebooks train, codes in range and deterministic, exact-rerank recovers brute force") {
+    val base = Seq(
+      Array.tabulate(8)(i => if (i < 3) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 6) 1f else 0f))
+    val vecs = (0 until 60).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.trainPqCodebooks(vecs, "embedding", "vec_id", m = 4, ksub = 4)
+    assert(books.size == 4 && books.forall(_.size == 4) && books.forall(_.forall(_.size == 2)))
+    def codeRows = Similarity.pqEncode(vecs, "embedding", "vec_id", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes = codeRows
+    assert(codes.size == 60)
+    assert(codes.values.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 4)))
+    assert(codes == codeRows) // double-precision staged math → bit-deterministic
+    val q = vecs.filter($"vec_id" < 3)
+    val exact = Similarity.pqTopK(q, vecs, "embedding", "vec_id", k = 5, books, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(q, vecs, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == brute) // rerank·k ≥ corpus → provably brute force
+  }
+
+  test("PQ ADC at small rerank: full recall on planted clusters; contract floor flips correctly") {
+    val base = Seq(
+      Array.tabulate(8)(i => if (i < 3) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 6) 1f else 0f))
+    val vecs = (0 until 60).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.trainPqCodebooks(vecs, "embedding", "vec_id", m = 4, ksub = 4)
+    val q = vecs.filter($"vec_id" < 3)
+    val approx = Similarity.pqTopK(q, vecs, "embedding", "vec_id", k = 5, books, rerank = 2)
+    val brute = Similarity.bruteForceTopK(q, vecs, "embedding", "vec_id", k = 5)
+    // some subspaces are identical across the planted clusters (both ~0),
+    // so ADC recall at rerank=2 is high but not 1.0 here — the contract
+    // must be empty at a floor below measured recall and trip at an
+    // impossible one (n_hit ≤ n_true ⇒ 1001 always violates)
+    assert(Similarity.recallFloorViolations(approx, brute, floorX1000 = 1).isEmpty)
+    assert(!Similarity.recallFloorViolations(approx, brute, floorX1000 = 1001).isEmpty)
+  }
+
   test("lsh top-k returns same-bucket neighbors with exact ranks") {
     val embs = (1L to 50L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
