@@ -78,6 +78,10 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // and the range-layout fixture (s17_stats_prune)
+  private val rangeLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Committed ANN recall floors (×1000) for the s_knn_lsh / s_knn_ivf
     * contract queries. Both paths are seeded-deterministic, so recall over
     * a shipped dataset is a constant; the floors sit below the measured
@@ -430,6 +434,44 @@ object SparkEntry {
     "s5_fixedwidth_scan" -> ((s, d) => fixedWidthScan(s, d)),
     "s5b_fixedwidth_v2" -> ((s, d) => fixedWidthV2Scan(s, d)),
     "s4_dcf_parse" -> ((s, d) => dcfParseDemo(s)),
+    // --- warehouse maintenance (extensions of S13/S15) ---------------------
+    // latest-wins upsert (MERGE compaction): base@v1 ⊎ updates@v2 (every
+    // 10th order re-priced + every 100th re-keyed as an insert) → one
+    // union + one key shuffle + per-key top-1; the whole merge result is
+    // aggregated under the hash gate
+    "s16_upsert" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val base = orders.withColumn("version", lit(1L))
+      val updates = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+        .withColumn("version", lit(2L))
+        .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("version", lit(2L)))
+      graft.load.Warehouse.upsertLatest(base, updates, Seq("o_orderkey"), "version")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
+    // stats-manifest file skipping: orders in a 16-file range layout on
+    // o_orderkey; the manifest (one row per file, built in one scan) plans
+    // the range scan so non-overlapping files are never opened. The pruned
+    // aggregate rides the hash gate; WarehouseSpec asserts kept < total
+    "s17_stats_prune" -> ((s, d) => {
+      val path = rangeLayoutCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("rangelay")
+        deleteRecursivelyOnExit(dir)
+        graft.load.Warehouse.writeRangeLayout(
+          t(s, d, "orders"), dir.toString, Seq("o_orderkey"), partitions = 16)
+        dir.toString
+      })
+      val manifest = graft.load.Warehouse.statsManifest(s, path, Seq("o_orderkey"))
+      val (pruned, kept, total) =
+        graft.load.Warehouse.prunedRead(s, manifest, "o_orderkey", 1000L, 2000L)
+      require(kept < total,
+        s"stats pruning skipped nothing ($kept of $total files kept)")
+      pruned.agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    }),
     // --- events ------------------------------------------------------------
     "e_hour_window" -> ((s, d) =>
       t(s, d, "events")
@@ -1452,6 +1494,14 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
     "s_knn_pq_contract" ->
       "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
+    // merge outcome: every 10th order carries the v2 price, every 100th
+    // key ALSO appears re-keyed as an insert — exactly one row per key
+    "s16_upsert" ->
+      "SELECT o_orderstatus, count(*) AS n, sum(price) AS sum_price FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders UNION ALL SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 1",
+    // the pruned scan is exact: manifest skipping + residual filter ≡ the
+    // plain predicate over the whole table
+    "s17_stats_prune" ->
+      "SELECT count(*) AS n, sum(o_totalprice) AS sum_price, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000",
     // rerank·k ≥ corpus → every candidate exactly re-ranked → brute force
     "s_knn_pq_exact" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",

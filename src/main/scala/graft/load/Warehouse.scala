@@ -69,6 +69,77 @@ object Warehouse {
       .write.mode(mode).parquet(path)
   }
 
+  /** Latest-wins upsert (MERGE compaction): `base` ∪ `updates`, keep ONE
+    * row per key — the highest `versionCol`, with `updates` winning a
+    * version tie. The batch face of CDC ingestion: the reference reloads a
+    * whole survey slice to apply a new file version (ref
+    * lib04_Update_Table_Data.py:509-541); at warehouse scale the same
+    * convergence is one union + one hash shuffle on the key and a per-key
+    * top-1 window — no delete pass, no read-modify-write of the base table,
+    * and the shuffle is FREE when base and updates are co-bucketed on the
+    * key ([[writeBucketed]]).
+    */
+  def upsertLatest(
+      base: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number, desc}
+    require(keyCols.nonEmpty)
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(desc(versionCol), desc("__src"))
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
+  /** Per-file min/max statistics manifest: ONE scan of the table computes
+    * (file, n_rows, min/max per stat column) — the scan-planning metadata
+    * layer of a lakehouse table format (Delta/Iceberg file skipping),
+    * queryable as a tiny DataFrame. Built once per layout write; at 100 TB
+    * the manifest is MB-scale (one row per file) while the data is not.
+    * Output columns: `file`, `n_rows`, and `<c>_min`/`<c>_max` per stat
+    * column.
+    */
+  def statsManifest(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    require(cols.nonEmpty)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+  }
+
+  /** Manifest-driven pruned scan for `lo ≤ c ≤ hi`: files whose [min, max]
+    * range cannot overlap the predicate are never OPENED — the manifest
+    * (driver-small: one row per file) plans the scan, parquet row-group
+    * stats then prune within the surviving files, and the residual filter
+    * keeps exactness. Complements [[writeRangeLayout]]/[[writeZOrderLayout]]:
+    * those make per-file ranges disjoint so this prunes to ~predicate/domain
+    * of the files. Returns (pruned DataFrame, files kept, files total).
+    */
+  def prunedRead(
+      spark: SparkSession, manifest: DataFrame, c: String,
+      lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val total = manifest.count().toInt
+    // a file with a NULL min/max (all-null chunk) cannot be ruled out
+    val keep = manifest.filter(
+      col(s"${c}_max").isNull || col(s"${c}_min").isNull ||
+        !(col(s"${c}_max") < lit(lo) || col(s"${c}_min") > lit(hi)))
+      .select("file").collect().map(_.getString(0))
+    val df =
+      if (keep.nonEmpty) spark.read.parquet(keep: _*)
+      else {
+        // every file pruned: keep the schema (from any one file) but scan none
+        val any = manifest.select("file").limit(1).collect().map(_.getString(0))
+        require(any.nonEmpty, "prunedRead over an empty manifest")
+        spark.read.parquet(any: _*).filter(lit(false))
+      }
+    (df.filter(col(c).between(lit(lo), lit(hi))), keep.length, total)
+  }
+
   /** Z-order (Morton-curve) layout over 2+ numeric columns: every output
     * file covers a SMALL min/max box on EVERY z-dimension, so parquet file
     * stats prune scans filtered on any of them — [[writeRangeLayout]]

@@ -82,6 +82,44 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(dir).count() == 2000)
   }
 
+  test("upsertLatest: latest version wins, updates win version ties, inserts land, one row per key") {
+    val base = Seq(
+      (1L, "a-v1", 1L), (2L, "b-v1", 1L), (3L, "c-v3", 3L)
+    ).toDF("k", "v", "version")
+    val updates = Seq(
+      (1L, "a-v2", 2L), // higher version → replaces
+      (2L, "b-v1-upd", 1L), // SAME version → updates side wins the tie
+      (3L, "c-v2", 2L), // LOWER version than base → base kept
+      (4L, "d-v1", 1L) // new key → insert
+    ).toDF("k", "v", "version")
+    val got = Warehouse.upsertLatest(base, updates, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("a-v2", 2L), 2L -> ("b-v1-upd", 1L),
+      3L -> ("c-v3", 3L), 4L -> ("d-v1", 1L)))
+  }
+
+  test("stats manifest plans a pruned scan: non-overlapping files never opened, result exact") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("statsprune").toString + "/t"
+    val df = scala.util.Random.shuffle((0 until 4000).toList)
+      .map(i => (i.toLong, i % 7)).toDF("k", "grp")
+    Warehouse.writeRangeLayout(df, dir, Seq("k"), partitions = 8)
+    val manifest = Warehouse.statsManifest(spark, dir, Seq("k"))
+    assert(manifest.count() >= 8) // one row per file
+    val (pruned, kept, total) = Warehouse.prunedRead(spark, manifest, "k", 100L, 600L)
+    // a ~1/8-domain predicate over 8 disjoint-range files: most are skipped
+    assert(kept < total, s"nothing pruned ($kept of $total)")
+    assert(kept <= 3)
+    // and the pruned scan's input really is only the kept files
+    assert(pruned.inputFiles.length == kept)
+    val got = pruned.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (100L to 600L).toSeq)
+    // all-pruned predicate: empty result, zero files opened, schema intact
+    val (none, kept0, _) = Warehouse.prunedRead(spark, manifest, "k", 100000L, 200000L)
+    assert(kept0 == 0 && none.count() == 0 && none.columns.contains("grp"))
+  }
+
   test("z-order layout bounds per-file ranges on BOTH dims; linear layout does not") {
     import org.apache.spark.sql.functions.{min, max, input_file_name}
     import spark.implicits._
