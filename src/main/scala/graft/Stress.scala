@@ -276,6 +276,48 @@ object Stress {
         require(violations == 0, s"CMS merge contract broken at ${mult}x: $violations")
         violations
       },
+      // PQ at scale: codebooks train on mult×-expanded vectors (Lloyd over
+      // exploded subvectors — one groupBy per iteration), every vector
+      // encodes to m ints, and the ADC probe scores codes via per-query
+      // LUTs — index memory is m ints/vector no matter the corpus size
+      time(s"pq_adc_x$mult") {
+        val books = operators.Similarity.trainPqCodebooks(
+          embs, "embedding", "vec_id", m = 8, ksub = 32)
+        operators.Similarity.pqTopK(embs.filter(col("vec_id") < 10), embs,
+          "embedding", "vec_id", k = 5, books, rerank = 16).count()
+      },
+      // latest-wins upsert at scale: base ∪ updates is one key shuffle +
+      // per-key top-1 — cost is the shuffle of base+updates rows, with no
+      // read-modify-write of the base table
+      time(s"upsert_x$mult") {
+        val base = orders.withColumn("version", lit(1L))
+        val updates = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+          .withColumn("version", lit(2L))
+        load.Warehouse.upsertLatest(base, updates, Seq("o_orderkey"), "version").count()
+      },
+      // stats-manifest lifecycle at scale: range-layout write of the
+      // expanded orders (64 files), one-scan manifest build, then a pruned
+      // range read that must skip most files — the lakehouse scan-planning
+      // loop, build included
+      time(s"stats_prune_x$mult") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_prune")
+        try {
+          load.Warehouse.writeRangeLayout(orders, dir.toString,
+            Seq("o_orderkey"), partitions = 64)
+          val manifest = load.Warehouse.statsManifest(spark, dir.toString, Seq("o_orderkey"))
+          val hi = 150000L * mult / 16 // ~1/16 of the key domain
+          val (pruned, kept, total) =
+            load.Warehouse.prunedRead(spark, manifest, "o_orderkey", 0L, hi)
+          require(kept < total / 4,
+            s"stats pruning too weak at ${mult}x: kept $kept of $total files")
+          pruned.count()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
       // --- streaming at scale (VERDICT r5: "the streaming family would
       // scale too, once it reads time correctly" — these are the receipts).
       // All stateful ops run at FULL shuffle parallelism (32 state stores —

@@ -65,6 +65,16 @@ object VectorHash {
     */
   def wordShingles(text: Column, n: Int): Column = col(WordShinglesExpr(expr(text), n))
 
+  /** Product-quantization code assignment: array of `m` sub-centroid
+    * indices (L2-argmin per contiguous subspace, first-minimum tie-break).
+    * Semantics identical to the composable per-subspace
+    * `transform`+`zip_with` argmin in `Similarity` (pinned in
+    * OperatorsSpec) — but one eval per row of primitive loops instead of
+    * m·ksub interpreted lambda folds per vector on the encode hot path.
+    */
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
+    col(PqCodesExpr(expr(vec), codebooks.map(_.map(_.toArray).toArray).toArray))
+
   private val Seed1 = 42L
   private val Seed2 = -7046029254386353131L
 
@@ -230,6 +240,47 @@ object VectorHash {
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
       copy(left = l, right = r)
+  }
+
+  case class PqCodesExpr(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    private val m = codebooks.length
+    private val dsub = codebooks(0)(0).length
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_pq_codes"
+    override def inputTypes = Seq(ArrayType(FloatType))
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val out = new Array[Any](m)
+      var s = 0
+      while (s < m) {
+        val book = codebooks(s)
+        val base = s * dsub
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = v.getFloat(base + i).toDouble - cent(i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          // strict less-than keeps the FIRST minimum — same tie-break as
+          // the composable array_position form
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): PqCodesExpr = copy(child = c)
   }
 
   case class HyperplaneBucketExpr(child: Expression, planes: Int, seed: Long = 0L)

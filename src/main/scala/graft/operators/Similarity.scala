@@ -361,15 +361,16 @@ object Similarity {
     require(seedVecs.size == ksub, s"corpus smaller than ksub=$ksub")
     var books: Seq[Seq[Seq[Float]]] =
       (0 until m).map(s => seedVecs.map(v => v.slice(s * dsub, (s + 1) * dsub)))
-    // one exploded (subspace, subvector) frame reused each iteration
-    val subs = corpus.select(
-      explode(array((0 until m).map(sI =>
-        struct(lit(sI).as("s"), slice(col(vecCol), sI * dsub + 1, dsub).as("sv"))): _*)).as("e"))
-      .select(col("e.s").as("s"), col("e.sv").as("sv"))
     (1 to iterations).foreach { _ =>
-      val updated = subs
-        .select(col("s"), pqSubCode(col("s"), col("sv"), books).as("c"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
+      // assignment = ONE native pq-codes eval per vector (m tight argmin
+      // loops), then the update explodes (subspace, code, dim) for one
+      // groupBy — no per-subvector interpreted lambda folds
+      val updated = corpus
+        .select(col(vecCol).as("v"),
+          graft.functions.VectorHash.pqCodes(col(vecCol), books).as("codes"))
+        .select(col("v"), posexplode(col("codes")).as(Seq("s", "c")))
+        .select(col("s"), col("c"),
+          posexplode(slice(col("v"), col("s") * dsub + 1, lit(dsub))).as(Seq("pos", "x")))
         .groupBy("s", "c", "pos").agg(avg(col("x")).as("x"))
         .groupBy("s", "c").agg(
           array_sort(collect_list(struct(col("pos"), col("x")))).as("dims"))
@@ -385,13 +386,15 @@ object Similarity {
   }
 
   /** Nearest sub-centroid code (L2 in the subspace) for a dynamic subspace
-    * index `s` — the codebooks ride along as one nested literal and
-    * `element_at` selects the right book per row, so assignment across all
-    * m subspaces is a single narrow projection. First-minimum tie-break via
-    * array_position (deterministic: both sides are the same double
-    * computation).
+    * index `s`, as a composable column: the codebooks ride along as one
+    * nested literal and `element_at` selects the right book per row.
+    * First-minimum tie-break via array_position (deterministic: both sides
+    * are the same double computation). Kept as the REFERENCE implementation
+    * — the hot paths use the native
+    * [[graft.functions.VectorHash.pqCodes]] expression, pinned equal to
+    * this form in OperatorsSpec.
     */
-  private def pqSubCode(s: Column, sv: Column, books: Seq[Seq[Seq[Float]]]): Column = {
+  private[operators] def pqSubCode(s: Column, sv: Column, books: Seq[Seq[Seq[Float]]]): Column = {
     val cb = typedLit(books.map(_.map(_.map(_.toDouble))))
     val dists = transform(element_at(cb, s.cast("int") + 1), cvec =>
       aggregate(zip_with(sv, cvec, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
@@ -406,13 +409,9 @@ object Similarity {
     */
   def pqEncode(
       corpus: DataFrame, vecCol: String, idCol: String,
-      books: Seq[Seq[Seq[Float]]]): DataFrame = {
-    val m = books.size
-    val dsub = books.head.head.size
+      books: Seq[Seq[Seq[Float]]]): DataFrame =
     corpus.select(col(idCol).as("vec_id"),
-      array((0 until m).map(sI =>
-        pqSubCode(lit(sI), slice(col(vecCol), sI * dsub + 1, dsub), books)): _*).as("codes"))
-  }
+      graft.functions.VectorHash.pqCodes(col(vecCol), books).as("codes"))
 
   /** PQ asymmetric-distance top-k: each (small, broadcast) query builds ONE
     * lookup table lut(s)(c) = ⟨q_s, codebook(s)(c)⟩ before the join; every

@@ -341,6 +341,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(codes.size == 60)
     assert(codes.values.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 4)))
     assert(codes == codeRows) // double-precision staged math → bit-deterministic
+    // native pq-codes expression ≡ the composable per-subspace argmin
+    // reference (same L2-in-double math, same first-minimum tie-break)
+    val composable = vecs.select($"vec_id",
+      org.apache.spark.sql.functions.array((0 until 4).map(sI =>
+        Similarity.pqSubCode(org.apache.spark.sql.functions.lit(sI),
+          org.apache.spark.sql.functions.slice($"embedding", sI * 2 + 1, 2), books)): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(composable == codes, "native PqCodesExpr diverged from the composable reference")
     val q = vecs.filter($"vec_id" < 3)
     val exact = Similarity.pqTopK(q, vecs, "embedding", "vec_id", k = 5, books, rerank = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
