@@ -82,6 +82,15 @@ object SparkEntry {
   private val rangeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the small-file-debris + compacted fixture (s18_compact): value =
+  // (compacted dir, files before, files after)
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Int)]()
+
+  // and the hive-partitioned fixture (s19_partition_prune)
+  private val hivePartCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Committed ANN recall floors (×1000) for the s_knn_lsh / s_knn_ivf
     * contract queries. Both paths are seeded-deterministic, so recall over
     * a shipped dataset is a constant; the floors sit below the measured
@@ -92,6 +101,7 @@ object SparkEntry {
   private val KnnLshRecallFloorX1000 = 300 // measured ≥ 500 at sf{0.001,0.01,0.1}
   private val KnnIvfRecallFloorX1000 = 600 // measured ≥ 780 at sf{0.001,0.01,0.1}
   private val KnnPqRecallFloorX1000 = 600 // measured ≥ 800 at sf{0.001,0.01,0.1} (m=8, ksub=32, rerank=16)
+  private val KnnIvfPqRecallFloorX1000 = 450 // measured 920/920/600 at sf{0.001,0.01,0.1} (k=8, nprobe=3, m=8, ksub=32, rerank=16; RecallProbe)
 
   private def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -472,6 +482,49 @@ object SparkEntry {
       pruned.agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"),
         min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
     }),
+    // small-file compaction: orders shattered into 64 ingest-debris files,
+    // bin-packed back to ceil(bytes/target) files with a shuffle-free
+    // coalesce. The compacted table's aggregate rides the hash gate (content
+    // survives the rewrite); the require pins that compaction actually
+    // happened
+    "s18_compact" -> ((s, d) => {
+      val (path, before, after) = compactCache.computeIfAbsent(d, _ => {
+        val in = java.nio.file.Files.createTempDirectory("compact_in")
+        deleteRecursivelyOnExit(in)
+        val out = java.nio.file.Files.createTempDirectory("compact_out")
+        deleteRecursivelyOnExit(out)
+        t(s, d, "orders").repartition(64).write.mode("overwrite").parquet(in.toString)
+        val (b, a) = graft.load.Warehouse.compactSmallFiles(
+          s, in.toString, out.toString, targetFileBytes = 8L * 1024 * 1024)
+        (out.toString, b, a)
+      })
+      require(after < before,
+        s"compaction did not reduce file count ($before -> $after)")
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
+    // hive-style partitioned layout + partition pruning: orders written
+    // partitionBy(o_orderstatus); a partition-key predicate must scan ONLY
+    // that partition's files (checked by counting distinct files actually
+    // read, not plan text). The pruned aggregate rides the hash gate
+    "s19_partition_prune" -> ((s, d) => {
+      val path = hivePartCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("hivepart")
+        deleteRecursivelyOnExit(dir)
+        t(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(dir.toString)
+        dir.toString
+      })
+      val all = s.read.parquet(path)
+      val filesAll = all.select(input_file_name()).distinct().count()
+      val pruned = all.filter(col("o_orderstatus") === "F")
+      val filesRead = pruned.select(input_file_name()).distinct().count()
+      require(filesRead < filesAll,
+        s"partition pruning read every file ($filesRead of $filesAll)")
+      pruned.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
     // --- events ------------------------------------------------------------
     "e_hour_window" -> ((s, d) =>
       t(s, d, "events")
@@ -483,6 +536,19 @@ object SparkEntry {
         .groupBy(col("k_mod")).agg(count(lit(1)).as("n"))),
     "e_sessionize" -> ((s, d) =>
       graft.streaming.EventStream.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800L)),
+    // the same sessionization through Spark's BUILT-IN session_window
+    // aggregation (merging windows, identical plan batch or streaming).
+    // Boundary semantics differ from sessionizeBatch by design: the window
+    // end is exclusive (an event at exactly last + gap starts a NEW
+    // session, where sessionizeBatch's strict `> gap` keeps it), and
+    // session_end = last event + gap rather than the last event itself —
+    // the oracle replays exactly those semantics
+    "e_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value"))),
     "e_sliding_window" -> ((s, d) =>
       // overlapping windows: each event lands in duration/slide windows
       t(s, d, "events")
@@ -599,6 +665,26 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       ss.table("e_stream_sessionize")
+    }),
+    // streaming CDC ingest: per micro-batch, reduce the batch to its latest
+    // event per user and MERGE it into the persisted state table via
+    // Warehouse.upsertLatest — the foreachBatch face of a continuously
+    // maintained latest-state materialized view. The (ts, event_id) version
+    // chain makes the merge result independent of how the stream was split
+    // into batches (EventStreamSpec pins multi-batch ≡ single-batch); the
+    // final state equals the plain batch latest-per-user (oracle)
+    "e_stream_upsert" -> ((s, d) => {
+      val ss = graft.streaming.EventStream.streamSession(s)
+      val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val stateRoot = java.nio.file.Files.createTempDirectory("upsert_state")
+      deleteRecursivelyOnExit(stateRoot)
+      val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt")
+      deleteRecursivelyOnExit(ckpt)
+      val state = graft.streaming.EventStream.streamUpsertLatest(
+        stream, Seq("user_id"), Seq("ts", "event_id"), stateRoot.toString, ckpt.toString)
+      ss.read.parquet(state.get)
+        .select(col("user_id"), col("ts").as("last_ts"), col("event_type"), col("value"))
     }),
     // --- text analysis -----------------------------------------------------
     "t_token_count" -> ((s, d) =>
@@ -1225,6 +1311,46 @@ object SparkEntry {
           k = 5, books, rerank = 1000000)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // production IVF-PQ (the FAISS-style corpus-scale architecture): coarse
+    // centroids gate the probe to nprobe/k_coarse of the corpus, PQ codes of
+    // the RESIDUALS v - c[cluster] score survivors via the same per-query
+    // LUT as flat PQ (⟨q, c+r⟩ = ⟨q,c⟩ + ⟨q,r⟩ — the LUT is linear), exact
+    // cosine re-ranks the short list. rows-only; floor contract = sibling
+    "s_knn_ivfpq" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+      val books = Similarity.trainIvfPqBooks(emb, "embedding", "vec_id",
+        centroids, m = 8, ksub = 32)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+          k = 5, centroids, books, nprobe = 3, rerank = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    "s_knn_ivfpq_contract" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+      val books = Similarity.trainIvfPqBooks(emb, "embedding", "vec_id",
+        centroids, m = 8, ksub = 32)
+      Similarity.recallFloorViolations(
+        Similarity.ivfPqTopK(q, emb, "embedding", "vec_id", k = 5, centroids, books,
+          nprobe = 3, rerank = 16),
+        Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 5),
+        floorX1000 = KnnIvfPqRecallFloorX1000)
+    }),
+    "s_knn_ivfpq_exact" -> ((s, d) => {
+      // nprobe = #centroids AND rerank·k ≥ corpus → every corpus vector is
+      // ADC-scored exactly once (it joins its single assigned cluster) and
+      // every candidate is exactly re-ranked → provably equal to brute
+      // force: coarse training, residual codebooks, the gated ADC probe and
+      // the re-rank all ride the hash gate
+      val emb = tb(s, d, "embeddings")
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+      val books = Similarity.trainIvfPqBooks(emb, "embedding", "vec_id",
+        centroids, m = 8, ksub = 32)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id",
+          k = 5, centroids, books, nprobe = 8, rerank = 1000000)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     "s_knn_indexed" -> ((s, d) => {
       // the PERSISTED index path: centroids + cluster-partitioned corpus on
       // disk (built once per sf dir), probed without re-assignment.
@@ -1507,6 +1633,28 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     "s_knn_ivf_contract" ->
       "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
+    "s_knn_ivfpq_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
+    // nprobe = all clusters + rerank·k ≥ corpus → IVF-PQ ≡ brute force
+    "s_knn_ivfpq_exact" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // compaction preserves content exactly: the compacted table's aggregate
+    // equals the same aggregate over the original orders
+    "s18_compact" ->
+      "SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders GROUP BY 1",
+    // partition pruning is exact: the partition-key predicate over the
+    // hive layout equals the plain predicate over the whole table
+    "s19_partition_prune" ->
+      "SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders WHERE o_orderstatus = 'F' GROUP BY 1",
+    // Spark session_window semantics replayed: a gap >= 30 min (exclusive
+    // window end) starts a new session; session_end = last event + gap
+    "e_session_window" ->
+      """SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, sum(value) AS sum_value FROM (SELECT user_id, ts, value, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess""",
+    // the streamed CDC merge converges to the plain batch latest-per-user
+    // ((ts, event_id) version chain; event_id is unique so the pick is
+    // total-order deterministic)
+    "e_stream_upsert" ->
+      "SELECT user_id, ts AS last_ts, event_type, value FROM (SELECT user_id, ts, event_type, value, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
     "d_exact_dup_groups" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->

@@ -81,17 +81,71 @@ object Warehouse {
     */
   def upsertLatest(
       base: DataFrame, updates: DataFrame,
-      keyCols: Seq[String], versionCol: String): DataFrame = {
+      keyCols: Seq[String], versionCol: String): DataFrame =
+    upsertLatest(base, updates, keyCols, Seq(versionCol))
+
+  /** [[upsertLatest]] with a lexicographic version tie-break chain: rows
+    * order by (versionCols(0) desc, versionCols(1) desc, …), updates winning
+    * a full tie. Needed whenever one column cannot totally order versions —
+    * e.g. a CDC stream versioned by (event time, event id): two changes in
+    * the same microsecond still merge deterministically, which is what makes
+    * the merge result independent of how a stream was split into
+    * micro-batches.
+    */
+  def upsertLatest(
+      base: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, lit, row_number, desc}
-    require(keyCols.nonEmpty)
+    require(keyCols.nonEmpty && versionCols.nonEmpty)
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(desc(versionCol), desc("__src"))
+      .orderBy(versionCols.map(desc) :+ desc("__src"): _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(totalBytes / targetFileBytes)` files. The lakehouse maintenance
+    * op that keeps scan planning healthy — streaming ingest and per-batch
+    * upserts leave thousands of KB-scale files whose per-file open/footer
+    * cost eventually dominates scans (and whose manifest rows crowd
+    * [[statsManifest]]).
+    *
+    * Without `sortCols` the rewrite is a `coalesce` — NO shuffle: each
+    * output task just reads and concatenates several input files, which is
+    * the right plan for pure bin-packing at 100 TB. With `sortCols` the
+    * rewrite is a range layout ([[writeRangeLayout]] — one shuffle) so a
+    * compaction can simultaneously restore the disjoint per-file ranges
+    * that file-skipping needs. Returns (files before, files after).
+    */
+  def compactSmallFiles(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long, sortCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetFileBytes > 0)
+    def dataFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) out += f
+      }
+      out.toSeq
+    }
+    val before = dataFiles(inPath)
+    val nOut = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val packed =
+      if (sortCols.isEmpty) df.coalesce(nOut)
+      else df.repartitionByRange(nOut, sortCols.map(df.col): _*)
+        .sortWithinPartitions(sortCols.map(df.col): _*)
+    packed.write.mode("overwrite").parquet(outPath)
+    (before.size, dataFiles(outPath).size)
   }
 
   /** Per-file min/max statistics manifest: ONE scan of the table computes

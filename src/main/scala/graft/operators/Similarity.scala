@@ -442,6 +442,20 @@ object Similarity {
         aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, sI) =>
           acc + element_at(element_at(col("lut"), sI),
             element_at(col("codes"), sI) + 1)).as("approx_ip"))
+    adcRerank(scored, q.select(col("query_id"), col("qv")),
+      corpus, vecCol, idCol, k, rerank)
+  }
+
+  /** Shared ADC candidate re-rank tail: top `rerank·k` per query by
+    * approximate inner product, exact cosine against the candidates' float
+    * originals ONLY (an id equi-join back to the corpus), per-query top-k.
+    * ONE copy for the flat-PQ and IVF-PQ paths — both are oracle-pinned to
+    * brute force on their exact configurations, and a tie-break fix applied
+    * to one but not the other would silently split them.
+    */
+  private def adcRerank(
+      scored: DataFrame, q: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, rerank: Int): DataFrame = {
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_ip").desc, col("neighbor_id").asc)
     val cands = scored.withColumn("arank", row_number().over(wApprox))
@@ -450,7 +464,7 @@ object Similarity {
     val rescored = cands
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -458,6 +472,103 @@ object Similarity {
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Residual of a vector against its assigned coarse centroid, as a float
+    * array column (`v - c[cluster]`, element-wise).
+    */
+  private def residualCol(
+      vec: Column, cluster: Column, centroids: Seq[Seq[Float]]): Column =
+    zip_with(vec, element_at(typedLit(centroids), cluster.cast("int") + 1),
+      (x, y) => x - y)
+
+  /** Train the residual-PQ half of an IVF-PQ index: assign each corpus
+    * vector to its nearest coarse centroid, then train PQ codebooks on the
+    * RESIDUALS `v - c[cluster]`. Residuals concentrate around the origin
+    * regardless of which cluster a vector came from, so a shared codebook
+    * quantizes them far more finely than the raw vectors — the reason
+    * IVF-PQ beats flat PQ at equal code budget (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011, §IV).
+    */
+  def trainIvfPqBooks(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], m: Int, ksub: Int,
+      iterations: Int = 3): Seq[Seq[Seq[Float]]] = {
+    val residuals = corpus.select(col(idCol),
+      residualCol(col(vecCol), nearestCentroid(col(vecCol), centroids), centroids)
+        .as(vecCol))
+    trainPqCodebooks(residuals, vecCol, idCol, m, ksub, iterations)
+  }
+
+  /** IVF-PQ encode: (vec_id, cluster, codes) — the coarse cluster id plus
+    * the PQ codes of the residual. The index payload per vector is one
+    * small int + m small ints; the float originals stay on disk for the
+    * re-rank join only.
+    */
+  def ivfPqEncode(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]]): DataFrame =
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+        nearestCentroid(col(vecCol), centroids).as("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.VectorHash.pqCodes(
+          residualCol(col("__v"), col("cluster"), centroids), books).as("codes"))
+
+  /** IVF-PQ ADC top-k — the production corpus-scale ANN architecture
+    * (coarse quantizer gates the probe; PQ codes of residuals score the
+    * survivors; exact cosine re-ranks a short candidate list):
+    *
+    *  - each query probes its `nprobe` closest coarse clusters, so only
+    *    ~nprobe/k_coarse of the corpus is scored (the IVF gate — a cluster-id
+    *    equi-join, never an n·m cross product);
+    *  - scoring is asymmetric: approx_ip = ⟨q, c[cluster]⟩ + Σ_s lut(s)(code_s),
+    *    exploiting ⟨q, c + r⟩ = ⟨q, c⟩ + ⟨q, r⟩ — the same per-query LUT as
+    *    flat PQ works unchanged on residuals because the inner product is
+    *    linear, so the LUT build stays m·ksub dot products per query;
+    *  - the top `rerank·k` by approx_ip are re-ranked with exact cosine
+    *    against the candidates' float originals only.
+    *
+    * `nprobe = centroids.size` and `rerank·k ≥ corpus` make the result
+    * provably equal to brute force (each corpus vector joins its single
+    * assigned cluster exactly once, every cluster is probed, every candidate
+    * is exactly re-ranked) — the hash-gated exactness path.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
+      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.size
+    val cb = typedLit(books.map(_.map(_.map(_.toDouble))))
+    val centD = typedLit(centroids.map(_.map(_.toDouble)))
+    val enc = ivfPqEncode(corpus, vecCol, idCol, centroids, books)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", array((0 until m).map(sI =>
+        transform(element_at(cb, sI + 1), cvec =>
+          aggregate(
+            zip_with(slice(col("qv"), sI * dsub + 1, dsub), cvec,
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (a, e) => a + e))): _*))
+    val q = q0
+      .withColumn("cluster",
+        explode(probeCentroids(col("qv"), centroids, nprobe)))
+      .withColumn("ip_qc",
+        aggregate(
+          zip_with(col("qv"), element_at(centD, col("cluster") + 1),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (a, e) => a + e))
+    val scored = enc.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("ip_qc") + aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, sI) =>
+          acc + element_at(element_at(col("lut"), sI),
+            element_at(col("codes"), sI) + 1))).as("approx_ip"))
+    adcRerank(scored, q0.select(col("query_id"), col("qv")),
+      corpus, vecCol, idCol, k, rerank)
   }
 
   /** Zero-violation contract for the quantize→dequantize round trip: every

@@ -345,6 +345,44 @@ object EventStream {
         write(batch.toDF(), batchId))
       .start()
 
+  /** Streaming CDC materialization: maintain a latest-row-per-key state
+    * table across micro-batches. Each batch is first reduced to its own
+    * latest row per key, then merged into the persisted state via
+    * [[graft.load.Warehouse.upsertLatest]] with the (versionCols, source)
+    * tie-break chain — which is exactly what makes the converged state
+    * independent of how the stream was split into batches (asserted in
+    * EventStreamSpec against the plain batch window).
+    *
+    * State versions are written to `stateRoot/v<batchId>` — never
+    * read-and-overwrite the same path (Spark plans lazily; overwriting the
+    * input of the frame being written is a correctness hazard). Superseded
+    * versions are garbage a production deployment vacuums; `batchId` in the
+    * path doubles as the replay-dedup handle on restart. At scale the merge
+    * is one key shuffle of (state ∪ batch) per trigger; co-bucketing state
+    * on the key removes even that.
+    *
+    * Returns the final state path (None if the stream delivered no batch).
+    */
+  def streamUpsertLatest(
+      events: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
+      stateRoot: String, checkpointDir: String): Option[String] = {
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = foreachBatchIngest(events, checkpointDir, (batch, batchId) => {
+      val batchLatest = graft.load.Warehouse.upsertLatest(
+        batch.limit(0), batch, keyCols, versionCols)
+      val merged = Option(current.get()) match {
+        case Some(prev) => graft.load.Warehouse.upsertLatest(
+          batch.sparkSession.read.parquet(prev), batchLatest, keyCols, versionCols)
+        case None => batchLatest
+      }
+      val out = s"$stateRoot/v$batchId"
+      merged.write.mode("overwrite").parquet(out)
+      current.set(out)
+    })
+    q.awaitTermination()
+    Option(current.get())
+  }
+
   /** Session clone with stream-sized shuffle parallelism. A stateful
     * operator materializes one state STORE per shuffle partition, and every
     * micro-batch writes each store's checkpoint delta + crc files — so at

@@ -99,6 +99,59 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       3L -> ("c-v3", 3L), 4L -> ("d-v1", 1L)))
   }
 
+  test("upsertLatest multi-column version chain: later columns break earlier ties, updates win full ties") {
+    val base = Seq(
+      (1L, "a-base", 5L, 10L), // same ts as update, LOWER seq → update wins
+      (2L, "b-base", 5L, 30L), // same ts, HIGHER seq → base kept
+      (3L, "c-base", 9L, 1L)   // higher ts than update → base kept
+    ).toDF("k", "v", "ts", "seq")
+    val updates = Seq(
+      (1L, "a-upd", 5L, 20L),
+      (2L, "b-upd", 5L, 20L),
+      (3L, "c-upd", 8L, 99L),
+      (4L, "d-upd", 1L, 1L),  // insert
+      (5L, "e-tie", 7L, 7L)   // full-tie dedup inside updates is NOT claimed;
+                              // single row just lands
+    ).toDF("k", "v", "ts", "seq")
+    val got = Warehouse.upsertLatest(base, updates, Seq("k"), Seq("ts", "seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a-upd", 2L -> "b-base", 3L -> "c-base",
+      4L -> "d-upd", 5L -> "e-tie"))
+  }
+
+  test("compactSmallFiles bin-packs debris without content loss; sorted variant restores disjoint ranges") {
+    import org.apache.spark.sql.functions.{min, max, input_file_name}
+    val in = java.nio.file.Files.createTempDirectory("cmp_in").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("cmp_out").toString + "/t"
+    val outSorted = java.nio.file.Files.createTempDirectory("cmp_outs").toString + "/t"
+    val df = scala.util.Random.shuffle((1 to 5000).toList)
+      .map(i => (i.toLong, s"payload-$i")).toDF("k", "v")
+    df.repartition(40).write.parquet(in) // ingest debris: 40 tiny files
+    val totalBytes = {
+      val p = new org.apache.hadoop.fs.Path(in)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    // target ~1/3 of the data per file → ~3-4 output files, far below 40
+    val (before, after) = Warehouse.compactSmallFiles(spark, in, out, totalBytes / 3)
+    assert(before == 40 && after < 10 && after >= 1, s"$before -> $after")
+    // content survives the rewrite exactly
+    assert(spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == (1 to 5000).map(i => (i.toLong, s"payload-$i")))
+    // sorted compaction = range layout: per-file key ranges disjoint again
+    val (_, afterSorted) =
+      Warehouse.compactSmallFiles(spark, in, outSorted, totalBytes / 3, sortCols = Seq("k"))
+    assert(afterSorted >= 2)
+    val ranges = spark.read.parquet(outSorted)
+      .groupBy(input_file_name()).agg(min("k"), max("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ => ()
+    }
+  }
+
   test("stats manifest plans a pruned scan: non-overlapping files never opened, result exact") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("statsprune").toString + "/t"

@@ -378,6 +378,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!Similarity.recallFloorViolations(approx, brute, floorX1000 = 1001).isEmpty)
   }
 
+  test("IVF-PQ: residual codes in range, all-probed exact-rerank recovers brute force, gated probe keeps cluster recall") {
+    val base = Seq(
+      Array.tabulate(8)(i => if (i < 3) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 6) 1f else 0f))
+    val vecs = (0 until 60).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val centroids = Similarity.trainIvfCentroids(vecs, "embedding", "vec_id", k = 3)
+    val books = Similarity.trainIvfPqBooks(vecs, "embedding", "vec_id",
+      centroids, m = 4, ksub = 4)
+    assert(books.size == 4 && books.forall(_.size == 4) && books.forall(_.forall(_.size == 2)))
+    val enc = Similarity.ivfPqEncode(vecs, "embedding", "vec_id", centroids, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    assert(enc.size == 60)
+    assert(enc.forall { case (_, c, codes) =>
+      c >= 0 && c < 3 && codes.size == 4 && codes.forall(x => x >= 0 && x < 4) })
+    val q = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(q, vecs, "embedding", "vec_id", k = 5)
+    // nprobe = all clusters + rerank·k ≥ corpus → provably brute force
+    val exact = Similarity.ivfPqTopK(q, vecs, "embedding", "vec_id", k = 5,
+      centroids, books, nprobe = 3, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    // gated probe: same-cluster neighbors dominate the planted layout, so
+    // nprobe=1 already achieves full recall (and the impossible floor trips)
+    val gated = Similarity.ivfPqTopK(q, vecs, "embedding", "vec_id", k = 5,
+      centroids, books, nprobe = 1, rerank = 1000)
+    assert(Similarity.recallFloorViolations(gated, brute, floorX1000 = 1000).isEmpty)
+    assert(!Similarity.recallFloorViolations(gated, brute, floorX1000 = 1001).isEmpty)
+  }
+
   test("lsh top-k returns same-bucket neighbors with exact ranks") {
     val embs = (1L to 50L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")

@@ -311,4 +311,34 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     val written = spark.read.parquet(s"$tmp/batch_${seen.head}")
     assert(written.count() == fixture.length)
   }
+
+  test("streaming latest-state upsert: multi-batch merge equals the batch latest-per-user") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("supsert").toString
+    // 4 separate parquet files + maxFilesPerTrigger=1 → 4 micro-batches.
+    // Deliberately adversarial ordering: user 3's LATEST event lands in an
+    // early file with older events arriving later (the merge must not let
+    // arrival order beat event time), and user 2 has a ts tie broken by
+    // event_id.
+    val files = Seq(
+      Seq(Event(10, ts("2024-01-01 12:00:00"), 3, "late", 1.0)),
+      Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 2, "b", 2.0)),
+      Seq(Event(3, ts("2024-01-01 11:00:00"), 3, "stale", 3.0),
+        Event(5, ts("2024-01-01 10:05:00"), 2, "tie-hi", 5.0)),
+      Seq(Event(4, ts("2024-01-01 10:30:00"), 1, "c", 4.0)))
+    files.foreach(evs =>
+      evs.toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in"))
+    val stream = readEvents(spark, s"$tmp/in", Map("maxFilesPerTrigger" -> "1"))
+    val state = streamUpsertLatest(stream, Seq("user_id"), Seq("ts", "event_id"),
+      s"$tmp/state", s"$tmp/ckpt")
+    // really ran as multiple merges, not one big batch
+    val versions = new java.io.File(s"$tmp/state").list().count(_.startsWith("v"))
+    assert(versions >= 2, s"expected a multi-batch run, got $versions state version(s)")
+    val got = spark.read.parquet(state.get)
+      .select("user_id", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // batch truth: latest by (ts, event_id) per user over ALL events
+    assert(got == Set((1L, 4L, "c"), (2L, 5L, "tie-hi"), (3L, 10L, "late")))
+  }
 }
