@@ -91,6 +91,14 @@ object SparkEntry {
   private val hivePartCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the z-order layout fixture (s20_zorder_prune)
+  private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // and the snapshot-versioned table fixture (s21_time_travel)
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Committed ANN recall floors (×1000) for the s_knn_lsh / s_knn_ivf
     * contract queries. Both paths are seeded-deterministic, so recall over
     * a shipped dataset is a constant; the floors sit below the measured
@@ -525,6 +533,67 @@ object SparkEntry {
       pruned.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
     }),
+    // z-order layout + stats-manifest pruning on EITHER dimension: orders
+    // Morton-interleaved on (o_custkey, o_orderkey), so per-file min/max
+    // boxes are narrow on BOTH columns and a range predicate on either one
+    // skips files (a linear layout concentrates only its sort column). Both
+    // pruned aggregates ride the hash gate; the requires pin real skipping
+    "s20_zorder_prune" -> ((s, d) => {
+      val path = zorderCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("zorderlay")
+        deleteRecursivelyOnExit(dir)
+        graft.load.Warehouse.writeZOrderLayout(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          dir.toString, Seq("o_custkey", "o_orderkey"), partitions = 16)
+        dir.toString
+      })
+      val manifest = graft.load.Warehouse.statsManifest(
+        s, path, Seq("o_custkey", "o_orderkey"))
+      val (byCust, keptC, total) =
+        graft.load.Warehouse.prunedRead(s, manifest, "o_custkey", 1L, 20L)
+      val (byOrder, keptO, _) =
+        graft.load.Warehouse.prunedRead(s, manifest, "o_orderkey", 1000L, 2000L)
+      require(keptC < total && keptO < total,
+        s"z-order pruned nothing (custkey $keptC, orderkey $keptO of $total)")
+      byCust.agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+        .select(lit("custkey").as("dim"), col("n"), col("sum_price"))
+        .unionByName(
+          byOrder.agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+            .select(lit("orderkey").as("dim"), col("n"), col("sum_price")))
+    }),
+    // snapshot time travel: v1 = the plain orders table, v2 = the s16-style
+    // latest-wins upsert committed as a NEW immutable version. Reading v1
+    // after the v2 commit must return exactly the original table (the
+    // Delta/Iceberg reader-isolation property) — both versions' aggregates
+    // ride the hash gate
+    "s21_time_travel" -> ((s, d) => {
+      val root = snapshotCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("snaproot")
+        deleteRecursivelyOnExit(dir)
+        val orders = t(s, d, "orders")
+        val base = orders.withColumn("version", lit(1L))
+        graft.load.Warehouse.commitSnapshot(base, dir.toString, 1)
+        val updates = orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+          .withColumn("version", lit(2L))
+          .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+            .withColumn("o_orderkey", -col("o_orderkey") - 1)
+            .withColumn("version", lit(2L)))
+        val merged = graft.load.Warehouse.upsertLatest(
+          graft.load.Warehouse.readSnapshot(s, dir.toString, Some(1)),
+          updates, Seq("o_orderkey"), "version")
+        graft.load.Warehouse.commitSnapshot(merged, dir.toString, 2)
+        dir.toString
+      })
+      require(graft.load.Warehouse.snapshotVersions(s, root) == Seq(1, 2),
+        "expected exactly snapshots v1 and v2")
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+          .select(lit(tag).as("snapshot"), col("o_orderstatus"), col("n"), col("sum_price"))
+      agg(graft.load.Warehouse.readSnapshot(s, root, Some(1)), "v1")
+        .unionByName(agg(graft.load.Warehouse.readSnapshot(s, root), "v2"))
+    }),
     // --- events ------------------------------------------------------------
     "e_hour_window" -> ((s, d) =>
       t(s, d, "events")
@@ -823,6 +892,22 @@ object SparkEntry {
       graft.operators.Sketches.quantileBoundViolations(
         t(s, d, "lineitem"), col("l_extendedprice"),
         qs = Seq(0.5, 0.9, 0.99), accuracy = 100)),
+    // per-day HLL sketch table over events (DataSketches binary sketches,
+    // one MB-scale row per slice): any cross-slice distinct-users question
+    // becomes an algebra over sketch rows — never a corpus re-scan. The
+    // estimates are DataSketches-specific → rows-only; the mergeability +
+    // error-bound contract is the _contract sibling
+    "a14_hll_slices" -> ((s, d) =>
+      graft.operators.Sketches.hllSliceSketches(
+          t(s, d, "events"), date_trunc("day", col("ts")), col("user_id"))
+        .select(col("slice"), hll_sketch_estimate(col("hll")).as("approx_users"),
+          col("n_rows"))),
+    "a14_hll_slices_contract" -> ((s, d) =>
+      // union-of-slice-sketches estimate must sit within 5% (≈3σ at lgK=12)
+      // of the exact global distinct-user count — provably-empty violations
+      // frame under the hash gate; deterministic over a fixed dataset
+      graft.operators.Sketches.hllSliceBoundViolations(
+        t(s, d, "events"), date_trunc("day", col("ts")), col("user_id"))),
     // C4-style span dedup: 8-token spans, first corpus occurrence wins,
     // documents reassembled from surviving spans
     "t_span_dedup" -> ((s, d) =>
@@ -1646,6 +1731,17 @@ object SparkEntry {
     // hive layout equals the plain predicate over the whole table
     "s19_partition_prune" ->
       "SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders WHERE o_orderstatus = 'F' GROUP BY 1",
+    // z-order pruning is exact on BOTH dimensions: each manifest-pruned
+    // range scan equals the plain predicate over the whole table
+    "s20_zorder_prune" ->
+      "SELECT 'custkey' AS dim, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders WHERE o_custkey BETWEEN 1 AND 20 UNION ALL SELECT 'orderkey', count(*), sum(o_totalprice) FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000",
+    // reader isolation: v1 read back AFTER the v2 commit is exactly the
+    // original table; v2 is the s16 merge outcome
+    "s21_time_travel" ->
+      "SELECT 'v1' AS snapshot, o_orderstatus, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders GROUP BY 2 UNION ALL SELECT 'v2', o_orderstatus, count(*), sum(price) FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders UNION ALL SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 2",
+    // HLL mergeability contract: provably-empty violations frame
+    "a14_hll_slices_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS approx_distinct, CAST(0 AS BIGINT) AS exact_distinct FROM events WHERE 1 = 0",
     // Spark session_window semantics replayed: a gap >= 30 min (exclusive
     // window end) starts a new session; session_end = last event + gap
     "e_session_window" ->

@@ -194,6 +194,71 @@ object Warehouse {
     (df.filter(col(c).between(lit(lo), lit(hi))), keep.length, total)
   }
 
+  // ------------------------------------------------------------- snapshots
+
+  private def snapshotFs(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Commit a new immutable snapshot version of a table: data lands in
+    * `root/v<version>`, never touching earlier versions — the minimal
+    * time-travel layer (Delta/Iceberg's core idea without the format): a
+    * reader resolved to v(N) keeps reading exactly that data while later
+    * commits land, and an upsert pipeline commits each merge as v(N+1)
+    * ([[upsertLatest]] output in, both inputs still readable). Single-writer
+    * by design (the reference's loads are too); version dirs are only
+    * visible to [[snapshotVersions]] once their `_SUCCESS` marker exists, so
+    * a crashed half-written commit is never resolved as latest. Returns the
+    * version path.
+    */
+  def commitSnapshot(df: DataFrame, root: String, version: Int): String = {
+    require(version >= 0)
+    val path = s"$root/v$version"
+    val (fs, _) = snapshotFs(df.sparkSession, root)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+      s"snapshot v$version already committed (snapshots are immutable)")
+    df.write.parquet(path) // errorifexists + _SUCCESS marker = the commit
+    path
+  }
+
+  /** Committed snapshot versions (ascending): `v<N>` dirs whose `_SUCCESS`
+    * marker exists. A listing over version COUNT, not data size.
+    */
+  def snapshotVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val (fs, p) = snapshotFs(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toInt).sorted
+  }
+
+  /** Read a snapshot: a specific version, or latest when `version` is None.
+    */
+  def readSnapshot(
+      spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val versions = snapshotVersions(spark, root)
+    require(versions.nonEmpty, s"no committed snapshots under $root")
+    val v = version.getOrElse(versions.max)
+    require(versions.contains(v),
+      s"snapshot v$v not committed (have ${versions.mkString(",")})")
+    spark.read.parquet(s"$root/v$v")
+  }
+
+  /** Drop all but the newest `keepLatest` snapshot versions (vacuum).
+    * Returns the versions deleted. Readers pinned to a vacuumed version
+    * lose it — the same contract as Delta's VACUUM; size `keepLatest` to
+    * the longest reader you run.
+    */
+  def vacuumSnapshots(spark: SparkSession, root: String, keepLatest: Int): Seq[Int] = {
+    require(keepLatest >= 1)
+    val (fs, _) = snapshotFs(spark, root)
+    val drop = snapshotVersions(spark, root).dropRight(keepLatest)
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
+    drop
+  }
+
   /** Z-order (Morton-curve) layout over 2+ numeric columns: every output
     * file covers a SMALL min/max box on EVERY z-dimension, so parquet file
     * stats prune scans filtered on any of them — [[writeRangeLayout]]

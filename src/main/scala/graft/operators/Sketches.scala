@@ -288,4 +288,51 @@ object Sketches {
         col("n_strictly_below") >= ceil((col("q") + eps) * col("n")))
       .select(col("q"), col("n_below"), col("n"))
   }
+
+  // ------------------------------------------------------ HLL sketch tables
+
+  /** Per-slice HLL sketch table: one row per slice holding a DataSketches
+    * HLL sketch (binary) of the slice's distinct keys — the mergeable
+    * pre-aggregation layer for "distinct users over ANY union of slices"
+    * questions. Slices (days, sources, shards) sketch once at ingest into an
+    * MB-scale table; every later cross-slice distinct-count is then an
+    * algebra over sketch rows ([[hllUnionEstimate]]) that never re-scans the
+    * corpus — the same persisted-summary pattern as [[cmsSketch]], via
+    * Spark's built-in `hll_sketch_agg` (codegen'd, no UDF).
+    */
+  def hllSliceSketches(
+      df: DataFrame, sliceCol: Column, keyCol: Column, lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK $lgK outside DataSketches' [4, 21]")
+    df.groupBy(sliceCol.as("slice"))
+      .agg(hll_sketch_agg(keyCol, lit(lgK)).as("hll"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Distinct-count estimate over a UNION of slice sketches (optionally
+    * filtered first): merge is exact over sketches — the union sketch is
+    * identical to the sketch of the concatenated input — so the only error
+    * is HLL's own (rse ≈ 1.04/√2^lgK; ~1.6% at lgK=12).
+    */
+  def hllUnionEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("hll"), lit(false)))
+        .as("approx_distinct"))
+
+  /** Zero-violation mergeability contract: the estimate from the merged
+    * per-slice sketches must sit within `boundPctX10`/1000 (default 5%, ≈3σ
+    * at lgK=12) of the EXACT global distinct count. Integer-scaled compare;
+    * both sides deterministic over a fixed dataset, so a violation is a real
+    * regression, not a flake. Emits (approx, exact) rows — provably none.
+    */
+  def hllSliceBoundViolations(
+      df: DataFrame, sliceCol: Column, keyCol: Column,
+      lgK: Int = 12, boundPctX10: Int = 50): DataFrame = {
+    val merged = hllUnionEstimate(hllSliceSketches(df, sliceCol, keyCol, lgK))
+    val exact = df.agg(countDistinct(keyCol).as("exact_distinct"))
+    // both sides are 1-row frames — the cross join is a broadcast of one row
+    merged.crossJoin(exact)
+      .filter(abs(col("approx_distinct") - col("exact_distinct")) * 1000L >
+        col("exact_distinct") * boundPctX10)
+      .select(col("approx_distinct"), col("exact_distinct"))
+  }
 }

@@ -173,6 +173,34 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(kept0 == 0 && none.count() == 0 && none.columns.contains("grp"))
   }
 
+  test("snapshots: reader isolation, immutability, crash-safety, vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
+    val v1 = (1 to 100).map(i => (i.toLong, s"v1-$i")).toDF("k", "v")
+    val v2 = (1 to 100).map(i => (i.toLong, s"v2-$i")).toDF("k", "v")
+    Warehouse.commitSnapshot(v1, root, 1)
+    // a half-written commit (no _SUCCESS) must be INVISIBLE to readers
+    val half = new org.apache.hadoop.fs.Path(s"$root/v2/part-00000.parquet")
+    val fs = half.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(half.getParent)
+    assert(Warehouse.snapshotVersions(spark, root) == Seq(1))
+    assert(Warehouse.readSnapshot(spark, root).select("v").head.getString(0).startsWith("v1-"))
+    fs.delete(half.getParent, true)
+    Warehouse.commitSnapshot(v2, root, 2)
+    assert(Warehouse.snapshotVersions(spark, root) == Seq(1, 2))
+    // reader isolation: v1 read AFTER the v2 commit is still exactly v1
+    assert(Warehouse.readSnapshot(spark, root, Some(1))
+      .collect().map(_.getString(1)).forall(_.startsWith("v1-")))
+    assert(Warehouse.readSnapshot(spark, root) // latest = v2
+      .collect().map(_.getString(1)).forall(_.startsWith("v2-")))
+    // immutability: re-committing an existing version is refused
+    intercept[IllegalArgumentException] { Warehouse.commitSnapshot(v1, root, 1) }
+    // vacuum drops old versions, keeps the newest
+    Warehouse.commitSnapshot(v2, root, 3)
+    assert(Warehouse.vacuumSnapshots(spark, root, keepLatest = 2) == Seq(1))
+    assert(Warehouse.snapshotVersions(spark, root) == Seq(2, 3))
+    intercept[IllegalArgumentException] { Warehouse.readSnapshot(spark, root, Some(1)) }
+  }
+
   test("z-order layout bounds per-file ranges on BOTH dims; linear layout does not") {
     import org.apache.spark.sql.functions.{min, max, input_file_name}
     import spark.implicits._
