@@ -594,6 +594,28 @@ object SparkEntry {
       agg(graft.load.Warehouse.readSnapshot(s, root, Some(1)), "v1")
         .unionByName(agg(graft.load.Warehouse.readSnapshot(s, root), "v2"))
     }),
+    // CDC merge with tombstones: every 10th-but-not-20th order re-priced
+    // (U), every 20th DELETED (D) — which covers the 100ths, whose re-keyed
+    // rows arrive as inserts — all at v2. The survivor set (non-deleted
+    // originals re-priced where updated, plus the inserts) is aggregated
+    // under the hash gate
+    "s22_cdc_merge" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val base = orders.withColumn("version", lit(1L))
+      val changes = orders
+        .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 20 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+        .withColumn("version", lit(2L)).withColumn("op", lit("U"))
+        .unionByName(orders.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("version", lit(2L)).withColumn("op", lit("D")))
+        .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("version", lit(2L)).withColumn("op", lit("U")))
+      graft.load.Warehouse.applyCdc(base, changes,
+          Seq("o_orderkey"), Seq("version"), "op")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
     // --- events ------------------------------------------------------------
     "e_hour_window" -> ((s, d) =>
       t(s, d, "events")
@@ -753,6 +775,26 @@ object SparkEntry {
       val state = graft.streaming.EventStream.streamUpsertLatest(
         stream, Seq("user_id"), Seq("ts", "event_id"), stateRoot.toString, ckpt.toString)
       ss.read.parquet(state.get)
+        .select(col("user_id"), col("ts").as("last_ts"), col("event_type"), col("value"))
+    }),
+    // streaming CDC with tombstones: every 7th event is a DELETE of its
+    // user. The op column rides THROUGH the state table (tombstones are
+    // retained so a later-arriving older update cannot resurrect a deleted
+    // key — spec-pinned across batches) and is filtered only at read time:
+    // a user whose latest change is a delete is absent from the final view
+    "e_stream_cdc" -> ((s, d) => {
+      val ss = graft.streaming.EventStream.streamSession(s)
+      val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"),
+          when(col("event_id") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      val stateRoot = java.nio.file.Files.createTempDirectory("cdc_state")
+      deleteRecursivelyOnExit(stateRoot)
+      val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt")
+      deleteRecursivelyOnExit(ckpt)
+      val state = graft.streaming.EventStream.streamUpsertLatest(
+        stream, Seq("user_id"), Seq("ts", "event_id"), stateRoot.toString, ckpt.toString)
+      ss.read.parquet(state.get)
+        .filter(col("op") =!= "D")
         .select(col("user_id"), col("ts").as("last_ts"), col("event_type"), col("value"))
     }),
     // --- text analysis -----------------------------------------------------
@@ -1751,6 +1793,14 @@ object SparkEntry {
     // total-order deterministic)
     "e_stream_upsert" ->
       "SELECT user_id, ts AS last_ts, event_type, value FROM (SELECT user_id, ts, event_type, value, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
+    // ...with tombstones: a user whose LATEST change is a delete (every 7th
+    // event) is absent from the converged view
+    "e_stream_cdc" ->
+      "SELECT user_id, ts AS last_ts, event_type, value FROM (SELECT user_id, ts, event_type, value, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 AND event_id % 7 != 0",
+    // CDC survivor set: non-deleted originals (re-priced where updated)
+    // plus the re-keyed inserts
+    "s22_cdc_merge" ->
+      "SELECT o_orderstatus, count(*) AS n, sum(price) AS sum_price FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders WHERE o_orderkey % 20 != 0 UNION ALL SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 1",
     "d_exact_dup_groups" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->

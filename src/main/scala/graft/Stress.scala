@@ -318,6 +318,87 @@ object Stress {
             .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       },
+      // CDC merge with tombstones at scale: same shuffle shape as upsert
+      // (one union + one key shuffle + per-key top-1), deletes carried as
+      // rows — cost must track upsert_xN, never a separate delete pass
+      time(s"cdc_merge_x$mult") {
+        val base = orders.withColumn("version", lit(1L))
+        val changes = orders
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0 &&
+            pmod(col("o_orderkey"), lit(20)) =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+          .withColumn("version", lit(2L)).withColumn("op", lit("U"))
+          .unionByName(orders.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+            .withColumn("version", lit(2L)).withColumn("op", lit("D")))
+        load.Warehouse.applyCdc(base, changes,
+          Seq("o_orderkey"), Seq("version"), "op").count()
+      },
+      // small-file compaction at scale: the expanded orders shattered into
+      // 256 debris files, bin-packed back shuffle-free (coalesce) — cost is
+      // one read+write of the data, never a shuffle
+      time(s"compact_x$mult") {
+        val in = java.nio.file.Files.createTempDirectory("stress_cmp_in")
+        val out = java.nio.file.Files.createTempDirectory("stress_cmp_out")
+        try {
+          orders.repartition(256).write.mode("overwrite").parquet(in.toString)
+          val (before, after) = load.Warehouse.compactSmallFiles(
+            spark, in.toString, out.toString, targetFileBytes = 64L * 1024 * 1024)
+          require(after < before / 4,
+            s"compaction too weak at ${mult}x: $before -> $after files")
+          spark.read.parquet(out.toString).count()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Seq(in, out).foreach(d =>
+            java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p)))
+        }
+      },
+      // snapshot lifecycle at scale: two full-table commits (v1, v2 = the
+      // CDC merge), a PINNED v1 read after the v2 commit, and a vacuum —
+      // commit cost is one table write; version resolution is a dir listing
+      time(s"snapshot_x$mult") {
+        val root = java.nio.file.Files.createTempDirectory("stress_snap")
+        try {
+          val base = orders.withColumn("version", lit(1L))
+          load.Warehouse.commitSnapshot(base, root.toString, 1)
+          val updates = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+            .withColumn("version", lit(2L))
+          load.Warehouse.commitSnapshot(
+            load.Warehouse.upsertLatest(
+              load.Warehouse.readSnapshot(spark, root.toString, Some(1)),
+              updates, Seq("o_orderkey"), "version"),
+            root.toString, 2)
+          val v1rows = load.Warehouse.readSnapshot(spark, root.toString, Some(1)).count()
+          require(load.Warehouse.vacuumSnapshots(spark, root.toString, 1) == Seq(1))
+          v1rows
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      // per-day HLL sketch tables over the expanded events, REQUIRED to
+      // hold the merge contract: the union-of-slices estimate stays within
+      // the 5% band of exact no matter the row multiplier (sketch size is
+      // fixed by lgK; the agg shuffles one sketch per slice per partition)
+      time(s"hll_slices_x$mult") {
+        val violations = operators.Sketches.hllSliceBoundViolations(
+          events, date_trunc("day", col("ts")), col("user_id")).count()
+        require(violations == 0, s"HLL merge contract broken at ${mult}x: $violations")
+        violations
+      },
+      // IVF-PQ at scale: coarse training + residual codebooks + the gated
+      // ADC probe — index memory stays (1 + m) small ints per vector; the
+      // probe joins on cluster id so only ~nprobe/k of the codes are scored
+      time(s"ivfpq_adc_x$mult") {
+        val cents = operators.Similarity.trainIvfCentroids(
+          embs, "embedding", "vec_id", k = 16)
+        val books = operators.Similarity.trainIvfPqBooks(
+          embs, "embedding", "vec_id", cents, m = 8, ksub = 32)
+        operators.Similarity.ivfPqTopK(embs.filter(col("vec_id") < 10), embs,
+          "embedding", "vec_id", k = 5, cents, books, nprobe = 4, rerank = 16).count()
+      },
       // --- streaming at scale (VERDICT r5: "the streaming family would
       // scale too, once it reads time correctly" — these are the receipts).
       // All stateful ops run at FULL shuffle parallelism (32 state stores —
@@ -392,6 +473,26 @@ object Stress {
         val stream = streaming.EventStream.readEvents(spark, streamEventsDir)
         streamCountAppend(streaming.EventStream.dedupWithinWatermark(
           stream.union(stream), Seq("event_id"), "1 hour"))
+      },
+      // streaming CDC latest-state view at scale: 8 micro-batches over the
+      // landing dir, each reduced per-key then merged into the persisted
+      // state — per-batch cost is (batch + state) key-shuffled; state is
+      // O(distinct users), never O(events)
+      time(s"stream_upsert_x$mult") {
+        val tmp = java.nio.file.Files.createTempDirectory("stress_supsert")
+        try {
+          val stream = streaming.EventStream.readEvents(spark, streamEventsDir,
+            Map("maxFilesPerTrigger" -> "8"))
+            .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          val state = streaming.EventStream.streamUpsertLatest(
+            stream, Seq("user_id"), Seq("ts", "event_id"),
+            s"$tmp/state", s"$tmp/ckpt")
+          spark.read.parquet(state.get).count()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
     )
     val ran = results.flatten

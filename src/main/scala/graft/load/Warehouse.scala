@@ -107,6 +107,32 @@ object Warehouse {
       .drop("__rn", "__src")
   }
 
+  /** CDC MERGE with tombstones: apply a change log of upserts AND deletes
+    * to a base table. `changes.opCol` is `"D"` for a delete of the key,
+    * anything else upserts the row. Semantics: the highest-version row per
+    * key wins (the [[upsertLatest]] chain — changes beat base on full
+    * ties); if the winner is a delete, the key is ABSENT from the result. A
+    * change with a version older than a delete stays dead; a NEWER upsert
+    * resurrects the key — exactly Debezium-style log compaction, as one
+    * union + one key shuffle + per-key top-1 (no read-modify-write).
+    *
+    * For incremental/streaming application, carry `opCol` THROUGH the state
+    * table (merge with [[upsertLatest]], filter `op != "D"` only at read
+    * time): a dropped tombstone could be resurrected by a later-arriving
+    * OLDER update, a retained one cannot. [[graft.streaming.EventStream
+    * .streamUpsertLatest]] composes this way (spec-pinned).
+    */
+  def applyCdc(
+      base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], versionCols: Seq[String], opCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(!base.columns.contains(opCol),
+      s"base already has a '$opCol' column — pass the op column on changes only")
+    upsertLatest(base.withColumn(opCol, lit("U")), changes, keyCols, versionCols)
+      .filter(col(opCol) =!= "D")
+      .drop(opCol)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * `ceil(totalBytes / targetFileBytes)` files. The lakehouse maintenance
     * op that keeps scan planning healthy — streaming ingest and per-batch

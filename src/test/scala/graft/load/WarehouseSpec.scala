@@ -119,6 +119,29 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       4L -> "d-upd", 5L -> "e-tie"))
   }
 
+  test("applyCdc: tombstones delete, older updates stay dead, newer upserts resurrect") {
+    val base = Seq(
+      (1L, "a", 1L), (2L, "b", 1L), (3L, "c", 5L)
+    ).toDF("k", "v", "version")
+    val changes = Seq(
+      (1L, "dead", 2L, "D"),     // delete wins over base
+      (2L, "b2", 2L, "U"),       // plain update
+      (3L, "zombie", 6L, "U"),   // older than the delete below...
+      (3L, "dead", 7L, "D"),     // ...delete at the highest version → gone
+      (4L, "d", 1L, "U"),        // insert
+      (5L, "dead", 1L, "D"),     // delete of an absent key → no-op
+      (6L, "dead", 1L, "D"),     // delete then...
+      (6L, "res", 2L, "U")       // ...a NEWER upsert resurrects
+    ).toDF("k", "v", "version", "op")
+    val got = Warehouse.applyCdc(base, changes, Seq("k"), Seq("version"), "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "b2", 4L -> "d", 6L -> "res"))
+    // a base that already carries the op column is a caller bug, refused
+    intercept[IllegalArgumentException] {
+      Warehouse.applyCdc(changes, changes, Seq("k"), Seq("version"), "op")
+    }
+  }
+
   test("compactSmallFiles bin-packs debris without content loss; sorted variant restores disjoint ranges") {
     import org.apache.spark.sql.functions.{min, max, input_file_name}
     val in = java.nio.file.Files.createTempDirectory("cmp_in").toString + "/t"

@@ -341,4 +341,31 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     // batch truth: latest by (ts, event_id) per user over ALL events
     assert(got == Set((1L, 4L, "c"), (2L, 5L, "tie-hi"), (3L, 10L, "late")))
   }
+
+  test("streaming CDC: a retained tombstone blocks resurrection by a later-arriving OLDER update") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scdc").toString
+    // op rides through state; batch order is arrival order, version order is
+    // event time — the adversarial case is a tombstone followed by a LATE
+    // (older-ts) update for the same key
+    val files = Seq(
+      Seq((1L, ts("2024-01-01 10:00:00"), 1L, "u1-a", 1.0, "U"),
+        (10L, ts("2024-01-01 10:00:00"), 2L, "u2-a", 1.0, "D")),
+      Seq((2L, ts("2024-01-01 12:00:00"), 1L, "u1-deleted", 0.0, "D"),
+        (11L, ts("2024-01-01 11:00:00"), 2L, "u2-res", 2.0, "U")),
+      Seq((3L, ts("2024-01-01 11:00:00"), 1L, "u1-late", 3.0, "U")))
+    files.foreach(evs =>
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "op")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
+    val stream = readEvents(spark, s"$tmp/in", Map("maxFilesPerTrigger" -> "1"))
+    val state = streamUpsertLatest(stream, Seq("user_id"), Seq("ts", "event_id"),
+      s"$tmp/state", s"$tmp/ckpt")
+    assert(new java.io.File(s"$tmp/state").list().count(_.startsWith("v")) >= 2)
+    val live = spark.read.parquet(state.get)
+      .filter(col("op") =!= "D")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("event_type")).toMap
+    // user 1: tombstone at 12:00 outranks the late 11:00 update → absent.
+    // user 2: delete at 10:00, NEWER 11:00 upsert → resurrected.
+    assert(live == Map(2L -> "u2-res"))
+  }
 }
