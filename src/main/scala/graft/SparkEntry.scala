@@ -777,6 +777,47 @@ object SparkEntry {
       ss.read.parquet(state.get)
         .select(col("user_id"), col("ts").as("last_ts"), col("event_type"), col("value"))
     }),
+    // streaming windowed distinct-users via HLL sketch STATE: the sketch is
+    // the aggregation buffer, so streaming state per window is one sketch
+    // (lgK-fixed KBs), never a distinct-user set. Estimates are
+    // DataSketches-specific → rows-only; the accuracy contract is the
+    // sibling below
+    "e_stream_hll" -> ((s, d) => {
+      val ss = graft.streaming.EventStream.streamSession(s)
+      val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
+      val agg = stream
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("hll"))
+      graft.streaming.EventStream.runToCompletion(ss, agg, "e_stream_hll")
+        .select(col("w.start").as("day"),
+          hll_sketch_estimate(col("hll")).as("approx_users"))
+    }),
+    "e_stream_hll_contract" -> ((s, d) => {
+      // every per-window streamed estimate must sit within 5% of the exact
+      // batch distinct count for that day — provably-empty frame under the
+      // hash gate. Day keys compared as epoch days (the streamed side is
+      // session-UTC TimestampType, the batch side NTZ — same instant under
+      // the engine's UTC session)
+      val ss = graft.streaming.EventStream.streamSession(s)
+      val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
+      val agg = stream
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("hll"))
+      def epochDay(c: org.apache.spark.sql.Column) =
+        (unix_micros(c.cast(org.apache.spark.sql.types.TimestampType)) / 86400000000L).as("day")
+      val streamed = graft.streaming.EventStream
+        .runToCompletion(ss, agg, "e_stream_hll_contract")
+        .select(epochDay(col("w.start")),
+          hll_sketch_estimate(col("hll")).as("approx_users"))
+      val exact = t(ss, d, "events")
+        .groupBy(epochDay(date_trunc("day", col("ts"))))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      streamed.join(exact, Seq("day"), "full_outer")
+        .filter(col("approx_users").isNull || col("exact_users").isNull ||
+          abs(col("approx_users") - col("exact_users")) * 1000L >
+            col("exact_users") * 50L)
+        .select(col("day"), col("approx_users"), col("exact_users"))
+    }),
     // streaming CDC with tombstones: every 7th event is a DELETE of its
     // user. The op column rides THROUGH the state table (tombstones are
     // retained so a later-arriving older update cannot resurrect a deleted
@@ -1784,6 +1825,9 @@ object SparkEntry {
     // HLL mergeability contract: provably-empty violations frame
     "a14_hll_slices_contract" ->
       "SELECT CAST(0 AS BIGINT) AS approx_distinct, CAST(0 AS BIGINT) AS exact_distinct FROM events WHERE 1 = 0",
+    // streaming per-window HLL accuracy contract: provably-empty frame
+    "e_stream_hll_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS day, CAST(0 AS BIGINT) AS approx_users, CAST(0 AS BIGINT) AS exact_users FROM events WHERE 1 = 0",
     // Spark session_window semantics replayed: a gap >= 30 min (exclusive
     // window end) starts a new session; session_end = last event + gap
     "e_session_window" ->
