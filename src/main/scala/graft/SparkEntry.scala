@@ -78,6 +78,10 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // and the persisted IVF-PQ index fixture (s_knn_ivfpq_indexed)
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // and the range-layout fixture (s17_stats_prune)
   private val rangeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1539,6 +1543,26 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    "s_knn_ivfpq_indexed" -> ((s, d) => {
+      // the PERSISTED IVF-PQ index: centroids + residual codebooks +
+      // cluster-partitioned CODES on disk ((1+m) ints per vector — the
+      // originals stay in the base table, joined only for re-rank).
+      // nprobe = #centroids + rerank ≥ corpus → the whole
+      // train→write→read→probe loop is provably brute force (hash gate)
+      val emb = tb(s, d, "embeddings")
+      val path = ivfPqIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqidx")
+        deleteRecursivelyOnExit(dir)
+        val cents = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+        val books = Similarity.trainIvfPqBooks(emb, "embedding", "vec_id",
+          cents, m = 8, ksub = 32)
+        Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", cents, books, dir.toString)
+        dir.toString
+      })
+      Similarity.ivfPqTopKFromIndex(s, path, emb.filter(col("vec_id") < 10), emb,
+        "embedding", "vec_id", k = 5, nprobe = 8, rerank = 1000000)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     "s_knn_shuffled" -> ((s, d) => {
       // the large-query-set path: NO broadcast of the query side — the
       // probe join is a bucket-key sort-merge, the shape that survives when
@@ -1896,6 +1920,8 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // same exactness argument, exercised through the NON-broadcast
     // (sort-merge probe join) plan — the large-query-set path
+    "s_knn_ivfpq_indexed" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     "s_knn_shuffled" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // the synthetic-PNG loop is id-deterministic end-to-end: real imageio

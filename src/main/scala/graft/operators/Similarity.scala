@@ -539,13 +539,26 @@ object Similarity {
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
-      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+      nprobe: Int = 2, rerank: Int = 4): DataFrame =
+    ivfPqProbe(
+      ivfPqEncode(corpus, vecCol, idCol, centroids, books),
+      queries, corpus, vecCol, idCol, k, centroids, books, nprobe, rerank)
+
+  /** The gated ADC probe + exact re-rank shared by the in-memory and the
+    * persisted-index IVF-PQ paths — ONE copy, for the same reason
+    * [[probeAssignedCorpus]] is: both paths are oracle-pinned to brute
+    * force on their exact configurations.
+    */
+  private def ivfPqProbe(
+      enc: DataFrame, queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
+      nprobe: Int, rerank: Int): DataFrame = {
     val m = books.size
     val dsub = books.head.head.size
     val cb = typedLit(books.map(_.map(_.map(_.toDouble))))
     val centD = typedLit(centroids.map(_.map(_.toDouble)))
-    val enc = ivfPqEncode(corpus, vecCol, idCol, centroids, books)
-      .withColumnRenamed("vec_id", "neighbor_id")
+    val codes = enc.withColumnRenamed("vec_id", "neighbor_id")
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("lut", array((0 until m).map(sI =>
         transform(element_at(cb, sI + 1), cvec =>
@@ -561,7 +574,7 @@ object Similarity {
           zip_with(col("qv"), element_at(centD, col("cluster") + 1),
             (x, y) => x.cast("double") * y),
           lit(0.0), (a, e) => a + e))
-    val scored = enc.join(broadcast(q), Seq("cluster"))
+    val scored = codes.join(broadcast(q), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("ip_qc") + aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, sI) =>
@@ -570,6 +583,62 @@ object Similarity {
     adcRerank(scored, q0.select(col("query_id"), col("qv")),
       corpus, vecCol, idCol, k, rerank)
   }
+
+  /** Persist an IVF-PQ index: coarse centroids + residual codebooks +
+    * cluster-PARTITIONED code rows — (1 + m) small ints per vector, the
+    * whole point of PQ at rest. The float originals are NOT duplicated into
+    * the index: they stay in the base corpus table, which the probe touches
+    * only for the short re-rank candidate list (an id equi-join).
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
+      path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (book, sI) =>
+      book.zipWithIndex.map { case (c, code) => (sI, code, c) } }
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    ivfPqEncode(corpus, vecCol, idCol, centroids, books)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** Append a batch against the FROZEN stored quantizers (no retrain) —
+    * same incremental-ingest contract as [[appendToIvfIndex]].
+    */
+  def appendToIvfPqIndex(
+      batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    ivfPqEncode(batch, vecCol, idCol,
+      readIvfCentroids(spark, path), readIvfPqBooks(spark, path))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  def readIvfPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =
+    spark.read.parquet(s"$path/books")
+      .orderBy(col("subspace"), col("code"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toSeq).toSeq)
+
+  /** Probe a persisted IVF-PQ index: codes come from the stored
+    * cluster-partitioned table (only probed clusters' files are read —
+    * partition pruning on the probe join's cluster keys), quantizers from
+    * their stored frames, float originals from the caller's `corpus` for
+    * the re-rank join only.
+    */
+  def ivfPqTopKFromIndex(
+      spark: SparkSession, path: String, queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nprobe: Int = 2, rerank: Int = 4): DataFrame =
+    ivfPqProbe(
+      spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cluster"), col("codes")),
+      queries, corpus, vecCol, idCol, k,
+      readIvfCentroids(spark, path), readIvfPqBooks(spark, path), nprobe, rerank)
 
   /** Zero-violation contract for the quantize→dequantize round trip: every
     * element must reconstruct within half a bucket width (+1 ulp slack for

@@ -722,6 +722,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaIndex == brute)
   }
 
+  test("persisted IVF-PQ index: quantizers round-trip, frozen-quantizer append, probe == brute force") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(8)(j =>
+      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val half1 = all.filter(col("vec_id") < 20)
+    val half2 = all.filter(col("vec_id") >= 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val centroids = Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 4)
+    val books = Similarity.trainIvfPqBooks(half1, "embedding", "vec_id",
+      centroids, m = 4, ksub = 4)
+    Similarity.writeIvfPqIndex(half1, "embedding", "vec_id", centroids, books, path)
+    // stored quantizers round-trip exactly
+    assert(Similarity.readIvfCentroids(spark, path) == centroids)
+    assert(Similarity.readIvfPqBooks(spark, path) == books)
+    // append against the FROZEN quantizers — no retrain, codes only
+    Similarity.appendToIvfPqIndex(half2, "embedding", "vec_id", path)
+    assert(spark.read.parquet(s"$path/codes").count() == 40L)
+    // ...and appended codes equal a fresh in-memory encode of the same rows
+    val stored = spark.read.parquet(s"$path/codes")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getSeq[Int](r.fieldIndex("codes")))).toMap
+    val fresh = Similarity.ivfPqEncode(all, "embedding", "vec_id", centroids, books)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(stored == fresh)
+    // exhaustive probe + full re-rank over the persisted codes == brute
+    val queries = all.filter(col("vec_id") < 5)
+    val viaIndex = Similarity.ivfPqTopKFromIndex(spark, path, queries, all,
+      "embedding", "vec_id", k = 3, nprobe = 4, rerank = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, all, "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == brute)
+  }
+
   test("minhash candidate SET equals the exact J>=1/2 pair set on the harness corpus " +
       "(d_minhash_candidates oracle validity)") {
     // the correctness gate's oracle for d_minhash_candidates is the exact
