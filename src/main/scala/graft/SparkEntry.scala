@@ -661,6 +661,11 @@ object SparkEntry {
     // per-user daily counts densified with zero-filled silent days
     "e_gapfill" -> ((s, d) =>
       graft.operators.EventAnalytics.dailyGapFill(t(s, d, "events"), "user_id", "ts")),
+    // per-user daily volume anomalies: gap-filled counts more than 2 sample
+    // std-devs from the user's own mean (silent days CAN flag — the
+    // gap-fill-first property the oracle replays)
+    "e_anomaly" -> ((s, d) =>
+      graft.operators.EventAnalytics.dailyAnomalies(t(s, d, "events"), "user_id", "ts")),
     "e_stream_window" -> ((s, d) => {
       // all e_stream_* harness queries run on a stream-sized session clone
       // (see EventStream.streamSession): state-store count per stateful op
@@ -1692,6 +1697,10 @@ object SparkEntry {
       """WITH firsts AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1) SELECT f.cohort, datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset, count(DISTINCT e.user_id) AS users FROM events e JOIN firsts f ON e.user_id = f.u GROUP BY 1, 2""",
     "e_gapfill" ->
       """WITH spans AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l FROM events GROUP BY 1), cal AS (SELECT user_id, CAST(unnest(generate_series(CAST(f AS TIMESTAMP), CAST(l AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM spans), cnts AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2) SELECT c.user_id, c.day, coalesce(n.n, CAST(0 AS BIGINT)) AS n FROM cal c LEFT JOIN cnts n ON c.user_id = n.user_id AND c.day = n.day""",
+    // gap-fill replayed, then per-user mean/σ over the DENSIFIED days and
+    // the same integer-scaled 2σ cut
+    "e_anomaly" ->
+      """WITH spans AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l FROM events GROUP BY 1), cal AS (SELECT user_id, CAST(unnest(generate_series(CAST(f AS TIMESTAMP), CAST(l AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM spans), cnts AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), gf AS (SELECT c.user_id, c.day, coalesce(n.n, CAST(0 AS BIGINT)) AS n FROM cal c LEFT JOIN cnts n ON c.user_id = n.user_id AND c.day = n.day), st AS (SELECT user_id, day, n, avg(n) OVER (PARTITION BY user_id) AS m, stddev_samp(n) OVER (PARTITION BY user_id) AS sd FROM gf) SELECT user_id, day, n, CAST(round(m * 100) AS BIGINT) AS mean_x100, CAST(round(sd * 100) AS BIGINT) AS stddev_x100 FROM st WHERE sd IS NOT NULL AND sd > 0 AND abs(n - m) * 100.0 > sd * 200""",
     "e_stream_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
     "e_stream_dedup" ->

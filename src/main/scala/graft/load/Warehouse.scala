@@ -191,6 +191,24 @@ object Warehouse {
         cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
   }
 
+  /** [[statsManifest]] over an explicit file list — the INCREMENTAL
+    * maintenance face: after appending files to a layout, scan only the new
+    * files and union the rows into the standing manifest (the manifest is
+    * one independent row per file, so `old ∪ manifest(new files)` is
+    * exactly `manifest(all)` — asserted in WarehouseSpec). At 100 TB this
+    * turns manifest upkeep from a full-table scan per append into a scan of
+    * the appended data only.
+    */
+  def statsManifestFor(
+      spark: SparkSession, files: Seq[String], cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty && cols.nonEmpty)
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+  }
+
   /** Manifest-driven pruned scan for `lo ≤ c ≤ hi`: files whose [min, max]
     * range cannot overlap the predicate are never OPENED — the manifest
     * (driver-small: one row per file) plans the scan, parquet row-group

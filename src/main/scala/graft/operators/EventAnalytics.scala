@@ -95,4 +95,32 @@ object EventAnalytics {
       .join(counts, col(keyCol) === col("k2") && col("day") === col("day2"), "left")
       .select(col(keyCol), col("day"), coalesce(col("n2"), lit(0L)).as("n"))
   }
+
+  /** Per-key daily volume anomalies: days whose GAP-FILLED count deviates
+    * from the key's own mean by more than `sigmaX100`/100 sample standard
+    * deviations (z-score outliers — the data-quality tripwire over ingest
+    * volumes: a silent day and a double-delivery day both flag). Gap-fill
+    * first is load-bearing: without the zero days, a key's mean/σ are
+    * computed over active days only and a fully silent day can never flag.
+    *
+    * Shape: [[dailyGapFill]] + one window over each key's days (partition
+    * by key — no global pass); keys with σ = 0 (perfectly constant volume)
+    * or a single day never flag. Returns (key, day, n, mean_x100,
+    * stddev_x100) for flagged days, stats integer-scaled for a stable
+    * engine-portable output.
+    */
+  def dailyAnomalies(
+      events: DataFrame, keyCol: String, tsCol: String,
+      sigmaX100: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+    dailyGapFill(events, keyCol, tsCol)
+      .withColumn("__mean", avg(col("n")).over(w))
+      .withColumn("__sd", stddev_samp(col("n")).over(w))
+      .filter(col("__sd").isNotNull && col("__sd") > 0.0 &&
+        abs(col("n") - col("__mean")) * 100.0 > col("__sd") * sigmaX100)
+      .select(col(keyCol), col("day"), col("n"),
+        round(col("__mean") * 100).cast("long").as("mean_x100"),
+        round(col("__sd") * 100).cast("long").as("stddev_x100"))
+  }
 }

@@ -365,8 +365,17 @@ object EventStream {
     */
   def streamUpsertLatest(
       events: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
-      stateRoot: String, checkpointDir: String): Option[String] = {
+      stateRoot: String, checkpointDir: String,
+      keepStateVersions: Int = 2): Option[String] = {
+    require(keepStateVersions >= 1)
     val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    // superseded state versions this run has produced, oldest first —
+    // retired past the retention window so a long-running stream's temp
+    // footprint is bounded at keepStateVersions × state size, not
+    // batches × state size. The retention window (≥ 2: current + previous)
+    // exists because the current batch's plan READS the previous version;
+    // never delete a path a running plan may still have open.
+    val produced = new java.util.ArrayDeque[String]()
     val q = foreachBatchIngest(events, checkpointDir, (batch, batchId) => {
       val batchLatest = graft.load.Warehouse.upsertLatest(
         batch.limit(0), batch, keyCols, versionCols)
@@ -378,6 +387,12 @@ object EventStream {
       val out = s"$stateRoot/v$batchId"
       merged.write.mode("overwrite").parquet(out)
       current.set(out)
+      produced.addLast(out)
+      while (produced.size > keepStateVersions) {
+        val retire = new org.apache.hadoop.fs.Path(produced.removeFirst())
+        retire.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(retire, true)
+      }
     })
     q.awaitTermination()
     Option(current.get())

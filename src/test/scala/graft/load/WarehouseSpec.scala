@@ -194,6 +194,21 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     // all-pruned predicate: empty result, zero files opened, schema intact
     val (none, kept0, _) = Warehouse.prunedRead(spark, manifest, "k", 100000L, 200000L)
     assert(kept0 == 0 && none.count() == 0 && none.columns.contains("grp"))
+
+    // incremental maintenance: manifest rows are per-file, so appending
+    // files and scanning ONLY those must union to exactly the full rebuild.
+    // (Materialize the pre-append rows FIRST — the manifest frame is lazy
+    // and would re-scan the appended files on a later collect.)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val preRows = rows(manifest)
+    val extra = (4000 until 4500).map(i => (i.toLong, i % 7)).toDF("k", "grp")
+    extra.repartitionByRange(2, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("append").parquet(dir)
+    val newFiles = (spark.read.parquet(dir).inputFiles.toSet -- preRows.map(_._1)).toSeq
+    assert(newFiles.size == 2)
+    val incr = preRows ++ rows(Warehouse.statsManifestFor(spark, newFiles, Seq("k")))
+    assert(incr == rows(Warehouse.statsManifest(spark, dir, Seq("k"))))
   }
 
   test("snapshots: reader isolation, immutability, crash-safety, vacuum") {

@@ -72,6 +72,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       (2L, "2024-02-10") -> 1L))
   }
 
+  test("daily anomalies: a burst day and a SILENT day both flag; constant volume never does") {
+    // user 1: 2/day for 8 days then a 20-event burst — series [2×8, 20]:
+    // μ=4, s=6, 2σ=12; |20-4|=16 flags, the 2-days (|2|) do not
+    val user1 = (1 to 8).flatMap(day => Seq.fill(2)(
+      (1L, ts(f"2024-01-$day%02d 10:00:00")))) ++
+      Seq.fill(20)((1L, ts("2024-01-09 10:00:00")))
+    // user 2: perfectly constant → σ = 0 → never flags
+    val user2 = (1 to 5).map(day => (2L, ts(f"2024-02-$day%02d 09:00:00")))
+    // user 3: steady 5/day with ONE silent day inside the span — series
+    // [5×9, 0]: μ=4.5, s≈1.58, 2σ≈3.16; the gap-filled 0 (|4.5|) flags,
+    // which only works because gap-fill runs FIRST
+    val user3 = ((1 to 8) ++ Seq(10)).flatMap(day => Seq.fill(5)(
+      (3L, ts(f"2024-03-$day%02d 12:00:00"))))
+    val events = (user1 ++ user2 ++ user3).toDF("user_id", "ts")
+    val got = EventAnalytics.dailyAnomalies(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2))).toSet
+    assert(got == Set((1L, "2024-01-09", 20L), (3L, "2024-03-09", 0L)))
+  }
+
   test("bigram LM self-score matches the hand-computed smoothed probabilities") {
     // corpus: "a b a b", "a c", "solo". vocab = {a,b,c,solo} → V=4
     // bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; contexts: a=3, b=1

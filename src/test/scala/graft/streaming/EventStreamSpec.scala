@@ -332,9 +332,10 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     val stream = readEvents(spark, s"$tmp/in", Map("maxFilesPerTrigger" -> "1"))
     val state = streamUpsertLatest(stream, Seq("user_id"), Seq("ts", "event_id"),
       s"$tmp/state", s"$tmp/ckpt")
-    // really ran as multiple merges, not one big batch
+    // really ran as multiple merges, not one big batch — AND the retention
+    // window bounded the temp footprint (4 batches produced, 2 retained)
     val versions = new java.io.File(s"$tmp/state").list().count(_.startsWith("v"))
-    assert(versions >= 2, s"expected a multi-batch run, got $versions state version(s)")
+    assert(versions == 2, s"expected exactly keepStateVersions=2 retained, got $versions")
     val got = spark.read.parquet(state.get)
       .select("user_id", "event_id", "event_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
