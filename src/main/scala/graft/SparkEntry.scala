@@ -288,6 +288,20 @@ object SparkEntry {
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
         ntile(4).over(w).as("quartile"))
     }),
+    // TIME-keyed (RANGE) frame, not row-keyed: the trailing-7-day sum per
+    // user shrinks over silent days — a ROWS frame would silently span gaps.
+    // Ordered on epoch day so the range arithmetic is integer-exact
+    "w8_rolling_range" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("epoch_day",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(col("user_id"), col("day"), col("n"),
+        sum(col("n")).over(w).as("n7"))
+    }),
     "j7_nullsafe_join" -> ((s, d) => {
       val a = t(s, d, "lineitem")
         .select(nullif(col("l_returnflag"), lit("N")).as("k")).distinct()
@@ -881,6 +895,14 @@ object SparkEntry {
     // Gopher/C4 repetition filters: top-token share + repeated-bigram share
     "t_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(tb(s, d, "documents"), "text", "doc_id")),
+    // corpus-mix drift lens: top-40 tokens by relative-frequency shift
+    // between the even- and odd-id halves (integer ppm both engines)
+    "t_dist_shift" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      TextOps.tokenDistributionShift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", k = 40)
+    }),
     "t_langid" -> ((s, d) =>
       tb(s, d, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
@@ -1631,6 +1653,8 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, lag(o_totalprice, 1) OVER w AS prev_price, lead(o_totalprice, 1) OVER w AS next_price, CAST(ntile(4) OVER w AS INTEGER) AS quartile FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
     "w6_running_sum" ->
       "SELECT o_custkey, o_orderkey, sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend FROM orders",
+    "w8_rolling_range" ->
+      "SELECT user_id, day, n, sum(n) OVER (PARTITION BY user_id ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7 FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day FROM events GROUP BY 1, 2, 4)",
     "j7_nullsafe_join" ->
       "SELECT k FROM (SELECT DISTINCT nullif(l_returnflag, 'N') AS k FROM lineitem) a JOIN (SELECT DISTINCT nullif(l_returnflag, 'R') AS k2 FROM lineitem) b ON a.k IS NOT DISTINCT FROM b.k2",
     "j8_asof" ->
@@ -1778,6 +1802,10 @@ object SparkEntry {
       "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 10",
     "t_repetition" ->
       """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS tok FROM documents) GROUP BY 1, 2), ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, CAST(max(cnt) AS BIGINT) AS top_cnt FROM tc GROUP BY 1), bs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents)) GROUP BY 1) SELECT d.doc_id, COALESCE(ts.n_tokens, 0) AS n_tokens, CAST(CASE WHEN COALESCE(ts.n_tokens, 0) > 0 THEN ts.top_cnt * 1000 // ts.n_tokens ELSE 0 END AS BIGINT) AS top_token_frac_x1000, CAST(CASE WHEN COALESCE(bs.n_bigrams, 0) > 0 THEN (bs.n_bigrams - bs.n_distinct) * 1000 // bs.n_bigrams ELSE 0 END AS BIGINT) AS dup_bigram_frac_x1000 FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id LEFT JOIN bs ON d.doc_id = bs.doc_id""",
+    // ppm staging replayed with the same tokenizer and integer division;
+    // full-outer so side-exclusive tokens rank by their own ppm
+    "t_dist_shift" ->
+      """WITH ca AS (SELECT token, count(*) AS n_a FROM (SELECT unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY 1), ta AS (SELECT sum(n_a) AS t FROM ca), fa AS (SELECT token, n_a, CAST((n_a * 1000000) // ta.t AS BIGINT) AS ppm_a FROM ca, ta), cb AS (SELECT token, count(*) AS n_b FROM (SELECT unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS token FROM documents WHERE doc_id % 2 != 0) GROUP BY 1), tbt AS (SELECT sum(n_b) AS t FROM cb), fb AS (SELECT token, n_b, CAST((n_b * 1000000) // tbt.t AS BIGINT) AS ppm_b FROM cb, tbt) SELECT token, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, coalesce(ppm_a, 0) - coalesce(ppm_b, 0) AS shift_ppm FROM fa FULL OUTER JOIN fb USING (token) ORDER BY abs(coalesce(ppm_a, 0) - coalesce(ppm_b, 0)) DESC, token ASC LIMIT 40""",
     "t_mixture" ->
       """WITH r AS (SELECT * FROM (VALUES ('en', 1, 4), ('de', 1, 1), ('es', 1, 1), ('fr', 1, 1)) AS t(lang, numer, denom)) SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang WHERE ((((d.doc_id % 1000003) * 2654435761) % 1000003) % denom) < numer""",
     "t_token_budget" ->

@@ -335,4 +335,40 @@ object TextOps {
         when(col("n_tokens") > 0L, expr("(n_oov * 1000) div n_tokens"))
           .otherwise(lit(0L)).cast("bigint"))
   }
+
+  /** Token-distribution shift between two corpora: the top-k tokens whose
+    * relative frequency differs most between `a` and `b` — the
+    * data-quality lens for corpus mixing and drift (a new crawl slice whose
+    * top movers are boilerplate tokens is telling you something before any
+    * model does).
+    *
+    * Per-token frequencies are compared in integer parts-per-million
+    * (`n·1000000 div total`, same staging both engines), full-outer joined
+    * so tokens EXCLUSIVE to either side rank too (their shift is their own
+    * ppm). Total order (|shift| desc, token asc) makes the top-k cut
+    * deterministic. Scale shape: two partial-agg token counts, a full-outer
+    * join on the token, TakeOrdered for the cut — the corpora themselves
+    * never join or shuffle.
+    */
+  def tokenDistributionShift(
+      a: DataFrame, b: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    def freqs(df: DataFrame, nCol: String, ppmCol: String): DataFrame = {
+      val counts = df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(nCol))
+      // 1-row total — broadcast join, no shuffle of the counts
+      counts.crossJoin(broadcast(counts.agg(sum(col(nCol)).as("__total"))))
+        .select(col("token"), col(nCol),
+          expr(s"($nCol * 1000000) div __total").cast("bigint").as(ppmCol))
+    }
+    freqs(a, "n_a", "ppm_a")
+      .join(freqs(b, "n_b", "ppm_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("ppm_a"), lit(0L)) - coalesce(col("ppm_b"), lit(0L)))
+          .as("shift_ppm"))
+      .orderBy(abs(col("shift_ppm")).desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -599,6 +599,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(manifest.columns.toSeq == Seq("doc", "keys", "shh"))
   }
 
+  test("tokenDistributionShift: integer-ppm shifts, side-exclusive tokens rank, deterministic order") {
+    import spark.implicits._
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text") // a: 2/3, b: 1/3
+    val b = Seq((2L, "a c")).toDF("doc_id", "text")   // a: 1/2, c: 1/2
+    val got = TextOps.tokenDistributionShift(a, b, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List(
+      ("c", 0L, 1L, -500000L),  // B-exclusive: its own ppm
+      ("b", 1L, 0L, 333333L),   // A-exclusive (1000000 div 3)
+      ("a", 2L, 1L, 166666L)))  // 666666 - 500000
+  }
+
   test("oovRate: corpus-top-k vocabulary, per-doc OOV fractions, zero-token docs kept") {
     import spark.implicits._
     // 'the' x4, 'cat' x3, 'dog' x2 — vocab(2) = {the, cat}
