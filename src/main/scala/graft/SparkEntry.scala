@@ -1006,6 +1006,14 @@ object SparkEntry {
       graft.operators.Sketches.quantileBoundViolations(
         t(s, d, "lineitem"), col("l_extendedprice"),
         qs = Seq(0.5, 0.9, 0.99), accuracy = 100)),
+    // join-cardinality guardrail: the CMS-inner-product estimate of
+    // |orders ⋈ lineitem| from two MB-scale sketch tables must never sit
+    // below the exact join size (one-sided bound lifted to inner products)
+    // — provably-empty violations frame under the hash gate
+    "j13_join_card" -> ((s, d) =>
+      graft.operators.Sketches.cmsJoinCardinalityViolations(
+        t(s, d, "orders"), t(s, d, "lineitem"),
+        col("o_orderkey"), col("l_orderkey"), depth = 5, width = 1024)),
     // per-day HLL sketch table over events (DataSketches binary sketches,
     // one MB-scale row per slice): any cross-slice distinct-users question
     // becomes an algebra over sketch rows — never a corpus re-scan. The
@@ -1886,6 +1894,9 @@ object SparkEntry {
     // HLL mergeability contract: provably-empty violations frame
     "a14_hll_slices_contract" ->
       "SELECT CAST(0 AS BIGINT) AS approx_distinct, CAST(0 AS BIGINT) AS exact_distinct FROM events WHERE 1 = 0",
+    // CMS join-cardinality bound: provably-empty violations frame
+    "j13_join_card" ->
+      "SELECT CAST(0 AS BIGINT) AS est_join_rows, CAST(0 AS BIGINT) AS exact_join_rows FROM orders WHERE 1 = 0",
     // streaming per-window HLL accuracy contract: provably-empty frame
     "e_stream_hll_contract" ->
       "SELECT CAST(0 AS BIGINT) AS day, CAST(0 AS BIGINT) AS approx_users, CAST(0 AS BIGINT) AS exact_users FROM events WHERE 1 = 0",

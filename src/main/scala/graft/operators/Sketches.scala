@@ -289,6 +289,38 @@ object Sketches {
       .select(col("q"), col("n_below"), col("n"))
   }
 
+  /** Equi-join output-cardinality estimate from two CMS sketch tables built
+    * with the SAME (depth, width): for each depth row the bucket-wise inner
+    * product Σ_b a[d][b]·b[d][b] upper-bounds the true join size
+    * Σ_key cnt_a(key)·cnt_b(key) (every colliding pair only ADDS — the
+    * one-sided CMS guarantee lifted to inner products, Cormode & Muthu §4.2);
+    * the estimate is the MIN over depth rows. The join-planning guardrail:
+    * two MB-scale sketch tables answer "would this join explode?" without
+    * touching either input — if even the upper bound is small, the join is
+    * safe to run as-is; build sides at ingest like any sketch table.
+    */
+  def cmsJoinCardinality(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.join(sketchB.withColumnRenamed("c", "c2"), Seq("d", "b"))
+      .groupBy(col("d")).agg(sum(col("c") * col("c2")).as("ip"))
+      .agg(min(col("ip")).as("est_join_rows"))
+
+  /** Zero-violation contract for [[cmsJoinCardinality]]: the estimate must
+    * never be BELOW the exact join cardinality. Provably-empty frame; the
+    * gate hash-checks emptiness.
+    */
+  def cmsJoinCardinalityViolations(
+      a: DataFrame, b: DataFrame, aKey: Column, bKey: Column,
+      depth: Int, width: Int): DataFrame = {
+    val est = cmsJoinCardinality(
+      cmsSketch(a, aKey, depth, width), cmsSketch(b, bKey, depth, width))
+    val exact = a.select(aKey.cast("string").as("item"))
+      .join(b.select(bKey.cast("string").as("item")), Seq("item"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    est.crossJoin(exact) // two 1-row frames
+      .filter(col("est_join_rows") < col("exact_join_rows"))
+      .select(col("est_join_rows"), col("exact_join_rows"))
+  }
+
   // ------------------------------------------------------ HLL sketch tables
 
   /** Per-slice HLL sketch table: one row per slice holding a DataSketches

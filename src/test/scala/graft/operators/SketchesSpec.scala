@@ -148,6 +148,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(est == 0L, s"untouched-bucket probe '$item' must estimate 0, got $est")
   }
 
+  test("CMS join cardinality: inner-product estimate never below exact, exact at generous width") {
+    import spark.implicits._
+    // a: key k appears k times (k=1..10); b: each key twice → exact join
+    // size = Σ k·2 = 110
+    val a = (1 to 10).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = (1 to 10).flatMap(k => Seq.fill(2)(k.toLong)).toDF("k")
+    val exact = 110L
+    def est(width: Int): Long = Sketches.cmsJoinCardinality(
+      Sketches.cmsSketch(a, col("k"), depth = 5, width = width),
+      Sketches.cmsSketch(b, col("k"), depth = 5, width = width))
+      .collect().head.getLong(0)
+    // generous width: 10 keys across 4096 buckets × 5 rows — collision-free
+    // in at least one row on this fixed hash family → exact
+    assert(est(4096) == exact)
+    // starved width (2 buckets): collisions only ADD — still an upper bound
+    assert(est(2) >= exact)
+    // and the contract frame is empty at production parameters
+    assert(Sketches.cmsJoinCardinalityViolations(
+      a, b, col("k"), col("k"), depth = 5, width = 1024).isEmpty)
+  }
+
   test("HLL slice sketches: union of per-slice sketches estimates exactly like the whole") {
     import spark.implicits._
     // 3 slices, overlapping user sets (the union must NOT double-count
