@@ -895,6 +895,13 @@ object SparkEntry {
     // Gopher/C4 repetition filters: top-token share + repeated-bigram share
     "t_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(tb(s, d, "documents"), "text", "doc_id")),
+    // content-defined chunking: rolling-hash boundaries (window-8 polynomial
+    // ≡ 0 mod 61 — prime, so the base-31 polynomial keeps full mixing; a
+    // power-of-two divisor degenerates to a parity sum since 31² ≡ 1 mod 64) — chunks survive edits elsewhere in the doc, the property
+    // chunk-level dedup needs; reconstruction law + shift-stability in
+    // CurationSpec, full chunk table hash-gated here
+    "t_cdc_chunks" -> ((s, d) =>
+      Curation.contentChunks(tb(s, d, "documents"), "text", "doc_id")),
     // corpus-mix drift lens: top-40 tokens by relative-frequency shift
     // between the even- and odd-id halves (integer ppm both engines)
     "t_dist_shift" -> ((s, d) => {
@@ -1810,6 +1817,11 @@ object SparkEntry {
       "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 10",
     "t_repetition" ->
       """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS tok FROM documents) GROUP BY 1, 2), ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, CAST(max(cnt) AS BIGINT) AS top_cnt FROM tc GROUP BY 1), bs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents)) GROUP BY 1) SELECT d.doc_id, COALESCE(ts.n_tokens, 0) AS n_tokens, CAST(CASE WHEN COALESCE(ts.n_tokens, 0) > 0 THEN ts.top_cnt * 1000 // ts.n_tokens ELSE 0 END AS BIGINT) AS top_token_frac_x1000, CAST(CASE WHEN COALESCE(bs.n_bigrams, 0) > 0 THEN (bs.n_bigrams - bs.n_distinct) * 1000 // bs.n_bigrams ELSE 0 END AS BIGINT) AS dup_bigram_frac_x1000 FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id LEFT JOIN bs ON d.doc_id = bs.doc_id""",
+    // the window-8 base-31 polynomial restated with explicit 31^k constants
+    // over code points (ascii() = code point, as does the engine's walk);
+    // interior boundaries only (p < len), then [0, …, len] frames the chunks
+    "t_cdc_chunks" ->
+      """WITH c AS (SELECT doc_id, text, list_transform(split(text, ''), x -> CAST(ascii(x) AS BIGINT)) AS ch FROM documents), b AS (SELECT doc_id, text AS t, list_concat(list_concat([CAST(0 AS BIGINT)], list_filter(list_filter(generate_series(CAST(8 AS BIGINT), len(ch)), i -> (ch[i-7]*27512614111 + ch[i-6]*887503681 + ch[i-5]*28629151 + ch[i-4]*923521 + ch[i-3]*29791 + ch[i-2]*961 + ch[i-1]*31 + ch[i]) % 61 = 0), p -> p < len(ch))), [CAST(len(ch) AS BIGINT)]) AS bl FROM c) SELECT doc_id, CAST(j - 1 AS INTEGER) AS chunk_idx, bl[j] + 1 AS chunk_start, substr(t, CAST(bl[j] + 1 AS INTEGER), CAST(bl[j+1] - bl[j] AS INTEGER)) AS chunk_text FROM (SELECT doc_id, bl, t, unnest(generate_series(CAST(1 AS BIGINT), len(bl) - 1)) AS j FROM b)""",
     // ppm staging replayed with the same tokenizer and integer division;
     // full-outer so side-exclusive tokens rank by their own ppm
     "t_dist_shift" ->

@@ -75,6 +75,19 @@ object VectorHash {
   def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
     col(PqCodesExpr(expr(vec), codebooks.map(_.map(_.toArray).toArray).toArray))
 
+  /** Content-defined chunk boundaries of a text: the (1-based, code-point)
+    * positions `i ≥ window` where the polynomial hash of the last `window`
+    * code points (base 31, plain long arithmetic — engine-replayable, no
+    * overflow: 8 × 0x10FFFF × 31⁷ < 2⁶³) is ≡ 0 mod `divisor`. Boundaries
+    * depend only on a local window, so they SURVIVE insertions/deletions
+    * elsewhere in the document — the property that makes chunk-level dedup
+    * stable under edits where fixed-span chunking shifts every boundary
+    * downstream (FastCDC's core idea, rolling-hash gear simplified to an
+    * explicit window polynomial both engines can state).
+    */
+  def contentBoundaries(text: Column, window: Int, divisor: Int): Column =
+    col(ContentBoundariesExpr(expr(text), window, divisor))
+
   private val Seed1 = 42L
   private val Seed2 = -7046029254386353131L
 
@@ -281,6 +294,42 @@ object VectorHash {
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): PqCodesExpr = copy(child = c)
+  }
+
+  case class ContentBoundariesExpr(child: Expression, window: Int, divisor: Int)
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    require(window >= 1 && divisor >= 1)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_content_boundaries"
+    override def inputTypes = Seq(StringType)
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      // code-point walk (DuckDB's split('')/ascii() are code-point-based;
+      // UTF-16 charAt would diverge on supplementary characters)
+      val ring = new Array[Long](window)
+      val out = new java.util.ArrayList[Any]()
+      var cpIdx = 0
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        ring(cpIdx % window) = cp.toLong
+        cpIdx += 1
+        if (cpIdx >= window) {
+          var h = 0L
+          var k = 0
+          while (k < window) {
+            h = h * 31L + ring((cpIdx - window + k) % window)
+            k += 1
+          }
+          if (h % divisor == 0) out.add(cpIdx)
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): ContentBoundariesExpr =
+      copy(child = c)
   }
 
   case class HyperplaneBucketExpr(child: Expression, planes: Int, seed: Long = 0L)

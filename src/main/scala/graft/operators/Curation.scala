@@ -418,6 +418,45 @@ object Curation {
     * two different shingles; for a screen that flags docs for review the
     * ~n²/2^64 false-positive rate is the standard trade.
     */
+  /** Content-defined chunking: documents split at rolling-hash boundaries
+    * ([[graft.functions.VectorHash.contentBoundaries]] — positions where
+    * the window polynomial ≡ 0 mod `divisor`, expected chunk length ≈
+    * `divisor` code points). Because a boundary depends only on its local
+    * window, an insertion or deletion shifts boundaries only until the next
+    * surviving one: every later chunk is byte-identical — the property that
+    * makes CHUNK-level exact dedup stable under document edits, where
+    * fixed-span chunking ([[chunkDocuments]]) shifts every downstream span.
+    *
+    * Laws (spec-pinned): concatenating a doc's chunks in index order
+    * reconstructs the text exactly; docs shorter than `window` are one
+    * whole-text chunk; an empty doc is one empty chunk. One narrow
+    * projection + a bounded per-doc explode — no shuffle.
+    *
+    * Output: (id, chunk_idx, chunk_start [1-based code point], chunk_text).
+    */
+  def contentChunks(
+      docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, divisor: Int = 61): DataFrame = {
+    val bounds = concat(
+      array(lit(0L)),
+      filter(
+        graft.functions.VectorHash.contentBoundaries(col(textCol), window, divisor)
+          .cast("array<bigint>"),
+        b => b < length(col(textCol)).cast("long")),
+      array(length(col(textCol)).cast("long")))
+    docs
+      .select(col(idCol), col(textCol).as("__t"), bounds.as("__b"))
+      .select(col(idCol), col("__t"),
+        posexplode(transform(sequence(lit(1), size(col("__b")) - 1), j =>
+          struct(
+            (element_at(col("__b"), j) + 1L).as("s"),
+            (element_at(col("__b"), j + 1) - element_at(col("__b"), j)).as("l")))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.s").as("chunk_start"),
+        col("__t").substr(col("col.s").cast("int"), col("col.l").cast("int"))
+          .as("chunk_text"))
+  }
+
   def contamination(
       corpus: DataFrame,
       benchmark: DataFrame,

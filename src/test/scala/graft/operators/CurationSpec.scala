@@ -268,4 +268,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() == 103L)
     assert(back.select(col("shard")).distinct().count() == 4L)
   }
+
+  test("contentChunks: reconstruction law, edit-shift stability, short/empty docs") {
+    import spark.implicits._
+    // deterministic pseudo-random text: boundaries land where the window
+    // polynomial says, nowhere else
+    def txt(seed: Int, n: Int): String =
+      (0 until n).map(i => ('a' + (((i * 2654435761L + seed * 40503L) >>> 16) % 26).toInt).toChar).mkString
+    val base = txt(1, 600)
+    val edited = "XY" + base // 2-char insertion at the front
+    val docs = Seq((1L, base), (2L, edited), (3L, "tiny"), (4L, "")).toDF("doc_id", "text")
+    val chunks = Curation.contentChunks(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // law: chunks concatenate back to the original, in index order
+    val byDoc = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._4).mkString }
+    assert(byDoc(1L) == base && byDoc(2L) == edited)
+    // short doc (< window): one whole-text chunk; empty doc: one empty chunk
+    assert(byDoc(3L) == "tiny" && chunks.count(_._1 == 3L) == 1)
+    assert(byDoc(4L) == "" && chunks.count(_._1 == 4L) == 1)
+    // edit-shift stability: the insertion changes chunking only up to the
+    // first surviving boundary — every later chunk is byte-identical, so
+    // the edited doc shares all but at most one of the original's chunks
+    val a = chunks.filter(_._1 == 1L).map(_._4).toSeq
+    val b = chunks.filter(_._1 == 2L).map(_._4).toSet
+    assert(a.size >= 4, s"expected several chunks, got ${a.size} (tune divisor?)")
+    val shared = a.count(b.contains)
+    assert(shared >= a.size - 1,
+      s"edit broke $a.size - $shared downstream chunks; content-defined boundaries should confine the shift")
+  }
 }
