@@ -103,6 +103,10 @@ object SparkEntry {
   private val snapshotCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the dynamically-overwritten partitioned layout (s23_dynamic_overwrite)
+  private val dynOverwriteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Committed ANN recall floors (×1000) for the s_knn_lsh / s_knn_ivf
     * contract queries. Both paths are seeded-deterministic, so recall over
     * a shipped dataset is a constant; the floors sit below the measured
@@ -633,6 +637,64 @@ object SparkEntry {
           Seq("o_orderkey"), Seq("version"), "op")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
+    // SCD Type-2 + point-in-time join: each user's 'view' events are a
+    // profile change log; scd2History tiles them into validity intervals
+    // (one key shuffle) and every 'purchase' fact is enriched with the
+    // version in effect at its instant via the as-of union-window plan
+    // (one more key shuffle, no containment theta-join). Inner-filtered so
+    // the oracle is a plain containment join over the same lead() intervals
+    "j14_scd2_pit" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dim = graft.load.Warehouse.scd2History(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("change_id"), col("value").as("profile_value")),
+        Seq("user_id"), "ts", Seq("change_id"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("fact_id"), col("user_id"), col("ts"),
+          col("value").as("amount"))
+      graft.load.Warehouse.pointInTimeJoin(facts, dim, "user_id", "ts",
+          Seq("profile_value", "change_id", "effective_from"))
+        .filter(col("change_id").isNotNull)
+    }),
+    // dynamic partition overwrite: events land hive-partitioned by day; the
+    // MIN day is re-loaded with doubled values through
+    // overwritePartitionsDynamic. The require() pins the operator's whole
+    // point: sibling partitions' FILE SET is untouched (static overwrite
+    // would have dropped the table), the target day's is replaced. Read-back
+    // per-day aggregate rides the hash gate vs an oracle restating the
+    // rewrite
+    "s23_dynamic_overwrite" -> ((s, d) => {
+      val root = dynOverwriteCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("dynpart")
+        deleteRecursivelyOnExit(dir)
+        val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+        ev.write.partitionBy("day").mode("overwrite").parquet(dir.toString)
+        def files(): Set[String] = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .map(_.toString).toSet
+        }
+        val before = files()
+        // bounded 1-row collect: the overwrite target day
+        val minDay = ev.agg(min(col("day")).as("d")).head.getDate(0)
+        graft.load.Warehouse.overwritePartitionsDynamic(
+          ev.filter(col("day") === lit(minDay))
+            .withColumn("value", col("value") * 2),
+          dir.toString, Seq("day"))
+        val after = files()
+        val dayDir = s"day=$minDay"
+        require(before.filterNot(_.contains(dayDir)) == after.filterNot(_.contains(dayDir)),
+          "dynamic overwrite touched sibling partitions")
+        require(before.filter(_.contains(dayDir)) != after.filter(_.contains(dayDir)),
+          "dynamic overwrite did not replace the target partition")
+        dir.toString
+      })
+      s.read.parquet(root)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
     }),
     // --- events ------------------------------------------------------------
     "e_hour_window" -> ((s, d) =>
@@ -1929,6 +1991,17 @@ object SparkEntry {
     // plus the re-keyed inserts
     "s22_cdc_merge" ->
       "SELECT o_orderstatus, count(*) AS n, sum(price) AS sum_price FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders WHERE o_orderkey % 20 != 0 UNION ALL SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 1",
+    // SCD2 point-in-time: the oracle builds the same tiled lead() intervals
+    // (same-instant losers are the zero-width rows the WHERE drops) and
+    // containment-joins the purchase facts — the as-of plan must agree
+    // exactly, including inclusive effective_from and the open current row
+    "j14_scd2_pit" ->
+      "WITH dim AS (SELECT user_id, event_id AS change_id, value AS profile_value, ts AS effective_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to FROM events WHERE event_type = 'view'), tiled AS (SELECT * FROM dim WHERE effective_to IS NULL OR effective_to > effective_from) SELECT f.event_id AS fact_id, f.user_id, f.ts, f.value AS amount, d.profile_value, d.change_id, d.effective_from FROM events f JOIN tiled d ON f.user_id = d.user_id AND f.ts >= d.effective_from AND (d.effective_to IS NULL OR f.ts < d.effective_to) WHERE f.event_type = 'purchase'",
+    // the dynamically re-loaded day carries doubled values; every other day
+    // is untouched (the file-set require() in the query pins the physical
+    // side the SQL cannot see)
+    "s23_dynamic_overwrite" ->
+      "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, sum(CASE WHEN CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events) THEN value * 2 ELSE value END) AS sum_v FROM events GROUP BY 1, 2",
     "d_exact_dup_groups" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "d_jaccard_brute" ->

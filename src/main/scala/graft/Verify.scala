@@ -5,7 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
+    val sfDir = args(0); val outDir = args(1)
+    // optional name filter for the dev loop (check_oracle.py skips oracle
+    // entries with no result dir, so a partial dump still compares cleanly);
+    // the driver passes exactly two args and gets the full set
+    val only = args.drop(2).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only.contains).toMap
     val spark = GraftSession.localFromEnv()
     new java.io.File(outDir).mkdirs()
     // Queries are independent; Spark actions are thread-safe, so run a few
@@ -20,7 +28,7 @@ object Verify {
     // schema/rows/hash FAIL instead of silently skipping the key; (b) record
     // name → message in verify_errors.json next to oracle_sql.json.
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         // per-query scope: frames persisted while building/writing this
         // query are freed at scope close. Scopes are thread-confined and

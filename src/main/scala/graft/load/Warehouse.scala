@@ -351,4 +351,92 @@ object Warehouse {
       .drop("__z")
       .write.mode(mode).parquet(path)
   }
+
+  /** SCD Type-2 dimension history from a change log: each change row becomes
+    * a version with `effective_from` = its change time, `effective_to` = the
+    * key's next change time (null = still open), `is_current` for the open
+    * row. The intervals tile `[first change, ∞)` per key with no gaps or
+    * overlaps — the property point-in-time joins rely on.
+    *
+    * Several changes at the SAME instant collapse to the `tieBreakCols`-last
+    * one: the losers' `lead` is that same instant, giving a zero-width
+    * interval that is dropped — so dedup and interval construction are ONE
+    * window over ONE key shuffle, not a per-(key, ts) pre-aggregation plus a
+    * second per-key pass. NULL-keyed or NULL-timed changes are dropped up
+    * front (they can never be in effect at any instant).
+    *
+    * The reference's analog is version-stamped survey reloads (ref
+    * lib04_Update_Table_Data.py:509-541 replaces a slice wholesale);
+    * retaining every version with validity intervals is what a warehouse
+    * needs to answer "what did this dimension say when the fact happened".
+    */
+  def scd2History(
+      changes: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreakCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lead}
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    val reserved = Seq("effective_from", "effective_to", "is_current")
+    require(reserved.intersect(changes.columns.toSeq).isEmpty,
+      s"column names $reserved are reserved by scd2History")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreakCols).map(col): _*)
+    changes
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .filter(col("effective_to").isNull || col("effective_to") > col("effective_from"))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
+  /** Point-in-time join: each fact row enriched with the dimension version
+    * in effect at its timestamp (`effective_from <= factTs < effective_to`,
+    * open interval = no upper bound). Left-outer: facts before the key's
+    * first version carry nulls.
+    *
+    * Because [[scd2History]] intervals tile, containment is equivalent to
+    * "latest version with `effective_from <= factTs`" — so this reuses
+    * [[graft.operators.AsOfJoin]]'s union + last-over-window plan: ONE
+    * shuffle on the key and linear per-key state, where the literal
+    * containment theta-join degenerates to per-key history × versions
+    * candidate pairs on dense keys. The carried `effective_to` is
+    * re-checked post-join (free, and keeps the operator honest if handed a
+    * non-tiling interval table — a truncated history then yields nulls
+    * rather than a wrong version).
+    */
+  def pointInTimeJoin(
+      facts: DataFrame, scd2: DataFrame,
+      keyCol: String, factTsCol: String,
+      carryCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val carried = (carryCols ++ Seq("effective_from", "effective_to")).distinct
+    val joined = graft.operators.AsOfJoin.asOf(
+      facts, scd2.select((keyCol +: carried).distinct.map(col): _*),
+      keyCol, factTsCol, "effective_from", carried)
+    val inWindow = col("effective_to").isNull || col(factTsCol) < col("effective_to")
+    joined.select(
+      facts.columns.map(col) ++
+        carryCols.map(c => when(inWindow, col(c)).as(c)): _*)
+  }
+
+  /** Dynamic partition overwrite: replace ONLY the hive partitions present
+    * in `df`, leaving sibling partitions' files untouched (Spark's static
+    * default drops the whole table first — the classic
+    * restated-one-day-reloads-everything incident). This is the idempotent
+    * daily re-load primitive: re-running a day's pipeline rewrites that
+    * day's directory and nothing else, so concurrent readers of other days
+    * never see a hole.
+    *
+    * The mode is set per-WRITER (not on the session), so concurrent queries
+    * sharing the SparkSession keep their own semantics.
+    */
+  def overwritePartitionsDynamic(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "dynamic overwrite needs partition columns")
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

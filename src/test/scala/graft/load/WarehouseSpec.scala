@@ -280,4 +280,97 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       s"z-order should touch fewer files ($zTouched vs $linTouched)")
     assert(spark.read.parquet(zDir).count() == 64L * 64L)
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2History: intervals tile per key, same-instant changes collapse to the tie-break winner") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "a"),
+      (1L, ts("2024-01-03 00:00:00"), 11L, "b"),
+      // two changes at the same instant: change_id 13 must win, 12 vanish
+      (1L, ts("2024-01-05 00:00:00"), 12L, "lost"),
+      (1L, ts("2024-01-05 00:00:00"), 13L, "c"),
+      (2L, ts("2024-02-01 00:00:00"), 20L, "x"),
+      // null key and null ts can never be in effect — dropped
+      (0L, null, 30L, "nullts"))
+      .toDF("k", "t", "change_id", "attr")
+      .withColumn("k", org.apache.spark.sql.functions.when(
+        $"change_id" === 30L, org.apache.spark.sql.functions.lit(null)).otherwise($"k"))
+    val hist = Warehouse.scd2History(changes, Seq("k"), "t", Seq("change_id"))
+      .select("k", "change_id", "attr", "effective_from", "effective_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+      .sortBy(x => (x._1, x._4.getTime))
+    assert(hist.toSeq == Seq(
+      (1L, 10L, "a", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, 11L, "b", ts("2024-01-03 00:00:00"), Some(ts("2024-01-05 00:00:00")), false),
+      (1L, 13L, "c", ts("2024-01-05 00:00:00"), None, true),
+      (2L, 20L, "x", ts("2024-02-01 00:00:00"), None, true)))
+    // tiling: within a key, each interval's end is the next one's start
+    hist.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4), s"gap/overlap between $a and $b")
+        case _ => ()
+      }
+      assert(rows.last._5.isEmpty && rows.last._6)
+    }
+  }
+
+  test("pointInTimeJoin matches the containment join; pre-history facts null; truncated intervals null, never wrong") {
+    val changes = (1 to 40).flatMap(k => (1 to 5).map(v =>
+      (k.toLong, ts(f"2024-01-${v * 2}%02d 12:00:00"), (k * 10 + v).toLong, s"v$v")))
+      .toDF("k", "t", "change_id", "attr")
+    val hist = Warehouse.scd2History(changes, Seq("k"), "t", Seq("change_id"))
+    val facts = (1 to 40).flatMap(k => Seq(
+      (k.toLong * 1000, k.toLong, ts("2024-01-01 00:00:00")), // before history
+      (k.toLong * 1000 + 1, k.toLong, ts("2024-01-02 12:00:00")), // exactly at v1
+      (k.toLong * 1000 + 2, k.toLong, ts("2024-01-05 07:30:00")), // inside v2
+      (k.toLong * 1000 + 3, k.toLong, ts("2024-12-31 00:00:00")))) // open row
+      .toDF("fact_id", "k", "ft")
+    val got = Warehouse.pointInTimeJoin(facts, hist, "k", "ft", Seq("attr", "change_id"))
+    // oracle: literal containment theta-join
+    import org.apache.spark.sql.functions.col
+    val want = facts.join(hist,
+      facts("k") === hist("k") && col("ft") >= col("effective_from") &&
+        (col("effective_to").isNull || col("ft") < col("effective_to")), "left")
+      .select(facts("fact_id"), facts("k"), col("ft"), col("attr"), col("change_id"))
+    assert(got.select("fact_id", "k", "ft", "attr", "change_id")
+      .except(want).isEmpty && want.except(
+        got.select("fact_id", "k", "ft", "attr", "change_id")).isEmpty)
+    assert(got.filter(col("attr").isNull).count() == 40) // the pre-history facts
+    // honesty on a NON-tiling table: drop each key's v2 interval — facts
+    // inside the hole must carry null (as-of alone would wrongly serve v1)
+    val holed = hist.filter(col("attr") =!= "v2")
+    val inHole = Warehouse.pointInTimeJoin(
+      facts.filter(col("ft") === ts("2024-01-05 07:30:00")), holed,
+      "k", "ft", Seq("attr"))
+    assert(inHole.count() == 40 && inHole.filter(col("attr").isNotNull).count() == 0)
+  }
+
+  test("overwritePartitionsDynamic replaces only the written partitions") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("dynow").toString
+    (1 to 300).map(i => (i.toLong, s"p${i % 3}", i * 1.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    def files(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).toSet
+    }
+    val before = files()
+    // re-load partition p1 only, with transformed content
+    Warehouse.overwritePartitionsDynamic(
+      (1 to 300).filter(_ % 3 == 1).map(i => (i.toLong, s"p1", i * -1.0))
+        .toDF("id", "part", "v"),
+      dir, Seq("part"))
+    val after = files()
+    assert(before.filterNot(_.contains("part=p1")) == after.filterNot(_.contains("part=p1")),
+      "sibling partitions' files must be byte-identical (same paths)")
+    assert(before.filter(_.contains("part=p1")) != after.filter(_.contains("part=p1")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    assert(back.filter(col("part") === "p1" && col("v") >= 0).count() == 0)
+    assert(back.filter(col("part") =!= "p1" && col("v") < 0).count() == 0)
+  }
 }
