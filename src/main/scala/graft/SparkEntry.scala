@@ -1180,6 +1180,16 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "text", "doc_id", n = 3)
     }),
+    // the too-big-to-broadcast decontamination shape: a Bloom over the
+    // benchmark's shingle hashes prunes corpus shingles pre-shuffle; no
+    // false negatives → shares t_contamination's exact oracle
+    "t_contamination_bloom" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Curation.contaminationBloom(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", n = 3, expectedItems = 300000L, fpp = 0.01)
+    }),
     // --- dedup --------------------------------------------------------------
     "d_exact_dup_groups" -> ((s, d) =>
       Dedup.exactDuplicateGroups(tb(s, d, "documents"), "text", "doc_id")),
@@ -1349,6 +1359,25 @@ object SparkEntry {
           expectedItems = 10000L, fpp = 0.01)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+    // adaptive (heavy-key-only) salting: a third of orders are folded onto
+    // custkey 1 — sampled detection must find the planted hot key (the
+    // require() pins routing actually engages), light keys join unsalted,
+    // and the whole result is a drop-in for the plain join's oracle
+    "j15_adaptive_skew" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("custkey",
+        when(col("o_orderkey") % 3 === 0, lit(1L)).otherwise(col("o_custkey")))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val heavy = graft.operators.SkewJoin.detectHeavyKeys(
+        o, Seq("custkey"), heavyShareDenom = 10L)
+      // bounded collect: > 1/10-share keys — at most 9 rows by construction
+      val hkeys = heavy.collect().map(_.getLong(0)).toSet
+      require(hkeys.contains(1L), s"planted hot key not detected: $hkeys")
+      graft.operators.SkewJoin.adaptiveSaltedJoin(o, c, Seq("custkey"),
+          buckets = 8, heavyKeys = Some(heavy), uniqueIdCol = Some("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
     }),
     // --- multimodal ---------------------------------------------------------
     // production media features: real executor-encoded PNGs → real
@@ -1896,6 +1925,10 @@ object SparkEntry {
       """WITH q AS (SELECT doc_id, lang, text FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20), d AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q) WHERE rn = 1) SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn2 FROM d) WHERE rn2 <= 40""",
     "t_contamination" ->
       """WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3), bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1""",
+    // the Bloom gate is a pre-shuffle reduction, not an approximation —
+    // identical oracle to t_contamination
+    "t_contamination_bloom" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3), bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1""",
     "t_shuffle_order" ->
       "SELECT doc_id, CAST(row_number() OVER (ORDER BY mix % 1024, mix, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM (SELECT doc_id, (((doc_id % 1000003) * 2654435761) % 1000003) AS mix FROM documents)",
     "t_shards" ->
@@ -2041,6 +2074,8 @@ object SparkEntry {
       "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",
     "j12_bloom_join" ->
       "SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_size = 1 GROUP BY 1",
+    "j15_adaptive_skew" ->
+      "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS custkey, o_totalprice FROM orders) o JOIN customer c ON o.custkey = c.c_custkey GROUP BY 1",
     "s_knn_brute" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // nprobe = #centroids probes every bucket → identical to brute force

@@ -493,7 +493,56 @@ object Stress {
           java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
-      }
+      },
+      // SCD2 + point-in-time at scale: mult× deeper per-user change
+      // histories — interval construction is one key-shuffle window, the
+      // PIT join the as-of union-window (linear per-key state; a containment
+      // theta-join would pay history × versions per user here)
+      time(s"scd2_pit_x$mult") {
+        val dim = load.Warehouse.scd2History(
+          events.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts"),
+              col("event_id").as("change_id"), col("value").as("profile_value")),
+          Seq("user_id"), "ts", Seq("change_id"))
+        load.Warehouse.pointInTimeJoin(
+          events.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("fact_id"), col("user_id"), col("ts")),
+          dim, "user_id", "ts", Seq("profile_value", "change_id")).count()
+      },
+      // adaptive skew join: a third of the mult×-expanded orders folded onto
+      // ONE hot customer key — sampled detection + heavy-only salting must
+      // keep reducers balanced while light keys skip the explode entirely
+      time(s"adaptive_skew_x$mult") {
+        val o = orders.withColumn("custkey",
+          when(col("o_orderkey") % 3 === 0, lit(1L)).otherwise(col("o_custkey")))
+        operators.SkewJoin.adaptiveSaltedJoin(
+          o, Tables(spark, sfDir, "customer")
+            .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+          Seq("custkey"), buckets = 32, uniqueIdCol = Some("o_orderkey"),
+          heavyShareDenom = 10L, sampleFraction = 0.02)
+          .groupBy(col("c_mktsegment")).agg(count(lit(1))).count()
+      },
+      // Bloom-gated decontamination vs the ungated shuffle join above
+      // (contamination_x): the gate must cut the corpus side's shuffled
+      // shingle rows to ~hits + fpp share, same exact result
+      time(s"contamination_bloom_x$mult")(operators.Curation.contaminationBloom(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", n = 3,
+        expectedItems = 2000000L * mult, fpp = 0.01).count()),
+      // ...and the gate's WIN case: a CLEAN corpus (benchmark text reversed
+      // → disjoint shingles). The op above is the gate's worst case — this
+      // stress corpus is ~fully contaminated by construction, so every
+      // shingle passes and the gate only measures its own eval overhead
+      // (must stay ~free). Here ~every corpus shingle is dropped BEFORE the
+      // exchange; compare to the ungated contamination_x time, which
+      // shuffles all of them regardless of match rate
+      time(s"contamination_bloom_clean_x$mult")(operators.Curation.contaminationBloom(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .withColumn("text", reverse(col("text"))),
+        "text", "doc_id", n = 3,
+        expectedItems = 2000000L * mult, fpp = 0.01).count())
     )
     val ran = results.flatten
     val qs = ran.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")

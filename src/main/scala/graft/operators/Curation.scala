@@ -457,6 +457,15 @@ object Curation {
           .as("chunk_text"))
   }
 
+  // native shingle expression (one row-level eval — same primitive the
+  // dedup paths use; ~10x the interpreted HOF composition); rows carry the
+  // 8-byte shingle hash only, never the string
+  private def shingleHashes(
+      d: DataFrame, textCol: String, n: Int, carry: Column*): DataFrame =
+    d.select(carry :+ explode(
+      graft.functions.VectorHash.wordShingles(col(textCol), n)).as("__g"): _*)
+      .withColumn("__gh", xxhash64(col("__g"))).drop("__g")
+
   def contamination(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -465,15 +474,37 @@ object Curation {
       n: Int,
       broadcastBenchmark: Boolean = true
   ): DataFrame = {
-    // native shingle expression (one row-level eval — same primitive the
-    // dedup paths use; ~10x the interpreted HOF composition)
-    def grams(d: DataFrame, cols: Column*): DataFrame =
-      d.select(cols :+ explode(
-        graft.functions.VectorHash.wordShingles(col(textCol), n)).as("__g"): _*)
-        .withColumn("__gh", xxhash64(col("__g"))).drop("__g")
-    val bench0 = grams(benchmark).select(col("__gh")).distinct()
+    val bench0 = shingleHashes(benchmark, textCol, n).select(col("__gh")).distinct()
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
-    grams(corpus, col(idCol))
+    shingleHashes(corpus, textCol, n, col(idCol))
+      .join(bench, "__gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+  }
+
+  /** [[contamination]] for benchmark suites too large to broadcast: the
+    * benchmark's distinct shingle-hash set builds a Bloom filter (MB-scale
+    * however large the corpus) that prunes corpus shingle rows BEFORE the
+    * shuffle join. A Bloom has no false negatives, so the result is EXACTLY
+    * `contamination(broadcastBenchmark = false)` — false positives only let
+    * a ~fpp share of clean shingles reach the exchange, where the exact join
+    * drops them. That is the 100 TB shape of decontamination: a clean corpus
+    * shuffles ~fpp of its shingle rows instead of all of them.
+    */
+  def contaminationBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.03
+  ): DataFrame = {
+    val bench = shingleHashes(benchmark, textCol, n).select(col("__gh")).distinct()
+    val gate = graft.operators.BloomJoin.buildKeyFilter(
+      bench, Seq("__gh"), expectedItems, fpp)
+    graft.operators.BloomJoin.pruneByFilter(
+        shingleHashes(corpus, textCol, n, col(idCol)), Seq("__gh"), gate)
       .join(bench, "__gh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit"))

@@ -203,6 +203,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) > 0 && got(3L) > 0)
   }
 
+  test("contaminationBloom is exactly contamination (no false negatives through the gate)") {
+    // a corpus big enough that the Bloom actually gates (clean docs' shingles
+    // must be dropped pre-join, dirty docs' must all pass)
+    val corpus = ((1 to 200).map(i => (i.toLong, s"unique$i filler$i tail$i pad$i end$i")) ++
+      Seq((900L, "alpha beta gamma delta epsilon zeta"),
+          (901L, "gamma delta epsilon zeta eta theta"))).toDF("doc_id", "text")
+    val bench = Seq((100L, "beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val exact = Curation.contamination(corpus, bench, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // generous and starved filters both stay exact — undersizing only raises
+    // fpp (more rows reach the join), never drops a true hit
+    for (items <- Seq(100000L, 8L)) {
+      val gated = Curation.contaminationBloom(
+        corpus, bench, "text", "doc_id", n = 3, expectedItems = items)
+        .as[(Long, Long)].collect().toMap
+      assert(gated == exact, s"expectedItems=$items")
+    }
+    assert(exact.keySet == Set(900L, 901L))
+  }
+
   test("span dedup drops repeated spans corpus-wide, first occurrence wins") {
     import spark.implicits._
     val docs = Seq(
