@@ -30,6 +30,15 @@ object GraftSession {
       // the reference's cp1252 CSV fallback needs the full Java charset set;
       // Spark 4's default CSV whitelist rejects windows-1252 outright
       .config("spark.sql.legacy.javaCharsets", "true")
+      // ObjectHashAggregate (typed Aggregators, collect_*) falls back to
+      // SORT-based aggregation after this many in-memory group buffers —
+      // the default 128 forces a full map-side sort for any real group
+      // cardinality, which erased TopKAgg's k-bounded-exchange advantage
+      // (11.0 → 4.5 s at the 100× stress point when raised). 64k buffers:
+      // k-bounded buffers (top-k, sketches) stay resident for realistic
+      // group counts; collect_list-style unbounded buffers hold a
+      // partition's rows either way (the shuffle already carries them all).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -306,6 +306,20 @@ object SparkEntry {
       daily.select(col("user_id"), col("day"), col("n"),
         sum(col("n")).over(w).as("n7"))
     }),
+    // per-group top-k through the k-bounded Aggregator (shuffle carries ≤ k
+    // rows per group per map partition, vs the window plan's full-table
+    // exchange) — drop-in for the row_number() <= k oracle
+    "w9_topk_group" -> ((s, d) =>
+      graft.operators.Sketches.topKPerGroup(
+        t(s, d, "orders"), Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)),
+    // deterministic weighted sampling: integer Efraimidis–Spirakis analog
+    // (priority = portable hash div weight), weight = token count — the
+    // oracle replays hash, division, and the top-k cut exactly
+    "t_weighted_sample" -> ((s, d) =>
+      Curation.weightedPrioritySample(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", TextOps.tokenCount(col("text")), k = 100)
+        .select(col("doc_id"), col("weight"), col("priority"))),
     "j7_nullsafe_join" -> ((s, d) => {
       val a = t(s, d, "lineitem")
         .select(nullif(col("l_returnflag"), lit("N")).as("k")).distinct()
@@ -1761,6 +1775,10 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend FROM orders",
     "w8_rolling_range" ->
       "SELECT user_id, day, n, sum(n) OVER (PARTITION BY user_id ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7 FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day FROM events GROUP BY 1, 2, 4)",
+    "w9_topk_group" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rank FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3",
+    "t_weighted_sample" ->
+      """SELECT doc_id, w AS weight, prio AS priority FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w, (((doc_id % 1000003) * 2654435761) % 1000003) // CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS prio FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0) ORDER BY prio, doc_id LIMIT 100""",
     "j7_nullsafe_join" ->
       "SELECT k FROM (SELECT DISTINCT nullif(l_returnflag, 'N') AS k FROM lineitem) a JOIN (SELECT DISTINCT nullif(l_returnflag, 'R') AS k2 FROM lineitem) b ON a.k IS NOT DISTINCT FROM b.k2",
     "j8_asof" ->

@@ -542,7 +542,21 @@ object Stress {
         docs.filter(pmod(col("doc_id"), lit(50)) === 0)
           .withColumn("text", reverse(col("text"))),
         "text", "doc_id", n = 3,
-        expectedItems = 2000000L * mult, fpp = 0.01).count())
+        expectedItems = 2000000L * mult, fpp = 0.01).count()),
+      // per-group top-k at mult×-deepened groups (expand keeps o_custkey, so
+      // each customer's order history grows mult×): the k-bounded partial
+      // aggregation shuffles ≤ k rows per (group, map partition)...
+      time(s"topk_group_x$mult")(operators.Sketches.topKPerGroup(
+        orders, Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3).count()),
+      // ...while the window plan exchanges the WHOLE table to sort each
+      // group — the gap between these two is the point of the Aggregator
+      time(s"topk_window_x$mult") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3).count()
+      }
     )
     val ran = results.flatten
     val qs = ran.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")

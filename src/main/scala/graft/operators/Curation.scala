@@ -75,6 +75,34 @@ object Curation {
     df.filter(pmod(hashCol, lit(denom.toLong)) < numer.toLong)
   }
 
+  /** Deterministic weighted sampling without replacement: keep the `k` rows
+    * with the smallest `priority = portableHash(id) div weight` (ties by
+    * id). For any threshold t below saturation,
+    * P(priority < t) = P(hash < t·w) = t·w/M — linear in the weight — so the
+    * k winners are a weight-proportional draw: the integer analog of
+    * Efraimidis–Spirakis `u^(1/w)` keys, chosen over the float form because
+    * integer division replays EXACTLY in any engine (the oracle restates it
+    * in SQL), where `ln`/`pow` float keys can flip a boundary row between
+    * engines. Zero/negative weights are excluded (a zero weight must never
+    * be drawn; it would also divide by zero).
+    *
+    * Plan shape: a pure projection + global top-k (TakeOrderedAndProject —
+    * per-partition top-k then a k-bounded merge, never a full sort).
+    */
+  def weightedPrioritySample(
+      df: DataFrame, idCol: String, weightCol: Column, k: Int): DataFrame = {
+    requireIntegralKey(df, idCol, "weightedPrioritySample")
+    require(k > 0)
+    df.withColumn("weight", weightCol.cast("long"))
+      .filter(col("weight") > 0)
+      // hash < 2^20 and weight ≥ 1: the double quotient is exact, so the
+      // cast IS integer division (replayed as `//` in the oracle)
+      .withColumn("priority",
+        (portableHash(col(idCol)) / col("weight")).cast("long"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Mixture sampling: per-group keep rates (e.g. upsample wiki, downsample
     * crawl) applied as ONE deterministic hash filter — `rates` maps group →
     * keep `numer` in `denom`. Groups absent from `rates` are dropped

@@ -93,6 +93,67 @@ object Sketches {
       Encoders.kryo[Map[String, Long]]
   }
 
+  /** Bounded-buffer per-group top-k: the buffer holds at most k (ord, id)
+    * pairs, kept sorted ord-descending with id-ascending tie-break. Because
+    * an Aggregator participates in PARTIAL aggregation, the shuffle carries
+    * at most k rows per group per map partition — where the window
+    * `row_number() <= k` plan shuffles EVERY row so each whole group can be
+    * sorted on one reducer. At corpus scale with small k that is the
+    * difference between a k-bounded exchange and a full-table one; the
+    * window plan remains right when k ~ group size (the buffer insert stops
+    * paying for itself).
+    */
+  class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0)
+    private val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    override def zero: List[(Double, Long)] = Nil
+    override def reduce(b: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] =
+      if (b.lengthCompare(k) >= 0 && ord.gteq(x, b.last)) b // below the cut
+      else {
+        val (before, after) = b.span(ord.lt(_, x))
+        (before ::: x :: after).take(k)
+      }
+    override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] = {
+      // merge two ≤k sorted lists, keep the k best
+      val out = List.newBuilder[(Double, Long)]
+      var (x, y, n) = (a, b, 0)
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && ord.lteq(x.head, y.head))) {
+          out += x.head; x = x.tail
+        } else { out += y.head; y = y.tail }
+        n += 1
+      }
+      out.result()
+    }
+    override def finish(b: List[(Double, Long)]): Seq[(Double, Long)] = b
+    override def bufferEncoder: Encoder[List[(Double, Long)]] =
+      Encoders.kryo[List[(Double, Long)]]
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Top `k` rows per group by `ordCol` (descending; ties break by `idCol`
+    * ascending), via [[TopKAgg]]'s k-bounded partial aggregation. Output:
+    * `groupCols…, idCol, ordCol (as double), rank` (1-based). Equivalent to
+    * the `row_number() <= k` window — oracle-gated as w9_topk_group — with
+    * the shuffle bounded at k per (group, map partition) instead of the
+    * whole table.
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], ordCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty)
+    val topk = udaf(new TopKAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topk(col(ordCol).cast("double"), col(idCol).cast("long")).as("_top"))
+      .select(groupCols.map(col) :+ posexplode(col("_top")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("col._2").as(idCol), col("col._1").as(ordCol),
+        (col("pos") + 1L).cast("long").as("rank")): _*)
+  }
+
   /** Top-k tokens by Misra–Gries summary count (see [[MisraGriesAgg]] for
     * the exact-vs-approximate regimes), total-ordered like [[ngramTop]].
     */

@@ -223,6 +223,25 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.keySet == Set(900L, 901L))
   }
 
+  test("weightedPrioritySample: weight-proportional, deterministic, zero weights never drawn") {
+    val docs = (1L to 5000L).map(i => (i, if (i % 2 == 0) 100L else 1L))
+      .toDF("doc_id", "w")
+      .union(Seq((9999L, 0L), (9998L, -5L)).toDF("doc_id", "w"))
+    val picked = Curation.weightedPrioritySample(docs, "doc_id", col("w"), k = 200)
+    val rows = picked.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == 200)
+    // excluded weights can never be drawn
+    assert(!rows.exists { case (id, _) => id == 9999L || id == 9998L })
+    // heavy rows (weight 100 vs 1) must dominate the draw overwhelmingly
+    val heavy = rows.count(_._2 == 100L)
+    assert(heavy > 180, s"expected weight-100 rows to dominate, got $heavy/200")
+    // deterministic and partitioning-invariant (it feeds downstream mixes)
+    val again = Curation.weightedPrioritySample(
+      docs.repartition(13), "doc_id", col("w"), k = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.toSet == again.toSet)
+  }
+
   test("span dedup drops repeated spans corpus-wide, first occurrence wins") {
     import spark.implicits._
     val docs = Seq(

@@ -199,4 +199,30 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(!Sketches.hllSliceBoundViolations(
       events, col("day"), col("user_id"), lgK = 4, boundPctX10 = 0).isEmpty)
   }
+
+  test("topKPerGroup equals the window row_number plan: random data, ties, k past group size") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random values WITH planted ties (v repeats mod 17)
+    val rows = (1 to 2000).map { i =>
+      (i % 37, i.toLong, ((i * 2654435761L) % 17L).toDouble)
+    }.toDF("g", "id", "v")
+      // small groups too: group 999 has a single row, exercising k > size
+      .union(Seq((999, 100001L, 5.0)).toDF("g", "id", "v"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    for (k <- Seq(1, 3, 50)) {
+      val want = canon(rows.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k).select("g", "id", "v", "rank"))
+      val got = canon(Sketches.topKPerGroup(rows, Seq("g"), "v", "id", k)
+        .select("g", "id", "v", "rank"))
+      assert(got == want, s"k=$k")
+    }
+    // repartitioning (different partial-aggregation splits) never changes it
+    val k3 = canon(Sketches.topKPerGroup(rows.repartition(17), Seq("g"), "v", "id", 3)
+      .select("g", "id", "v", "rank"))
+    assert(k3 == canon(rows.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3).select("g", "id", "v", "rank")))
+  }
 }
