@@ -652,6 +652,22 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
     }),
+    // data-quality constraint gate: row-level checks (not-null, range,
+    // domain) fold into ONE partial-aggregated scan; the referential check
+    // rides the same pass by left-joining the parent's distinct keys first
+    // and asserting the carried key non-null. Output = the audit report a
+    // load pipeline gates on
+    "s24_constraints" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val parentKeys = broadcast(
+        t(s, d, "customer").select(col("c_custkey")).distinct())
+      val joined = o.join(parentKeys, col("o_custkey") === col("c_custkey"), "left")
+      graft.operators.Quality.constraintReport(joined, Seq(
+        "orderkey_not_null" -> col("o_orderkey").isNotNull,
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "custkey_fk" -> col("c_custkey").isNotNull))
+    }),
     // SCD Type-2 + point-in-time join: each user's 'view' events are a
     // profile change log; scd2History tiles them into validity intervals
     // (one key shuffle) and every 'purchase' fact is enriched with the
@@ -2042,6 +2058,10 @@ object SparkEntry {
     // plus the re-keyed inserts
     "s22_cdc_merge" ->
       "SELECT o_orderstatus, count(*) AS n, sum(price) AS sum_price FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders WHERE o_orderkey % 20 != 0 UNION ALL SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 1",
+    // the audit report replayed as one aggregate + a 4-way union; NULL
+    // predicate results count as violations on both sides
+    "s24_constraints" ->
+      "WITH j AS (SELECT o.*, c.c_custkey AS fk FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey), t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1, CAST(coalesce(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2, CAST(coalesce(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3, CAST(coalesce(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4 FROM j) SELECT 'orderkey_not_null' AS check_name, v1 AS n_violations, n_rows, v1 * 1000000 // n_rows AS violation_ppm FROM t UNION ALL SELECT 'totalprice_positive', v2, n_rows, v2 * 1000000 // n_rows FROM t UNION ALL SELECT 'status_domain', v3, n_rows, v3 * 1000000 // n_rows FROM t UNION ALL SELECT 'custkey_fk', v4, n_rows, v4 * 1000000 // n_rows FROM t",
     // SCD2 point-in-time: the oracle builds the same tiled lead() intervals
     // (same-instant losers are the zero-width rows the WHERE drops) and
     // containment-joins the purchase facts — the as-of plan must agree

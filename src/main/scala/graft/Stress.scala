@@ -556,6 +556,20 @@ object Stress {
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         orders.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3).count()
+      },
+      // constraint audit: all row-level checks + the FK probe in one
+      // partial-aggregated pass over the mult×-expanded table — cost must
+      // track the scan, never #checks passes
+      time(s"constraints_x$mult") {
+        val parentKeys = broadcast(
+          Tables(spark, sfDir, "customer").select(col("c_custkey")).distinct())
+        operators.Quality.constraintReport(
+          orders.join(parentKeys, col("o_custkey") === col("c_custkey"), "left"),
+          Seq(
+            "orderkey_not_null" -> col("o_orderkey").isNotNull,
+            "totalprice_positive" -> (col("o_totalprice") > 0),
+            "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_fk" -> col("c_custkey").isNotNull)).count()
       }
     )
     val ran = results.flatten

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints (the Deequ-shaped gate): row-level
+  * predicates audited in ONE pass over the table, plus the two checks a
+  * row-local predicate cannot express — key uniqueness and referential
+  * integrity — as the aggregations they actually are.
+  *
+  * The reference runs exactly these checks procedurally at load time:
+  * schema/width reconciliation before a table is (re)created (ref
+  * lib03_Update_Metadata.py's column-vs-spec diff), NOT-NULL id columns
+  * implied by the CSPro id items, and existence probes against already-
+  * loaded surveys (ref lib04_Update_Table_Data.py:509-541's skip-if-done).
+  * Here they are data, not control flow: a report frame a pipeline can
+  * gate on, alert on, or store next to the load.
+  *
+  * Scale shape: [[constraintReport]] is a single partial-aggregated scan
+  * whatever the constraint count (every check is a conditional count in the
+  * same aggregate — adding a check adds a column, not a pass);
+  * [[uniquenessViolations]] is one key shuffle; [[referentialViolations]]
+  * one anti join (broadcast when the parent's key side is small, e.g.
+  * dimension tables).
+  */
+object Quality {
+
+  /** One row per named constraint: rows audited, rows violating, and the
+    * violation share in ppm (integer — exact, hash-gate-stable). A
+    * constraint is a row-level Column predicate that is TRUE when the row
+    * PASSES. NULL predicate results count as violations (a check that
+    * cannot evaluate did not pass — the conservative read for gating).
+    *
+    * One pass: all constraints fold into a single aggregate; the long-form
+    * report is a bounded (#constraints-row) explode of that 1-row frame.
+    */
+  def constraintReport(
+      df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "no constraints given")
+    require(constraints.map(_._1).distinct.size == constraints.size,
+      "constraint names must be unique")
+    val aggs = count(lit(1)).as("_rows") +:
+      constraints.map { case (name, pass) =>
+        sum(when(coalesce(pass, lit(false)), 0L).otherwise(1L)).as(s"_v_$name")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("_rows"), explode(array(constraints.map { case (name, _) =>
+        struct(lit(name).as("check_name"), col(s"_v_$name").as("n_violations"))
+      }: _*)).as("c"))
+      // integer ppm: counts ≤ 2^53/1e6 keep the double product exact, so
+      // floor IS integer division (`//` in the oracle); `/` on longs in
+      // Spark SQL returns double, which would hash-drift vs any engine
+      // computing the exact ratio differently
+      .select(col("c.check_name").as("check_name"),
+        col("c.n_violations").as("n_violations"),
+        col("_rows").as("n_rows"),
+        when(col("_rows") === 0L, 0L)
+          .otherwise(floor(col("c.n_violations") * 1000000L / col("_rows")).cast("long"))
+          .as("violation_ppm"))
+  }
+
+  /** Keys of `df` that appear more than once: (key cols…, n_copies). Empty
+    * ⇔ the key is unique. One key shuffle (partial-agg count), answer-sized
+    * output.
+    */
+  def uniquenessViolations(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1L)
+  }
+
+  /** Child rows whose foreign key matches no parent row, as
+    * (child key value, n_orphans). SQL NULL semantics on purpose: NULL
+    * foreign keys are reported in their own group (a NULL FK matches
+    * nothing — whether that is legal is a separate [[constraintReport]]
+    * not-null check). Anti join on the parent's DISTINCT keys — broadcast
+    * by Catalyst when the parent is dimension-sized.
+    */
+  def referentialViolations(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_anti")
+      .groupBy(col(childKey))
+      .agg(count(lit(1)).as("n_orphans"))
+
+  /** Gate form: throw if any constraint in the report has violations
+    * (pipelines that must stop a bad load rather than record it). Bounded
+    * collect: the report has one row per constraint.
+    */
+  def requireConstraints(
+      df: DataFrame, constraints: Seq[(String, Column)]): Unit = {
+    val bad = constraintReport(df, constraints)
+      .filter(col("n_violations") > 0L)
+      .collect()
+    require(bad.isEmpty,
+      "constraint violations: " + bad.map(r =>
+        s"${r.getAs[String]("check_name")}=${r.getAs[Long]("n_violations")}").mkString(", "))
+  }
+}

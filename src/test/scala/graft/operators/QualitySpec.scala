@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("constraintReport: planted violations counted, NULL predicate = violation, integer ppm") {
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "O"), (2L, -5.0, "F"), (3L, null, "X"),
+      (null, 20.0, "O"), (5L, 30.0, "P"))
+      .toDF("id", "price", "status")
+    val rep = Quality.constraintReport(df, Seq(
+      "id_not_null" -> col("id").isNotNull,
+      "price_positive" -> (col("price") > 0), // NULL price → NULL predicate → violation
+      "status_domain" -> col("status").isin("O", "F", "P")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("id_not_null") == (1L, 5L, 200000L))
+    assert(rep("price_positive") == (2L, 5L, 400000L)) // the -5 AND the null
+    assert(rep("status_domain") == (1L, 5L, 200000L))
+  }
+
+  test("constraintReport folds every check into one aggregate (one scan, one exchange)") {
+    val df = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    val plan = Quality.constraintReport(df, Seq(
+      "a" -> col("id").isNotNull, "b" -> (col("v") > 0), "c" -> (col("id") < 1000)))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert("Scan".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("uniquenessViolations: duplicate keys surface with copy counts; unique table empty") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (3L, "e"), (3L, "f"))
+      .toDF("k", "v")
+    val got = Quality.uniquenessViolations(df, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 3L))
+    assert(Quality.uniquenessViolations(df.dropDuplicates("k"), Seq("k")).isEmpty)
+  }
+
+  test("referentialViolations: orphans grouped per key, NULL FKs in their own group") {
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (7L, "orphan"), (7L, "orphan2"), (null, "nofk"))
+      .toDF("fk", "v")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = Quality.referentialViolations(child, "fk", parent, "pk")
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getLong(1)).toMap
+    assert(got == Map(Some(7L) -> 2L, None -> 1L))
+  }
+
+  test("requireConstraints throws naming the failing check; passes clean") {
+    val df = Seq((1L, 1.0), (2L, -1.0)).toDF("id", "v")
+    Quality.requireConstraints(df, Seq("id_not_null" -> col("id").isNotNull))
+    val e = intercept[IllegalArgumentException] {
+      Quality.requireConstraints(df, Seq("v_positive" -> (col("v") > 0)))
+    }
+    assert(e.getMessage.contains("v_positive=1"))
+  }
+}
