@@ -688,6 +688,23 @@ object SparkEntry {
           Seq("profile_value", "change_id", "effective_from"))
         .filter(col("change_id").isNotNull)
     }),
+    // incremental SCD2: the dimension is built from 2/3 of the change log,
+    // then the remaining third — including out-of-order history rewrites —
+    // applies through scd2Apply (only affected keys replay). The result
+    // must equal the full-history build, which is what the oracle states
+    "s25_scd2_apply" -> ((s, d) => {
+      val views = t(s, d, "events").filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("change_id"), col("value").as("profile_value"))
+      val base = graft.load.Warehouse.scd2History(
+        views.filter(pmod(col("change_id"), lit(3)) =!= 0),
+        Seq("user_id"), "ts", Seq("change_id"))
+      graft.load.Warehouse.scd2Apply(
+          base, views.filter(pmod(col("change_id"), lit(3)) === 0),
+          Seq("user_id"), "ts", Seq("change_id"))
+        .select(col("user_id"), col("change_id"), col("profile_value"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+    }),
     // dynamic partition overwrite: events land hive-partitioned by day; the
     // MIN day is re-loaded with doubled values through
     // overwritePartitionsDynamic. The require() pins the operator's whole
@@ -2068,6 +2085,10 @@ object SparkEntry {
     // exactly, including inclusive effective_from and the open current row
     "j14_scd2_pit" ->
       "WITH dim AS (SELECT user_id, event_id AS change_id, value AS profile_value, ts AS effective_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to FROM events WHERE event_type = 'view'), tiled AS (SELECT * FROM dim WHERE effective_to IS NULL OR effective_to > effective_from) SELECT f.event_id AS fact_id, f.user_id, f.ts, f.value AS amount, d.profile_value, d.change_id, d.effective_from FROM events f JOIN tiled d ON f.user_id = d.user_id AND f.ts >= d.effective_from AND (d.effective_to IS NULL OR f.ts < d.effective_to) WHERE f.event_type = 'purchase'",
+    // incremental apply ≡ the full-history build: same tiled lead()
+    // intervals over the WHOLE change log
+    "s25_scd2_apply" ->
+      "WITH dim AS (SELECT user_id, event_id AS change_id, value AS profile_value, ts AS effective_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to FROM events WHERE event_type = 'view') SELECT user_id, change_id, profile_value, effective_from, effective_to, effective_to IS NULL AS is_current FROM dim WHERE effective_to IS NULL OR effective_to > effective_from",
     // the dynamically re-loaded day carries doubled values; every other day
     // is untouched (the file-set require() in the query pins the physical
     // side the SQL cannot see)

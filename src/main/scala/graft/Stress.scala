@@ -509,6 +509,20 @@ object Stress {
             .select(col("event_id").as("fact_id"), col("user_id"), col("ts")),
           dim, "user_id", "ts", Seq("profile_value", "change_id")).count()
       },
+      // incremental SCD2: a third of the mult×-deep change log arrives as
+      // the late batch — affected keys replay, the rest pass through; cost
+      // must track the replayed slice + one semi/anti join, not a rebuild
+      time(s"scd2_apply_x$mult") {
+        val views = events.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("change_id"), col("value").as("profile_value"))
+        val base = load.Warehouse.scd2History(
+          views.filter(pmod(col("change_id"), lit(3)) =!= 0),
+          Seq("user_id"), "ts", Seq("change_id"))
+        load.Warehouse.scd2Apply(
+          base, views.filter(pmod(col("change_id"), lit(3)) === 0),
+          Seq("user_id"), "ts", Seq("change_id")).count()
+      },
       // adaptive skew join: a third of the mult×-expanded orders folded onto
       // ONE hot customer key — sampled detection + heavy-only salting must
       // keep reducers balanced while light keys skip the explode entirely

@@ -389,6 +389,32 @@ object Warehouse {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** Incremental SCD2 maintenance: apply a batch of new changes to an
+    * existing [[scd2History]] table without rebuilding it. Only the keys
+    * PRESENT in the batch replay (their stored rows ARE the original change
+    * records — the interval columns just drop off and re-derive), every
+    * other key's rows pass through untouched — so a daily batch touching
+    * 0.1% of keys costs one semi/anti join plus a window over that 0.1%,
+    * not a full-history rebuild. Late (out-of-order) changes are exact for
+    * the same reason: the affected key's whole history re-tiles.
+    *
+    * Idempotent: re-applying a batch collapses the duplicate same-instant
+    * rows via the zero-width drop, leaving the history unchanged —
+    * the replayable-load property the reference's skip-if-done re-runs
+    * guarantee procedurally (ref lib04_Update_Table_Data.py:509-541).
+    */
+  def scd2Apply(
+      existing: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], tsCol: String, tieBreakCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val affected = changes.select(keyCols.map(col): _*).distinct()
+    val untouched = existing.join(affected, keyCols, "left_anti")
+    val replayed = existing.join(affected, keyCols, "left_semi")
+      .drop("effective_from", "effective_to", "is_current")
+      .unionByName(changes)
+    untouched.unionByName(scd2History(replayed, keyCols, tsCol, tieBreakCols))
+  }
+
   /** Point-in-time join: each fact row enriched with the dimension version
     * in effect at its timestamp (`effective_from <= factTs < effective_to`,
     * open interval = no upper bound). Left-outer: facts before the key's

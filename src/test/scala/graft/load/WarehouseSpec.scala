@@ -347,6 +347,29 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(inHole.count() == 40 && inHole.filter(col("attr").isNotNull).count() == 0)
   }
 
+  test("scd2Apply: incremental ≡ full rebuild under out-of-order batches; idempotent; untouched keys pass through") {
+    import org.apache.spark.sql.functions.col
+    val all = (1 to 30).flatMap(k => (1 to 6).map(v =>
+      (k.toLong, ts(f"2024-01-${v * 3}%02d 09:00:00"), (k * 10 + v).toLong, s"v$v")))
+      .toDF("k", "t", "change_id", "attr")
+    // batch 2 is out-of-order: versions 2 and 5 arrive AFTER 1,3,4,6 —
+    // their keys' histories must re-tile around them exactly
+    val first = all.filter(col("change_id") % 10 =!= 2 && col("change_id") % 10 =!= 5)
+    val late = all.filter(col("change_id") % 10 === 2 || col("change_id") % 10 === 5)
+      // ...and only for half the keys, so the other half must pass through
+      .filter(col("k") <= 15)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "change_id", "attr", "effective_from", "effective_to", "is_current")
+        .collect().map(_.toSeq).toSet
+    val base = Warehouse.scd2History(first, Seq("k"), "t", Seq("change_id"))
+    val applied = Warehouse.scd2Apply(base, late, Seq("k"), "t", Seq("change_id"))
+    val rebuilt = Warehouse.scd2History(first.unionByName(late), Seq("k"), "t", Seq("change_id"))
+    assert(canon(applied) == canon(rebuilt))
+    // idempotent: re-applying the same batch changes nothing
+    assert(canon(Warehouse.scd2Apply(applied, late, Seq("k"), "t", Seq("change_id")))
+      == canon(applied))
+  }
+
   test("overwritePartitionsDynamic replaces only the written partitions") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("dynow").toString
