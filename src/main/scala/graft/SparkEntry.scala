@@ -909,6 +909,25 @@ object SparkEntry {
       ss.read.parquet(state.get)
         .select(col("user_id"), col("ts").as("last_ts"), col("event_type"), col("value"))
     }),
+    // streaming constraint audit: per-micro-batch one-pass reports summed
+    // into the stream-lifetime audit — counts are additive, so the
+    // converged report equals the batch audit of the whole table (the
+    // oracle); multi-batch additivity is spec-pinned (EventStreamSpec)
+    "e_stream_constraints" -> ((s, d) => {
+      val ss = graft.streaming.EventStream.streamSession(s)
+      val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
+      val reportDir = java.nio.file.Files.createTempDirectory("audit_report")
+      deleteRecursivelyOnExit(reportDir)
+      val ckpt = java.nio.file.Files.createTempDirectory("audit_ckpt")
+      deleteRecursivelyOnExit(ckpt)
+      graft.streaming.EventStream.streamConstraintAudit(stream, Seq(
+          "user_not_null" -> col("user_id").isNotNull,
+          "ts_not_null" -> col("ts").isNotNull,
+          "type_domain" -> col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"),
+          "value_finite" -> (abs(col("value")) < lit(1e12))),
+        reportDir.toString, ckpt.toString)
+    }),
     // streaming windowed distinct-users via HLL sketch STATE: the sketch is
     // the aggregation buffer, so streaming state per window is one sketch
     // (lgK-fixed KBs), never a distinct-user set. Estimates are
@@ -2085,6 +2104,9 @@ object SparkEntry {
     // exactly, including inclusive effective_from and the open current row
     "j14_scd2_pit" ->
       "WITH dim AS (SELECT user_id, event_id AS change_id, value AS profile_value, ts AS effective_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to FROM events WHERE event_type = 'view'), tiled AS (SELECT * FROM dim WHERE effective_to IS NULL OR effective_to > effective_from) SELECT f.event_id AS fact_id, f.user_id, f.ts, f.value AS amount, d.profile_value, d.change_id, d.effective_from FROM events f JOIN tiled d ON f.user_id = d.user_id AND f.ts >= d.effective_from AND (d.effective_to IS NULL OR f.ts < d.effective_to) WHERE f.event_type = 'purchase'",
+    // the stream-lifetime audit ≡ one batch aggregate over the whole table
+    "e_stream_constraints" ->
+      "WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1, CAST(coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2, CAST(coalesce(sum(CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3, CAST(coalesce(sum(CASE WHEN NOT coalesce(abs(value) < 1000000000000.0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4 FROM events) SELECT 'user_not_null' AS check_name, v1 AS n_violations, n_rows, v1 * 1000000 // n_rows AS violation_ppm FROM t UNION ALL SELECT 'ts_not_null', v2, n_rows, v2 * 1000000 // n_rows FROM t UNION ALL SELECT 'type_domain', v3, n_rows, v3 * 1000000 // n_rows FROM t UNION ALL SELECT 'value_finite', v4, n_rows, v4 * 1000000 // n_rows FROM t",
     // incremental apply ≡ the full-history build: same tiled lead()
     // intervals over the WHOLE change log
     "s25_scd2_apply" ->

@@ -39,9 +39,12 @@ object Quality {
     require(constraints.nonEmpty, "no constraints given")
     require(constraints.map(_._1).distinct.size == constraints.size,
       "constraint names must be unique")
+    // coalesce: sum over an EMPTY frame is NULL — an empty batch must audit
+    // as (0 rows, 0 violations), not nulls (the streaming face sums reports)
     val aggs = count(lit(1)).as("_rows") +:
       constraints.map { case (name, pass) =>
-        sum(when(coalesce(pass, lit(false)), 0L).otherwise(1L)).as(s"_v_$name")
+        coalesce(sum(when(coalesce(pass, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"_v_$name")
       }
     df.agg(aggs.head, aggs.tail: _*)
       .select(col("_rows"), explode(array(constraints.map { case (name, _) =>

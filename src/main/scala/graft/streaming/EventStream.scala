@@ -345,6 +345,37 @@ object EventStream {
         write(batch.toDF(), batchId))
       .start()
 
+  /** Streaming constraint audit: run the one-pass
+    * [[graft.operators.Quality.constraintReport]] per micro-batch, append
+    * each batch's counts to a report table, and return the stream-lifetime
+    * report. Counts are ADDITIVE across batches (each check row carries its
+    * batch's row count), so the converged report equals the batch audit of
+    * the whole stream — micro-batch-split-independent, which is what makes
+    * it an oracle-checkable streaming face (e_stream_constraints). The ppm
+    * share is recomputed over the summed counts, never averaged.
+    *
+    * Per-batch reports are answer-sized (#constraints rows), so the report
+    * table stays KB-scale over any stream lifetime; `batch_id` rides along
+    * for replay-dedup on restart, standard [[foreachBatchIngest]] contract.
+    */
+  def streamConstraintAudit(
+      events: DataFrame,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      reportDir: String, checkpointDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = foreachBatchIngest(events, checkpointDir, (batch, batchId) =>
+      graft.operators.Quality.constraintReport(batch, constraints)
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("append").parquet(reportDir))
+    q.awaitTermination()
+    spark.read.parquet(reportDir)
+      .groupBy(col("check_name"))
+      .agg(sum(col("n_violations")).as("n_violations"), sum(col("n_rows")).as("n_rows"))
+      .withColumn("violation_ppm",
+        when(col("n_rows") === 0L, 0L)
+          .otherwise(floor(col("n_violations") * 1000000L / col("n_rows")).cast("long")))
+  }
+
   /** Streaming CDC materialization: maintain a latest-row-per-key state
     * table across micro-batches. Each batch is first reduced to its own
     * latest row per key, then merged into the persisted state via

@@ -343,6 +343,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 4L, "c"), (2L, 5L, "tie-hi"), (3L, 10L, "late")))
   }
 
+  test("streaming constraint audit: multi-batch sums equal the whole-table batch report") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("saudit").toString
+    // violations spread ACROSS batches so only correct summation passes:
+    // file 1 has a negative value, file 3 a null user and a bad type
+    val files = Seq(
+      Seq((1L, ts("2024-01-01 10:00:00"), java.lang.Long.valueOf(1L), "view", -5.0)),
+      Seq((2L, ts("2024-01-01 10:01:00"), java.lang.Long.valueOf(2L), "click", 1.0),
+        (3L, ts("2024-01-01 10:02:00"), java.lang.Long.valueOf(3L), "view", 2.0)),
+      Seq((4L, ts("2024-01-01 10:03:00"), null.asInstanceOf[java.lang.Long], "view", 3.0),
+        (5L, ts("2024-01-01 10:04:00"), java.lang.Long.valueOf(5L), "bogus", 4.0)))
+    files.foreach(evs =>
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
+    val constraints = Seq(
+      "user_not_null" -> col("user_id").isNotNull,
+      "type_domain" -> col("event_type").isin("view", "click"),
+      "value_positive" -> (col("value") > 0))
+    val stream = readEvents(spark, s"$tmp/in", Map("maxFilesPerTrigger" -> "1"))
+    val got = streamConstraintAudit(stream, constraints, s"$tmp/report", s"$tmp/ckpt")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // it REALLY ran as 3 micro-batches (one report row set per batch)
+    val batches = spark.read.parquet(s"$tmp/report")
+      .select("batch_id").distinct().count()
+    assert(batches == 3, s"expected 3 micro-batches, got $batches")
+    assert(got == Map(
+      "user_not_null" -> (1L, 5L, 200000L),
+      "type_domain" -> (1L, 5L, 200000L),
+      "value_positive" -> (1L, 5L, 200000L)))
+    // ...and equals the one-pass batch audit of the same table
+    val batch = graft.operators.Quality.constraintReport(
+      spark.read.parquet(s"$tmp/in"), constraints)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == batch)
+  }
+
   test("streaming CDC: a retained tombstone blocks resurrection by a later-arriving OLDER update") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("scdc").toString
