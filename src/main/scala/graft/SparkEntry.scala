@@ -688,6 +688,21 @@ object SparkEntry {
           Seq("profile_value", "change_id", "effective_from"))
         .filter(col("change_id").isNotNull)
     }),
+    // change feed reconstructed from two table states: the s22 mutation
+    // family (re-price / delete / re-keyed insert) recovered as U/D/I rows
+    // by the full-outer state diff — no writer log needed;
+    // applyCdc(old, diff) ≡ new is the spec-pinned law
+    "s26_snapshot_diff" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val newState = orders.filter(col("o_orderkey") % 20 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + lit(100000.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1))
+      graft.load.Warehouse.snapshotDiff(orders, newState, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("op"))
+    }),
     // incremental SCD2: the dimension is built from 2/3 of the change log,
     // then the remaining third — including out-of-order history rewrites —
     // applies through scd2Apply (only affected keys replay). The result
@@ -2107,6 +2122,11 @@ object SparkEntry {
     // the stream-lifetime audit ≡ one batch aggregate over the whole table
     "e_stream_constraints" ->
       "WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1, CAST(coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2, CAST(coalesce(sum(CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3, CAST(coalesce(sum(CASE WHEN NOT coalesce(abs(value) < 1000000000000.0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4 FROM events) SELECT 'user_not_null' AS check_name, v1 AS n_violations, n_rows, v1 * 1000000 // n_rows AS violation_ppm FROM t UNION ALL SELECT 'ts_not_null', v2, n_rows, v2 * 1000000 // n_rows FROM t UNION ALL SELECT 'type_domain', v3, n_rows, v3 * 1000000 // n_rows FROM t UNION ALL SELECT 'value_finite', v4, n_rows, v4 * 1000000 // n_rows FROM t",
+    // the deterministic mutation family restated directly: re-priced
+    // non-deleted tenths are U (new price), deleted twentieths D (old
+    // price), re-keyed hundredths I
+    "s26_snapshot_diff" ->
+      "SELECT o_orderkey, o_totalprice + 100000.0 AS o_totalprice, 'U' AS op FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 != 0 UNION ALL SELECT o_orderkey, o_totalprice, 'D' FROM orders WHERE o_orderkey % 20 = 0 UNION ALL SELECT -o_orderkey - 1, o_totalprice, 'I' FROM orders WHERE o_orderkey % 100 = 0",
     // incremental apply ≡ the full-history build: same tiled lead()
     // intervals over the WHOLE change log
     "s25_scd2_apply" ->

@@ -509,6 +509,16 @@ object Stress {
             .select(col("event_id").as("fact_id"), col("user_id"), col("ts")),
           dim, "user_id", "ts", Seq("profile_value", "change_id")).count()
       },
+      // state diff at scale: two mult×-size order states full-outer-diffed
+      // on the key — cost is the one key shuffle; output is answer-sized
+      // (only the mutated keys)
+      time(s"snapshot_diff_x$mult") {
+        val newState = orders.filter(col("o_orderkey") % 20 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 10 === 0, col("o_totalprice") + lit(100000.0))
+              .otherwise(col("o_totalprice")))
+        load.Warehouse.snapshotDiff(orders, newState, Seq("o_orderkey")).count()
+      },
       // incremental SCD2: a third of the mult×-deep change log arrives as
       // the late batch — affected keys replay, the rest pass through; cost
       // must track the replayed slice + one semi/anti join, not a rebuild

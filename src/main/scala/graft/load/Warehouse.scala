@@ -133,6 +133,43 @@ object Warehouse {
       .drop(opCol)
   }
 
+  /** Change feed reconstructed from two table STATES (the writer kept no
+    * log): keys full-outer-joined, each key emitting at most one change row
+    * — absent-in-new `D`, absent-in-old `I`, both-present-but-different `U`
+    * (null-safe struct compare over the non-key columns), identical rows
+    * emitting nothing. Output carries the new side's values (`D` rows carry
+    * the old values — the tombstone's last-known state) plus the `op`
+    * column, so `applyCdc(old, diff withColumn version)` reconstructs `new`
+    * EXACTLY (spec-pinned law). One key shuffle, answer-sized output —
+    * diffing two 100 TB snapshots costs the join, the feed itself is only
+    * the changed keys.
+    */
+  def snapshotDiff(
+      old: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, when, lit, coalesce}
+    require(old.columns.sorted.sameElements(newDf.columns.sorted),
+      s"schemas differ: ${old.columns.toSeq} vs ${newDf.columns.toSeq}")
+    require(!old.columns.contains(opCol), s"'$opCol' collides with a data column")
+    val valCols = old.columns.toSeq.filterNot(keyCols.contains)
+    val o = old.select(struct(keyCols.map(col): _*).as("_k"),
+      struct(valCols.map(col): _*).as("_vo"))
+    val n = newDf.select(struct(keyCols.map(col): _*).as("_k"),
+      struct(valCols.map(col): _*).as("_vn"))
+    o.join(n, Seq("_k"), "full_outer")
+      .withColumn(opCol,
+        when(col("_vn").isNull, "D")
+          .when(col("_vo").isNull, "I")
+          .when(!(col("_vo") <=> col("_vn")), "U"))
+      .filter(col(opCol).isNotNull)
+      // branch on the SIDE (whole struct), not per column — a U row whose
+      // new value is legitimately NULL must not resurrect the old value
+      .select(keyCols.map(c => col(s"_k.$c").as(c)) ++
+        valCols.map(c => when(col("_vn").isNull, col(s"_vo.$c"))
+          .otherwise(col(s"_vn.$c")).as(c)) :+
+        col(opCol): _*)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * `ceil(totalBytes / targetFileBytes)` files. The lakehouse maintenance
     * op that keeps scan planning healthy — streaming ingest and per-batch

@@ -370,6 +370,36 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       == canon(applied))
   }
 
+  test("snapshotDiff: U/D/I recovered, null-valued updates exact, applyCdc(old, diff) reconstructs new") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val old = Seq[(Long, java.lang.Double, String)](
+      (1L, 10.0, "keep"), (2L, 20.0, "upd"), (3L, 30.0, "del"), (4L, null, "tonull"))
+      .toDF("k", "price", "tag")
+    val nu = Seq[(Long, java.lang.Double, String)](
+      (1L, 10.0, "keep"),          // unchanged → no row
+      (2L, 25.0, "upd"),           // U
+      (4L, null, "tonull2"),       // U via the string col, price stays null
+      (5L, 50.0, "ins"),           // I
+      (6L, null, "insnull"))       // I with a null value
+      .toDF("k", "price", "tag")
+    val diff = Warehouse.snapshotDiff(old, nu, Seq("k"))
+    val got = diff.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      (2L, Some(25.0), "upd", "U"),
+      (3L, Some(30.0), "del", "D"),   // tombstone carries last-known state
+      (4L, None, "tonull2", "U"),     // new null NOT resurrected to old
+      (5L, Some(50.0), "ins", "I"),
+      (6L, None, "insnull", "I")))
+    // the law: applying the reconstructed feed to old yields new exactly
+    val rebuilt = Warehouse.applyCdc(
+      old.withColumn("version", lit(1L)),
+      diff.withColumn("version", lit(2L)),
+      Seq("k"), Seq("version"), "op")
+      .drop("version")
+    assert(rebuilt.except(nu).isEmpty && nu.except(rebuilt).isEmpty)
+  }
+
   test("overwritePartitionsDynamic replaces only the written partitions") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("dynow").toString
