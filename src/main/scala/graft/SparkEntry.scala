@@ -1441,6 +1441,24 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
     }),
+    // bounded-staleness as-of: each purchase matched to the user's most
+    // recent click, but a click older than 2 h is no match (nulled) —
+    // inner-filtered here so the oracle is the windowed containment join.
+    // Same-instant clicks collapse to max(event_id) per the asOfWithin tie
+    // contract
+    "j16_asof_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("c_user"), col("click_ts"), col("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("fact_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOfWithin(
+          purchases, clicks.withColumnRenamed("c_user", "user_id"),
+          "user_id", "ts", "click_ts", Seq("click_id"), maxAgeSeconds = 7200L)
+        .filter(col("click_id").isNotNull)
+    }),
     // adaptive (heavy-key-only) salting: a third of orders are folded onto
     // custkey 1 — sampled detection must find the planted hot key (the
     // require() pins routing actually engages), light keys join unsalted,
@@ -2177,6 +2195,11 @@ object SparkEntry {
       "SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_size = 1 GROUP BY 1",
     "j15_adaptive_skew" ->
       "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS custkey, o_totalprice FROM orders) o JOIN customer c ON o.custkey = c.c_custkey GROUP BY 1",
+    // latest click ≤ purchase ts, then the 2 h staleness cut — the latest
+    // being stale means every other candidate is staler, so cutting after
+    // rn=1 equals cutting in the join
+    "j16_asof_tolerance" ->
+      "WITH c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2), f AS (SELECT event_id AS fact_id, user_id, ts FROM events WHERE event_type = 'purchase'), j AS (SELECT f.fact_id, f.user_id, f.ts, c.click_id, c.click_ts, row_number() OVER (PARTITION BY f.fact_id ORDER BY c.click_ts DESC) AS rn FROM f JOIN c ON f.user_id = c.user_id AND c.click_ts <= f.ts) SELECT fact_id, user_id, ts, click_id, click_ts FROM j WHERE rn = 1 AND click_ts >= ts - INTERVAL 2 HOUR",
     "s_knn_brute" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // nprobe = #centroids probes every bucket → identical to brute force

@@ -64,4 +64,35 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++ rightCols.map(c => col("_p").getField(c).as(c)): _*)
   }
+
+  /** [[asOf]] with a STALENESS bound: the carried match is nulled when the
+    * as-of row is older than `maxAgeSeconds` before the left time — the
+    * feature-store lookup ("latest value, but a reading staler than X is no
+    * reading"). Left-outer like [[asOf]]; the right time column is always
+    * carried (callers need it to reason about staleness) and must be named
+    * in `rightCols` or not collide.
+    *
+    * Same one-key-shuffle union-window plan — the age check is a pure
+    * post-projection, so bounding staleness costs nothing over [[asOf]],
+    * where the equivalent theta join (`r.ts BETWEEN l.ts - maxAge AND
+    * l.ts`) pays per-key candidate pairs.
+    *
+    * CALLER CONTRACT on ties: rows on the right sharing an exact (key,
+    * time) make "the" as-of row ambiguous — collapse them first (e.g.
+    * per-(key, time) max of a tie-break id) so the carried payload is
+    * deterministic.
+    */
+  def asOfWithin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTimeCol: String, rightTimeCol: String,
+      rightCols: Seq[String], maxAgeSeconds: Long): DataFrame = {
+    require(maxAgeSeconds >= 0)
+    val carried = (rightCols :+ rightTimeCol).distinct
+    val joined = asOf(left, right, keyCol, leftTimeCol, rightTimeCol, carried)
+    val fresh = unix_micros(col(rightTimeCol).cast("timestamp")) >=
+      unix_micros(col(leftTimeCol).cast("timestamp")) - maxAgeSeconds * 1000000L
+    joined.select(
+      left.columns.map(col).toSeq ++
+        carried.map(c => when(fresh, col(c)).as(c)): _*)
+  }
 }

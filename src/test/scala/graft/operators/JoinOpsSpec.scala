@@ -32,6 +32,27 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(5L).contains(20.0)) // "at or before" includes the same instant
   }
 
+  test("asOfWithin: stale matches null out, boundary-exact at maxAge, fresh pass through") {
+    val facts = Seq(
+      (1L, 1L, ts("2024-01-01 12:00:00")), // latest click 11:00 → fresh at 1h cap... see below
+      (2L, 1L, ts("2024-01-01 14:00:01")), // latest click 13:00:00 → 3601 s: ONE second too stale
+      (3L, 1L, ts("2024-01-01 14:00:00")), // exactly maxAge after 13:00 → still fresh (inclusive)
+      (4L, 2L, ts("2024-01-01 10:00:00"))  // user 2 has no clicks → null (left outer)
+    ).toDF("fact_id", "user_id", "ts")
+    val clicks = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 100L),
+      (1L, ts("2024-01-01 13:00:00"), 200L)
+    ).toDF("user_id", "click_ts", "click_id")
+    val out = AsOfJoin.asOfWithin(facts, clicks, "user_id", "ts", "click_ts",
+      Seq("click_id"), maxAgeSeconds = 3600L)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(1L).contains(100L)) // 11:00 click, 12:00 fact: exactly at the cap → kept
+    assert(out(2L).isEmpty)        // latest is 3601 s old: nulled, NOT the 11:00 one
+    assert(out(3L).contains(200L)) // inclusive boundary
+    assert(out(4L).isEmpty)
+  }
+
   test("as-of join carries whole right rows, not mixed columns") {
     val left = Seq((1L, 9L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq(
