@@ -400,6 +400,90 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(rebuilt.except(nu).isEmpty && nu.except(rebuilt).isEmpty)
   }
 
+  test("property: scd2 family laws hold for random change logs (PIT ≡ containment, apply ≡ rebuild, diff reconstructs)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions.{col, lit}
+    // random change logs with SMALL key/ts domains so same-instant ties,
+    // single-version keys, and interleaved batches all occur frequently
+    val changeGen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 6L)
+        t <- Gen.choose(1, 8) // day number
+        id <- Gen.choose(1L, 1000L)
+        attr <- Gen.alphaLowerStr.map(_.take(3))
+      } yield (k, ts(f"2024-01-0$t%01d 00:00:00"), id, attr))
+      factRows <- Gen.listOfN(12, for {
+        k <- Gen.choose(1L, 7L) // includes a key with possibly no history
+        t <- Gen.choose(1, 9) // day 9 facts land past every day-≤8 change
+        fid <- Gen.choose(1L, 1000L)
+      } yield (fid, k, ts(f"2024-01-0$t%01d 12:00:00")))
+      splitMod <- Gen.choose(2, 4)
+    } yield (
+      // (k, t, change_id) must be unique: two same-instant rows with the
+      // SAME tie-break id make "the" winner ambiguous by construction
+      rows.groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq,
+      factRows.distinct, splitMod)
+    val prop = Prop.forAll(changeGen) { case (rows, factRows, splitMod) =>
+      val changes = rows.toDF("k", "t", "change_id", "attr")
+      val facts = factRows.toDF("fact_id", "k", "ft")
+      val hist = Warehouse.scd2History(changes, Seq("k"), "t", Seq("change_id"))
+      def canon(df: org.apache.spark.sql.DataFrame, cols: String*) =
+        df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      // law 1: PIT join ≡ literal containment theta join
+      val pit = Warehouse.pointInTimeJoin(facts, hist, "k", "ft", Seq("attr", "change_id"))
+      val theta = facts.join(hist,
+        facts("k") === hist("k") && col("ft") >= col("effective_from") &&
+          (col("effective_to").isNull || col("ft") < col("effective_to")), "left")
+        .select(facts("fact_id"), facts("k"), col("ft"), col("attr"), col("change_id"))
+      val law1 = canon(pit, "fact_id", "k", "ft", "attr", "change_id") ==
+        canon(theta, "fact_id", "k", "ft", "attr", "change_id")
+      // law 2: incremental apply of any hash split ≡ full rebuild
+      val first = changes.filter(col("change_id") % splitMod =!= 0)
+      val late = changes.filter(col("change_id") % splitMod === 0)
+      val applied = Warehouse.scd2Apply(
+        Warehouse.scd2History(first, Seq("k"), "t", Seq("change_id")),
+        late, Seq("k"), "t", Seq("change_id"))
+      val law2 = canon(applied, "k", "change_id", "attr", "effective_from", "effective_to") ==
+        canon(hist, "k", "change_id", "attr", "effective_from", "effective_to")
+      law1 && law2
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: snapshotDiff + applyCdc reconstructs any random new state") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions.lit
+    val gen = for {
+      oldKeys <- Gen.someOf(1L to 12L)
+      newKeys <- Gen.someOf(1L to 12L)
+      // values from a 3-symbol alphabet INCLUDING null so unchanged /
+      // changed / null-transitions all occur
+      oldVals <- Gen.listOfN(oldKeys.size, Gen.oneOf[java.lang.Double](
+        Double.box(1.0), Double.box(2.0), null.asInstanceOf[java.lang.Double]))
+      newVals <- Gen.listOfN(newKeys.size, Gen.oneOf[java.lang.Double](
+        Double.box(1.0), Double.box(2.0), null.asInstanceOf[java.lang.Double]))
+    } yield (oldKeys.toSeq.zip(oldVals), newKeys.toSeq.zip(newVals))
+    val prop = Prop.forAll(gen) { case (oldRows, newRows) =>
+      val old = oldRows.toDF("k", "v")
+      val nu = newRows.toDF("k", "v")
+      val diff = Warehouse.snapshotDiff(old, nu, Seq("k"))
+      val rebuilt = Warehouse.applyCdc(
+        old.withColumn("version", lit(1L)),
+        diff.withColumn("version", lit(2L)),
+        Seq("k"), Seq("version"), "op").drop("version")
+      // unchanged keys (null-safe equal values on both sides) emit nothing
+      val unchangedKeys = old.join(nu.withColumnRenamed("v", "v2"), Seq("k"))
+        .filter(old("v") <=> org.apache.spark.sql.functions.col("v2"))
+        .select("k")
+      rebuilt.except(nu).isEmpty && nu.except(rebuilt).isEmpty &&
+        diff.join(unchangedKeys, Seq("k"), "left_semi").isEmpty
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("overwritePartitionsDynamic replaces only the written partitions") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("dynow").toString
