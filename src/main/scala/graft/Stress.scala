@@ -97,19 +97,43 @@ object Stress {
       acc.get
     }
 
+    // Per-op shuffle tally: task-end metrics summed while the op runs, bus
+    // drained before reading (CoreBridge) so the numbers are complete. This
+    // turns the scale claims into MEASURED receipts — "the k-bounded top-k
+    // exchanges 45k rows where the window plan exchanges 15M" is a printed
+    // number, not prose.
+    class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+      val records = new java.util.concurrent.atomic.AtomicLong
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+
     def time(name: String)(body: => Long): Option[(String, Double, Long)] = {
       if (only.exists(sel => !sel.exists(name.startsWith))) return None
+      val tally = new ShuffleTally
+      spark.sparkContext.addSparkListener(tally)
       val t0 = System.nanoTime()
       // per-op scope: each measured op frees its own persisted/checkpointed
       // frames at exit, so later ops never pay for earlier ops' cache state
-      val n = CacheScope.withScope(body)
+      val n = try CacheScope.withScope(body)
+      finally {
+        org.apache.spark.graftbridge.CoreBridge.drainListenerBus(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(tally)
+      }
       // ... and that must actually be TRUE: a new stress body that persists
       // outside scope discipline fails its own run here, instead of
       // resurfacing later as cross-op accumulation (the round-3 collapse)
       require(CacheScope.cacheManagerEmpty(spark),
         s"$name leaked CacheManager entries past its scope close")
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[stress] $name%-22s ${sec}%8.2f s   rows=$n")
+      System.err.println(f"[stress] $name%-22s ${sec}%8.2f s   rows=$n" +
+        f"   shuffle=${tally.records.get}%d recs/${tally.bytes.get / (1 << 20)}%d MiB")
       Some((name, sec, n))
     }
 
@@ -504,10 +528,15 @@ object Stress {
             .select(col("user_id"), col("ts"),
               col("event_id").as("change_id"), col("value").as("profile_value")),
           Seq("user_id"), "ts", Seq("change_id"))
+        // consume the carried payload: a bare count() over the left-outer
+        // PIT lets Catalyst prune the whole union-window (one row per fact
+        // regardless), and the op silently measures a fact-count scan —
+        // the shuffle tally caught exactly that
         load.Warehouse.pointInTimeJoin(
           events.filter(col("event_type") === "purchase")
             .select(col("event_id").as("fact_id"), col("user_id"), col("ts")),
-          dim, "user_id", "ts", Seq("profile_value", "change_id")).count()
+          dim, "user_id", "ts", Seq("profile_value", "change_id"))
+          .filter(col("change_id").isNotNull).count()
       },
       // state diff at scale: two mult×-size order states full-outer-diffed
       // on the key — cost is the one key shuffle; output is answer-sized
