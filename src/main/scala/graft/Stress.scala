@@ -140,8 +140,18 @@ object Stress {
     val results = Seq(
       time(s"agg_lineitem_x$mult")(lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity"), count(lit(1))).count()),
-      time(s"join_agg_x$mult")(lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority").agg(count(lit(1)), sum("l_quantity")).count()),
+      // broadcast disabled for THIS op: the in-flight expand's explode hides
+      // the true size from the planner, which happily broadcasts the 15M-row
+      // orders side (shuffle receipt: 6 recs) — a local-mode artifact. A
+      // 1000-executor cluster with honest stats plans the sort-merge join,
+      // so that is what the op must measure; conf restored immediately
+      time(s"join_agg_x$mult") {
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)), sum("l_quantity")).count()
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      },
       time(s"top1_orders_x$mult")(SparkEntryHelpers.top1PerCustomer(orders).count()),
       time(s"exact_dedup_x$mult")(operators.Dedup.exactDuplicateGroups(docs, "text", "doc_id")
         .filter(col("n_copies") > 1).count()),
