@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SpecCatalog
 import graft.cspro.{DatReader, DcfParser}
 import graft.load.JsonPack
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Linkage, Multimodal, Similarity, SparseSim, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1095,6 +1095,14 @@ object SparkEntry {
     // top-3 characteristic terms per doc by tf-idf
     "t_tfidf_top" -> ((s, d) =>
       TextOps.tfIdfTopTerms(tb(s, d, "documents"), "text", "doc_id", k = 3)),
+    // sparse-cosine top-k neighbors through the inverted index: candidate
+    // pairs come from a posting-list equi-join on word trigrams (df-capped
+    // — the stop-gram head is the quadratic term at corpus scale), weights
+    // are integerized so every dot product is an exact BIGINT and the
+    // similarity column itself hash-matches the oracle
+    "t_sparse_topk" -> ((s, d) =>
+      SparseSim.topKNeighbors(tb(s, d, "documents"), "text", "doc_id",
+        n = 3, minDf = 2L, maxDf = 500L, k = 5)),
     // corpus-trained bigram LM, self-scored: the distributable perplexity
     // proxy for quality filtering (sum order differs from the oracle only in
     // float ulps — inside the verifier's 6-sig-digit canonicalization)
@@ -1477,6 +1485,35 @@ object SparkEntry {
           buckets = 8, heavyKeys = Some(heavy), uniqueIdCol = Some("o_orderkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
+    // fuzzy record linkage: blocked Jaro-Winkler pairs over part names.
+    // Blocking on (brand, size) bounds the comparison space to Σ|block|²
+    // (≤ 28² per block at sf0.1 vs 20000² unblocked); the native
+    // JaroWinklerExpr is bit-identical to DuckDB's comparator (probed over
+    // 5000 random pairs, pinned in LinkageSpec), so the similarity column
+    // itself is oracle-hashed — not just the pair set
+    "j17_linkage" -> ((s, d) => {
+      val parts = t(s, d, "part")
+      Linkage.blockedPairs(parts, "p_partkey", "p_name",
+          concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
+          threshold = 0.9)
+        .select(col("block"), col("a_id"), col("b_id"),
+          round(col("sim") * 1e6).cast("long").as("jw_x1e6"))
+    }),
+    // sorted-neighborhood near-dup: rank docs per language by a normalized
+    // 32-char prefix, pair each doc with its 4 rank-predecessors, keep
+    // edit-distance ≤ 8 prefixes. Comparisons are n·w by construction —
+    // skew-immune where blocking alone is quadratic in the worst block —
+    // and the rank join is an equi-join on (block, rn − off), not a range
+    // join (see Linkage.sortedNeighborhoodPairs)
+    "d_sorted_neighborhood" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Linkage.sortedNeighborhoodPairs(docs, "doc_id", col("lang"),
+          lower(substring(col("text"), 1, 32)), window = 4)
+        .withColumn("lev", levenshtein(col("a_key"), col("b_key")))
+        .filter(col("lev") <= 8)
+        .select(col("block"), col("a_id"), col("b_id"),
+          col("rank_distance"), col("lev"))
     }),
     // --- multimodal ---------------------------------------------------------
     // production media features: real executor-encoded PNGs → real
@@ -1986,6 +2023,8 @@ object SparkEntry {
       """WITH packed AS (SELECT doc_id, n_tokens, token_offset, token_offset // 2048 AS seq_start, (token_offset + n_tokens - 1) // 2048 AS seq_end FROM (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents)) WHERE n_tokens > 0) SELECT seq_id, doc_id, greatest(seq_id * 2048 - token_offset, 0) AS doc_from, least((seq_id + 1) * 2048, token_offset + n_tokens) - greatest(seq_id * 2048, token_offset) AS n_take FROM (SELECT p.*, unnest(generate_series(seq_start, seq_end)) AS seq_id FROM packed p)""",
     "t_tfidf_top" ->
       """WITH toks AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS n_tf FROM toks GROUP BY 1, 2), dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1), n AS (SELECT count(*) AS n_docs FROM documents) SELECT doc_id, term, rank FROM (SELECT tf.doc_id, tf.term, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.n_tf * ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) DESC, tf.term ASC) AS rank FROM tf JOIN dfreq USING (term), n) WHERE rank <= 3""",
+    "t_sparse_topk" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), tri AS (SELECT doc_id, array_to_string(tk[i : i + 2], ' ') AS term FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3)), tf AS (SELECT doc_id, term, count(*) AS tf FROM tri GROUP BY 1, 2), dfk AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500), w AS (SELECT tf.doc_id, tf.term, tf.tf * (1000000 // dfk.df) AS w FROM tf JOIN dfk USING (term)), nrm AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nrm FROM w GROUP BY 1), dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.w * b.w) AS dot FROM w a JOIN w b USING (term) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), sym AS (SELECT a_id, b_id, dot FROM dots UNION ALL SELECT b_id, a_id, dot FROM dots), cos AS (SELECT s.a_id, s.b_id, CAST(round(s.dot * 1000000.0 / (na.nrm * nb.nrm)) AS BIGINT) AS cos_x1e6 FROM sym s JOIN nrm na ON s.a_id = na.doc_id JOIN nrm nb ON s.b_id = nb.doc_id) SELECT a_id, b_id, cos_x1e6, rank FROM (SELECT a_id, b_id, cos_x1e6, row_number() OVER (PARTITION BY a_id ORDER BY cos_x1e6 DESC, b_id ASC) AS rank FROM cos) WHERE rank <= 5""",
     "t_chunks" ->
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS nt FROM toks WHERE len(tk) > 0), idx AS (SELECT doc_id, tk, nt, unnest(generate_series(0, CASE WHEN nt > 32 THEN (nt - 32 + 24 - 1) // 24 ELSE 0 END)) AS chunk_idx FROM base) SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_from, least(32, nt - chunk_idx * 24) AS n_take, array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + least(32, nt - chunk_idx * 24)], ' ') AS chunk_text FROM idx""",
     "t_hash_sample" ->
@@ -2197,6 +2236,12 @@ object SparkEntry {
       "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS custkey, o_totalprice FROM orders) o JOIN customer c ON o.custkey = c.c_custkey GROUP BY 1",
     // latest click ≤ purchase ts, then the 2 h staleness cut — the latest
     // being stale means every other candidate is staler, so cutting after
+    // the similarity COLUMN is hashed, not just the pair set: the native
+    // expression is bit-identical to DuckDB's comparator (LinkageSpec)
+    "j17_linkage" ->
+      "WITH k AS (SELECT p_partkey AS id, p_name AS name, p_brand || '|' || CAST(p_size AS VARCHAR) AS block FROM part) SELECT a.block AS block, a.id AS a_id, b.id AS b_id, CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000) AS BIGINT) AS jw_x1e6 FROM k a JOIN k b ON a.block = b.block AND a.id < b.id WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9",
+    "d_sorted_neighborhood" ->
+      "WITH k AS (SELECT doc_id AS id, lang AS block, lower(substr(text, 1, 32)) AS skey FROM documents), r AS (SELECT id, block, skey, row_number() OVER (PARTITION BY block ORDER BY skey, id) AS rn FROM k) SELECT a.block AS block, a.id AS a_id, b.id AS b_id, CAST(b.rn - a.rn AS INT) AS rank_distance, levenshtein(a.skey, b.skey) AS lev FROM r a JOIN r b ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + 4 WHERE levenshtein(a.skey, b.skey) <= 8",
     // rn=1 equals cutting in the join
     "j16_asof_tolerance" ->
       "WITH c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2), f AS (SELECT event_id AS fact_id, user_id, ts FROM events WHERE event_type = 'purchase'), j AS (SELECT f.fact_id, f.user_id, f.ts, c.click_id, c.click_ts, row_number() OVER (PARTITION BY f.fact_id ORDER BY c.click_ts DESC) AS rn FROM f JOIN c ON f.user_id = c.user_id AND c.click_ts <= f.ts) SELECT fact_id, user_id, ts, click_id, click_ts FROM j WHERE rn = 1 AND click_ts >= ts - INTERVAL 2 HOUR",
