@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SpecCatalog
 import graft.cspro.{DatReader, DcfParser}
 import graft.load.JsonPack
-import graft.operators.{Curation, Dedup, Linkage, Multimodal, Similarity, SparseSim, TextOps}
+import graft.operators.{Curation, Dedup, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1486,6 +1486,20 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
     }),
+    // link-graph centrality for source-quality weighting: PageRank over
+    // the supplier↔part co-occurrence graph in exact fixed-point BIGINT
+    // arithmetic — rank sums are order-independent integers, so the full
+    // per-node rank vector hash-matches an independent engine (the floating
+    // -point version could never be oracle-gated; see PageRank.ranks).
+    // Node ids: part → 2k, supplier → 2k+1
+    "g_pagerank" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val edges = PageRank.undirected(
+        li.select((col("s") * 2 + 1).as("a"), (col("p") * 2).as("b")), "a", "b")
+      PageRank.ranks(edges, iters = 3)
+        .select(col("node"), col("r").as("rank_x1e12"))
+    }),
     // fuzzy record linkage: blocked Jaro-Winkler pairs over part names.
     // Blocking on (brand, size) bounds the comparison space to Σ|block|²
     // (≤ 28² per block at sf0.1 vs 20000² unblocked); the native
@@ -2236,6 +2250,10 @@ object SparkEntry {
       "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS custkey, o_totalprice FROM orders) o JOIN customer c ON o.custkey = c.c_custkey GROUP BY 1",
     // latest click ≤ purchase ts, then the 2 h staleness cut — the latest
     // being stale means every other candidate is staler, so cutting after
+    // the same integer recurrence unrolled: // is BIGINT floor-div in
+    // DuckDB as DIV is in Spark, so every iteration is exact on both sides
+    "g_pagerank" ->
+      "WITH base AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem), edges AS (SELECT s * 2 + 1 AS src, p * 2 AS dst FROM base UNION ALL SELECT p * 2 AS src, s * 2 + 1 AS dst FROM base), deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1), nodes AS (SELECT DISTINCT src AS node FROM edges), nn AS (SELECT count(*) AS n FROM nodes), r0 AS (SELECT node, (1000000000000 // nn.n) AS r, (1000000000000 // nn.n) AS base FROM nodes, nn), r1 AS (SELECT n.node, (n.base * 15 + coalesce(f.inflow, 0) * 85) // 100 AS r, n.base FROM r0 n LEFT JOIN (SELECT e.dst AS node, sum(r.r // d.outdeg) AS inflow FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1) f USING (node)), r2 AS (SELECT n.node, (n.base * 15 + coalesce(f.inflow, 0) * 85) // 100 AS r, n.base FROM r1 n LEFT JOIN (SELECT e.dst AS node, sum(r.r // d.outdeg) AS inflow FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1) f USING (node)), r3 AS (SELECT n.node, (n.base * 15 + coalesce(f.inflow, 0) * 85) // 100 AS r FROM r2 n LEFT JOIN (SELECT e.dst AS node, sum(r.r // d.outdeg) AS inflow FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1) f USING (node)) SELECT node, CAST(r AS BIGINT) AS rank_x1e12 FROM r3",
     // the similarity COLUMN is hashed, not just the pair set: the native
     // expression is bit-identical to DuckDB's comparator (LinkageSpec)
     "j17_linkage" ->

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** In-JVM replica of the exact integer recurrence. */
+  private def brute(edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+    val es = edges.distinct
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val base = scale / nodes.size
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val inflow = es.groupBy(_._2).view.mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(n => n -> (base * 15 + inflow.getOrElse(n, 0L) * 85) / 100).toMap
+    }
+    r
+  }
+
+  test("exact equality with the in-JVM integer recurrence on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val got = PageRank.ranks(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == brute(edges, 3, 1000000000000L))
+  }
+
+  test("undirected star: the hub outranks every leaf") {
+    val star = PageRank.undirected(
+      (1L to 10L).map(l => (0L, l)).toDF("a", "b"), "a", "b")
+    val r = PageRank.ranks(star, iters = 5).as[(Long, Long)].collect().toMap
+    val hub = r(0L)
+    (1L to 10L).foreach(l => assert(hub > r(l)))
+  }
+
+  test("rank mass is conserved up to integer-floor dust") {
+    val rnd = new scala.util.Random(9)
+    val pairs = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    // undirected graph → no dangling mass loss; only div-floor dust
+    val edges = PageRank.undirected(pairs.toDF("a", "b"), "a", "b")
+    val r = PageRank.ranks(edges, iters = 4).as[(Long, Long)].collect()
+    val total = r.map(_._2).sum
+    val scale = 1000000000000L
+    // each floor loses < 1 unit per node per round (base split + inflow
+    // divs + final div) — bound generously
+    assert(total <= scale)
+    assert(scale - total < 100L * (r.length + 400) * 4)
+  }
+
+  test("a two-node cycle converges to equal ranks") {
+    val r = PageRank.ranks(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == r(2L))
+  }
+}
