@@ -1164,6 +1164,21 @@ object SparkEntry {
       graft.operators.Sketches.quantileBoundViolations(
         t(s, d, "lineitem"), col("l_extendedprice"),
         qs = Seq(0.5, 0.9, 0.99), accuracy = 100)),
+    // winsorized robust stats: per-group [p05, p95] clamp of a heavy-tailed
+    // numeric, then the clamp-count/mean profile. Bounds ride the exact
+    // percentile ↔ quantile_cont parity the a10 oracle already pins; the
+    // bounds frame is one row per group and broadcasts, so the fact side
+    // never reshuffles for the join back
+    "a15_winsorize" -> ((s, d) => {
+      val w = graft.operators.Quality.winsorize(
+        t(s, d, "lineitem"), "l_extendedprice", Seq("l_returnflag"),
+        pLo = 0.05, pHi = 0.95)
+      w.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        round(avg(col("w_value")) * 100).cast("long").as("w_mean_x100"))
+    }),
     // join-cardinality guardrail: the CMS-inner-product estimate of
     // |orders ⋈ lineitem| from two MB-scale sketch tables must never sit
     // below the exact join size (one-sided bound lifted to inner products)
@@ -2051,6 +2066,8 @@ object SparkEntry {
       "SELECT CAST(l_partkey AS VARCHAR) AS item, CAST(0 AS BIGINT) AS est_merged, CAST(0 AS BIGINT) AS est_full FROM lineitem WHERE 1 = 0",
     "a13_quantile_bound" ->
       "SELECT 0.0 AS q, CAST(0 AS BIGINT) AS n_below, CAST(0 AS BIGINT) AS n FROM lineitem WHERE 1 = 0",
+    "a15_winsorize" ->
+      "WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1) SELECT l.l_returnflag, count(*) AS n, CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo, CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi, CAST(round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)) * 100) AS BIGINT) AS w_mean_x100 FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1",
     // bigram LM replayed in SQL: same tokenizer, same add-one smoothing; the
     // self-scored corpus means every doc bigram exists in the model (the
     // engine's left join and this inner join agree)

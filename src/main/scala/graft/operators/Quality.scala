@@ -102,4 +102,29 @@ object Quality {
       "constraint violations: " + bad.map(r =>
         s"${r.getAs[String]("check_name")}=${r.getAs[Long]("n_violations")}").mkString(", "))
   }
+
+  /** Winsorize `valueCol` per group: clamp to the [`pLo`, `pHi`] exact
+    * interpolated percentiles computed WITHIN each group. Returns the
+    * input plus `lo`, `hi`, and `w_value` (the clamped value) — row count
+    * and order preserved.
+    *
+    * The robust-statistics primitive for outlier-tolerant normalization
+    * of numeric features (heavy-tailed quality scores, token counts,
+    * prices) before they feed mixture weights or thresholds. Two passes
+    * over the group: one aggregation for the bounds (exact `percentile`,
+    * matching the a10 oracle parity with `quantile_cont`), one broadcast
+    * join back — the bounds frame is one row per group, so the join back
+    * to the fact rows never shuffles the fact side.
+    */
+  def winsorize(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile range [$pLo, $pHi]")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
+        expr(s"percentile($valueCol, $pHi)").as("hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("w_value",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
 }

@@ -58,4 +58,28 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("v_positive=1"))
   }
+
+  test("winsorize clamps to per-group percentile bounds, preserving rows") {
+    // group A: 1..10 → p10/p90 interpolated = 1.9 / 9.1 (percentile is
+    // exact linear interpolation); group B constant
+    val df = ((1 to 10).map(i => ("A", i.toDouble)) ++
+      Seq(("B", 5.0), ("B", 5.0), ("B", 5.0))).toDF("g", "v")
+    val w = Quality.winsorize(df, "v", Seq("g"), 0.10, 0.90)
+    assert(w.count() == 13)
+    val a = w.filter(col("g") === "A")
+      .select("v", "lo", "hi", "w_value")
+      .as[(Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(a.head == ((1.0, 1.9, 9.1, 1.9)))  // clamped up
+    assert(a.last == ((10.0, 1.9, 9.1, 9.1))) // clamped down
+    assert(a(4) == ((5.0, 1.9, 9.1, 5.0)))    // interior untouched
+    val b = w.filter(col("g") === "B").select("w_value").as[Double].collect()
+    assert(b.forall(_ == 5.0))
+  }
+
+  test("winsorize rejects a degenerate percentile range") {
+    val df = Seq(("A", 1.0)).toDF("g", "v")
+    assertThrows[IllegalArgumentException] {
+      Quality.winsorize(df, "v", Seq("g"), 0.9, 0.1)
+    }
+  }
 }
