@@ -943,6 +943,29 @@ object SparkEntry {
           "value_finite" -> (abs(col("value")) < lit(1e12))),
         reportDir.toString, ckpt.toString)
     }),
+    // streaming count-min sketch: per-batch bucket tables folded by sum.
+    // Bucket counts are linear in the input, so the converged streamed
+    // sketch must equal the batch sketch of the whole table EXACTLY,
+    // bucket for bucket — emitted as a provably-empty mismatch frame
+    // under the hash gate (the streaming face of t_cms_merge)
+    "e_stream_cms" -> ((s, d) => {
+      val ss = graft.streaming.EventStream.streamSession(s)
+      val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
+      val sketchDir = java.nio.file.Files.createTempDirectory("cms_sketch")
+      deleteRecursivelyOnExit(sketchDir)
+      val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt")
+      deleteRecursivelyOnExit(ckpt)
+      val streamed = graft.streaming.EventStream.streamCmsSketch(
+        stream.select(col("user_id")), col("user_id"), depth = 5, width = 256,
+        sketchDir.toString, ckpt.toString)
+      val batch = graft.operators.Sketches.cmsSketch(
+        t(s, d, "events"), col("user_id"), depth = 5, width = 256)
+      streamed.select(col("d"), col("b"), col("c").as("c_stream"))
+        .join(batch.select(col("d"), col("b"), col("c").as("c_batch")),
+          Seq("d", "b"), "full_outer")
+        .filter(!(col("c_stream") <=> col("c_batch")))
+        .select(col("d"), col("b"), col("c_stream"), col("c_batch"))
+    }),
     // streaming windowed distinct-users via HLL sketch STATE: the sketch is
     // the aggregation buffer, so streaming state per window is one sketch
     // (lgK-fixed KBs), never a distinct-user set. Estimates are
@@ -2210,6 +2233,8 @@ object SparkEntry {
     // the stream-lifetime audit ≡ one batch aggregate over the whole table
     "e_stream_constraints" ->
       "WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1, CAST(coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2, CAST(coalesce(sum(CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3, CAST(coalesce(sum(CASE WHEN NOT coalesce(abs(value) < 1000000000000.0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4 FROM events) SELECT 'user_not_null' AS check_name, v1 AS n_violations, n_rows, v1 * 1000000 // n_rows AS violation_ppm FROM t UNION ALL SELECT 'ts_not_null', v2, n_rows, v2 * 1000000 // n_rows FROM t UNION ALL SELECT 'type_domain', v3, n_rows, v3 * 1000000 // n_rows FROM t UNION ALL SELECT 'value_finite', v4, n_rows, v4 * 1000000 // n_rows FROM t",
+    "e_stream_cms" ->
+      "SELECT CAST(0 AS INT) AS d, CAST(0 AS INT) AS b, CAST(0 AS BIGINT) AS c_stream, CAST(0 AS BIGINT) AS c_batch FROM events WHERE 1 = 0",
     // the deterministic mutation family restated directly: re-priced
     // non-deleted tenths are U (new price), deleted twentieths D (old
     // price), re-keyed hundredths I

@@ -376,6 +376,31 @@ object EventStream {
           .otherwise(floor(col("n_violations") * 1000000L / col("n_rows")).cast("long")))
   }
 
+  /** Streaming count-min sketch: sketch each micro-batch independently
+    * ([[graft.operators.Sketches.cmsSketch]]), append the per-batch bucket
+    * tables, and return the converged stream-lifetime sketch as their
+    * bucket-sum rollup. CMS bucket counts are LINEAR in the input, so the
+    * converged sketch is exactly — not approximately — the sketch of the
+    * concatenated stream, independent of micro-batch split (the mergeable
+    * -summaries property; `Sketches.cmsMergeSketches` is the batch face of
+    * the same fold). State per batch is ≤ depth×width rows regardless of
+    * stream volume — the KB-scale frequency summary a 100 TB ingest keeps
+    * where an exact per-item count table would grow with the key space.
+    */
+  def streamCmsSketch(
+      events: DataFrame, itemCol: org.apache.spark.sql.Column,
+      depth: Int, width: Int,
+      sketchDir: String, checkpointDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = foreachBatchIngest(events, checkpointDir, (batch, batchId) =>
+      graft.operators.Sketches.cmsSketch(batch, itemCol, depth, width)
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("append").parquet(sketchDir))
+    q.awaitTermination()
+    spark.read.parquet(sketchDir)
+      .groupBy(col("d"), col("b")).agg(sum(col("c")).as("c"))
+  }
+
   /** Streaming CDC materialization: maintain a latest-row-per-key state
     * table across micro-batches. Each batch is first reduced to its own
     * latest row per key, then merged into the persisted state via

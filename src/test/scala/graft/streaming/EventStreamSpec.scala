@@ -406,4 +406,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     // user 2: delete at 10:00, NEWER 11:00 upsert → resurrected.
     assert(live == Map(2L -> "u2-res"))
   }
+
+  test("streaming CMS sketch: multi-batch fold equals the whole-table batch sketch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("scms").toString
+    // the same item split ACROSS batches — only correct bucket summation
+    // reproduces its total count
+    val files = Seq(
+      Seq((1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 8L, "view", 1.0)),
+      Seq((3L, ts("2024-01-01 10:02:00"), 7L, "view", 1.0)),
+      Seq((4L, ts("2024-01-01 10:03:00"), 7L, "view", 1.0),
+        (5L, ts("2024-01-01 10:04:00"), 9L, "view", 1.0)))
+    files.foreach(evs =>
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
+    val stream = readEvents(spark, s"$tmp/in", Map("maxFilesPerTrigger" -> "1"))
+    val streamed = streamCmsSketch(stream.select(col("user_id")), col("user_id"),
+      depth = 3, width = 16, s"$tmp/sketch", s"$tmp/ckpt")
+      .select(col("d").cast("long"), col("b").cast("long"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // it really ran as 3 micro-batches
+    val batches = spark.read.parquet(s"$tmp/sketch")
+      .select("batch_id").distinct().count()
+    assert(batches == 3, s"expected 3 micro-batches, got $batches")
+    val whole = files.flatten.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batchSketch = graft.operators.Sketches.cmsSketch(whole, col("user_id"), 3, 16)
+      .select(col("d").cast("long"), col("b").cast("long"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batchSketch)
+    // and the fold is consistent: estimates from the streamed sketch count
+    // user 7 exactly 3 (one-sided: never below)
+    val est = graft.operators.Sketches.cmsEstimateFromSketch(
+      spark.createDataFrame(streamed.toSeq.map { case ((d, b), c) => (d, b, c) })
+        .toDF("d", "b", "c"),
+      Seq(Tuple1(7L)).toDF("u"), col("u"), 3, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("7") >= 3L)
+  }
 }
