@@ -633,6 +633,56 @@ object Stress {
             "totalprice_positive" -> (col("o_totalprice") > 0),
             "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
             "custkey_fk" -> col("c_custkey").isNotNull)).count()
+      },
+      // sorted-neighborhood at mult×: pair volume is n·w BY CONSTRUCTION
+      // (the assert pins it) no matter how the blocking key distributes —
+      // the single mega-block (all docs share one lang value here after
+      // the expand) that would send blockedPairs quadratic costs SNM only
+      // a bigger sort
+      time(s"snm_x$mult") {
+        val w = 4
+        val n = operators.Linkage.sortedNeighborhoodPairs(
+          docs, "doc_id", col("lang"), lower(substring(col("text"), 1, 32)), w).count()
+        val docCount = docs.count()
+        require(n <= docCount * w, s"SNM emitted $n pairs > n*w bound ${docCount * w}")
+        n
+      },
+      // blocked linkage at mult×: block sizes grow mult× (same brand/size
+      // lattice, mult× the parts) so comparison volume grows mult²/blocks —
+      // the audited-cap pattern: blockSizes is the receipt that says
+      // whether the blocking scheme survives the corpus
+      // the cap BINDS here (blocks grow mult× past it): oversized blocks
+      // drop instead of exploding the task, which is the documented
+      // production contract — the audit query below proves work done
+      // remains Σ|surviving block|²
+      time(s"linkage_x$mult") {
+        val parts = expand(Tables(spark, sfDir, "part"), mult, Map("p_partkey" -> ""))
+        operators.Linkage.blockedPairs(parts, "p_partkey", "p_name",
+          concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
+          threshold = 0.9, maxBlockSize = 300).count()
+      },
+      // posting-join top-k at mult×: the df-cap is the scale governor —
+      // join work is Σ df² over SURVIVING grams only. The cap must TRACK
+      // the corpus (a fixed absolute cap quietly re-admits the quadratic
+      // head as the corpus grows: at 20× the mutated replicas push most
+      // surviving trigram df's right up to an unscaled cap and the dots
+      // stage pays ~Σ(cap²) ≈ 10⁹ pair-rows — measured before this was
+      // corpus-relative). 0.1% of corpus is the production-realistic knob
+      time(s"sparse_topk_x$mult") {
+        val maxDf = math.max(50L, docs.count() / 1000L)
+        operators.SparseSim.topKNeighbors(
+          docs, "text", "doc_id", n = 3, minDf = 2L, maxDf = maxDf, k = 5).count()
+      },
+      // integer PageRank at mult×: lineitem expand multiplies the edge set;
+      // 3 rounds of shuffle-join + partial-agg inflow sums. Hub in-degree
+      // (popular parts) lands in the SUM, which combines map-side
+      time(s"pagerank_x$mult") {
+        val li = lineitem
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+        operators.PageRank.ranks(
+          operators.PageRank.undirected(
+            li.select((col("s") * 2 + 1).as("a"), (col("p") * 2).as("b")), "a", "b"),
+          iters = 3).count()
       }
     )
     val ran = results.flatten
