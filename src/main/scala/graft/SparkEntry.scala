@@ -1360,6 +1360,12 @@ object SparkEntry {
     "d_jaccard_brute" -> ((s, d) =>
       Dedup.jaccardPairsBruteForce(tb(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, numer = 1, denom = 2)),
+    // directed shingle containment (the quote/subset lens Jaccard misses):
+    // posting-list join over df-capped distinct trigrams, exact integer
+    // ppm against the SOURCE's shingle count — both directions emit
+    "d_containment" -> ((s, d) =>
+      Dedup.containmentPairs(tb(s, d, "documents"), "text", "doc_id",
+        shingleSize = 3, thresholdPpm = 600000L, maxDf = 500L)),
     // char-level Jaccard (the no-whitespace-text variant of the shingle
     // family); 5-grams at J ≥ 3/4 — validation-only like the other brutes
     "d_jaccard_char" -> ((s, d) =>
@@ -1523,6 +1529,29 @@ object SparkEntry {
           buckets = 8, heavyKeys = Some(heavy), uniqueIdCol = Some("o_orderkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
+    // hybrid-retrieval rank fusion: dense-cosine and L2 rankers fused by
+    // reciprocal rank (RRF) in exact integer contributions — fusion cost
+    // is answer-sized (k·|queries| rows per ranker), never corpus-sized
+    "s_rrf_fuse" -> ((s, d) => {
+      val embs = tb(s, d, "embeddings")
+      val queries = embs.filter(col("vec_id") < 10)
+      val cosR = Similarity.bruteForceTopK(queries, embs, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rank"))
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = embs.select(col("vec_id").as("item_id"), col("embedding").as("cv"))
+      val l2 = c.join(broadcast(q), col("query_id") =!= col("item_id"))
+        .select(col("query_id"), col("item_id"),
+          aggregate(
+            zip_with(col("qv"), col("cv"),
+              (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+            lit(0.0), (acc, e) => acc + e).as("d2"))
+      val wL2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("item_id").asc)
+      val l2R = l2.withColumn("rank", row_number().over(wL2))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("item_id"), col("rank"))
+      Similarity.rrfFuse(Seq(cosR, l2R), k0 = 60, k = 5)
     }),
     // link-graph centrality for source-quality weighting: PageRank over
     // the supplier↔part co-occurrence graph in exact fixed-point BIGINT
@@ -2292,6 +2321,14 @@ object SparkEntry {
       "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS custkey, o_totalprice FROM orders) o JOIN customer c ON o.custkey = c.c_custkey GROUP BY 1",
     // latest click ≤ purchase ts, then the 2 h staleness cut — the latest
     // being stale means every other candidate is staler, so cutting after
+    // df-capped intersection over the RAW source shingle count — the cap
+    // is part of the operator's semantics, restated here
+    "d_containment" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), tri AS (SELECT DISTINCT doc_id, array_to_string(tk[i : i + 2], ' ') AS s FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3)), sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM tri GROUP BY 1), dfr AS (SELECT s FROM (SELECT s, count(*) AS df FROM tri GROUP BY 1) WHERE df BETWEEN 2 AND 500), g AS (SELECT tri.doc_id, tri.s FROM tri JOIN dfr USING (s)), inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS inter_sz FROM g a JOIN g b USING (s) WHERE a.doc_id != b.doc_id GROUP BY 1, 2) SELECT src, dst, inter_sz, CAST(inter_sz * 1000000 // n_sh AS BIGINT) AS containment_ppm FROM inter JOIN sizes ON sizes.doc_id = inter.src WHERE inter_sz * 1000000 // n_sh >= 600000""",
+    // integer RRF contributions: 10^9 // (60 + rank) summed across the
+    // two rankers, re-ranked on the exact integer score
+    "s_rrf_fuse" ->
+      "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), cosr AS (SELECT query_id, item_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS item_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM q JOIN embeddings c ON c.vec_id != q.vec_id) WHERE rank <= 5), l2r AS (SELECT query_id, item_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS item_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(q.embedding, c.embedding) ASC, c.vec_id ASC) AS rank FROM q JOIN embeddings c ON c.vec_id != q.vec_id) WHERE rank <= 5), u AS (SELECT query_id, item_id, 1000000000 // (60 + rank) AS contrib FROM cosr UNION ALL SELECT query_id, item_id, 1000000000 // (60 + rank) FROM l2r), f AS (SELECT query_id, item_id, CAST(sum(contrib) AS BIGINT) AS rrf_x1e9 FROM u GROUP BY 1, 2) SELECT query_id, item_id, rrf_x1e9, rank FROM (SELECT query_id, item_id, rrf_x1e9, row_number() OVER (PARTITION BY query_id ORDER BY rrf_x1e9 DESC, item_id ASC) AS rank FROM f) WHERE rank <= 5",
     // the same integer recurrence unrolled: // is BIGINT floor-div in
     // DuckDB as DIV is in Spark, so every iteration is exact on both sides
     "g_pagerank" ->

@@ -411,6 +411,43 @@ object Dedup {
       .filter(col("inter_sz") * denom >= col("union_sz") * numer)
   }
 
+  /** Directed shingle-CONTAINMENT pairs through a posting-list join:
+    * containment(src → dst) = |sh(src) ∩ sh(dst)| / |sh(src)| in exact
+    * integer ppm. Containment is the asymmetric cousin of Jaccard and the
+    * right lens for quote/subset contamination — a 100-line document fully
+    * embedded in a 10,000-line one has J ≈ 0.01 (invisible to every
+    * Jaccard threshold) but containment 1.0.
+    *
+    * Scale shape is the inverted-index one (same as [[graft.operators.SparseSim]]):
+    * candidates come from an equi-join of distinct-shingle postings, so
+    * two documents are compared ONLY if they share a shingle, and the join
+    * is bounded by `maxDf` — shingles shared by more than `maxDf` docs are
+    * dropped as boilerplate (df-capped semantics the oracle restates;
+    * the cap must track corpus size, see SparseSim). Both directions of
+    * every overlapping pair emit, each with its own denominator.
+    */
+  def containmentPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, thresholdPpm: Long, maxDf: Long): DataFrame = {
+    val sh = shingleFrame(docs, textCol, idCol, shingleSize)
+    val posts = graft.CacheScope.persist(
+      sh.select(col("doc"), explode(col("sh")).as("s")))
+    val dfr = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L && col("df") <= maxDf)
+    val gated = graft.CacheScope.persist(posts.join(dfr.select(col("s")), "s"))
+    val sizes = sh.select(col("doc"), size(col("sh")).cast("bigint").as("n_sh"))
+    val a = gated.select(col("s"), col("doc").as("src"))
+    val b = gated.select(col("s"), col("doc").as("dst"))
+    a.join(b, Seq("s"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("inter_sz"))
+      .join(sizes.select(col("doc").as("src"), col("n_sh")), Seq("src"))
+      .select(col("src"), col("dst"), col("inter_sz"),
+        expr("CAST(inter_sz * 1000000 DIV n_sh AS BIGINT)").as("containment_ppm"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+  }
+
   /** Exact character-n-gram Jaccard pairs (brute force — the small-scale
     * oracle for char-level near-dup). Character shingles are the right unit
     * when whitespace tokenization fails (CJK text, no-space boilerplate,

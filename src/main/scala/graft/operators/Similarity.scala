@@ -646,6 +646,33 @@ object Similarity {
     * the gate hash-checks the emptiness — same contract shape as the CMS
     * and quantile-sketch bounds.
     */
+  /** Reciprocal-rank fusion of N rankers (Cormack et al.'s RRF — the
+    * standard hybrid-retrieval combiner, e.g. dense-cosine ∪ lexical):
+    * each ranker contributes `10⁹ div (k0 + rank)` to every (query, item)
+    * it ranked, contributions SUM, and the fused top-k re-ranks on the
+    * summed score. Scores are exact integers — 10⁹ div n is a pure BIGINT
+    * op — so fusion output is order-independent and engine-reproducible
+    * (the same property as the integerized sparse cosine and PageRank),
+    * where float 1/(k0+rank) sums can flip equal-score ties between
+    * engines. Plan shape: union of answer-sized ranking frames + one
+    * (query, item) aggregation + one per-query top-k window — all inputs
+    * are k·|queries| rows, so fusion cost never scales with the corpus.
+    *
+    * Inputs must carry (query_id, item_id, rank); ties re-break
+    * deterministically by (score desc, item_id asc).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, k: Int = 5): DataFrame = {
+    require(rankings.nonEmpty)
+    val contribs = rankings.map(_.select(col("query_id"), col("item_id"),
+      expr(s"CAST(1000000000 DIV ($k0 + rank) AS BIGINT)").as("contrib")))
+    val fused = contribs.reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("item_id"))
+      .agg(sum(col("contrib")).as("rrf_x1e9"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_x1e9").desc, col("item_id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def quantizationBoundViolations(
       embs: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val dq = dequantizeInt8(

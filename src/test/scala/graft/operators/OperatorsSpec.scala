@@ -792,4 +792,62 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(cands == brute,
       s"extra candidates: ${(cands -- brute).take(5)}; missed pairs: ${(brute -- cands).take(5)}")
   }
+
+  test("containment: a quote embedded in a long doc scores 1e6 one way, low the other") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val long = s"intro words here $quote trailing content one two three four five six seven"
+    val docs = Seq((1L, quote), (2L, long), (3L, "completely unrelated text body")).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleSize = 3, thresholdPpm = 0L, maxDf = 100L)
+      .select("src", "dst", "containment_ppm")
+      .as[(Long, Long, Long)].collect().map { case (s0, d0, p) => (s0, d0) -> p }.toMap
+    // every trigram of the quote appears in the long doc
+    assert(rows((1L, 2L)) == 1000000L)
+    // the reverse direction is diluted by the long doc's extra shingles
+    assert(rows((2L, 1L)) < 300000L)
+    // unrelated doc shares nothing → absent even at threshold 0
+    assert(!rows.contains((1L, 3L)) && !rows.contains((3L, 1L)))
+  }
+
+  test("containment df-cap drops boilerplate shingles from the intersection only") {
+    import spark.implicits._
+    // 5 docs share a boilerplate prefix; docs 1/2 additionally share a rare tail
+    val docs = (1L to 5L).map { i =>
+      // docs 3-5 diverge IMMEDIATELY after the boilerplate so their only
+      // shared trigrams are the df-5 boilerplate ones the cap drops
+      val tail = if (i <= 2) "rare shared tail words" else s"tail$i alpha$i beta$i gamma$i"
+      (i, s"common boilerplate header line $tail")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleSize = 3, thresholdPpm = 0L, maxDf = 4L)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    // boilerplate-only pairs (3,4,5 with anyone) vanish under the cap;
+    // the rare-tail pair survives in both directions
+    assert(capped.contains((1L, 2L)) && capped.contains((2L, 1L)))
+    assert(!capped.exists { case (a, b) => a >= 3L && b >= 3L })
+  }
+
+  test("rrfFuse: exact integer scores, agreement boosts, ties break by item id") {
+    import spark.implicits._
+    val ra = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "item_id", "rank")
+    val rb = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3)).toDF("query_id", "item_id", "rank")
+    val got = Similarity.rrfFuse(Seq(ra, rb), k0 = 60, k = 4)
+      .select("query_id", "item_id", "rrf_x1e9", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    def c(r: Int) = 1000000000L / (60 + r)
+    // item 11: ranks 2+1 → highest; item 10: 1+3; 12 and 13 single-ranker
+    assert(got.map(t => (t._2, t._3)).toSeq == Seq(
+      (11L, c(2) + c(1)), (10L, c(1) + c(3)), (13L, c(2)), (12L, c(3))))
+    // 13 beats 12: c(2) > c(3)
+  }
+
+  test("rrfFuse tie on equal contributions resolves by ascending item id") {
+    import spark.implicits._
+    val ra = Seq((1L, 20L, 1), (1L, 21L, 2)).toDF("query_id", "item_id", "rank")
+    val rb = Seq((1L, 21L, 1), (1L, 20L, 2)).toDF("query_id", "item_id", "rank")
+    val got = Similarity.rrfFuse(Seq(ra, rb), k0 = 60, k = 2)
+      .select("item_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((20L, 1), (21L, 2))) // equal scores → id asc
+  }
 }
