@@ -793,6 +793,13 @@ object SparkEntry {
     "e_funnel" -> ((s, d) =>
       graft.operators.EventAnalytics.funnel(t(s, d, "events"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+    // the time-constrained funnel: complete within 2 h of the FIRST
+    // stage-1 event (first-entry anchor; greedy-earliest per stage is
+    // exact for that anchoring — see EventAnalytics.funnelWithin)
+    "e_funnel_window" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnelWithin(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        windowSeconds = 7200L)),
     // first-seen-day cohorts × day offset distinct-user retention grid
     "e_retention" -> ((s, d) =>
       graft.operators.EventAnalytics.retention(t(s, d, "events"), "user_id", "ts")),
@@ -2044,6 +2051,8 @@ object SparkEntry {
       """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess""",
     "e_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t WHERE e.event_type = 'click' GROUP BY 1), s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, count(*) AS users FROM s1 UNION ALL SELECT 2, count(*) FROM s2 UNION ALL SELECT 3, count(*) FROM s3""",
+    "e_funnel_window" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id AS u, min(e.ts) AS t, s1.t0 AS t0 FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t AND e.ts <= s1.t0 + INTERVAL 7200 SECONDS WHERE e.event_type = 'click' GROUP BY 1, 3), s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t AND e.ts <= s2.t0 + INTERVAL 7200 SECONDS WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, count(*) AS users FROM s1 UNION ALL SELECT 2, count(*) FROM s2 UNION ALL SELECT 3, count(*) FROM s3""",
     "e_retention" ->
       """WITH firsts AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1) SELECT f.cohort, datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset, count(DISTINCT e.user_id) AS users FROM events e JOIN firsts f ON e.user_id = f.u GROUP BY 1, 2""",
     "e_gapfill" ->

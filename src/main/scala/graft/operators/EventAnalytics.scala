@@ -51,6 +51,48 @@ object EventAnalytics {
     counts.result().reduce(_ union _)
   }
 
+  /** Time-constrained funnel: stages must complete within `windowSeconds`
+    * of the user's FIRST stage-1 event (the first-entry anchor — the
+    * product-analytics convention). Per stage the reached-set keeps the
+    * EARLIEST qualifying event after the previous stage's chosen time;
+    * greedy-earliest dominates any other chain choice for completing the
+    * remaining stages inside the deadline, so "reached stage i" is exact
+    * for the first-entry anchoring. (A user who would only convert when
+    * anchored at a LATER stage-1 event does not count — that alternative
+    * semantics is a different, strictly more expensive operator; this one
+    * is the standard dashboard number.) Same scale shape as [[funnel]]:
+    * per stage one equi-join of the shrinking reached-set + one grouped
+    * min, all keyed on the user column.
+    */
+  def funnelWithin(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+      windowSeconds: Long
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var reached = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+      .withColumn("t0", col("t"))
+    def stageCount(i: Int, r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), col("users"))
+    val counts = Seq.newBuilder[DataFrame]
+    counts += stageCount(0, reached)
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u2"), col(tsCol).as("ts2"))
+        .join(reached,
+          col("u2") === col("u") && col("ts2") > col("t") &&
+            col("ts2") <= col("t0") + expr(s"INTERVAL $windowSeconds SECONDS"))
+        .groupBy(col("u2").as("u"), col("t0")).agg(min(col("ts2")).as("t"))
+      counts += stageCount(i, reached)
+    }
+    counts.result().reduce(_ union _)
+  }
+
   /** Cohort retention: users cohorted by their first-seen day; for every
     * (cohort day, day offset) cell, the number of distinct cohort users
     * active that many days after their first day. The day-0 diagonal is the

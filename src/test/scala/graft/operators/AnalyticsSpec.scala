@@ -30,6 +30,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("funnelWithin: conversions past the first-entry window do not count") {
+    val events = Seq(
+      // u1 completes inside the 1 h window
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:20:00"), "click"),
+      (1L, ts("2024-01-01 10:59:00"), "purchase"),
+      // u2 clicks inside, purchases 1 s past the window
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (2L, ts("2024-01-01 11:10:00"), "click"),
+      (2L, ts("2024-01-01 12:00:01"), "purchase"),
+      // u3: FIRST view anchors the window; the full chain after the second
+      // view is outside it — first-entry anchoring stops u3 at stage 1
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 20:00:00"), "view"),
+      (3L, ts("2024-01-01 20:10:00"), "click"),
+      (3L, ts("2024-01-01 20:20:00"), "purchase"),
+      // u4: boundary-exact purchase (<= window end counts)
+      (4L, ts("2024-01-01 09:00:00"), "view"),
+      (4L, ts("2024-01-01 09:30:00"), "click"),
+      (4L, ts("2024-01-01 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelWithin(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 4L, 2 -> 3L, 3 -> 2L))
+    // the unconstrained funnel would have counted u2 and u3 through
+    val plain = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(plain == Map(1 -> 4L, 2 -> 4L, 3 -> 4L))
+  }
+
   test("funnel stage boundary is strict: same-timestamp events do not advance") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),
