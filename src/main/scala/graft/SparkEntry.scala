@@ -1588,6 +1588,20 @@ object SparkEntry {
         .select(col("block"), col("a_id"), col("b_id"),
           round(col("sim") * 1e6).cast("long").as("jw_x1e6"))
     }),
+    // the full ER pipeline: fuzzy pairs → connected-component entities
+    // (alt-star, min-id label) → golden record per entity by survivorship
+    // (highest price, id tie-break). The oracle replays the closure with a
+    // recursive CTE — component labels, membership counts, AND the chosen
+    // golden rows all hash-match
+    "j18_golden" -> ((s, d) => {
+      val parts = t(s, d, "part")
+      val pairs = Linkage.blockedPairs(parts, "p_partkey", "p_name",
+        concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
+        threshold = 0.9)
+      val labeled = Linkage.entities(parts, "p_partkey", pairs)
+      Linkage.goldenRecords(labeled, "p_partkey", Seq(col("p_retailprice").desc))
+        .select(col("entity"), col("p_partkey").as("golden_id"), col("n_members"))
+    }),
     // sorted-neighborhood near-dup: rank docs per language by a normalized
     // 32-char prefix, pair each doc with its 4 rank-predecessors, keep
     // edit-distance ≤ 8 prefixes. Comparisons are n·w by construction —
@@ -2346,6 +2360,10 @@ object SparkEntry {
     // expression is bit-identical to DuckDB's comparator (LinkageSpec)
     "j17_linkage" ->
       "WITH k AS (SELECT p_partkey AS id, p_name AS name, p_brand || '|' || CAST(p_size AS VARCHAR) AS block FROM part) SELECT a.block AS block, a.id AS a_id, b.id AS b_id, CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000) AS BIGINT) AS jw_x1e6 FROM k a JOIN k b ON a.block = b.block AND a.id < b.id WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9",
+    // transitive closure as a recursive CTE; alt-star's min-id labeling
+    // restated as least(src, min(reachable))
+    "j18_golden" ->
+      "WITH RECURSIVE k AS (SELECT p_partkey AS id, p_name AS name, p_brand || '|' || CAST(p_size AS VARCHAR) AS block, p_retailprice FROM part), e AS (SELECT a.id AS a, b.id AS b FROM k a JOIN k b ON a.block = b.block AND a.id < b.id WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9), ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e), reach(src, dst) AS (SELECT src, dst FROM ed UNION SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src), ent0 AS (SELECT src AS id, least(src, min(dst)) AS entity FROM reach GROUP BY src), lab AS (SELECT k.id, k.p_retailprice, coalesce(e0.entity, k.id) AS entity FROM k LEFT JOIN ent0 e0 USING (id)), g AS (SELECT entity, id AS golden_id, p_retailprice, row_number() OVER (PARTITION BY entity ORDER BY p_retailprice DESC, id ASC) AS rn FROM lab), sz AS (SELECT entity, count(*) AS n_members FROM lab GROUP BY 1) SELECT g.entity, g.golden_id, sz.n_members FROM g JOIN sz USING (entity) WHERE rn = 1",
     "d_sorted_neighborhood" ->
       "WITH k AS (SELECT doc_id AS id, lang AS block, lower(substr(text, 1, 32)) AS skey FROM documents), r AS (SELECT id, block, skey, row_number() OVER (PARTITION BY block ORDER BY skey, id) AS rn FROM k) SELECT a.block AS block, a.id AS a_id, b.id AS b_id, CAST(b.rn - a.rn AS INT) AS rank_distance, levenshtein(a.skey, b.skey) AS lev FROM r a JOIN r b ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + 4 WHERE levenshtein(a.skey, b.skey) <= 8",
     // rn=1 equals cutting in the join

@@ -66,6 +66,36 @@ object Linkage {
       .select("block", "a_id", "b_id", "a_name", "b_name", "sim")
   }
 
+  /** Entity assignment from match pairs: connected components over the
+    * pair graph ([[Dedup.connectedComponentsAltStar]] — O(log n) rounds,
+    * skew-safe), each record labeled with its component's minimum id.
+    * Records in no pair are their own entity. One column added: `entity`.
+    */
+  def entities(records: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = Dedup.connectedComponentsAltStar(
+      pairs.select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+      .select(col("doc").as(idCol), col("cluster").as("entity"))
+    records.join(cc, Seq(idCol), "left")
+      .withColumn("entity", coalesce(col("entity"), col(idCol)))
+  }
+
+  /** Golden-record survivorship: one canonical record per entity, chosen
+    * by the caller's ordering (e.g. most recent, most complete) with the
+    * record id as the final deterministic tie-break. Output: the winning
+    * record's full row plus `entity` and `n_members`. One key shuffle on
+    * the entity id (window top-1 + grouped count share it).
+    */
+  def goldenRecords(
+      labeled: DataFrame, idCol: String, orderBy: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(orderBy :+ col(idCol).asc: _*)
+    val sizes = labeled.groupBy(col("entity")).agg(count(lit(1)).as("n_members"))
+    labeled.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(sizes, "entity")
+  }
+
   /** Sorted-neighborhood candidate pairs: within each block, records are
     * ranked by (`sortKey`, id) and each record is paired with its `window`
     * immediate predecessors. Output one row per candidate pair with both

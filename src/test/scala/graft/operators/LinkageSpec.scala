@@ -114,6 +114,28 @@ class LinkageSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size <= 120 * w)
   }
 
+  test("entities: transitive pairs merge, singletons self-label") {
+    val recs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "y")).toDF("id", "v")
+    // 1-2 and 2-3 matched, 1-3 never directly compared — must still merge
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val ent = Linkage.entities(recs, "id", pairs)
+      .select("id", "entity").as[(Long, Long)].collect().toMap
+    assert(ent == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("goldenRecords: survivorship ordering picks one winner per entity") {
+    val recs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0), // entity 1: price tie 2 vs 3 → lower id
+      (9L, 5.0))
+      .toDF("id", "price")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val labeled = Linkage.entities(recs, "id", pairs)
+    val golden = Linkage.goldenRecords(labeled, "id",
+        Seq(org.apache.spark.sql.functions.col("price").desc))
+      .select("entity", "id", "n_members").as[(Long, Long, Long)].collect().toSet
+    assert(golden == Set((1L, 2L, 3L), (9L, 9L, 1L)))
+  }
+
   test("pair count is n·w-bounded even under a single mega-block") {
     val recs = (1 to 500).map(i => (i.toLong, "one", s"k$i")).toDF("id", "blk", "key")
     val n = Linkage.sortedNeighborhoodPairs(recs, "id", col("blk"), col("key"), 4).count()
