@@ -667,7 +667,14 @@ object Stress {
       // head as the corpus grows: at 20× the mutated replicas push most
       // surviving trigram df's right up to an unscaled cap and the dots
       // stage pays ~Σ(cap²) ≈ 10⁹ pair-rows — measured before this was
-      // corpus-relative). 0.1% of corpus is the production-realistic knob
+      // corpus-relative). 0.1% of corpus is the production-realistic knob.
+      // Receipted at mult ≤ 20 ONLY, deliberately: the expand replicates
+      // every base text mult×, so every gram's relative df is INVARIANT in
+      // mult and Σ df² grows mult² — ~1.5×10¹⁰ pair-rows at 100×
+      // (measured, killed). That is the true cost of EXACT sparse top-k on
+      // a corpus whose duplication grows with its size; the production
+      // answer at that shape is the already-receipted LSH/minhash family
+      // or exact-dup collapse first, not a bigger cluster for this op
       time(s"sparse_topk_x$mult") {
         val maxDf = math.max(50L, docs.count() / 1000L)
         operators.SparseSim.topKNeighbors(
