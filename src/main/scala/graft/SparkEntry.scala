@@ -1716,6 +1716,19 @@ object SparkEntry {
     // (1 + id % 8 frames at 2 fps), the container is parsed back and frames
     // sampled — so duration, sample count, and timestamps are id-derived
     // and the whole encode→parse→sample loop rides the hash gate
+    // shot-boundary detection through the REAL codec path (AVI parse +
+    // per-frame JPEG decode): the corpus plants one luminance cut per
+    // video at a SQL-predictable index, so the full boundary table runs
+    // under the hash gate — the oracle states it outright
+    "m_shot_bounds" -> ((s, d) => {
+      import s.implicits._
+      val ids = tb(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      Multimodal.shotBoundaries(
+        Multimodal.syntheticShotAviCorpus(ids, framesPerVideo = 8),
+        threshold = 0.5)
+    }),
     "m_frame_sample" -> ((s, d) => {
       import s.implicits._
       val ids = tb(s, d, "documents")
@@ -2392,6 +2405,10 @@ object SparkEntry {
     // the AVI loop is id-deterministic end-to-end: 1 + id%8 frames at 2 fps
     // → duration (1+id%8)·500 ms; n = min(4, max(1, dur/1000)) samples at
     // stride dur/n — real container parse must recover exactly these
+    // the planted cut index is a pure formula of the id — the whole
+    // boundary table hash-checks the real AVI-parse + JPEG-decode path
+    "m_shot_bounds" ->
+      "SELECT doc_id AS media_id, CAST(1 + doc_id % 7 AS INTEGER) AS boundary_idx FROM documents WHERE doc_id < 100",
     "m_frame_sample" ->
       """WITH v AS (SELECT doc_id AS media_id, (1 + doc_id % 8) * 500 AS dur FROM documents WHERE doc_id < 100), p AS (SELECT media_id, dur, least(4, greatest(1, dur // 1000)) AS n FROM v) SELECT media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * (dur // n) AS BIGINT) AS ts_ms FROM (SELECT media_id, dur, n, unnest(generate_series(0, n - 1)) AS i FROM p)""",
     // candidate set ≡ exact J ≥ 1/2 pair set on this corpus (see the query

@@ -504,6 +504,70 @@ object Multimodal {
     }
   }
 
+  /** Synthetic AVI corpus with a PLANTED SHOT CUT per video: `framesPerVideo`
+    * solid-luminance JPEG frames — scene 1 (luminance ≈ 40) up to the cut
+    * index `1 + id mod (framesPerVideo − 1)`, scene 2 (≈ 220) from it. The
+    * cut position is a pure SQL formula of the id, which is what lets
+    * [[shotBoundaries]] run under the full DuckDB hash gate rather than a
+    * weaker determinism contract: the oracle states the expected boundary
+    * table outright.
+    */
+  def syntheticShotAviCorpus(
+      ids: Dataset[java.lang.Long], framesPerVideo: Int, fps: Int = 2): Dataset[MediaFile] = {
+    require(framesPerVideo >= 2)
+    import ids.sparkSession.implicits._
+    ids.map { boxed =>
+      val id = boxed.longValue()
+      val cut = 1 + Math.floorMod(id, (framesPerVideo - 1).toLong).toInt
+      val (w, h) = (16, 16)
+      val jpegs = (0 until framesPerVideo).map { f =>
+        val lum = if (f < cut) 40 else 220
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (lum << 16) | (lum << 8) | lum
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      MediaFile(id, "video",
+        AviWriter.write(w, h, 1000000L / fps, jpegs), Map("synthetic" -> "shots"))
+    }
+  }
+
+  /** Shot-boundary detection over real decoded video frames: a boundary is
+    * a consecutive-frame pair whose mean-luminance difference exceeds
+    * `threshold` (the classic intensity-delta cut detector). Luminance is
+    * [[Codecs.luminanceGrid]]'s NORMALIZED scale (zero-centered, ≈[-1, 1]),
+    * so a full black→white cut is a delta of ~2 and real cuts sit around
+    * 0.5-1.5 — pick thresholds in those units, not 0-255. One container
+    * parse + one JPEG decode per frame, all inside the task that holds the
+    * payload — no shuffle; the output is answer-sized (media_id,
+    * boundary_idx) rows, the only thing that ever leaves the executor.
+    * Undecodable containers emit nothing (they have no real frames to
+    * compare — the honest contract, matching the decode-path split in
+    * [[extractFeatures]]).
+    */
+  def shotBoundaries(media: Dataset[MediaFile], threshold: Double): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      Codecs.decodeVideo(m.bytes) match {
+        case Some(clip) =>
+          val lums = (0 until clip.frames.length).flatMap(i =>
+            clip.frameImageAt(i).map { img =>
+              // mean over the 16-cell luminance grid = mean luminance
+              val g = Codecs.luminanceGrid(img, 16)
+              g.sum.toDouble / g.length
+            })
+          (1 until lums.length).iterator
+            .filter(i => math.abs(lums(i) - lums(i - 1)) > threshold)
+            .map(i => (m.media_id, i))
+        case None => Iterator.empty
+      }
+    }.toDF("media_id", "boundary_idx")
+  }
+
   /** Rebalance so each partition holds ~`rowsPerPartition` payloads — blob
     * columns make byte-based partition sizing meaningless.
     */

@@ -354,6 +354,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(salvaged.frames.length == 7, s"salvaged ${salvaged.frames.length} of 7 complete frames")
   }
 
+  test("shotBoundaries recovers exactly the planted cut, nothing else") {
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(3L, 10L, 14L).map(java.lang.Long.valueOf))
+    val got = shotBoundaries(syntheticShotAviCorpus(ids, framesPerVideo = 8), threshold = 0.5)
+      .as[(Long, Int)].collect().toSet
+    // cut at 1 + id % 7
+    assert(got == Set((3L, 4), (10L, 4), (14L, 1)))
+  }
+
+  test("shotBoundaries: a constant-scene video has no boundaries; JPEG noise stays under threshold") {
+    import spark.implicits._
+    // id % 7 == 6 puts the cut at index 7 — the LAST frame, so frames 0-6
+    // are one scene; use a 7-frame video instead: all frames one scene
+    val ids = spark.createDataset(Seq(java.lang.Long.valueOf(21L)))
+    val media = syntheticShotAviCorpus(ids, framesPerVideo = 2)
+    // framesPerVideo=2, cut = 1 + 21 % 1 = 1 → one boundary at idx 1
+    assert(shotBoundaries(media, threshold = 0.5).count() == 1)
+    // with an absurd threshold nothing fires — JPEG round-trip noise on
+    // solid frames never reaches a real cut's magnitude
+    assert(shotBoundaries(media, threshold = 5.0).count() == 0)
+  }
+
   test("withPHash rejects non-64-cell grids loudly") {
     val feats = featureFrame(extractFeatures(
       syntheticPngCorpus(spark.createDataset(Seq(java.lang.Long.valueOf(1L)))), dim = 16))
