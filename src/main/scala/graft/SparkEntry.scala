@@ -1194,6 +1194,21 @@ object SparkEntry {
       graft.operators.Sketches.quantileBoundViolations(
         t(s, d, "lineitem"), col("l_extendedprice"),
         qs = Seq(0.5, 0.9, 0.99), accuracy = 100)),
+    // exact-integer rank normalization: the uniform-margin feature map,
+    // aggregated here to per-group decile mass so the output is compact
+    // while every underlying pr value still feeds the hash
+    "a16_rank_norm" -> ((s, d) =>
+      graft.operators.Quality.rankNormalize(
+          t(s, d, "lineitem"), "l_extendedprice", Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"),
+          expr("CAST(pr_x1e9 DIV 100000000 AS BIGINT)").as("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pr_x1e9")).as("pr_sum"))),
+    // fixed-bin price histogram (under/overflow buckets included)
+    "a17_histogram" -> ((s, d) =>
+      graft.operators.Quality.histogram(
+        t(s, d, "lineitem"), "l_extendedprice", Seq("l_returnflag"),
+        lo = 20000.0, hi = 80000.0, nBins = 20)),
     // winsorized robust stats: per-group [p05, p95] clamp of a heavy-tailed
     // numeric, then the clamp-count/mean profile. Bounds ride the exact
     // percentile ↔ quantile_cont parity the a10 oracle already pins; the
@@ -2154,6 +2169,10 @@ object SparkEntry {
       "SELECT CAST(l_partkey AS VARCHAR) AS item, CAST(0 AS BIGINT) AS est_merged, CAST(0 AS BIGINT) AS est_full FROM lineitem WHERE 1 = 0",
     "a13_quantile_bound" ->
       "SELECT 0.0 AS q, CAST(0 AS BIGINT) AS n_below, CAST(0 AS BIGINT) AS n FROM lineitem WHERE 1 = 0",
+    "a16_rank_norm" ->
+      "WITH r AS (SELECT l_returnflag, CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 1000000000 // (n - 1) END AS pr FROM (SELECT l_returnflag, rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk, count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)) SELECT l_returnflag, CAST(pr // 100000000 AS BIGINT) AS decile, count(*) AS n, CAST(sum(pr) AS BIGINT) AS pr_sum FROM r GROUP BY 1, 2",
+    "a17_histogram" ->
+      "SELECT l_returnflag, CAST(CASE WHEN l_extendedprice < 20000.0 THEN -1 WHEN l_extendedprice >= 80000.0 THEN 20 ELSE floor((l_extendedprice - 20000.0) / 3000.0) END AS INTEGER) AS bucket, count(*) AS n FROM lineitem GROUP BY 1, 2",
     "a15_winsorize" ->
       "WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1) SELECT l.l_returnflag, count(*) AS n, CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo, CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi, CAST(round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)) * 100) AS BIGINT) AS w_mean_x100 FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1",
     // bigram LM replayed in SQL: same tokenizer, same add-one smoothing; the

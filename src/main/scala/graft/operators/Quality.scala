@@ -116,6 +116,45 @@ object Quality {
     * join back — the bounds frame is one row per group, so the join back
     * to the fact rows never shuffles the fact side.
     */
+  /** Rank (quantile) normalization per group: each row gains `pr_x1e9` =
+    * ⌊(rank − 1)·10⁹ / (n − 1)⌋ over `valueCol` within its group — the
+    * uniform-margin feature map, EXACT integer arithmetic end to end
+    * (rank ties share a value, single-row groups map to 0), so the output
+    * hash-reproduces across engines where float percent_rank can differ in
+    * the last ulp. One key-shuffle window per group.
+    */
+  def rankNormalize(
+      df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rk", rank().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("pr_x1e9",
+        when(col("__n") === 1L, 0L)
+          .otherwise(expr(
+            // rank() is INT — widen before the 1e9 scale or ANSI overflows
+            "CAST((CAST(__rk AS BIGINT) - 1) * 1000000000 DIV (__n - 1) AS BIGINT)")))
+      .drop("__rk", "__n")
+  }
+
+  /** Fixed-bin histogram per group over `[lo, hi)` with `nBins` equal
+    * buckets; values below/above land in buckets −1 / `nBins`. One
+    * partial-aggregated pass — profile cost tracks the scan, never the
+    * bucket count. Empty buckets are absent (join a bucket spine to
+    * densify).
+    */
+  def histogram(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo)
+    val bucket = when(col(valueCol) < lo, lit(-1))
+      .when(col(valueCol) >= hi, lit(nBins))
+      .otherwise(floor((col(valueCol) - lit(lo)) / lit((hi - lo) / nBins)).cast("int"))
+    df.groupBy((groupCols.map(col) :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   def winsorize(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       pLo: Double, pHi: Double): DataFrame = {

@@ -76,6 +76,30 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(b.forall(_ == 5.0))
   }
 
+  test("rankNormalize: exact integer margins, ties share, singleton is 0") {
+    val df = Seq(("A", 10.0), ("A", 20.0), ("A", 20.0), ("A", 40.0), ("B", 7.0))
+      .toDF("g", "v")
+    val got = Quality.rankNormalize(df, "v", Seq("g"))
+      .select("g", "v", "pr_x1e9").as[(String, Double, Long)].collect().toSet
+    // n=4: margins at rank-1 / 3 → 0, 1/3, 1/3, 1 (ties share rank 2)
+    assert(got == Set(
+      ("A", 10.0, 0L), ("A", 20.0, 333333333L), ("A", 40.0, 1000000000L),
+      ("B", 7.0, 0L)))
+  }
+
+  test("histogram: fixed bins with under/overflow buckets") {
+    val df = Seq(("A", -5.0), ("A", 0.0), ("A", 9.9), ("A", 10.0), ("A", 25.0), ("A", 100.0))
+      .toDF("g", "v")
+    val got = Quality.histogram(df, "v", Seq("g"), lo = 0.0, hi = 100.0, nBins = 10)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("A", -1, 1L),  // -5 underflows
+      ("A", 0, 2L),   // 0.0 and 9.9
+      ("A", 1, 1L),   // 10.0 lands exactly on the bin-1 edge
+      ("A", 2, 1L),   // 25.0
+      ("A", 10, 1L))) // 100.0 = hi → overflow bucket
+  }
+
   test("winsorize rejects a degenerate percentile range") {
     val df = Seq(("A", 1.0)).toDF("g", "v")
     assertThrows[IllegalArgumentException] {
