@@ -1731,6 +1731,17 @@ object SparkEntry {
     // (1 + id % 8 frames at 2 fps), the container is parsed back and frames
     // sampled — so duration, sample count, and timestamps are id-derived
     // and the whole encode→parse→sample loop rides the hash gate
+    // silence-split audio segmentation (VAD) through the REAL decode path:
+    // the corpus plants a window-aligned 200 ms silent gap per clip at a
+    // SQL-predictable offset, so the full segment table hash-checks
+    "m_audio_segments" -> ((s, d) => {
+      import s.implicits._
+      val ids = tb(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      Multimodal.audioSegments(
+        Multimodal.syntheticGapWavCorpus(ids), windowMs = 50, rmsThreshold = 0.1)
+    }),
     // shot-boundary detection through the REAL codec path (AVI parse +
     // per-frame JPEG decode): the corpus plants one luminance cut per
     // video at a SQL-predictable index, so the full boundary table runs
@@ -2424,6 +2435,10 @@ object SparkEntry {
     // the AVI loop is id-deterministic end-to-end: 1 + id%8 frames at 2 fps
     // → duration (1+id%8)·500 ms; n = min(4, max(1, dur/1000)) samples at
     // stride dur/n — real container parse must recover exactly these
+    // two segments per clip around the planted gap: [0, g) and [g+4, 20)
+    // in 50 ms windows, g = 6 + id % 4
+    "m_audio_segments" ->
+      "WITH i AS (SELECT doc_id AS media_id, CAST(6 + doc_id % 4 AS INTEGER) AS g FROM documents WHERE doc_id < 100) SELECT media_id, CAST(0 AS INTEGER) AS segment_idx, CAST(0 AS INTEGER) AS start_window, g AS end_window FROM i UNION ALL SELECT media_id, CAST(1 AS INTEGER), g + 4, CAST(20 AS INTEGER) FROM i",
     // the planted cut index is a pure formula of the id — the whole
     // boundary table hash-checks the real AVI-parse + JPEG-decode path
     "m_shot_bounds" ->

@@ -467,6 +467,82 @@ object Multimodal {
     }
   }
 
+  /** Synthetic WAV corpus with a PLANTED SILENT GAP: 1000 ms mono 8 kHz —
+    * tone up to `gapStartMs = 50·(6 + id mod 4)`, 200 ms of silence, tone
+    * to the end. The gap is aligned to 50 ms windows, so
+    * [[audioSegments]]' output is a pure SQL formula of the id (the same
+    * full-hash-gate trick as [[syntheticShotAviCorpus]]).
+    */
+  def syntheticGapWavCorpus(ids: Dataset[java.lang.Long]): Dataset[MediaFile] = {
+    import ids.sparkSession.implicits._
+    ids.map { boxed =>
+      val id = boxed.longValue()
+      val gapStartMs = 50 * (6 + Math.floorMod(id, 4L).toInt)
+      val n = 8 * 1000
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val tMs = i / 8
+        val silent = tMs >= gapStartMs && tMs < gapStartMs + 200
+        val v =
+          if (silent) 0.toShort
+          else (math.sin(2.0 * math.Pi * 400.0 * i / 8000.0) * 12000.0).toInt.toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaFile(id, "audio", bos.toByteArray, Map("synthetic" -> "gapwav"))
+    }
+  }
+
+  /** Silence-split audio segmentation over REAL decoded audio: samples are
+    * cut into `windowMs` cells, each cell's RMS compared to `rmsThreshold`,
+    * and maximal runs of voiced cells emitted as
+    * (media_id, segment_idx, start_window, end_window) — end exclusive, in
+    * window units. The voice-activity-detection primitive for audio
+    * curation (strip silence before feature extraction / dedup). Decode and
+    * windowing stay in the payload's task; only answer-sized segment rows
+    * shuffle. Undecodable payloads emit nothing (same honest contract as
+    * [[shotBoundaries]]).
+    */
+  def audioSegments(
+      media: Dataset[MediaFile], windowMs: Int, rmsThreshold: Double): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").flatMap { m =>
+      Codecs.decodeAudio(m.bytes) match {
+        case Some(clip) =>
+          val perWin = math.max(1, clip.sampleRate * windowMs / 1000)
+          val nWin = clip.samples.length / perWin // trailing partial dropped
+          val voiced = (0 until nWin).map { w =>
+            var ss = 0.0
+            var j = w * perWin
+            while (j < (w + 1) * perWin) { ss += clip.samples(j).toDouble * clip.samples(j); j += 1 }
+            math.sqrt(ss / perWin) > rmsThreshold
+          }
+          val segs = Seq.newBuilder[(Long, Int, Int, Int)]
+          var segIdx = 0
+          var start = -1
+          var w = 0
+          while (w <= nWin) {
+            val v = w < nWin && voiced(w)
+            if (v && start < 0) start = w
+            if (!v && start >= 0) {
+              segs += ((m.media_id, segIdx, start, w)); segIdx += 1; start = -1
+            }
+            w += 1
+          }
+          segs.result().iterator
+        case None => Iterator.empty
+      }
+    }.toDF("media_id", "segment_idx", "start_window", "end_window")
+  }
+
   /** Deterministic MJPEG-in-AVI corpus keyed by an id column — the video
     * analog of [[syntheticPngCorpus]]: each id becomes a REAL AVI container
     * of `1 + id % maxFramesPerVideo` ImageIO-encoded JPEG frames at `fps`

@@ -376,6 +376,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(shotBoundaries(media, threshold = 5.0).count() == 0)
   }
 
+  test("audioSegments recovers exactly the planted gap segments") {
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(0L, 5L).map(java.lang.Long.valueOf))
+    val got = audioSegments(syntheticGapWavCorpus(ids), windowMs = 50, rmsThreshold = 0.1)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // gap window g = 6 + id % 4, gap spans 4 windows, 20 windows total
+    assert(got == Set(
+      (0L, 0, 0, 6), (0L, 1, 10, 20),
+      (5L, 0, 0, 7), (5L, 1, 11, 20)))
+  }
+
+  test("audioSegments: an ungapped tone is one segment; silence-only is none") {
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(java.lang.Long.valueOf(150L)))
+    val one = audioSegments(syntheticWavCorpus(ids), windowMs = 50, rmsThreshold = 0.1)
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    // 250 ms tone → 5 full windows, one voiced run
+    assert(one == Seq((150L, 0, 0, 5)))
+    // absurd threshold: nothing is voiced
+    assert(audioSegments(syntheticWavCorpus(ids), 50, rmsThreshold = 10.0).count() == 0)
+  }
+
   test("withPHash rejects non-64-cell grids loudly") {
     val feats = featureFrame(extractFeatures(
       syntheticPngCorpus(spark.createDataset(Seq(java.lang.Long.valueOf(1L)))), dim = 16))
