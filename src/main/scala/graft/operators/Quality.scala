@@ -116,6 +116,48 @@ object Quality {
     * join back — the bounds frame is one row per group, so the join back
     * to the fact rows never shuffles the fact side.
     */
+  /** Piggyback the constraint audit on an EXISTING action via
+    * `Dataset.observe`: returns the instrumented frame plus the
+    * [[org.apache.spark.sql.Observation]] handle. Whatever job the caller
+    * runs next (a sink write, a count) ALSO produces the audit — zero
+    * extra scans, where [[constraintReport]] is its own pass. The metric
+    * names are `n_rows` and one `v_<name>` per constraint, same
+    * NULL-predicate-counts-as-violation semantics. `observationMetrics`
+    * renders the handle as a report matching `constraintReport`'s rows
+    * (the spec pins the equivalence).
+    *
+    * This is the shape a 100 TB load wants: the audit rides the ingest
+    * job's one pass over the data instead of doubling it.
+    */
+  def observeConstraints(
+      df: DataFrame, constraints: Seq[(String, Column)]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(constraints.nonEmpty, "no constraints given")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("n_rows") +:
+      constraints.map { case (name, pass) =>
+        coalesce(sum(when(coalesce(pass, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"v_$name")
+      }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** Render a completed observation (an action has run on the instrumented
+    * frame) as (check_name, n_violations, n_rows, violation_ppm) rows —
+    * the same shape and ppm arithmetic as [[constraintReport]].
+    */
+  def observationMetrics(
+      spark: org.apache.spark.sql.SparkSession,
+      obs: org.apache.spark.sql.Observation,
+      constraintNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val m = obs.get
+    val n = m("n_rows").asInstanceOf[Long]
+    constraintNames.map { name =>
+      val v = m(s"v_$name").asInstanceOf[Long]
+      (name, v, n, if (n == 0L) 0L else v * 1000000L / n)
+    }.toDF("check_name", "n_violations", "n_rows", "violation_ppm")
+  }
+
   /** Rank (quantile) normalization per group: each row gains `pr_x1e9` =
     * ⌊(rank − 1)·10⁹ / (n − 1)⌋ over `valueCol` within its group — the
     * uniform-margin feature map, EXACT integer arithmetic end to end

@@ -76,6 +76,26 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(b.forall(_ == 5.0))
   }
 
+  test("observeConstraints: the audit rides a single existing action") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, -5.0), (3L, null), (null, 20.0))
+      .toDF("id", "price")
+    val constraints = Seq(
+      "id_not_null" -> col("id").isNotNull,
+      "price_positive" -> (col("price") > 0))
+    val (instrumented, obs) = Quality.observeConstraints(df, constraints)
+    // ONE action — e.g. the ingest write a load would run anyway
+    assert(instrumented.count() == 4)
+    val got = Quality.observationMetrics(spark, obs, constraints.map(_._1))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // must equal the standalone (extra-pass) report
+    val want = Quality.constraintReport(df, constraints)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    assert(got("id_not_null") == ((1L, 4L, 250000L)))
+    assert(got("price_positive") == ((2L, 4L, 500000L))) // -5 and the NULL price
+  }
+
   test("rankNormalize: exact integer margins, ties share, singleton is 0") {
     val df = Seq(("A", 10.0), ("A", 20.0), ("A", 20.0), ("A", 40.0), ("B", 7.0))
       .toDF("g", "v")
