@@ -1194,6 +1194,14 @@ object SparkEntry {
       graft.operators.Sketches.quantileBoundViolations(
         t(s, d, "lineitem"), col("l_extendedprice"),
         qs = Seq(0.5, 0.9, 0.99), accuracy = 100)),
+    // theta-sketch slice intersections: the set-operation face of the
+    // sketch layer — "distinct users in slice A AND B" from MB summaries,
+    // which HLL structurally cannot answer. Contract: every pairwise
+    // intersection estimate brackets the exact overlap within its own 3σ
+    // bounds, emitted as a provably-empty violations frame
+    "a18_theta_intersect" -> ((s, d) =>
+      graft.operators.ThetaSketches.thetaIntersectViolations(
+        t(s, d, "events"), col("event_type"), col("user_id"))),
     // exact-integer rank normalization: the uniform-margin feature map,
     // aggregated here to per-group decile mass so the output is compact
     // while every underlying pr value still feeds the hash
@@ -2180,6 +2188,8 @@ object SparkEntry {
       "SELECT CAST(l_partkey AS VARCHAR) AS item, CAST(0 AS BIGINT) AS est_merged, CAST(0 AS BIGINT) AS est_full FROM lineitem WHERE 1 = 0",
     "a13_quantile_bound" ->
       "SELECT 0.0 AS q, CAST(0 AS BIGINT) AS n_below, CAST(0 AS BIGINT) AS n FROM lineitem WHERE 1 = 0",
+    "a18_theta_intersect" ->
+      "SELECT '' AS slice_a, '' AS slice_b, CAST(0 AS BIGINT) AS exact_n, 0.0 AS lb, 0.0 AS ub FROM events WHERE 1 = 0",
     "a16_rank_norm" ->
       "WITH r AS (SELECT l_returnflag, CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 1000000000 // (n - 1) END AS pr FROM (SELECT l_returnflag, rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk, count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)) SELECT l_returnflag, CAST(pr // 100000000 AS BIGINT) AS decile, count(*) AS n, CAST(sum(pr) AS BIGINT) AS pr_sum FROM r GROUP BY 1, 2",
     "a17_histogram" ->
