@@ -63,5 +63,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hyperplane_bucket", "graft_hyperplane_bucket(vec, planes) - random-hyperplane LSH bucket"),
       (args: Seq[Expression]) =>
         VectorHash.HyperplaneBucketExpr(args(0), intArg(args(1), "planes"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+      (args: Seq[Expression]) => StringSim.JaroWinklerExpr(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro"),
+      info("graft_jaro", "graft_jaro(a, b) - Jaro similarity in [0,1]"),
+      (args: Seq[Expression]) => StringSim.JaroExpr(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_sketch"),
+      info("graft_theta_sketch", "graft_theta_sketch(item, lgK) - theta sketch aggregate (binary)"),
+      (args: Seq[Expression]) =>
+        graft.operators.ThetaSketches.ThetaSketchAgg(args(0), intArg(args(1), "lgK"))
+          .toAggregateExpression()))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_estimate"),
+      info("graft_theta_estimate", "graft_theta_estimate(sketch) - distinct estimate of a theta sketch"),
+      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaEstimateExpr(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_intersect"),
+      info("graft_theta_intersect", "graft_theta_intersect(a, b) - intersection of two theta sketches"),
+      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaIntersectExpr(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_union"),
+      info("graft_theta_union", "graft_theta_union(a, b) - union of two theta sketches"),
+      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaUnionExpr(args(0), args(1))))
   }
 }

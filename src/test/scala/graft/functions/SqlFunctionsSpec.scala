@@ -31,6 +31,26 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(sql == dsl && math.abs(sql - 10.0 / 14.0) < 1e-12)
   }
 
+  test("graft_jaro_winkler in SQL matches the pinned comparator values") {
+    val v = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA')")
+      .collect().head.getDouble(0)
+    assert(v == 0.9611111111111111)
+    assert(spark.sql("SELECT graft_jaro('MARTHA', 'MARHTA')")
+      .collect().head.getDouble(0) == 0.9444444444444445)
+  }
+
+  test("theta sketch family composes in pure SQL") {
+    import spark.implicits._
+    ((1L to 300L).map(("A", _)) ++ (200L to 500L).map(("B", _)))
+      .toDF("slice", "item").createOrReplaceTempView("sql_theta")
+    val est = spark.sql(
+      """WITH sk AS (SELECT slice, graft_theta_sketch(item, 12) AS s FROM sql_theta GROUP BY slice)
+        |SELECT graft_theta_estimate(graft_theta_intersect(a.s, b.s))
+        |FROM sk a JOIN sk b ON a.slice = 'A' AND b.slice = 'B'""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(est == 101.0)
+  }
+
   test("non-literal k is rejected with a clear error") {
     Seq((1L, "x")).toDF("id", "text").createOrReplaceTempView("sql_docs2")
     val e = intercept[Exception] {
