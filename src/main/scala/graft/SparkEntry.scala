@@ -1194,6 +1194,18 @@ object SparkEntry {
       graft.operators.Sketches.quantileBoundViolations(
         t(s, d, "lineitem"), col("l_extendedprice"),
         qs = Seq(0.5, 0.9, 0.99), accuracy = 100)),
+    // corrupt-embedding screen: every 100th vector is re-scaled 10× (the
+    // classic double-normalization bug) — the z-gate must flag exactly the
+    // planted set, with a wide margin (planted z ≈ 10 vs natural max ≈ 4.7
+    // at threshold 6), so membership is hash-stable across engines
+    "s_embed_outliers" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+        .withColumn("embedding",
+          when(pmod(col("vec_id"), lit(100)) === 0,
+            transform(col("embedding"), v => v * 10.0f))
+            .otherwise(col("embedding")))
+      Similarity.embeddingOutlierIds(emb, "embedding", "vec_id", zThreshold = 6.0)
+    }),
     // theta-sketch slice intersections: the set-operation face of the
     // sketch layer — "distinct users in slice A AND B" from MB summaries,
     // which HLL structurally cannot answer. Contract: every pairwise
@@ -2188,6 +2200,10 @@ object SparkEntry {
       "SELECT CAST(l_partkey AS VARCHAR) AS item, CAST(0 AS BIGINT) AS est_merged, CAST(0 AS BIGINT) AS est_full FROM lineitem WHERE 1 = 0",
     "a13_quantile_bound" ->
       "SELECT 0.0 AS q, CAST(0 AS BIGINT) AS n_below, CAST(0 AS BIGINT) AS n FROM lineitem WHERE 1 = 0",
+    // same corruption + z-gate replayed; membership has a ≥5σ margin so
+    // engine fp differences in mean/σ can never flip it
+    "s_embed_outliers" ->
+      "WITH e AS (SELECT vec_id, CASE WHEN vec_id % 100 = 0 THEN list_transform(embedding, v -> v * 10.0) ELSE embedding END AS emb FROM embeddings), el AS (SELECT vec_id, i - 1 AS d, CAST(emb[i] AS DOUBLE) AS v FROM e, unnest(generate_series(1, len(emb))) AS t(i)), st AS (SELECT d, avg(v) AS m, stddev_samp(v) AS s FROM el GROUP BY 1 HAVING stddev_samp(v) > 0) SELECT vec_id FROM el JOIN st USING (d) GROUP BY vec_id HAVING max(abs((v - m) / s)) > 6.0",
     "a18_theta_intersect" ->
       "SELECT '' AS slice_a, '' AS slice_b, CAST(0 AS BIGINT) AS exact_n, 0.0 AS lb, 0.0 AS ub FROM events WHERE 1 = 0",
     "a16_rank_norm" ->

@@ -646,6 +646,31 @@ object Similarity {
     * the gate hash-checks the emptiness — same contract shape as the CMS
     * and quantile-sketch bounds.
     */
+  /** Corrupt-embedding screen: ids of vectors whose worst per-dimension
+    * z-score (against the corpus's own per-dimension mean/σ) exceeds
+    * `zThreshold` — the cheap sanity gate that catches scaling bugs,
+    * NaN-adjacent garbage, and wrong-model vectors before they poison an
+    * ANN index or a near-dup pass. Two aggregations: one per-dimension
+    * stats pass (64·|corpus| exploded rows, combines map-side to 64 rows),
+    * one per-vector max-z reduce; the stats frame broadcasts (one row per
+    * dimension). Choose `zThreshold` comfortably above the corpus's
+    * natural extreme-value range (max |z| over n·d gaussians grows like
+    * √(2·ln(n·d)) ≈ 5 at 10⁶ samples) so membership is margin-stable.
+    */
+  def embeddingOutlierIds(
+      embs: DataFrame, vecCol: String, idCol: String, zThreshold: Double): DataFrame = {
+    val el = embs.select(col(idCol).as("vid"),
+      posexplode(col(vecCol)).as(Seq("d", "v")))
+    val stats = el.groupBy(col("d"))
+      .agg(avg(col("v")).as("m"), stddev_samp(col("v")).as("s"))
+      .filter(col("s") > 0)
+    el.join(broadcast(stats), "d")
+      .groupBy(col("vid"))
+      .agg(max(abs((col("v") - col("m")) / col("s"))).as("max_absz"))
+      .filter(col("max_absz") > zThreshold)
+      .select(col("vid").as(idCol))
+  }
+
   /** Reciprocal-rank fusion of N rankers (Cormack et al.'s RRF — the
     * standard hybrid-retrieval combiner, e.g. dense-cosine ∪ lexical):
     * each ranker contributes `10⁹ div (k0 + rank)` to every (query, item)

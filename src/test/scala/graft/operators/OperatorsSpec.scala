@@ -828,6 +828,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!capped.exists { case (a, b) => a >= 3L && b >= 3L })
   }
 
+  test("embeddingOutlierIds flags exactly the planted corrupt vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val embs = (1L to 200L).map { id =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (id, if (id % 50 == 0) base.map(_ * 10.0f) else base)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutlierIds(embs, "embedding", "vec_id", zThreshold = 6.0)
+      .as[Long].collect().toSet
+    assert(got == Set(50L, 100L, 150L, 200L))
+    // clean corpus at the same threshold: nothing flagged
+    val clean = (1L to 200L).map(id => (id, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.embeddingOutlierIds(clean, "embedding", "vec_id", 6.0).count() == 0)
+  }
+
   test("rrfFuse: exact integer scores, agreement boosts, ties break by item id") {
     import spark.implicits._
     val ra = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "item_id", "rank")
