@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkTestBase
 import graft.functions.VectorHash
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 class OperatorsSpec extends AnyFunSuite with SparkTestBase {
@@ -826,6 +827,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // the rare-tail pair survives in both directions
     assert(capped.contains((1L, 2L)) && capped.contains((2L, 1L)))
     assert(!capped.exists { case (a, b) => a >= 3L && b >= 3L })
+  }
+
+  test("PROPERTY: containmentPairs ≡ in-JVM set arithmetic over random corpora") {
+    // random corpora from a small vocab (high shingle overlap by design),
+    // random df cap and threshold — the whole directed pair table must
+    // equal exact set arithmetic restricted to cap-surviving shingles
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(3, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = for {
+      n <- Gen.choose(3, 8)
+      texts <- Gen.listOfN(n, docGen)
+      maxDf <- Gen.choose(2, 8)
+      thr <- Gen.oneOf(0L, 300000L, 700000L)
+    } yield (texts, maxDf.toLong, thr)
+    val prop = Prop.forAll(corpusGen) { case (texts, maxDf, thr) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+          shingleSize = 3, thresholdPpm = thr, maxDf = maxDf)
+        .select("src", "dst", "inter_sz", "containment_ppm")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // in-JVM replica
+      def grams(t: String) = {
+        val tk = "\\S+".r.findAllIn(t).map(_.toLowerCase).toVector
+        if (tk.length < 3) Set.empty[String] else tk.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sh = docs.map { case (id, t) => id -> grams(t) }.toMap
+      val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = df.filter { case (_, d) => d >= 2 && d <= maxDf }.keySet
+      val want = (for {
+        (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq; if a != b
+        inter = (sa intersect sb) intersect keep
+        if inter.nonEmpty && sa.nonEmpty
+        ppm = inter.size.toLong * 1000000L / sa.size
+        if ppm >= thr
+      } yield (a, b, inter.size.toLong, ppm)).toSet
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
   }
 
   test("embeddingOutlierIds flags exactly the planted corrupt vectors") {
