@@ -950,6 +950,33 @@ object SparkEntry {
           "value_finite" -> (abs(col("value")) < lit(1e12))),
         reportDir.toString, ckpt.toString)
     }),
+    // streaming face of the SCD2 point-in-time join: facts stream in,
+    // each micro-batch enriched against the static dimension history via
+    // the as-of union-window plan, converged table ≡ the batch PIT join
+    // (shares j14's oracle semantics; PIT is per-row so batch-split
+    // independence is exact)
+    "e_stream_asof" -> ((s, d) => {
+      val ss = graft.streaming.EventStream.streamSession(s)
+      val ev = t(s, d, "events")
+      val dim = graft.load.Warehouse.scd2History(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("change_id"), col("value").as("profile_value")),
+        Seq("user_id"), "ts", Seq("change_id"))
+      val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("fact_id"), col("user_id"), col("ts"),
+          col("value").as("amount"))
+      val outDir = java.nio.file.Files.createTempDirectory("pit_out")
+      deleteRecursivelyOnExit(outDir)
+      val ckpt = java.nio.file.Files.createTempDirectory("pit_ckpt")
+      deleteRecursivelyOnExit(ckpt)
+      graft.streaming.EventStream.streamPointInTimeEnrich(
+          stream, dim, "user_id", "ts",
+          Seq("profile_value", "change_id", "effective_from"),
+          outDir.toString, ckpt.toString)
+        .filter(col("change_id").isNotNull)
+    }),
     // streaming count-min sketch: per-batch bucket tables folded by sum.
     // Bucket counts are linear in the input, so the converged streamed
     // sketch must equal the batch sketch of the whole table EXACTLY,
@@ -2350,6 +2377,10 @@ object SparkEntry {
     // containment-joins the purchase facts — the as-of plan must agree
     // exactly, including inclusive effective_from and the open current row
     "j14_scd2_pit" ->
+      "WITH dim AS (SELECT user_id, event_id AS change_id, value AS profile_value, ts AS effective_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to FROM events WHERE event_type = 'view'), tiled AS (SELECT * FROM dim WHERE effective_to IS NULL OR effective_to > effective_from) SELECT f.event_id AS fact_id, f.user_id, f.ts, f.value AS amount, d.profile_value, d.change_id, d.effective_from FROM events f JOIN tiled d ON f.user_id = d.user_id AND f.ts >= d.effective_from AND (d.effective_to IS NULL OR f.ts < d.effective_to) WHERE f.event_type = 'purchase'",
+    // identical to j14's containment-join restatement: the streamed PIT
+    // enrichment must converge to the batch join exactly
+    "e_stream_asof" ->
       "WITH dim AS (SELECT user_id, event_id AS change_id, value AS profile_value, ts AS effective_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to FROM events WHERE event_type = 'view'), tiled AS (SELECT * FROM dim WHERE effective_to IS NULL OR effective_to > effective_from) SELECT f.event_id AS fact_id, f.user_id, f.ts, f.value AS amount, d.profile_value, d.change_id, d.effective_from FROM events f JOIN tiled d ON f.user_id = d.user_id AND f.ts >= d.effective_from AND (d.effective_to IS NULL OR f.ts < d.effective_to) WHERE f.event_type = 'purchase'",
     // the stream-lifetime audit ≡ one batch aggregate over the whole table
     "e_stream_constraints" ->

@@ -376,6 +376,29 @@ object EventStream {
           .otherwise(floor(col("n_violations") * 1000000L / col("n_rows")).cast("long")))
   }
 
+  /** Streaming point-in-time enrichment: each micro-batch of facts is
+    * enriched against a STATIC SCD2 dimension via
+    * [[graft.load.Warehouse.pointInTimeJoin]] (the as-of union-window
+    * plan) and appended to the output table. The PIT join is per-fact-row,
+    * so the converged output is independent of how the stream was split
+    * into batches — the e_stream_asof gate pins the whole enriched table
+    * against the batch join. This is the feature-store read path in
+    * streaming form: facts arrive continuously, the dimension is the
+    * slowly-changing history table, and each fact leaves with the version
+    * in effect at its own event time.
+    */
+  def streamPointInTimeEnrich(
+      facts: DataFrame, dim: DataFrame,
+      keyCol: String, tsCol: String, carryCols: Seq[String],
+      outDir: String, checkpointDir: String): DataFrame = {
+    val spark = facts.sparkSession
+    val q = foreachBatchIngest(facts, checkpointDir, (batch, _) =>
+      graft.load.Warehouse.pointInTimeJoin(batch, dim, keyCol, tsCol, carryCols)
+        .coalesce(1).write.mode("append").parquet(outDir))
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming count-min sketch: sketch each micro-batch independently
     * ([[graft.operators.Sketches.cmsSketch]]), append the per-batch bucket
     * tables, and return the converged stream-lifetime sketch as their

@@ -407,6 +407,33 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(live == Map(2L -> "u2-res"))
   }
 
+  test("streaming PIT enrichment converges to the batch join across forced micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("spit").toString
+    // dim history: user 1 changes value at 10:00 and 11:00
+    val dim = graft.load.Warehouse.scd2History(
+      Seq((1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+        (1L, ts("2024-01-01 11:00:00"), 101L, 2.0))
+        .toDF("user_id", "ts", "change_id", "profile_value"),
+      Seq("user_id"), "ts", Seq("change_id"))
+    // facts split across 3 files → 3 micro-batches; one pre-history fact
+    val files = Seq(
+      Seq((10L, ts("2024-01-01 09:30:00"), 1L, "purchase", 5.0)),
+      Seq((11L, ts("2024-01-01 10:30:00"), 1L, "purchase", 6.0)),
+      Seq((12L, ts("2024-01-01 12:00:00"), 1L, "purchase", 7.0)))
+    files.foreach(_.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
+    val stream = readEvents(spark, s"$tmp/in", Map("maxFilesPerTrigger" -> "1"))
+      .select(col("event_id").as("fact_id"), col("user_id"), col("ts"),
+        col("value").as("amount"))
+    val got = streamPointInTimeEnrich(stream, dim, "user_id", "ts",
+        Seq("profile_value", "change_id"), s"$tmp/out", s"$tmp/ckpt")
+      .select("fact_id", "change_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(10L -> None, 11L -> Some(100L), 12L -> Some(101L)))
+  }
+
   test("streaming CMS sketch: multi-batch fold equals the whole-table batch sketch exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
