@@ -680,6 +680,30 @@ object Stress {
         operators.SparseSim.topKNeighbors(
           docs, "text", "doc_id", n = 3, minDf = 2L, maxDf = maxDf, k = 5).count()
       },
+      // directed containment at mult×: same inverted-index shape as
+      // sparse_topk, so the same corpus-relative df-cap governor applies.
+      // threshold 0: on THIS corpus the cap kills most shared-gram mass
+      // (the 31-word vocab pushes base trigram df's far past 0.1%), so a
+      // production 60% threshold returns zero pairs — the measured cost
+      // lives entirely in the df-capped posting join and the threshold is
+      // a free consumer filter on top of it
+      time(s"containment_x$mult") {
+        val maxDf = math.max(50L, docs.count() / 1000L)
+        operators.Dedup.containmentPairs(docs, "text", "doc_id",
+          shingleSize = 3, thresholdPpm = 0L, maxDf = maxDf).count()
+      },
+      // ER completion at mult×: blocked pairs (cap binds per the linkage
+      // op) → alt-star components → survivorship top-1 per entity — the
+      // end-to-end pairs→entities→golden chain under expanded blocks
+      time(s"golden_x$mult") {
+        val parts = expand(Tables(spark, sfDir, "part"), mult, Map("p_partkey" -> ""))
+        val pairs = operators.Linkage.blockedPairs(parts, "p_partkey", "p_name",
+          concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
+          threshold = 0.9, maxBlockSize = 300)
+        val labeled = operators.Linkage.entities(parts, "p_partkey", pairs)
+        operators.Linkage.goldenRecords(labeled, "p_partkey",
+          Seq(col("p_retailprice").desc)).count()
+      },
       // integer PageRank at mult×: lineitem expand multiplies the edge set;
       // 3 rounds of shuffle-join + partial-agg inflow sums. Hub in-degree
       // (popular parts) lands in the SUM, which combines map-side
