@@ -950,6 +950,25 @@ object SparkEntry {
           "value_finite" -> (abs(col("value")) < lit(1e12))),
         reportDir.toString, ckpt.toString)
     }),
+    // streaming theta slice table: per-batch sketches union-folded per
+    // slice; below nominal capacity the converged estimates are EXACT
+    // distinct counts (cardinalities here sit 2.7× under the lgK=12
+    // capacity even at sf0.1), so the gate is plain count(distinct)
+    "e_stream_theta" -> ((s, d) => {
+      val ss = graft.streaming.EventStream.streamSession(s)
+      val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
+      val sketchDir = java.nio.file.Files.createTempDirectory("theta_sk")
+      deleteRecursivelyOnExit(sketchDir)
+      val ckpt = java.nio.file.Files.createTempDirectory("theta_ckpt")
+      deleteRecursivelyOnExit(ckpt)
+      graft.streaming.EventStream.streamThetaSlices(
+          stream.select(col("event_type"), col("user_id")),
+          col("event_type"), col("user_id"), lgK = 12,
+          sketchDir.toString, ckpt.toString)
+        .select(col("slice").as("event_type"),
+          graft.operators.ThetaSketches.thetaEstimate(col("sketch"))
+            .cast("long").as("n_users"))
+    }),
     // streaming face of the SCD2 point-in-time join: facts stream in,
     // each micro-batch enriched against the static dimension history via
     // the as-of union-window plan, converged table ≡ the batch PIT join
@@ -2378,6 +2397,8 @@ object SparkEntry {
     // exactly, including inclusive effective_from and the open current row
     "j14_scd2_pit" ->
       "WITH dim AS (SELECT user_id, event_id AS change_id, value AS profile_value, ts AS effective_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to FROM events WHERE event_type = 'view'), tiled AS (SELECT * FROM dim WHERE effective_to IS NULL OR effective_to > effective_from) SELECT f.event_id AS fact_id, f.user_id, f.ts, f.value AS amount, d.profile_value, d.change_id, d.effective_from FROM events f JOIN tiled d ON f.user_id = d.user_id AND f.ts >= d.effective_from AND (d.effective_to IS NULL OR f.ts < d.effective_to) WHERE f.event_type = 'purchase'",
+    "e_stream_theta" ->
+      "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1",
     // identical to j14's containment-join restatement: the streamed PIT
     // enrichment must converge to the batch join exactly
     "e_stream_asof" ->

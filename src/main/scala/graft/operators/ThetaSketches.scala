@@ -100,6 +100,49 @@ object ThetaSketches {
       copy(child = c)
   }
 
+  /** Union-of-sketches aggregate: folds BINARY sketch rows (e.g. per-batch
+    * slice sketches appended by a stream) into one sketch — the reduce
+    * side of the mergeable-summaries law for theta.
+    */
+  def thetaUnionAgg(sketches: Column, lgK: Int = 12): Column =
+    col2(ThetaUnionAgg(expr(sketches), lgK).toAggregateExpression())
+
+  case class ThetaUnionAgg(
+      child: Expression, lgK: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Union] with UnaryLike[Expression]
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_theta_union_agg"
+    override def createAggregationBuffer(): Union =
+      SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    override def update(buffer: Union, input: InternalRow): Union = {
+      val v = child.eval(input)
+      if (v != null)
+        buffer.union(DsSketches.heapifyCompactSketch(
+          Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buffer
+    }
+    override def merge(buffer: Union, other: Union): Union = {
+      buffer.union(other.getResult); buffer
+    }
+    override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+    override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
+    override def deserialize(bytes: Array[Byte]): Union = {
+      val u = createAggregationBuffer()
+      u.union(DsSketches.heapifyCompactSketch(Memory.wrap(bytes)))
+      u
+    }
+    override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): ThetaUnionAgg =
+      copy(child = c)
+  }
+
   // --------------------------------------------------------------- scalars
 
   private def heapify(bytes: Array[Byte]): CompactSketch =

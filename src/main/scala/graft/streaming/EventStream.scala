@@ -399,6 +399,30 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming theta-sketch slice table: each micro-batch contributes one
+    * sketch row per slice; the converged per-slice sketch is the
+    * union-fold of the batch rows ([[graft.operators.ThetaSketches.thetaUnionAgg]]
+    * — theta unions are mergeable summaries, so the fold is the sketch of
+    * the whole stream regardless of batch split). State is one sketch row
+    * per (slice, batch) at rest, KB-scale for any stream volume; below
+    * the sketch's nominal capacity estimates are EXACT, which is what the
+    * e_stream_theta gate pins against exact SQL distinct counts.
+    */
+  def streamThetaSlices(
+      events: DataFrame, sliceCol: org.apache.spark.sql.Column,
+      itemCol: org.apache.spark.sql.Column, lgK: Int,
+      sketchDir: String, checkpointDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = foreachBatchIngest(events, checkpointDir, (batch, batchId) =>
+      graft.operators.ThetaSketches.thetaSliceSketches(batch, sliceCol, itemCol, lgK)
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("append").parquet(sketchDir))
+    q.awaitTermination()
+    spark.read.parquet(sketchDir)
+      .groupBy(col("slice"))
+      .agg(graft.operators.ThetaSketches.thetaUnionAgg(col("sketch"), lgK).as("sketch"))
+  }
+
   /** Streaming count-min sketch: sketch each micro-batch independently
     * ([[graft.operators.Sketches.cmsSketch]]), append the per-batch bucket
     * tables, and return the converged stream-lifetime sketch as their

@@ -48,6 +48,21 @@ class ThetaSketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(e1 == e16 && e1 == 700.0)
   }
 
+  test("thetaUnionAgg folds per-batch sketch rows to the exact distinct count") {
+    // simulate 3 "batches" sketched independently, with items split so
+    // only a correct union reproduces the total
+    val batches = Seq((1L to 50L), (30L to 80L), (70L to 120L))
+    val rows = batches.map { r =>
+      ThetaSketches.thetaSliceSketches(
+        r.map(("s", _)).toDF("slice", "item"), col("slice"), col("item"))
+        .select("slice", "sketch")
+    }.reduce(_ unionAll _)
+    val est = rows.groupBy($"slice")
+      .agg(ThetaSketches.thetaUnionAgg($"sketch").as("sk"))
+      .select(ThetaSketches.thetaEstimate($"sk")).as[Double].head()
+    assert(est == 120.0)
+  }
+
   test("intersection violations frame is empty on real overlapping slices") {
     val rnd = new scala.util.Random(31)
     val df = (1 to 5000).map { _ =>
