@@ -194,6 +194,26 @@ object SparkEntry {
   // the inventory
   // ------------------------------------------------------------------------
 
+  /** Bench-only timing faces: production approximate/sketch pipelines whose
+    * raw outputs are engine-specific (HLL estimates, LSH neighbor sets,
+    * 64-bit rolling fingerprints, learned BPE pairs, pHash pair sets) and
+    * therefore not DuckDB-expressible as a hash oracle. Every name here has
+    * a `_contract` sibling in [[queries]] that re-derives the operator's
+    * guarantee (error bound / recall floor / per-pair recompute / replay)
+    * as a provably-empty hash-gated frame — THAT row is the correctness
+    * gate. [[Verify]] skips these names so the driver's correctness
+    * artifact contains no oracle-less rows (VERDICT r6 #2), while [[Bench]]
+    * times them (and excludes the `_contract` siblings), so the benched
+    * plan stays the production operator alone, with no verification work
+    * folded into its timing.
+    */
+  val benchOnly: Set[String] = Set(
+    "a9_approx_distinct", "a14_hll_slices", "e_stream_hll",
+    "t_fingerprint", "t_bpe_merges",
+    "d_simhash_pairs", "d_embed_neardup",
+    "m_media_features", "m_image_neardup",
+    "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_knn_ivfpq")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregations -----------------------------------------------------
     "q1_agg" -> ((s, d) =>
@@ -502,9 +522,13 @@ object SparkEntry {
         .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
           .withColumn("o_orderkey", -col("o_orderkey") - 1)
           .withColumn("version", lit(2L)))
+      // integer-exact gate: per-row cents then BIGINT sum — a double sum's
+      // value depends on partial-agg order, and the driver hashes floats
+      // tighter than 6 sig figs (the r6 s16/s18/s21/s22 hash-fails)
       graft.load.Warehouse.upsertLatest(base, updates, Seq("o_orderkey"), "version")
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
     }),
     // stats-manifest file skipping: orders in a 16-file range layout on
     // o_orderkey; the manifest (one row per file, built in one scan) plans
@@ -546,7 +570,8 @@ object SparkEntry {
         s"compaction did not reduce file count ($before -> $after)")
       s.read.parquet(path)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
     }),
     // hive-style partitioned layout + partition pruning: orders written
     // partitionBy(o_orderstatus); a partition-key predicate must scan ONLY
@@ -625,8 +650,10 @@ object SparkEntry {
         "expected exactly snapshots v1 and v2")
       def agg(df: DataFrame, tag: String) =
         df.groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
-          .select(lit(tag).as("snapshot"), col("o_orderstatus"), col("n"), col("sum_price"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
+          .select(lit(tag).as("snapshot"), col("o_orderstatus"), col("n"),
+            col("sum_price_cents"))
       agg(graft.load.Warehouse.readSnapshot(s, root, Some(1)), "v1")
         .unionByName(agg(graft.load.Warehouse.readSnapshot(s, root), "v2"))
     }),
@@ -650,7 +677,8 @@ object SparkEntry {
       graft.load.Warehouse.applyCdc(base, changes,
           Seq("o_orderkey"), Seq("version"), "op")
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
     }),
     // data-quality constraint gate: row-level checks (not-null, range,
     // domain) fold into ONE partial-aggregated scan; the referential check
@@ -2103,7 +2131,10 @@ object SparkEntry {
     "w6_running_sum" ->
       "SELECT o_custkey, o_orderkey, sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend FROM orders",
     "w8_rolling_range" ->
-      "SELECT user_id, day, n, sum(n) OVER (PARTITION BY user_id ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7 FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day FROM events GROUP BY 1, 2, 4)",
+      // CAST the window sum: DuckDB widens sum(BIGINT) to HUGEINT, which the
+      // driver's fetch canonicalizes differently from Spark's int64 (the r6
+      // hash-fail); every other integer column here is already BIGINT
+      "SELECT user_id, day, n, CAST(sum(n) OVER (PARTITION BY user_id ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7 FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day FROM events GROUP BY 1, 2, 4)",
     "w9_topk_group" ->
       "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rank FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3",
     "t_weighted_sample" ->
@@ -2328,9 +2359,12 @@ object SparkEntry {
     "s_knn_pq_contract" ->
       "SELECT CAST(0 AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_hit, CAST(0 AS BIGINT) AS floor_x1000 FROM embeddings WHERE 1 = 0",
     // merge outcome: every 10th order carries the v2 price, every 100th
-    // key ALSO appears re-keyed as an insert — exactly one row per key
+    // key ALSO appears re-keyed as an insert — exactly one row per key.
+    // Prices compared as per-row cents (round half-up matches Spark for
+    // positives) summed as BIGINT: order-independent and hash-exact; the
+    // outer CAST keeps DuckDB's sum(BIGINT)→HUGEINT widening out of the hash
     "s16_upsert" ->
-      "SELECT o_orderstatus, count(*) AS n, sum(price) AS sum_price FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders UNION ALL SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 1",
+      "SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders UNION ALL SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 1",
     // the pruned scan is exact: manifest skipping + residual filter ≡ the
     // plain predicate over the whole table
     "s17_stats_prune" ->
@@ -2348,7 +2382,7 @@ object SparkEntry {
     // compaction preserves content exactly: the compacted table's aggregate
     // equals the same aggregate over the original orders
     "s18_compact" ->
-      "SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders GROUP BY 1",
+      "SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM orders GROUP BY 1",
     // partition pruning is exact: the partition-key predicate over the
     // hive layout equals the plain predicate over the whole table
     "s19_partition_prune" ->
@@ -2360,7 +2394,7 @@ object SparkEntry {
     // reader isolation: v1 read back AFTER the v2 commit is exactly the
     // original table; v2 is the s16 merge outcome
     "s21_time_travel" ->
-      "SELECT 'v1' AS snapshot, o_orderstatus, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders GROUP BY 2 UNION ALL SELECT 'v2', o_orderstatus, count(*), sum(price) FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders UNION ALL SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 2",
+      "SELECT 'v1' AS snapshot, o_orderstatus, count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM orders GROUP BY 2 UNION ALL SELECT 'v2', o_orderstatus, count(*), CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders UNION ALL SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 2",
     // HLL mergeability contract: provably-empty violations frame
     "a14_hll_slices_contract" ->
       "SELECT CAST(0 AS BIGINT) AS approx_distinct, CAST(0 AS BIGINT) AS exact_distinct FROM events WHERE 1 = 0",
@@ -2386,7 +2420,7 @@ object SparkEntry {
     // CDC survivor set: non-deleted originals (re-priced where updated)
     // plus the re-keyed inserts
     "s22_cdc_merge" ->
-      "SELECT o_orderstatus, count(*) AS n, sum(price) AS sum_price FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders WHERE o_orderkey % 20 != 0 UNION ALL SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 1",
+      "SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM (SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price FROM orders WHERE o_orderkey % 20 != 0 UNION ALL SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 = 0) GROUP BY 1",
     // the audit report replayed as one aggregate + a 4-way union; NULL
     // predicate results count as violations on both sides
     "s24_constraints" ->

@@ -11,8 +11,15 @@ object Verify {
     // entries with no result dir, so a partial dump still compares cleanly);
     // the driver passes exactly two args and gets the full set
     val only = args.drop(2).toSet
+    // benchOnly names are timing-only faces of operators whose correctness
+    // gate is the `_contract` sibling (engine-specific raw outputs have no
+    // DuckDB-expressible hash oracle) — dumping them would only re-create
+    // oracle-less rows in the driver's artifact. Explicit name args still
+    // select them for ad-hoc inspection.
     val selected =
-      if (only.isEmpty) SparkEntry.queries
+      if (only.isEmpty)
+        SparkEntry.queries.view
+          .filterKeys(!SparkEntry.benchOnly.contains(_)).toMap
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
     val spark = GraftSession.localFromEnv()
     new java.io.File(outDir).mkdirs()
