@@ -14,15 +14,29 @@ object Sketches {
 
   /** All word n-grams of a token array, NON-distinct (each occurrence
     * counts — unlike [[TextOps.shingles]], whose distinctness is the set
-    * semantics dedup wants). Same short-doc guard: `sequence` descends when
-    * the doc is shorter than n, fabricating garbage without it.
+    * semantics dedup wants). Short-doc guard: the `when` keeps `slice` off
+    * negative lengths, returning the empty array.
+    *
+    * Construction note: `tokenArr` is referenced only at TOP level (n
+    * slices + the size guard), never inside the per-element lambda. When a
+    * caller passes a computed expression (`TextOps.tokens(col)`), Catalyst's
+    * projection collapse inlines it at every reference site — a reference
+    * inside `transform`'s lambda re-evaluates the whole tokenizer PER GRAM
+    * (measured 26 s vs 5 s for the exact top-k at the 20× stress scale);
+    * top-level references cost n+2 evaluations per ROW.
     */
   def ngramOccurrences(tokenArr: Column, n: Int): Column = {
     require(n >= 1)
     val m = size(tokenArr) - (n - 1)
-    when(m > 0,
-      transform(sequence(lit(1), m), i => array_join(slice(tokenArr, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams =
+      if (n == 1) tokenArr
+      else {
+        // arrays_zip names non-attribute children positionally: "0".."n-1"
+        val zipped = arrays_zip((0 until n).map(j => slice(tokenArr, lit(j + 1), m)): _*)
+        transform(zipped,
+          s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
+      }
+    when(m > 0, grams).otherwise(array().cast("array<string>"))
   }
 
   /** Exact corpus-wide top-k n-grams by occurrence count, total-ordered
@@ -32,14 +46,79 @@ object Sketches {
     * means the shuffle moves one row per distinct n-gram per input
     * partition, not one per occurrence; the final top-k is a
     * TakeOrdered over the aggregated frame — no global sort materialized.
+    * On an open-vocabulary corpus the shuffle still carries the FULL
+    * distinct n-gram universe (one row per distinct gram per partition) —
+    * prefer [[ngramTop]], which bounds that exchange and falls back here
+    * only when it cannot certify the cut.
     */
-  def ngramTop(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+  def ngramTopExact(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     docs
       .select(explode(ngramOccurrences(TextOps.tokens(col(textCol)), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(k)
+
+  /** Corpus-wide top-k n-grams with a BOUNDED exchange — same answer as
+    * [[ngramTopExact]], certified.
+    *
+    * Two passes over the gram stream (one scan when a [[graft.CacheScope]]
+    * is open): (1) a Misra–Gries summary of `capacity` counters nominates
+    * candidates — the shuffle carries at most `capacity` counters per map
+    * partition instead of the full distinct universe; (2) the ≤ `capacity`
+    * survivors are exactly recounted through a broadcast semi-join, so the
+    * second shuffle is candidate-bounded too. The summary guarantees every
+    * gram with true count > N/(capacity+1) survives pass 1; when the k-th
+    * recounted candidate beats that bound — checked on the collected ≤ k
+    * result rows, never the corpus — no absent gram can belong in the
+    * top-k and the answer is PROVABLY the exact one. A distribution too
+    * flat to certify (k-th count ≤ N/(capacity+1)) falls back to
+    * [[ngramTopExact]]: correctness never degrades, only the exchange
+    * bound. Raise `capacity` to widen the certified regime.
+    */
+  def ngramTop(docs: DataFrame, textCol: String, n: Int, k: Int,
+      capacity: Int = 4096): DataFrame = {
+    require(capacity >= k, s"capacity $capacity < k $k cannot certify a top-$k cut")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // all corpus-side actions complete inside this call (only the ≤ k
+    // collected rows escape), so a private scope pins the tokenized corpus
+    // across the passes without leaking a cache entry — a caller's outer
+    // scope just nests. Persisting TOKENS (not grams) keeps the cache at
+    // corpus token size and makes every gram build read an attribute, which
+    // projection collapse cannot inline (see [[ngramOccurrences]]).
+    val (top, total) = graft.CacheScope.withScope {
+      val toks = graft.CacheScope.persistIfScoped(
+        docs.select(TextOps.tokens(col(textCol)).as("toks")))
+      val grams = toks.select(ngramOccurrences(col("toks"), n).as("grams"))
+      val candidates = grams.as[Seq[String]]
+        .select(new MisraGriesAgg(capacity).toColumn)
+        .flatMap(_.keys.toSeq).toDF("ngram")
+      val t = grams.select(explode(col("grams")).as("ngram"))
+        .join(broadcast(candidates), Seq("ngram"), "left_semi")
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(k)
+        .collect() // bounded: ≤ k rows
+      // N from token counts alone — no gram strings built for this pass
+      val tot = toks
+        .select(coalesce(sum(greatest(size(col("toks")) - (n - 1), lit(0))), lit(0L)))
+        .as[Long].head()
+      (t, tot)
+    }
+    val certified = total == 0L ||
+      (top.length == k && top.last.getLong(1) * (capacity + 1L) > total)
+    if (certified)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(top.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ngram",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else ngramTopExact(docs, textCol, n, k)
+  }
 
   /** Misra–Gries frequency summary: at most `capacity` counters per
     * partition, merged pairwise (Agarwal et al., "Mergeable Summaries",
@@ -53,12 +132,17 @@ object Sketches {
     * distinct universe (ngramTop's shape) is what this avoids.
     */
   class MisraGriesAgg(capacity: Int)
-      extends Aggregator[Seq[String], Map[String, Long], Map[String, Long]] {
+      extends Aggregator[Seq[String], scala.collection.mutable.HashMap[String, Long],
+        Map[String, Long]] {
     require(capacity > 0)
-    override def zero: Map[String, Long] = Map.empty
+    private type Buf = scala.collection.mutable.HashMap[String, Long]
+    override def zero: Buf = new scala.collection.mutable.HashMap[String, Long]
 
-    override def reduce(b: Map[String, Long], tokens: Seq[String]): Map[String, Long] = {
-      val m = scala.collection.mutable.HashMap.from(b)
+    // The Aggregator contract allows reduce/merge to MUTATE the buffer and
+    // return it (object-hash aggregation keeps buffers live per partition) —
+    // copying a capacity-sized map per input row was an O(capacity · rows)
+    // head that dominated the r6 stress receipt.
+    override def reduce(m: Buf, tokens: Seq[String]): Buf = {
       tokens.foreach { t =>
         m.get(t) match {
           case Some(c) => m.update(t, c + 1L)
@@ -69,26 +153,24 @@ object Sketches {
             m.filterInPlace((_, c) => c > 0L)
         }
       }
-      m.toMap
+      m
     }
 
-    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
-      val summed = scala.collection.mutable.HashMap.from(b1)
-      b2.foreach { case (t, c) => summed.update(t, summed.getOrElse(t, 0L) + c) }
-      if (summed.size <= capacity) summed.toMap
-      else {
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      val (into, from) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+      from.foreach { case (t, c) => into.update(t, into.getOrElse(t, 0L) + c) }
+      if (into.size > capacity) {
         // (capacity+1)-th largest count; subtracting it leaves at most
         // `capacity` strictly-positive counters
-        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-        summed.mapValuesInPlace((_, c) => c - cut)
-        summed.filterInPlace((_, c) => c > 0L)
-        summed.toMap
+        val cut = into.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        into.mapValuesInPlace((_, c) => c - cut)
+        into.filterInPlace((_, c) => c > 0L)
       }
+      into
     }
 
-    override def finish(m: Map[String, Long]): Map[String, Long] = m
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      Encoders.kryo[Map[String, Long]]
+    override def finish(m: Buf): Map[String, Long] = m.toMap
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     override def outputEncoder: Encoder[Map[String, Long]] =
       Encoders.kryo[Map[String, Long]]
   }

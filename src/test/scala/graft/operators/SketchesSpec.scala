@@ -20,6 +20,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(got == List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("ngramTop bounded path ≡ exact in both regimes (certified and fallback)") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // certified regime: a 3-gram heavy head (a b / b c / c a) over a long
+    // unique tail, capacity far below the distinct universe — pass-1 MG
+    // decrements fire, yet the k-th count clears N/(capacity+1)
+    val skewed = (1 to 400).map(i => (i.toLong, s"a b c a b c a b c u$i v$i"))
+      .toDF("doc_id", "text").repartition(7)
+    for (k <- Seq(1, 3)) {
+      val exact = canon(Sketches.ngramTopExact(skewed, "text", n = 2, k))
+      val bounded = canon(Sketches.ngramTop(skewed, "text", n = 2, k, capacity = 16))
+      assert(bounded == exact, s"certified regime diverged at k=$k")
+    }
+    // flat regime: every bigram unique → the k-th count (1) can never beat
+    // N/(capacity+1); the bounded path must fall back and still agree
+    val flat = (1 to 300).map(i => (i.toLong, s"a$i b$i")).toDF("doc_id", "text")
+    assert(canon(Sketches.ngramTop(flat, "text", n = 2, k = 5, capacity = 8)) ==
+      canon(Sketches.ngramTopExact(flat, "text", n = 2, k = 5)))
+  }
+
   test("inverted index: postings sorted by doc, tf exact, cap keeps prefix") {
     import spark.implicits._
     val docs = Seq(
