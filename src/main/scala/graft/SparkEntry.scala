@@ -107,6 +107,10 @@ object SparkEntry {
   private val dynOverwriteCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the CSPro reload snapshot root (s27_cspro_reload)
+  private val csproReloadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Committed ANN recall floors (×1000) for the s_knn_lsh / s_knn_ivf
     * contract queries. Both paths are seeded-deterministic, so recall over
     * a shipped dataset is a constant; the floors sit below the measured
@@ -507,6 +511,47 @@ object SparkEntry {
     // --- fixed-width scan (S5) ---------------------------------------------
     "s5_fixedwidth_scan" -> ((s, d) => fixedWidthScan(s, d)),
     "s5b_fixedwidth_v2" -> ((s, d) => fixedWidthV2Scan(s, d)),
+    // the reference's idempotent survey re-load (lib04's drop-and-reload,
+    // 509-541) expressed through the warehouse machinery instead of a
+    // destructive DELETE: the original DAT delivery is parsed and committed
+    // as snapshot v1; a corrected re-delivery (re-statused tenths as U
+    // records, withdrawn twentieths as D tombstones — both arriving as real
+    // fixed-width lines through the SAME DatReader specs) merges via
+    // applyCdc keyed on the survey's id item, and the survivor table is
+    // committed as v2. The whole render→parse→merge→commit→read chain rides
+    // the hash gate; the fixture is pure in the sf dir, built once
+    "s27_cspro_reload" -> ((s, d) => {
+      val root = csproReloadCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("csproreload")
+        deleteRecursivelyOnExit(dir)
+        def render(df: DataFrame) = df.select(concat(
+          lpad(col("o_custkey").cast("string"), 12, " "),
+          lit("   "), lit("ORD"),
+          col("o_orderstatus"),
+          lpad(col("o_orderkey").cast("string"), 12, "0")).as("value"))
+        def parse(lines: DataFrame) =
+          DatReader.projectLines(lines, fixedWidthSpecs)("ORDERS")
+        val orders = t(s, d, "orders")
+        val base = parse(render(orders)).withColumn("version", lit(1L))
+        graft.load.Warehouse.commitSnapshot(base, dir.toString, 1)
+        val upd = parse(render(orders
+            .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 20 =!= 0)
+            .withColumn("o_orderstatus", lit("X"))))
+          .withColumn("version", lit(2L)).withColumn("op", lit("U"))
+        val del = parse(render(orders.filter(col("o_orderkey") % 20 === 0)))
+          .withColumn("version", lit(2L)).withColumn("op", lit("D"))
+        val merged = graft.load.Warehouse.applyCdc(
+          graft.load.Warehouse.readSnapshot(s, dir.toString, Some(1)),
+          upd.unionByName(del), Seq("okey"), Seq("version"), "op")
+        graft.load.Warehouse.commitSnapshot(merged, dir.toString, 2)
+        dir.toString
+      })
+      require(graft.load.Warehouse.snapshotVersions(s, root) == Seq(1, 2),
+        "expected exactly snapshots v1 and v2 in the CSPro reload root")
+      graft.load.Warehouse.readSnapshot(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("okey").cast("bigint")).as("sum_okey"))
+    }),
     "s4_dcf_parse" -> ((s, d) => dcfParseDemo(s)),
     // --- warehouse maintenance (extensions of S13/S15) ---------------------
     // latest-wins upsert (MERGE compaction): base@v1 ⊎ updates@v2 (every
@@ -2193,6 +2238,9 @@ object SparkEntry {
       "SELECT o_orderstatus AS status, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey FROM orders GROUP BY 1",
     "s5b_fixedwidth_v2" ->
       "SELECT o_orderstatus AS status, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey FROM orders GROUP BY 1",
+    // reload outcome: twentieths withdrawn, surviving tenths re-statused 'X'
+    "s27_cspro_reload" ->
+      "SELECT status, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey FROM (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS status, o_orderkey FROM orders WHERE o_orderkey % 20 != 0) GROUP BY 1",
     "e_hour_window" ->
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2",
     "e_json_extract" ->
@@ -2285,8 +2333,11 @@ object SparkEntry {
       "SELECT '' AS slice_a, '' AS slice_b, CAST(0 AS BIGINT) AS exact_n, 0.0 AS lb, 0.0 AS ub FROM events WHERE 1 = 0",
     "a16_rank_norm" ->
       "WITH r AS (SELECT l_returnflag, CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 1000000000 // (n - 1) END AS pr FROM (SELECT l_returnflag, rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk, count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)) SELECT l_returnflag, CAST(pr // 100000000 AS BIGINT) AS decile, count(*) AS n, CAST(sum(pr) AS BIGINT) AS pr_sum FROM r GROUP BY 1, 2",
+    // in-range buckets clamped to nBins-1, mirroring the operator's
+    // float-edge guard (a value marginally below hi must not float-round
+    // into the overflow bucket)
     "a17_histogram" ->
-      "SELECT l_returnflag, CAST(CASE WHEN l_extendedprice < 20000.0 THEN -1 WHEN l_extendedprice >= 80000.0 THEN 20 ELSE floor((l_extendedprice - 20000.0) / 3000.0) END AS INTEGER) AS bucket, count(*) AS n FROM lineitem GROUP BY 1, 2",
+      "SELECT l_returnflag, CAST(CASE WHEN l_extendedprice < 20000.0 THEN -1 WHEN l_extendedprice >= 80000.0 THEN 20 ELSE least(floor((l_extendedprice - 20000.0) / 3000.0), 19) END AS INTEGER) AS bucket, count(*) AS n FROM lineitem GROUP BY 1, 2",
     "a15_winsorize" ->
       "WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1) SELECT l.l_returnflag, count(*) AS n, CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo, CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi, CAST(round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)) * 100) AS BIGINT) AS w_mean_x100 FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1",
     // bigram LM replayed in SQL: same tokenizer, same add-one smoothing; the

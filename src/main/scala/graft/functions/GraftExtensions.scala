@@ -88,12 +88,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       FunctionIdentifier("graft_theta_intersect"),
-      info("graft_theta_intersect", "graft_theta_intersect(a, b) - intersection of two theta sketches"),
-      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaIntersectExpr(args(0), args(1))))
+      info("graft_theta_intersect",
+        "graft_theta_intersect(a, b[, lgK]) - intersection of two theta sketches; pass the inputs' lgK when above the default 12"),
+      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaIntersectExpr(
+        args(0), args(1),
+        if (args.length > 2) intArg(args(2), "lgK") else 12)))
 
     ext.injectFunction((
       FunctionIdentifier("graft_theta_union"),
-      info("graft_theta_union", "graft_theta_union(a, b) - union of two theta sketches"),
-      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaUnionExpr(args(0), args(1))))
+      info("graft_theta_union",
+        "graft_theta_union(a, b[, lgK]) - union of two theta sketches; pass the inputs' lgK when above the default 12"),
+      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaUnionExpr(
+        args(0), args(1),
+        if (args.length > 2) intArg(args(2), "lgK") else 12)))
   }
 }

@@ -36,9 +36,13 @@ object PageRank {
 
   /** Ranks after `iters` rounds over directed `edges` (cols `src`, `dst`;
     * duplicates are dropped). Returns (node, rank) with ranks in units of
-    * 1/`scale`; Σrank ≈ scale (minus integer-floor dust). Nodes are those
-    * incident to at least one edge (isolated nodes have no edge row to
-    * arrive on — prepend them to `edges` as self-loops if they matter).
+    * 1/`scale`; Σrank ≈ scale (minus integer-floor dust). Dangling (sink)
+    * nodes' mass is redistributed uniformly each round — canonical
+    * PageRank, so the conservation claim holds on graphs WITH sinks too;
+    * on sink-free graphs the dangling term is exactly zero and the
+    * recurrence is unchanged (the oracle's case). Nodes are those incident
+    * to at least one edge (isolated nodes have no edge row to arrive on —
+    * prepend them to `edges` as self-loops if they matter).
     */
   def ranks(edges0: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0)
@@ -50,23 +54,37 @@ object PageRank {
     graft.CacheScope.unpersistCheckpoint(edges)
     val nodes = edgesDeg.select(col("src").as("node"))
       .union(edgesDeg.select(col("dst").as("node"))).distinct()
-    val nTotal = nodes.groupBy().agg(count(lit(1)).as("n"))
+    // 1-row frame referenced every round — checkpointed so the node-set
+    // distinct doesn't rerun per iteration
+    val nTotal = graft.CacheScope.localCheckpoint(
+      nodes.groupBy().agg(count(lit(1)).as("n")))
     // base = scale div |V|, attached as a column (no driver scalar)
     var r = graft.CacheScope.localCheckpoint(
       nodes.crossJoin(nTotal)
         .select(col("node"), expr(s"CAST($scale DIV n AS BIGINT)").as("base"))
         .withColumn("r", col("base")))
+    // nodes with no outgoing edge: their whole rank is dangling mass each
+    // round (1-row frames cross-joined on — no driver scalar, same pattern
+    // as |V|). Sink-free graphs make this frame sum to 0 and the update
+    // reduces to the plain recurrence.
+    // derived from edgesDeg, NOT deg — deg's plan reads the `edges`
+    // checkpoint freed above
+    val sinkNodes = graft.CacheScope.localCheckpoint(
+      nodes.join(edgesDeg.select(col("src").as("node")), Seq("node"), "left_anti"))
     var round = 0
     while (round < iters) {
       val inflow = edgesDeg
         .join(r.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), expr("CAST(r DIV outdeg AS BIGINT)").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      val dangling = r.join(sinkNodes, Seq("node"), "left_semi")
+        .groupBy().agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
       val next = graft.CacheScope.localCheckpoint(
         r.select(col("node"), col("base"))
           .join(inflow.select(col("dst").as("node"), col("inflow")), Seq("node"), "left")
+          .crossJoin(dangling).crossJoin(nTotal)
           .select(col("node"), col("base"),
-            expr("CAST((base * 15 + coalesce(inflow, CAST(0 AS BIGINT)) * 85) DIV 100 AS BIGINT)").as("r")))
+            expr("CAST((base * 15 + (coalesce(inflow, CAST(0 AS BIGINT)) + CAST(dmass DIV n AS BIGINT)) * 85) DIV 100 AS BIGINT)").as("r")))
       // round N-1's checkpoint has no consumer once round N is materialized
       graft.CacheScope.unpersistCheckpoint(r)
       r = next

@@ -184,7 +184,10 @@ object Quality {
     * buckets; values below/above land in buckets −1 / `nBins`. One
     * partial-aggregated pass — profile cost tracks the scan, never the
     * bucket count. Empty buckets are absent (join a bucket spine to
-    * densify).
+    * densify). In-range buckets are clamped to `nBins − 1`: a value
+    * marginally below `hi` can float-round so that
+    * `floor((v−lo)/binWidth) == nBins`, which would conflate an in-range
+    * value with the overflow bucket (ADVICE r6).
     */
   def histogram(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
@@ -192,7 +195,9 @@ object Quality {
     require(nBins >= 1 && hi > lo)
     val bucket = when(col(valueCol) < lo, lit(-1))
       .when(col(valueCol) >= hi, lit(nBins))
-      .otherwise(floor((col(valueCol) - lit(lo)) / lit((hi - lo) / nBins)).cast("int"))
+      .otherwise(least(
+        floor((col(valueCol) - lit(lo)) / lit((hi - lo) / nBins)).cast("int"),
+        lit(nBins - 1)))
     df.groupBy((groupCols.map(col) :+ bucket.as("bucket")): _*)
       .agg(count(lit(1)).as("n"))
   }
@@ -201,9 +206,12 @@ object Quality {
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile range [$pLo, $pHi]")
+    // typed Column API, not SQL-string splicing: a column name needing
+    // backticks (dots, spaces) would fail to parse or resolve elsewhere
+    // under expr() interpolation (ADVICE r6)
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
-        expr(s"percentile($valueCol, $pHi)").as("hi"))
+      .agg(percentile(col(valueCol), lit(pLo)).as("lo"),
+        percentile(col(valueCol), lit(pHi)).as("hi"))
     df.join(broadcast(bounds), groupCols)
       .withColumn("w_value",
         least(greatest(col(valueCol), col("lo")), col("hi")))

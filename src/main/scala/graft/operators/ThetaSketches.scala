@@ -44,16 +44,20 @@ object ThetaSketches {
   def thetaUpperBound(sketch: Column, numStdDev: Int): Column =
     col2(ThetaBoundExpr(expr(sketch), numStdDev, upper = true))
 
-  /** Intersection of two binary sketches → binary sketch. */
-  def thetaIntersect(a: Column, b: Column): Column =
-    col2(ThetaIntersectExpr(expr(a), expr(b)))
+  /** Intersection of two binary sketches → binary sketch. `lgK` must be ≥
+    * the lgK the inputs were aggregated with — a smaller set-operation
+    * builder silently downsamples higher-resolution inputs.
+    */
+  def thetaIntersect(a: Column, b: Column, lgK: Int = 12): Column =
+    col2(ThetaIntersectExpr(expr(a), expr(b), lgK))
 
   /** Union of two binary sketches → binary sketch (pairwise; for N-way
     * group union use [[thetaSketchAgg]] over exploded sketch rows'
-    * source items, or fold with this).
+    * source items, or fold with this). Same `lgK` contract as
+    * [[thetaIntersect]].
     */
-  def thetaUnion(a: Column, b: Column): Column =
-    col2(ThetaUnionExpr(expr(a), expr(b)))
+  def thetaUnion(a: Column, b: Column, lgK: Int = 12): Column =
+    col2(ThetaUnionExpr(expr(a), expr(b), lgK))
 
   /** Per-slice sketch table: one (slice, sketch) row per value of
     * `sliceCol` — the persisted MB-scale summary layer, same shape as the
@@ -173,13 +177,17 @@ object ThetaSketches {
       copy(child = c)
   }
 
-  case class ThetaIntersectExpr(left: Expression, right: Expression)
+  // Both set-operation expressions size their builder from `lgK`: the
+  // DataSketches default (lgK 12) would silently DOWNSAMPLE inputs that
+  // were aggregated at higher resolution, degrading accuracy with no error
+  // (ADVICE r6). lgK rides the expression tree, so copies keep it.
+  case class ThetaIntersectExpr(left: Expression, right: Expression, lgK: Int = 12)
       extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def dataType: DataType = BinaryType
     override def inputTypes = Seq(BinaryType, BinaryType)
     override def prettyName: String = "graft_theta_intersect"
     protected override def nullSafeEval(a: Any, b: Any): Any = {
-      val inter = SetOperation.builder().buildIntersection()
+      val inter = SetOperation.builder().setLogNominalEntries(lgK).buildIntersection()
       inter.intersect(heapify(a.asInstanceOf[Array[Byte]]))
       inter.intersect(heapify(b.asInstanceOf[Array[Byte]]))
       inter.getResult.toByteArray
@@ -188,13 +196,13 @@ object ThetaSketches {
       copy(left = l, right = r)
   }
 
-  case class ThetaUnionExpr(left: Expression, right: Expression)
+  case class ThetaUnionExpr(left: Expression, right: Expression, lgK: Int = 12)
       extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def dataType: DataType = BinaryType
     override def inputTypes = Seq(BinaryType, BinaryType)
     override def prettyName: String = "graft_theta_union"
     protected override def nullSafeEval(a: Any, b: Any): Any = {
-      val u = SetOperation.builder().buildUnion()
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
       u.union(heapify(a.asInstanceOf[Array[Byte]]))
       u.union(heapify(b.asInstanceOf[Array[Byte]]))
       u.getResult.toByteArray

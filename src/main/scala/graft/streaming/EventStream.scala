@@ -345,6 +345,23 @@ object EventStream {
         write(batch.toDF(), batchId))
       .start()
 
+  /** Exactly-once per-batch table append: the batch's rows land in their
+    * own `batch_id=<id>` partition via DYNAMIC partition overwrite, so a
+    * replayed batch (failure between the write and the checkpoint commit)
+    * REPLACES its own partition instead of double-appending — a blind
+    * `mode("append")` inside foreachBatch breaks the batch-split-
+    * independent convergence the stream gates rely on, exactly under retry
+    * (ADVICE r6). Only partitions present in the written data are touched,
+    * so earlier batches' partitions survive.
+    */
+  private def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+
   /** Streaming constraint audit: run the one-pass
     * [[graft.operators.Quality.constraintReport]] per micro-batch, append
     * each batch's counts to a report table, and return the stream-lifetime
@@ -364,9 +381,9 @@ object EventStream {
       reportDir: String, checkpointDir: String): DataFrame = {
     val spark = events.sparkSession
     val q = foreachBatchIngest(events, checkpointDir, (batch, batchId) =>
-      graft.operators.Quality.constraintReport(batch, constraints)
-        .withColumn("batch_id", lit(batchId))
-        .coalesce(1).write.mode("append").parquet(reportDir))
+      writeBatchPartition(
+        graft.operators.Quality.constraintReport(batch, constraints),
+        batchId, reportDir))
     q.awaitTermination()
     spark.read.parquet(reportDir)
       .groupBy(col("check_name"))
@@ -392,11 +409,12 @@ object EventStream {
       keyCol: String, tsCol: String, carryCols: Seq[String],
       outDir: String, checkpointDir: String): DataFrame = {
     val spark = facts.sparkSession
-    val q = foreachBatchIngest(facts, checkpointDir, (batch, _) =>
-      graft.load.Warehouse.pointInTimeJoin(batch, dim, keyCol, tsCol, carryCols)
-        .coalesce(1).write.mode("append").parquet(outDir))
+    val q = foreachBatchIngest(facts, checkpointDir, (batch, batchId) =>
+      writeBatchPartition(
+        graft.load.Warehouse.pointInTimeJoin(batch, dim, keyCol, tsCol, carryCols),
+        batchId, outDir))
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch_id")
   }
 
   /** Streaming theta-sketch slice table: each micro-batch contributes one
@@ -414,9 +432,9 @@ object EventStream {
       sketchDir: String, checkpointDir: String): DataFrame = {
     val spark = events.sparkSession
     val q = foreachBatchIngest(events, checkpointDir, (batch, batchId) =>
-      graft.operators.ThetaSketches.thetaSliceSketches(batch, sliceCol, itemCol, lgK)
-        .withColumn("batch_id", lit(batchId))
-        .coalesce(1).write.mode("append").parquet(sketchDir))
+      writeBatchPartition(
+        graft.operators.ThetaSketches.thetaSliceSketches(batch, sliceCol, itemCol, lgK),
+        batchId, sketchDir))
     q.awaitTermination()
     spark.read.parquet(sketchDir)
       .groupBy(col("slice"))
@@ -440,9 +458,9 @@ object EventStream {
       sketchDir: String, checkpointDir: String): DataFrame = {
     val spark = events.sparkSession
     val q = foreachBatchIngest(events, checkpointDir, (batch, batchId) =>
-      graft.operators.Sketches.cmsSketch(batch, itemCol, depth, width)
-        .withColumn("batch_id", lit(batchId))
-        .coalesce(1).write.mode("append").parquet(sketchDir))
+      writeBatchPartition(
+        graft.operators.Sketches.cmsSketch(batch, itemCol, depth, width),
+        batchId, sketchDir))
     q.awaitTermination()
     spark.read.parquet(sketchDir)
       .groupBy(col("d"), col("b")).agg(sum(col("c")).as("c"))

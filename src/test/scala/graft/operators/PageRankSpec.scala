@@ -15,7 +15,10 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     var r = nodes.map(_ -> base).toMap
     for (_ <- 1 to iters) {
       val inflow = es.groupBy(_._2).view.mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
-      r = nodes.map(n => n -> (base * 15 + inflow.getOrElse(n, 0L) * 85) / 100).toMap
+      // dangling mass redistributed uniformly, same integer order as ranks()
+      val dmass = nodes.filterNot(deg.contains).map(r).sum
+      r = nodes.map(n =>
+        n -> (base * 15 + (inflow.getOrElse(n, 0L) + dmass / nodes.size) * 85) / 100).toMap
     }
     r
   }
@@ -50,6 +53,21 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     // divs + final div) — bound generously
     assert(total <= scale)
     assert(scale - total < 100L * (r.length + 400) * 4)
+  }
+
+  test("sink graphs conserve rank mass (dangling redistribution, ADVICE r6)") {
+    // directed chain 1→2→3: node 3 is a sink — without redistribution its
+    // whole rank share leaks every round and Σrank decays geometrically
+    val r = PageRank.ranks(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), iters = 8)
+      .as[(Long, Long)].collect()
+    val scale = 1000000000000L
+    val total = r.map(_._2).sum
+    assert(total <= scale)
+    // floor dust only: a leak would cost ~0.85·scale/3 per round
+    assert(scale - total < 10000L)
+    // and the sink still outranks its feeder (it receives the chain's mass)
+    val m = r.toMap
+    assert(m(3L) > m(1L))
   }
 
   test("a two-node cycle converges to equal ranks") {

@@ -126,4 +126,27 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       Quality.winsorize(df, "v", Seq("g"), 0.9, 0.1)
     }
   }
+
+  test("histogram: a value one ulp below hi stays in bucket nBins-1 (ADVICE r6)") {
+    // lo=0, hi=0.1, nBins=3: binWidth 0.1/3 rounds so that the largest
+    // double below hi has floor((v-lo)/binWidth) == 3 — without the clamp
+    // this IN-RANGE value lands in the overflow bucket and the documented
+    // [lo,hi) contract breaks at the edge
+    val v = Math.nextDown(0.1)
+    assert(v < 0.1 && math.floor(v / (0.1 / 3)) >= 3) // the trap is real
+    val got = Quality.histogram(
+      Seq(("A", v), ("A", 0.1), ("A", -0.5)).toDF("g", "x"),
+      "x", Seq("g"), lo = 0.0, hi = 0.1, nBins = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(got == Map(2 -> 1L, 3 -> 1L, -1 -> 1L))
+  }
+
+  test("winsorize resolves column names like the rest of the API (ADVICE r6)") {
+    // a name expr()-splicing would fail to parse; the typed Column path
+    // must handle it exactly as col() does
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 100.0)).toDF("g", "the value")
+    val out = Quality.winsorize(df, "the value", Seq("g"), 0.0, 0.5)
+    assert(out.count() == 3)
+    assert(out.columns.contains("w_value"))
+  }
 }

@@ -82,4 +82,26 @@ class ThetaSketchesSpec extends AnyFunSuite with SparkTestBase {
         ThetaSketches.thetaIntersect($"a", $"b"), 3)).as[Double].head()
     assert(ub == 0.0) // disjoint exact sketches → intersection provably empty
   }
+
+  test("pairwise union honors the inputs' lgK instead of downsampling (ADVICE r6)") {
+    // two disjoint 40k-item slices sketched at lgK 14 (16384 nominal
+    // entries): a union built at the DataSketches default lgK 12 silently
+    // downsamples to 4096 entries; at the inputs' lgK the union of these
+    // estimation-mode sketches keeps the finer resolution → strictly
+    // narrower 3σ bounds, and the estimate stays within its own bounds
+    val df = ((1L to 40000L).map(("A", _)) ++ (100000L to 140000L).map(("B", _)))
+      .toDF("slice", "item")
+    val sk = ThetaSketches.thetaSliceSketches(df, col("slice"), col("item"), lgK = 14)
+    val pair = sk.filter($"slice" === "A").select($"sketch".as("a"))
+      .crossJoin(sk.filter($"slice" === "B").select($"sketch".as("b")))
+    def widthAt(lgK: Int): Double = pair.select(
+      ThetaSketches.thetaUpperBound(ThetaSketches.thetaUnion($"a", $"b", lgK), 3) -
+        ThetaSketches.thetaLowerBound(ThetaSketches.thetaUnion($"a", $"b", lgK), 3))
+      .as[Double].head()
+    assert(widthAt(14) < widthAt(12),
+      "lgK-14 union should carry narrower bounds than the downsampled default")
+    val est = pair.select(ThetaSketches.thetaEstimate(
+      ThetaSketches.thetaUnion($"a", $"b", lgK = 14))).as[Double].head()
+    assert(math.abs(est - 80001.0) / 80001.0 < 0.05)
+  }
 }
