@@ -119,6 +119,57 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(sb.toString == "511\ta b\t\n522\tc\\td\tx\n")
   }
 
+  test("COPY byte stream: golden-file exact from real DataFrame partitions (VERDICT r6 #6)") {
+    // The full protocol surface a Postgres server would receive, driven
+    // from REAL DataFrame partitions through Row.toSeq → renderCopyRow →
+    // LinesReader, UTF-8 encoded, byte-compared against a committed golden
+    // file. Covers: tab/newline/CR/backslash escaping, the null='' contract
+    // (NULL and empty string both render ""), bytea hex with TEXT-escaped
+    // backslash, unicode multibyte, boolean/long/decimal rendering, and the
+    // two-partition split (each partition is its own COPY stream; their
+    // ordered concatenation is the golden).
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType),
+      StructField("t", StringType), StructField("b", BinaryType),
+      StructField("f", BooleanType), StructField("d", DecimalType(10, 2))))
+    val rows = Seq(
+      Row("plain", 1L, null, Array[Byte](0, 127, -1), true, new java.math.BigDecimal("12.30")),
+      Row("tab\there", 2L, "", Array[Byte](), false, null),
+      Row("line\nbreak", 3L, "ünïcødé", Array[Byte](0xde.toByte, 0xad.toByte), null,
+        new java.math.BigDecimal("-0.01")),
+      Row(null, null, "back\\slash\rCR", null, true, new java.math.BigDecimal("999.99")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema) // slices keep order
+    val streams = df.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val r = new CopySink.LinesReader(it.map(row => CopySink.renderCopyRow(row.toSeq)))
+      val sb = new StringBuilder
+      val buf = new Array[Char](7) // tiny buffer: cross line boundaries
+      var n = r.read(buf, 0, buf.length)
+      while (n >= 0) { sb.appendAll(buf, 0, n); n = r.read(buf, 0, buf.length) }
+      Iterator((idx, sb.toString))
+    }.collect().sortBy(_._1)
+    assert(streams.length == 2 && streams.forall(_._2.nonEmpty),
+      "expected two non-empty partition streams")
+    val got = streams.map(_._2).mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val golden = {
+      val in = getClass.getResourceAsStream("/copy_stream_golden.bin")
+      try in.readAllBytes() finally in.close()
+    }
+    assert(java.util.Arrays.equals(got, golden),
+      s"COPY stream drifted from golden:\n---got---\n${new String(got, "UTF-8")}" +
+        s"\n---golden---\n${new String(golden, "UTF-8")}")
+    // the statement those bytes stream into, pinned alongside
+    assert(CopySink.copySql("warehouse.t", Seq("s", "n")) ==
+      """COPY warehouse.t ("s", "n") FROM STDIN WITH (FORMAT text, NULL '')""")
+    // timestamp/date rendering is TZ-stable (local-field toString)
+    assert(CopySink.renderCopyRow(Seq(
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678"),
+      java.sql.Date.valueOf("2024-01-02"), 3.5d, 42, null)) ==
+      "2024-01-02 03:04:05.678\t2024-01-02\t3.5\t42\t")
+  }
+
   test("CopySink falls back to batched INSERTs on a non-Postgres connection") {
     val t = "graft_copy_fallback"
     val conn = java.sql.DriverManager.getConnection(url, props)
