@@ -82,14 +82,42 @@ object CacheScope {
     ds
   }
 
-  /** Eager local checkpoint whose storage is freed at scope close. The
-    * checkpointed RDD is reached through the returned frame's `LogicalRDD`
-    * plan node; each call checkpoints a fresh RDD, so a scope only ever
-    * frees checkpoints it created (safe under concurrent scopes, unlike
-    * persisted-plan entries which CacheManager dedupes across threads).
+  /** Session conf key selecting RELIABLE checkpointing for every
+    * [[localCheckpoint]] call on that session. `localCheckpoint` truncates
+    * lineage into executor-local blocks: fast (no file I/O) but an executor
+    * loss mid-computation makes the checkpointed partitions unrecoverable —
+    * the job FAILS (restart from scratch; never a wrong answer). On a real
+    * multi-executor cluster running long iterative ops (PageRank,
+    * alt-star CC), set this to `true` and call
+    * `spark.sparkContext.setCheckpointDir(<fault-tolerant path>)`: each
+    * materialization is then written to the checkpoint dir and survives
+    * executor loss, at the cost of one distributed write+read per
+    * materialization. Local/bench/verify runs keep the default (`false`) —
+    * a single-JVM `local[n]` session cannot lose an executor.
+    *
+    * Both modes return a `LogicalRDD` frame that preserves
+    * `outputPartitioning`, so co-partitioned join plans are identical
+    * under either. Reliable-mode files are reclaimed by Spark's context
+    * cleaner (`spark.cleaner.referenceTracking.cleanCheckpoints=true`) or
+    * at application end — the scope-close `unpersist` frees any in-memory
+    * blocks but deliberately does not delete checkpoint FILES, which may
+    * still back a recovering consumer.
+    */
+  val ReliableCheckpointKey = "spark.graft.checkpoint.reliable"
+
+  /** Eager checkpoint whose storage is freed at scope close — executor-
+    * local by default, reliable (checkpoint-dir) when the session sets
+    * [[ReliableCheckpointKey]]. The checkpointed RDD is reached through
+    * the returned frame's `LogicalRDD` plan node; each call checkpoints a
+    * fresh RDD, so a scope only ever frees checkpoints it created (safe
+    * under concurrent scopes, unlike persisted-plan entries which
+    * CacheManager dedupes across threads).
     */
   def localCheckpoint(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true)
+    val reliable =
+      df.sparkSession.conf.get(ReliableCheckpointKey, "false").trim.equalsIgnoreCase("true")
+    val cp =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     scopes.get match {
       case s :: _ =>
         checkpointRdd(cp).foreach(r => s.add(() => { r.unpersist(blocking = false); () }))

@@ -1721,8 +1721,10 @@ object SparkEntry {
     // -point version could never be oracle-gated; see PageRank.ranks).
     // Node ids: part → 2k, supplier → 2k+1
     "g_pagerank" -> ((s, d) => {
+      // no .distinct() here: ranks() dedups the edge set itself, so an
+      // inner distinct would only add an exchange ahead of the outer one
       val li = t(s, d, "lineitem")
-        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       val edges = PageRank.undirected(
         li.select((col("s") * 2 + 1).as("a"), (col("p") * 2).as("b")), "a", "b")
       PageRank.ranks(edges, iters = 3)

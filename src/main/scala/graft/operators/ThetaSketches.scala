@@ -177,10 +177,14 @@ object ThetaSketches {
       copy(child = c)
   }
 
-  // Both set-operation expressions size their builder from `lgK`: the
-  // DataSketches default (lgK 12) would silently DOWNSAMPLE inputs that
-  // were aggregated at higher resolution, degrading accuracy with no error
-  // (ADVICE r6). lgK rides the expression tree, so copies keep it.
+  // Both set-operation expressions size their builder from `lgK`, and the
+  // risk profile differs by op (ADVICE r6/r7): a UNION built at the
+  // DataSketches default (lgK 12) silently DOWNSAMPLES inputs aggregated at
+  // higher resolution — accuracy degrades with no error. An INTERSECTION's
+  // result is bounded by the minimum input theta, so the builder's nominal-
+  // entries setting matters far less there; lgK is still threaded through
+  // for symmetry and so a copy/transform of either expression keeps the
+  // caller's resolution intent.
   case class ThetaIntersectExpr(left: Expression, right: Expression, lgK: Int = 12)
       extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def dataType: DataType = BinaryType
