@@ -124,12 +124,37 @@ object DatReader {
       surveyId: Option[String] = None,
       charset: Option[String] = None
   ): DatScan = {
-    val reader = spark.read
+    // Spark's text datasource has NO encoding option (TextOptions knows
+    // only wholetext/lineSep) — a non-UTF-8 charset passed to
+    // `spark.read.option("encoding", …).text` is silently ignored and every
+    // 0x80+ byte decodes to U+FFFD (caught by Section14EndToEndSpec's
+    // cp1252 survey). So non-UTF-8 reads go through TextInputFormat, which
+    // hands over the RAW line bytes undecoded, + an explicit per-line
+    // decode. Splitting is on the 0x0A byte: exact for every single-byte
+    // charset (the reference's cp1252 fallback family, ASCII supersets);
+    // multi-byte non-UTF-8 encodings (UTF-16 etc.) are BOM-detected
+    // upstream by CharsetSniffer and should use the fixedwidth DSv2 source,
+    // whose partition reader decodes streams natively.
+    val lines0 = charset.map(_.trim).filter(cs =>
+        !cs.equalsIgnoreCase("UTF-8") && !cs.equalsIgnoreCase("US-ASCII")) match {
+      case Some(cs) =>
+        java.nio.charset.Charset.forName(cs) // fail fast on a bad name, driver-side
+        val rdd = spark.sparkContext.newAPIHadoopFile(
+            datPath,
+            classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+            classOf[org.apache.hadoop.io.LongWritable],
+            classOf[org.apache.hadoop.io.Text])
+          .mapPartitions { it =>
+            // Charset is not Serializable — resolve from the captured name
+            val charsetObj = java.nio.charset.Charset.forName(cs)
+            it.map { case (_, t) => new String(t.copyBytes(), charsetObj) }
+          }
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+      case None => spark.read.text(datPath)
+    }
     // scope-registered as well as release()-able: inside a CacheScope the
     // scan is freed at scope close even if the caller forgets release()
-    val lines = graft.CacheScope.track(
-      charset.fold(reader)(cs => reader.option("encoding", cs)).text(datPath)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    val lines = graft.CacheScope.track(lines0.persist(StorageLevel.MEMORY_AND_DISK))
     DatScan(projectLines(lines, specs, "value", surveyId), lines)
   }
 
