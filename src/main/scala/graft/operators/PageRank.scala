@@ -107,7 +107,9 @@ object PageRank {
     // decisions from runtime statistics (the same class of decision AQE
     // makes), not data entering the result.
     val sinkFree = nodeBase.filter(col("has_out") === 0).isEmpty
-    val nNodes = nodeBase.select(col("n")).head().getLong(0)
+    // take(1), not head(): an empty edge set has no node rows (both paths
+    // then run vacuously over empty frames and return an empty result)
+    val nNodes = nodeBase.select(col("n")).take(1).headOption.map(_.getLong(0)).getOrElse(0L)
     // the rank frame is |V| rows of two longs; under ~2M nodes (~32 MB)
     // broadcasting it beats re-exchanging the |E|-row edge frame every
     // round. Above that, leave both sides to AQE's shuffle-join planning.

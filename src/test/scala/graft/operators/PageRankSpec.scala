@@ -70,6 +70,11 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(m(3L) > m(1L))
   }
 
+  test("an empty edge set yields an empty rank frame (no plan-time probe crash)") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.ranks(empty, iters = 3).count() == 0)
+  }
+
   test("a two-node cycle converges to equal ranks") {
     val r = PageRank.ranks(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iters = 6)
       .as[(Long, Long)].collect().toMap
