@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Scope-private single materialization for DERIVED training inputs
+    * (today: the IVF-PQ residual frame): an eager localCheckpoint, which is
+    * a per-call RDD a scope frees only if it created it. Deliberately NOT
+    * `persistIfScoped`: CacheManager dedupes persisted entries by canonical
+    * plan ACROSS threads, so two concurrent queries training over identical
+    * plans (the Verify harness shape — s_knn_ivf_exact vs s_knn_indexed
+    * etc.) would share one entry, and one scope's close unpersists it out
+    * from under the other MID-TRAINING — observed in round 8 as a
+    * transient empty seed collect (trainIvfCentroids returning zero
+    * centroids → `greatest` analysis error). Checkpoints cannot be shared,
+    * so the hazard class is gone. Scope-less callers get the input
+    * unchanged (no leaked storage).
+    */
+  private def trainScratch(corpus0: DataFrame): DataFrame =
+    if (graft.CacheScope.active) graft.CacheScope.localCheckpoint(corpus0.toDF())
+    else corpus0
+
   /** Dot product of two float-array columns, as a composable column
     * expression (higher-order functions; double accumulate in array order).
     * Kept as the reference implementation — the hot paths below use the
@@ -80,8 +97,13 @@ object Similarity {
     * `k` vectors by id.
     */
   def trainIvfCentroids(
-      corpus: DataFrame, vecCol: String, idCol: String,
+      corpus0: DataFrame, vecCol: String, idCol: String,
       k: Int, iterations: Int = 3): Seq[Seq[Float]] = {
+    // raw-corpus scans per Lloyd round are parquet re-reads — cheap enough
+    // that materializing them here measured as a wash; the EXPENSIVE
+    // re-derivation (the IVF-PQ residual frame) is checkpointed by its
+    // caller instead (see trainIvfPqBooks + the trainScratch note).
+    val corpus = corpus0
     val spark = corpus.sparkSession
     var centroids: Seq[Seq[Float]] = corpus
       .orderBy(col(idCol)).limit(k)
@@ -351,8 +373,9 @@ object Similarity {
     * Returns codebooks(s)(c) = sub-centroid vector of length dim/m.
     */
   def trainPqCodebooks(
-      corpus: DataFrame, vecCol: String, idCol: String,
+      corpus0: DataFrame, vecCol: String, idCol: String,
       m: Int, ksub: Int, iterations: Int = 3): Seq[Seq[Seq[Float]]] = {
+    val corpus = corpus0
     val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
@@ -496,9 +519,13 @@ object Similarity {
       corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Float]], m: Int, ksub: Int,
       iterations: Int = 3): Seq[Seq[Seq[Float]]] = {
-    val residuals = corpus.select(col(idCol),
+    // checkpoint the residual frame under a scope: codebook training runs
+    // iterations+2 actions over it, and each would otherwise re-evaluate
+    // nearestCentroid (k cosines/row) + the residual subtraction on top of
+    // the scan (see the trainScratch note for why not persistIfScoped)
+    val residuals = trainScratch(corpus.select(col(idCol),
       residualCol(col(vecCol), nearestCentroid(col(vecCol), centroids), centroids)
-        .as(vecCol))
+        .as(vecCol)))
     trainPqCodebooks(residuals, vecCol, idCol, m, ksub, iterations)
   }
 
