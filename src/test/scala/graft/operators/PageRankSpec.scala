@@ -70,6 +70,19 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(m(3L) > m(1L))
   }
 
+  test("unroll factor is result-invisible: 1 ≡ 3 ≡ 7 rounds per materialization") {
+    val rnd = new scala.util.Random(77)
+    val pairs = Seq.fill(220)((rnd.nextInt(32).toLong, rnd.nextInt(32).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = PageRank.undirected(pairs.toDF("a", "b"), "a", "b")
+    def run(unroll: Int) = graft.CacheScope.withScope {
+      PageRank.ranks(edges, iters = 5, unroll = unroll).as[(Long, Long)].collect().toMap
+    }
+    val u1 = run(1)
+    assert(run(3) == u1)
+    assert(run(7) == u1) // unroll > iters: single materialization at the end
+  }
+
   test("an empty edge set yields an empty rank frame (no plan-time probe crash)") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(PageRank.ranks(empty, iters = 3).count() == 0)
