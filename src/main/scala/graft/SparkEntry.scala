@@ -82,6 +82,11 @@ object SparkEntry {
   private val ivfPqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the incrementally-built index fixture (s_knn_indexed_incremental):
+  // base half written, second half APPENDED against the frozen centroids
+  private val ivfIncrIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // and the range-layout fixture (s17_stats_prune)
   private val rangeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2094,6 +2099,31 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // the incremental-ingest face of the persisted index (the 100 TB shape:
+    // daily arrivals are assigned against the FROZEN centroids and appended
+    // to their cluster partitions — no retrain, no rewrite). Built from
+    // HALF the corpus + appendToIvfIndex of the other half; nprobe =
+    // #centroids makes the probe provably equal to brute force over the
+    // FULL corpus, so build + append + probe all ride the hash gate — a
+    // lost or double-appended row could not hash-match
+    "s_knn_indexed_incremental" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfIncrIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfidxinc")
+        deleteRecursivelyOnExit(dir)
+        val half1 = emb.filter(col("vec_id") % 2 === 0)
+        val half2 = emb.filter(col("vec_id") % 2 === 1)
+        // centroids trained on the base half only — the frozen-quantizer
+        // contract is exactly that later arrivals never influence them
+        Similarity.writeIvfIndex(half1, "embedding", "vec_id",
+          Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 8), dir.toString)
+        Similarity.appendToIvfIndex(half2, "embedding", "vec_id", dir.toString)
+        dir.toString
+      })
+      Similarity.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     "s_knn_ivfpq_indexed" -> ((s, d) => {
       // the PERSISTED IVF-PQ index: centroids + residual codebooks +
       // cluster-partitioned CODES on disk ((1+m) ints per vector — the
@@ -2586,6 +2616,11 @@ object SparkEntry {
     // #centroids) → provably equal to brute force; write→read→probe all
     // inside the hash gate
     "s_knn_indexed" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // base-half build + frozen-centroid append must reconstruct the FULL
+    // corpus: exhaustive probe ≡ brute force — a lost/duplicated append row
+    // cannot hash-match
+    "s_knn_indexed_incremental" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // same exactness argument, exercised through the NON-broadcast
     // (sort-merge probe join) plan — the large-query-set path
