@@ -16,9 +16,16 @@ import org.apache.spark.sql.types.IntegerType
   *
   * after which `spark.sql("SELECT graft_cosine(a, b) ...")` etc. work
   * anywhere SQL does — the engine's operators are usable from pure SQL, not
-  * just the Scala DSL.
+  * just the Scala DSL. The full surface lives in
+  * [[GraftExtensions.registry]]; `SqlFunctionsSpec` pins one worked example
+  * per entry, so a function added here without an example fails the build.
+  *
+  * Deliberately NOT registered (DSL-only): `VectorHash.pqCodes` (needs a
+  * driver-trained codebook argument no SQL literal can carry) and the typed
+  * `Aggregator`s (MisraGries/TopK — Kryo-buffered `Dataset` aggregators,
+  * not Catalyst `AggregateFunction`s).
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
+object GraftExtensions {
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -26,80 +33,96 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def optIntArg(args: Seq[Expression], i: Int, what: String, default: Int): Int =
+    if (args.length > i) intArg(args(i), what) else default
+
+  /** The canonical registry: (name, usage, builder). Order is the doc
+    * order; names are the exact SQL identifiers.
+    */
+  val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_word_shingles",
+      "graft_word_shingles(text, n) - distinct lowercased word n-gram shingles",
+      args => VectorHash.WordShinglesExpr(args(0), intArg(args(1), "n"))),
+
+    ("graft_minhash",
+      "graft_minhash(shingles, k) - k-minima MinHash signature",
+      args => VectorHash.MinHashSignatureExpr(args(0), intArg(args(1), "k"))),
+
+    ("graft_lsh_bands",
+      "graft_lsh_bands(sig, bands, rowsPerBand) - LSH band keys",
+      args => VectorHash.LshBandKeysExpr(
+        args(0), intArg(args(1), "bands"), intArg(args(2), "rowsPerBand"))),
+
+    ("graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit SimHash",
+      args => VectorHash.SimHash64Expr(args(0))),
+
+    ("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of float arrays",
+      args => VectorHash.CosineSimExpr(args(0), args(1))),
+
+    ("graft_hyperplane_bucket",
+      "graft_hyperplane_bucket(vec, planes) - random-hyperplane LSH bucket",
+      args => VectorHash.HyperplaneBucketExpr(args(0), intArg(args(1), "planes"))),
+
+    ("graft_content_boundaries",
+      "graft_content_boundaries(text, window, divisor) - rolling-hash content-defined chunk boundaries (code-point offsets)",
+      args => VectorHash.ContentBoundariesExpr(
+        args(0), intArg(args(1), "window"), intArg(args(2), "divisor"))),
+
+    ("graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
+      args => StringSim.JaroWinklerExpr(args(0), args(1))),
+
+    ("graft_jaro",
+      "graft_jaro(a, b) - Jaro similarity in [0,1]",
+      args => StringSim.JaroExpr(args(0), args(1))),
+
+    ("graft_theta_sketch",
+      "graft_theta_sketch(item, lgK) - theta sketch aggregate (binary)",
+      args => graft.operators.ThetaSketches.ThetaSketchAgg(
+        args(0), intArg(args(1), "lgK")).toAggregateExpression()),
+
+    ("graft_theta_union_agg",
+      "graft_theta_union_agg(sketch[, lgK]) - aggregate union of binary theta sketch rows; pass the inputs' lgK when above the default 12",
+      args => graft.operators.ThetaSketches.ThetaUnionAgg(
+        args(0), optIntArg(args, 1, "lgK", 12)).toAggregateExpression()),
+
+    ("graft_theta_estimate",
+      "graft_theta_estimate(sketch) - distinct estimate of a theta sketch",
+      args => graft.operators.ThetaSketches.ThetaEstimateExpr(args(0))),
+
+    ("graft_theta_lb",
+      "graft_theta_lb(sketch[, numStdDev]) - lower bound of the distinct estimate (default 2 std devs)",
+      args => graft.operators.ThetaSketches.ThetaBoundExpr(
+        args(0), optIntArg(args, 1, "numStdDev", 2), upper = false)),
+
+    ("graft_theta_ub",
+      "graft_theta_ub(sketch[, numStdDev]) - upper bound of the distinct estimate (default 2 std devs)",
+      args => graft.operators.ThetaSketches.ThetaBoundExpr(
+        args(0), optIntArg(args, 1, "numStdDev", 2), upper = true)),
+
+    ("graft_theta_intersect",
+      "graft_theta_intersect(a, b[, lgK]) - intersection of two theta sketches; pass the inputs' lgK when above the default 12",
+      args => graft.operators.ThetaSketches.ThetaIntersectExpr(
+        args(0), args(1), optIntArg(args, 2, "lgK", 12))),
+
+    ("graft_theta_union",
+      "graft_theta_union(a, b[, lgK]) - union of two theta sketches; pass the inputs' lgK when above the default 12",
+      args => graft.operators.ThetaSketches.ThetaUnionExpr(
+        args(0), args(1), optIntArg(args, 2, "lgK", 12))))
+
+  /** Exact list of SQL identifiers this extension registers. */
+  def registeredNames: Seq[String] = registry.map(_._1)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[VectorHash.type].getName, name, usage, "", "")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_word_shingles"),
-      info("graft_word_shingles", "graft_word_shingles(text, n) - distinct lowercased word n-gram shingles"),
-      (args: Seq[Expression]) =>
-        VectorHash.WordShinglesExpr(args(0), intArg(args(1), "n"))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      info("graft_minhash", "graft_minhash(shingles, k) - k-minima MinHash signature"),
-      (args: Seq[Expression]) =>
-        VectorHash.MinHashSignatureExpr(args(0), intArg(args(1), "k"))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_lsh_bands"),
-      info("graft_lsh_bands", "graft_lsh_bands(sig, bands, rowsPerBand) - LSH band keys"),
-      (args: Seq[Expression]) =>
-        VectorHash.LshBandKeysExpr(args(0), intArg(args(1), "bands"), intArg(args(2), "rowsPerBand"))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash64"),
-      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash"),
-      (args: Seq[Expression]) => VectorHash.SimHash64Expr(args(0))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of float arrays"),
-      (args: Seq[Expression]) => VectorHash.CosineSimExpr(args(0), args(1))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_hyperplane_bucket"),
-      info("graft_hyperplane_bucket", "graft_hyperplane_bucket(vec, planes) - random-hyperplane LSH bucket"),
-      (args: Seq[Expression]) =>
-        VectorHash.HyperplaneBucketExpr(args(0), intArg(args(1), "planes"))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_jaro_winkler"),
-      info("graft_jaro_winkler", "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
-      (args: Seq[Expression]) => StringSim.JaroWinklerExpr(args(0), args(1))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_jaro"),
-      info("graft_jaro", "graft_jaro(a, b) - Jaro similarity in [0,1]"),
-      (args: Seq[Expression]) => StringSim.JaroExpr(args(0), args(1))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_theta_sketch"),
-      info("graft_theta_sketch", "graft_theta_sketch(item, lgK) - theta sketch aggregate (binary)"),
-      (args: Seq[Expression]) =>
-        graft.operators.ThetaSketches.ThetaSketchAgg(args(0), intArg(args(1), "lgK"))
-          .toAggregateExpression()))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_theta_estimate"),
-      info("graft_theta_estimate", "graft_theta_estimate(sketch) - distinct estimate of a theta sketch"),
-      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaEstimateExpr(args(0))))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_theta_intersect"),
-      info("graft_theta_intersect",
-        "graft_theta_intersect(a, b[, lgK]) - intersection of two theta sketches; pass the inputs' lgK when above the default 12"),
-      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaIntersectExpr(
-        args(0), args(1),
-        if (args.length > 2) intArg(args(2), "lgK") else 12)))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_theta_union"),
-      info("graft_theta_union",
-        "graft_theta_union(a, b[, lgK]) - union of two theta sketches; pass the inputs' lgK when above the default 12"),
-      (args: Seq[Expression]) => graft.operators.ThetaSketches.ThetaUnionExpr(
-        args(0), args(1),
-        if (args.length > 2) intArg(args(2), "lgK") else 12)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registry.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
 }
