@@ -87,6 +87,12 @@ object SparkEntry {
   private val ivfIncrIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // trained BPE merge list per sf dir (t_bpe_encode*): in production the
+  // merge table is a persisted artifact trained once; encode queries
+  // should measure ENCODING, not re-training
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   // and the range-layout fixture (s17_stats_prune)
   private val rangeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1294,6 +1300,36 @@ object SparkEntry {
         .sortBy(_._1).toSeq
       graft.operators.BpeTrainer.mergeCountViolations(docs, "text", learned)
     }),
+    // BPE ENCODE — the tokenizer-application step (train → encode is the
+    // full loop). Native min-rank expression, merges a per-dir trained
+    // artifact (cached: production encodes with a persisted merge table).
+    // The oracled face is the LOSSLESSNESS law: concatenating the emitted
+    // symbols and turning each `</w>` boundary back into a space must
+    // reconstruct the lowercased token stream exactly — a dropped, split,
+    // or cross-word-merged symbol cannot hash-match
+    "t_bpe_encode" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val merges = bpeMergesCache.computeIfAbsent(d, _ =>
+        graft.operators.BpeTrainer.train(docs, "text", numMerges = 8)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq)
+      graft.operators.BpeTrainer.encode(docs, "text", "doc_id", merges)
+        .select(col("doc_id"),
+          rtrim(regexp_replace(concat_ws("", col("syms")), "</w>", " "))
+            .as("reconstructed"))
+    }),
+    // encoder↔fold agreement contract: the native min-rank encoder's
+    // per-document symbol count must equal bpeTokenCount's rank-order
+    // column fold (two independent implementations of "apply the learned
+    // merges"); violations frame provably empty, hash-gated
+    "t_bpe_encode_contract" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val merges = bpeMergesCache.computeIfAbsent(d, _ =>
+        graft.operators.BpeTrainer.train(docs, "text", numMerges = 8)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq)
+      graft.operators.BpeTrainer.encodeCountViolations(docs, "text", "doc_id", merges)
+    }),
     // count-min sketch one-sided contract: the sketch must never
     // UNDER-estimate a count; the frame of violations is empty and the gate
     // hash-checks the emptiness (width 256 << 2000 distinct parts, so
@@ -1482,6 +1518,21 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "text", "doc_id", n = 3, expectedItems = 300000L, fpp = 0.01)
+    }),
+    // FUZZY decontamination: corpus docs whose word-3-gram Jaccard vs ANY
+    // benchmark doc reaches 1/2 — the near-duplicate completion of the
+    // exact screens above (a paraphrased/re-wrapped benchmark item has no
+    // long exact n-gram run but high set similarity). Cross-frame MinHash
+    // LSH at 32×2 bands (the recall-1.0 regime the d_jaccard_lsh ≡ brute
+    // gate pins), candidates verified with exact integer set math — the
+    // brute-force cross-join oracle must match pair-for-pair
+    "t_contamination_fuzzy" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Curation.contaminationFuzzy(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", shingleSize = 3, numer = 1, denom = 2,
+        bands = 32, rowsPerBand = 2)
     }),
     // --- dedup --------------------------------------------------------------
     "d_exact_dup_groups" -> ((s, d) =>
@@ -1951,6 +2002,21 @@ object SparkEntry {
         threshold = 0.4, exact = true)
         .select(col("vec_id"))),
     // --- similarity ---------------------------------------------------------
+    // the Lloyd ASSIGNMENT step, pinned cross-engine: nearest centroid (max
+    // cosine, ties → larger index — greatest(struct(sim, idx)) semantics)
+    // against the deterministic seed set trainIvfCentroids starts from
+    // (first k vectors by id). The exact-probe IVF gates (nprobe = all ≡
+    // brute) hold for ANY bucketing, so this is the one query that anchors
+    // the trainer/bucketer's argmax itself against an independent engine
+    "s_kmeans_assign" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val seeds = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("embedding")).collect() // bounded: k = 8 rows
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      emb.select(col("vec_id"),
+        Similarity.nearestCentroid(col("embedding"), seeds)
+          .cast("bigint").as("cluster"))
+    }),
     "s_knn_brute" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5)
@@ -2406,6 +2472,15 @@ object SparkEntry {
     // identical oracle to t_contamination
     "t_contamination_bloom" ->
       """WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3), bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 != 0) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1""",
+    // cross-frame brute force: every (corpus, benchmark) pair at J ≥ 1/2,
+    // exact integer sizes — recall 1.0 of the 32×2 banding makes the LSH
+    // path's output identical
+    "t_contamination_fuzzy" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3) SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, CAST(len(list_intersect(c.sh, b.sh)) AS BIGINT) AS inter_sz, CAST(len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh)) AS BIGINT) AS union_sz FROM s c JOIN s b ON c.doc_id % 50 != 0 AND b.doc_id % 50 = 0 WHERE len(list_intersect(c.sh, b.sh)) * 2 >= (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))) * 1""",
+    // the losslessness law: BPE symbols reconstruct the lowercased token
+    // stream (</w> boundaries → spaces) — stated directly on the raw text
+    "t_bpe_encode" ->
+      """SELECT doc_id, array_to_string(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)), ' ') AS reconstructed FROM documents""",
     "t_shuffle_order" ->
       "SELECT doc_id, CAST(row_number() OVER (ORDER BY mix % 1024, mix, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM (SELECT doc_id, (((doc_id % 1000003) * 2654435761) % 1000003) AS mix FROM documents)",
     "t_shards" ->
@@ -2429,6 +2504,8 @@ object SparkEntry {
       "SELECT doc_id, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fp_ws, CAST(0 AS BIGINT) AS fp_case, CAST(0 AS BIGINT) AS fp_ext, CAST(0 AS BIGINT) AS fp_cont FROM documents WHERE 1 = 0",
     "t_bpe_merges_contract" ->
       "SELECT CAST(0 AS INTEGER) AS merge_rank, CAST(0 AS BIGINT) AS expected, CAST(0 AS BIGINT) AS actual FROM documents WHERE 1 = 0",
+    "t_bpe_encode_contract" ->
+      "SELECT doc_id, CAST(0 AS BIGINT) AS n_enc, CAST(0 AS BIGINT) AS n_bpe_tokens FROM documents WHERE 1 = 0",
     "d_simhash_pairs_contract" ->
       "SELECT doc_id AS doc_a, doc_id AS doc_b, CAST(0 AS INTEGER) AS dist, CAST(0 AS INTEGER) AS true_dist FROM documents WHERE 1 = 0",
     "m_media_features_contract" ->
@@ -2607,6 +2684,9 @@ object SparkEntry {
     // rn=1 equals cutting in the join
     "j16_asof_tolerance" ->
       "WITH c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2), f AS (SELECT event_id AS fact_id, user_id, ts FROM events WHERE event_type = 'purchase'), j AS (SELECT f.fact_id, f.user_id, f.ts, c.click_id, c.click_ts, row_number() OVER (PARTITION BY f.fact_id ORDER BY c.click_ts DESC) AS rn FROM f JOIN c ON f.user_id = c.user_id AND c.click_ts <= f.ts) SELECT fact_id, user_id, ts, click_id, click_ts FROM j WHERE rn = 1 AND click_ts >= ts - INTERVAL 2 HOUR",
+    // argmax by (sim, cluster-idx) lexicographic max == greatest(struct)
+    "s_kmeans_assign" ->
+      "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), scored AS (SELECT e.vec_id, cent.c, list_cosine_similarity(e.embedding, cent.cv) AS sim FROM embeddings e CROSS JOIN cent) SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c DESC) AS rn FROM scored) WHERE rn = 1",
     "s_knn_brute" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // nprobe = #centroids probes every bucket → identical to brute force

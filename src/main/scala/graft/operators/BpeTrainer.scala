@@ -1,7 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
   * building step of an LLM data pipeline, run as Spark jobs.
@@ -151,5 +157,135 @@ object BpeTrainer {
       .select(col(idCol), size(tokenized).as("n_sym"))
       .groupBy(col(idCol))
       .agg(sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** ENCODE with a learned merge list: the actual BPE token sequence, not
+    * just its length — the step that turns a curated corpus into tokenizer
+    * output. This is the native-Expression escape hatch [[bpeTokenCount]]'s
+    * doc promises: the column-fold shape is linear in the MERGE COUNT
+    * (untenable at a production 30k+ vocabulary), while this expression is
+    * the canonical min-rank loop (Sennrich et al.'s `encode`, the GPT-2
+    * reference shape) — per word, repeatedly contract the adjacent pair
+    * with the LOWEST learned rank until none remains. Cost per word is
+    * O(len² · lookup), independent of vocabulary size; the rank table rides
+    * the closure ONCE per task (driver-bounded: numMerges entries).
+    *
+    * For a well-formed merge list — one produced by [[train]], where each
+    * merge's component symbols are constructible only from earlier merges —
+    * the min-rank loop coincides with applying merges in rank order, so
+    * `size(encodeSymbols(...))` agrees with [[bpeTokenCount]]'s fold.
+    * `encodeCountViolations` turns that agreement into a hash-gated
+    * empty-frame contract rather than a doc claim.
+    *
+    * Input is the token ARRAY of a document ([[TextOps.tokens]]); output is
+    * the flattened symbol array across words, each word terminated by its
+    * `</w>`-bearing final symbol — so the encoding is lossless:
+    * concatenating the symbols and splitting on `</w>` reconstructs the
+    * token sequence exactly (the oracled roundtrip face).
+    */
+  def encodeSymbols(tokens: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeExpr(Bridge.expression(tokens), merges))
+
+  /** Per-document BPE token sequence: (id, syms array). */
+  def encode(
+      docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+      encodeSymbols(TextOps.tokens(col(textCol)), merges).as("syms"))
+
+  /** Empty-frame contract: per document, the min-rank encoder's symbol
+    * count must equal [[bpeTokenCount]]'s rank-order column fold — the two
+    * independent implementations of "apply the learned merges" agree on
+    * every document, or the violating ids surface.
+    */
+  def encodeCountViolations(
+      docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encode(docs, textCol, idCol, merges)
+      .select(col(idCol), size(col("syms")).cast("bigint").as("n_enc"))
+      .join(bpeTokenCount(docs, textCol, idCol, merges), Seq(idCol), "full_outer")
+      // a token-less document has no word rows, so the fold side is NULL
+      // where the encoder correctly says 0 — not a violation
+      .filter(not(coalesce(col("n_enc"), lit(0L)) <=>
+        coalesce(col("n_bpe_tokens"), lit(0L))))
+      .select(col(idCol), col("n_enc"), col("n_bpe_tokens"))
+
+  /** Min-rank BPE encode of a token array (see [[encodeSymbols]]). The
+    * merge list is a per-expression constant; lookups go through a hash
+    * map keyed on `left + ' ' + right` — a space cannot occur inside a
+    * symbol, since symbols concatenate whitespace-free tokens' characters
+    * (plus the space-free `</w>` marker), so the key is unambiguous.
+    */
+  case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_encode"
+
+    @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((a, b), r) =>
+        // first occurrence wins, matching rank order on duplicate pairs
+        m.putIfAbsent(a + ' ' + b, Integer.valueOf(r))
+      }
+      m
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = new java.util.ArrayList[Any]()
+      var w = 0
+      val nWords = arr.numElements()
+      while (w < nWords) {
+        val word = arr.getUTF8String(w).toString
+        // initial symbols: one per character, plus the terminal marker
+        val syms = new java.util.ArrayList[String](word.length + 1)
+        var ci = 0
+        while (ci < word.length) {
+          // code-point split to match Spark's split(word, "") on BMP and
+          // keep surrogate pairs intact
+          val cp = word.codePointAt(ci)
+          val n = Character.charCount(cp)
+          syms.add(word.substring(ci, ci + n))
+          ci += n
+        }
+        syms.add("</w>")
+        var done = false
+        while (!done && syms.size >= 2) {
+          // the adjacent pair with the lowest learned rank
+          var best = -1
+          var bestRank = Integer.MAX_VALUE
+          var i = 0
+          while (i < syms.size - 1) {
+            val r = ranks.get(syms.get(i) + ' ' + syms.get(i + 1))
+            if (r != null && r < bestRank) { bestRank = r; best = i }
+            i += 1
+          }
+          if (best < 0) done = true
+          else {
+            // contract ALL non-overlapping occurrences of that pair,
+            // left to right (contractPair's semantics)
+            val a = syms.get(best)
+            val b = syms.get(best + 1)
+            val next = new java.util.ArrayList[String](syms.size)
+            var j = 0
+            while (j < syms.size) {
+              if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+                next.add(a + b); j += 2
+              } else { next.add(syms.get(j)); j += 1 }
+            }
+            syms.clear(); syms.addAll(next)
+          }
+        }
+        var k = 0
+        while (k < syms.size) { out.add(UTF8String.fromString(syms.get(k))); k += 1 }
+        w += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+      copy(child = c)
   }
 }

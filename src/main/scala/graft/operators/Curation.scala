@@ -538,6 +538,84 @@ object Curation {
       .agg(count(lit(1)).as("n_hit"))
   }
 
+  /** FUZZY benchmark decontamination: corpus documents whose word-shingle
+    * Jaccard against ANY benchmark document reaches `numer/denom` — the
+    * near-duplicate completion of [[contamination]]'s exact-overlap screen.
+    * Exact n-gram hits miss a benchmark item that was lightly paraphrased,
+    * re-wrapped, or partially quoted into a crawl page; a set-similarity
+    * threshold catches it (the screen used before training on web-scale
+    * corpora — see the MinHash decontamination practice the dedup papers in
+    * PAPERS.md describe).
+    *
+    * Shape: cross-frame MinHash LSH, not a self-join — each side is banded
+    * once, candidates come from the (band, key) equi-join, and only
+    * candidates are verified with exact integer set math (`denom·I ≥
+    * numer·U`, engine-portable). With the benchmark side broadcast
+    * (benchmark suites are MB-scale; the default) the corpus never
+    * shuffles: banding is a projection, the candidate join is map-side,
+    * and the verify join against benchmark shingle sets is again broadcast
+    * — a 100 TB corpus pays two scan-side passes and zero exchanges.
+    * Recall is the banding curve's: 32×2 bands at J ≥ 1/2 is the
+    * recall-1.0 regime the d_jaccard_lsh ≡ brute-force gate pins.
+    *
+    * Returns (`idCol`, bench_id, inter_sz, union_sz) — one row per
+    * (contaminated doc, offending benchmark item) pair, sizes exact.
+    */
+  def contaminationFuzzy(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numer: Int = 1,
+      denom: Int = 2,
+      bands: Int = 32,
+      rowsPerBand: Int = 2,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    // one frame per side carrying everything downstream needs: hashed
+    // shingles (verify) + signature (banding). Staged projections — the
+    // shingle array is referenced k times by the signature and once by the
+    // hash transform, so it must be its own select (the CollapseProject
+    // lesson: inlining multiplies the regexp work per reference).
+    def sideFrame(side: DataFrame): DataFrame =
+      Dedup.shingleFrame(side, textCol, idCol, shingleSize)
+        .select(col("doc"), col("sh"),
+          Dedup.minhashSignature(col("sh"), k).as("sig"))
+        .select(col("doc"),
+          transform(col("sh"), s => xxhash64(s)).as("shh"), col("sig"))
+    def bandKeys(f: DataFrame, as: String): DataFrame =
+      f.select(col("doc").as(as),
+        posexplode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+
+    // benchmark side is referenced twice (banding + verify): persist it —
+    // MB-scale, shingle hashes + signature, never text
+    val benchF = graft.CacheScope.persist(sideFrame(benchmark))
+    val benchBanded =
+      if (broadcastBenchmark) broadcast(bandKeys(benchF, "bench"))
+      else bandKeys(benchF, "bench")
+    // the corpus side is deliberately NOT persisted: at 100 TB the two
+    // references (banding, verify) are two scan-side passes — recompute is
+    // the scale answer, caching the corpus is not
+    val corpusF = sideFrame(corpus)
+
+    val cands = bandKeys(corpusF, "c_doc")
+      .join(benchBanded, Seq("band", "key"))
+      .select(col("c_doc"), col("bench")).distinct()
+    val a = corpusF.alias("ca")
+    val b = benchF.alias("cb")
+    val (inter, union) = Dedup.setOverlap(col("ca.shh"), col("cb.shh"))
+    cands
+      .join(a, col("c_doc") === col("ca.doc"))
+      .join(if (broadcastBenchmark) broadcast(b) else b,
+        col("bench") === col("cb.doc"))
+      .select(col("c_doc").as(idCol), col("bench").as("bench_id"),
+        inter.cast("bigint").as("inter_sz"), union.cast("bigint").as("union_sz"))
+      .filter(col("inter_sz") * denom >= col("union_sz") * numer)
+  }
+
   /** Leak-free train/holdout split: a per-document hash split leaks when two
     * near-duplicate documents land on opposite sides (the holdout is then
     * effectively in the training set). This splits by DUPLICATE CLUSTER:

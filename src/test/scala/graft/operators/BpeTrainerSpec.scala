@@ -47,6 +47,54 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 3L))
   }
 
+  test("encode emits the textbook symbol sequences") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+    val docs = Seq((1L, "low newest"), (2L, "widest"), (3L, "")).toDF("doc_id", "text")
+    val got = BpeTrainer.encode(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("low", "</w>", "n", "e", "w", "est</w>"))
+    assert(got(2L) == List("w", "i", "d", "est</w>"))
+    assert(got(3L) == Nil) // token-less doc → empty symbol sequence
+  }
+
+  test("encode is min-rank ordered, left-to-right, non-overlapping") {
+    // "aaa": merge (a,a) contracts left-to-right → [aa, a, </w>]
+    val d1 = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val g1 = BpeTrainer.encode(d1, "text", "doc_id", Seq(("a", "a")))
+      .collect().head.getSeq[String](1).toList
+    assert(g1 == List("aa", "a", "</w>"))
+    // min-rank order: ranks [(b,c), (a,b)] on "abc" — (b,c) wins even
+    // though (a,b) is leftmost, then (a,bc) has no rank → [a, bc, </w>]
+    val d2 = Seq((1L, "abc")).toDF("doc_id", "text")
+    val g2 = BpeTrainer.encode(d2, "text", "doc_id", Seq(("b", "c"), ("a", "b")))
+      .collect().head.getSeq[String](1).toList
+    assert(g2 == List("a", "bc", "</w>"))
+    // a merge creating a LATER-ranked pair is revisited: [(a,b),(ab,c)]
+    // on "abc" → ab c → abc</w>? no — (ab,c) then (abc,</w>) unranked
+    val g3 = BpeTrainer.encode(d2, "text", "doc_id", Seq(("a", "b"), ("ab", "c")))
+      .collect().head.getSeq[String](1).toList
+    assert(g3 == List("abc", "</w>"))
+  }
+
+  test("encode roundtrip is lossless: symbols reconstruct the token stream") {
+    val docs = corpus
+    val learned = BpeTrainer.train(docs, "text", numMerges = 5)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val rows = BpeTrainer.encode(docs, "text", "doc_id", learned)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString("")
+        .split("</w>", -1).dropRight(1).mkString(" ")).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == want)
+  }
+
+  test("encode symbol count matches the rank-order fold on trained merges") {
+    val docs = (corpus.collect().map(r => (r.getLong(0), r.getString(1))) :+
+      ((99L, "lowest newlow widelow"))).toSeq.toDF("doc_id", "text")
+    val learned = BpeTrainer.train(docs, "text", numMerges = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(BpeTrainer.encodeCountViolations(docs, "text", "doc_id", learned).isEmpty)
+  }
+
   test("mergeCountViolations: trained merges replay clean; a corrupted count is caught") {
     val docs = Seq((1L, "low low low lower lower newest newest newest newest widest"))
       .toDF("doc_id", "text")

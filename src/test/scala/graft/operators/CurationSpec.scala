@@ -223,6 +223,43 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.keySet == Set(900L, 901L))
   }
 
+  test("contaminationFuzzy matches cross-frame brute-force Jaccard; both broadcast regimes") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // J vs 100 high
+      (2L, "one two three four five six seven"),        // no overlap
+      (3L, "alpha beta gamma delta epsilon zeta extra"),// paraphrase-ish of 100
+      (4L, ""),                                         // no shingles
+      (5L, "beta gamma delta unrelated tail words here")// some overlap, below 1/2
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "totally disjoint benchmark question text")
+    ).toDF("doc_id", "text")
+
+    // brute force across the two frames on the string shingles themselves
+    def sh(d: org.apache.spark.sql.DataFrame, as: String) =
+      d.select(col("doc_id").as(as),
+        graft.functions.VectorHash.wordShingles(col("text"), 3).as(s"sh_$as"))
+        .filter(size(col(s"sh_$as")) > 0)
+    val inter = size(array_intersect(col("sh_c"), col("sh_b")))
+    val union = size(col("sh_c")) + size(col("sh_b")) - inter
+    val want = sh(corpus, "c").crossJoin(sh(bench, "b"))
+      .select(col("c"), col("b"), inter.cast("long").as("i"), union.cast("long").as("u"))
+      .filter(col("i") * 2 >= col("u"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    for (bcast <- Seq(true, false)) {
+      val got = Curation.contaminationFuzzy(corpus, bench, "text", "doc_id",
+        shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2,
+        broadcastBenchmark = bcast)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"broadcastBenchmark=$bcast")
+    }
+    // the exact-duplicate and the superset pair survive; partial overlap
+    // (doc 5) and disjoint docs do not
+    assert(want.map(p => (p._1, p._2)) == Set((1L, 100L), (3L, 100L)))
+  }
+
   test("weightedPrioritySample: weight-proportional, deterministic, zero weights never drawn") {
     val docs = (1L to 5000L).map(i => (i, if (i % 2 == 0) 100L else 1L))
       .toDF("doc_id", "w")
