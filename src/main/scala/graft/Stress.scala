@@ -606,6 +606,30 @@ object Stress {
           .withColumn("text", reverse(col("text"))),
         "text", "doc_id", n = 3,
         expectedItems = 2000000L * mult, fpp = 0.01).count()),
+      // FUZZY decontamination at scale: cross-frame LSH with the benchmark
+      // side broadcast — the corpus pays two narrow scan passes and the
+      // only exchange is the answer-sized candidate distinct. Shuffle tally
+      // must track CANDIDATES (bounded by true near-dups of bench items),
+      // not corpus shingles — compare against contamination_x's tally,
+      // which shuffles every matching shingle row
+      time(s"contamination_fuzzy_x$mult")(operators.Curation.contaminationFuzzy(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", shingleSize = 3, numer = 1, denom = 2,
+        bands = 32, rowsPerBand = 2).count()),
+      // BPE ENCODE at scale: merges are the persisted artifact (trained
+      // once on the UNexpanded corpus — training cost is bpe_train_x's
+      // row); encoding the expanded corpus is a zero-shuffle narrow
+      // projection whose cost is linear in corpus tokens and independent
+      // of merge-list length. The aggregate forces full symbol
+      // materialization (a bare count would prune the encode away)
+      time(s"bpe_encode_x$mult") {
+        val merges = operators.BpeTrainer
+          .train(Tables.balanced(spark, sfDir, "documents"), "text", numMerges = 8)
+          .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        operators.BpeTrainer.encode(docs, "text", "doc_id", merges)
+          .agg(sum(size(col("syms")))).collect().head.getLong(0)
+      },
       // per-group top-k at mult×-deepened groups (expand keeps o_custkey, so
       // each customer's order history grows mult×): the k-bounded partial
       // aggregation shuffles ≤ k rows per (group, map partition)...
