@@ -89,21 +89,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Deterministic 1/`denom` training sample: id-hash filter, so the
+    * sampled set — and therefore the trained quantizer — is reproducible
+    * across runs and engines. `denom = 1` is the identity (no filter node
+    * added at all).
+    */
+  private def trainSampleOf(corpus: DataFrame, idCol: String, denom: Int): DataFrame = {
+    require(denom >= 1, s"trainSample must be >= 1, got $denom")
+    if (denom == 1) corpus
+    else corpus.filter(pmod(xxhash64(col(idCol)), lit(denom.toLong)) === 0L)
+  }
+
   /** Train IVF coarse-quantizer centroids with Lloyd iterations run as
     * DataFrame plans: assignment is a narrow pass over the corpus against
     * broadcast centroid literals; the update step is one groupBy(cluster,
     * dim) aggregation. Centroids live on the driver (k·dim floats — tiny);
     * the corpus never leaves executors. Deterministic: seeds are the first
     * `k` vectors by id.
+    *
+    * `trainSample = n` trains on a deterministic 1/n id-hash sample of the
+    * corpus — the corpus-scale practice (a billion-vector corpus does not
+    * need a billion vectors to place k centroids; FAISS trains its coarse
+    * quantizer on a bounded sample for the same reason). Each Lloyd round's
+    * scan work drops n×; quantizer quality degrades only when the sample
+    * gets small relative to k·(points-per-centroid-needed). The EXACTNESS
+    * gates (exhaustive probe ≡ brute force) hold for ANY centroid set, so
+    * sampling trades only recall-at-fixed-nprobe, never correctness.
     */
   def trainIvfCentroids(
       corpus0: DataFrame, vecCol: String, idCol: String,
-      k: Int, iterations: Int = 3): Seq[Seq[Float]] = {
+      k: Int, iterations: Int = 3, trainSample: Int = 1): Seq[Seq[Float]] = {
     // raw-corpus scans per Lloyd round are parquet re-reads — cheap enough
     // that materializing them here measured as a wash; the EXPENSIVE
     // re-derivation (the IVF-PQ residual frame) is checkpointed by its
     // caller instead (see trainIvfPqBooks + the trainScratch note).
-    val corpus = corpus0
+    val corpus = trainSampleOf(corpus0, idCol, trainSample)
     val spark = corpus.sparkSession
     var centroids: Seq[Seq[Float]] = corpus
       .orderBy(col(idCol)).limit(k)
@@ -374,8 +394,10 @@ object Similarity {
     */
   def trainPqCodebooks(
       corpus0: DataFrame, vecCol: String, idCol: String,
-      m: Int, ksub: Int, iterations: Int = 3): Seq[Seq[Seq[Float]]] = {
-    val corpus = corpus0
+      m: Int, ksub: Int, iterations: Int = 3,
+      trainSample: Int = 1): Seq[Seq[Seq[Float]]] = {
+    // same deterministic-sample contract as trainIvfCentroids
+    val corpus = trainSampleOf(corpus0, idCol, trainSample)
     val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
@@ -518,14 +540,17 @@ object Similarity {
   def trainIvfPqBooks(
       corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Float]], m: Int, ksub: Int,
-      iterations: Int = 3): Seq[Seq[Seq[Float]]] = {
+      iterations: Int = 3, trainSample: Int = 1): Seq[Seq[Seq[Float]]] = {
     // checkpoint the residual frame under a scope: codebook training runs
     // iterations+2 actions over it, and each would otherwise re-evaluate
     // nearestCentroid (k cosines/row) + the residual subtraction on top of
-    // the scan (see the trainScratch note for why not persistIfScoped)
-    val residuals = trainScratch(corpus.select(col(idCol),
-      residualCol(col(vecCol), nearestCentroid(col(vecCol), centroids), centroids)
-        .as(vecCol)))
+    // the scan (see the trainScratch note for why not persistIfScoped).
+    // Sampling applies BEFORE the residual computation, so the expensive
+    // k-cosine assignment also runs only on the training sample.
+    val residuals = trainScratch(
+      trainSampleOf(corpus, idCol, trainSample).select(col(idCol),
+        residualCol(col(vecCol), nearestCentroid(col(vecCol), centroids), centroids)
+          .as(vecCol)))
     trainPqCodebooks(residuals, vecCol, idCol, m, ksub, iterations)
   }
 

@@ -303,6 +303,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == brute) // same-cluster neighbors dominate → nprobe=1 already exact here
   }
 
+  test("sampled training (trainSample) recovers the planted clusters and keeps the exactness gate") {
+    // same planted 3-direction corpus, but the quantizer trains on a
+    // deterministic 1/4 id-hash sample — the corpus-scale shape (FAISS-style
+    // bounded training set). Cluster recovery must survive sampling, and
+    // the exhaustive probe must stay ≡ brute for ANY centroid set.
+    val base = Seq(
+      Array.tabulate(8)(i => if (i < 3) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 6) 1f else 0f))
+    val vecs = (0 until 120).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+
+    val sampled = Similarity.trainIvfCentroids(vecs, "embedding", "vec_id",
+      k = 3, trainSample = 4)
+    // deterministic: a second call returns bit-identical centroids
+    assert(sampled == Similarity.trainIvfCentroids(vecs, "embedding", "vec_id",
+      k = 3, trainSample = 4))
+    // the FULL corpus still groups by planted direction under the sampled
+    // quantizer
+    val assigned = vecs.select(col("vec_id"),
+      Similarity.nearestCentroid(col("embedding"), sampled).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 117).foreach(i => assert(assigned(i.toLong) == assigned((i + 3).toLong)))
+    assert(assigned.values.toSet.size == 3)
+    // exactness gate independent of training: nprobe = k ≡ brute force
+    val queries = vecs.filter($"vec_id" < 3)
+    val exhaustive = Similarity.ivfTopK(queries, vecs, "embedding", "vec_id",
+      k = 5, sampled, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, vecs, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exhaustive == brute)
+    // sampled PQ codebooks: exact-rerank path ≡ brute as well
+    val books = Similarity.trainPqCodebooks(vecs, "embedding", "vec_id",
+      m = 4, ksub = 8, trainSample = 4)
+    val pqExact = Similarity.pqTopK(queries, vecs, "embedding", "vec_id",
+      k = 5, books, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pqExact == brute)
+  }
+
   test("shuffled IVF (queries = corpus, no broadcast) matches brute-force top-k") {
     // all-pairs kNN: the query set IS the corpus, so broadcasting it is the
     // wrong plan; the non-broadcast path sort-merges on the cluster key
