@@ -132,6 +132,56 @@ object Curation {
       .select(df.columns.map(col): _*) // using-join reorders; restore caller's schema
   }
 
+  /** Temperature-based mixture sampling — the multilingual/multi-source
+    * training-mix primitive (the `p_s ∝ n_s^α` rebalancing of XLM-R/mT5
+    * style pipelines): materialize a corpus of ~`totalBudget` documents
+    * whose per-group share follows `weight(n_s) / Σ weight(n_t)` instead of
+    * the raw group sizes, flattening the head so low-resource groups keep
+    * proportionally more.
+    *
+    * Engine-portable by construction at the default temperature α = 1/2:
+    * `weightOf` defaults to ⌊√n⌋ — IEEE sqrt is correctly rounded (unlike
+    * `pow`), so the weight, the exact BIGINT weight sum, and the integer-
+    * division quotas are bit-identical in any engine; selection within a
+    * group is the deterministic hash-ordered prefix [[quotaSample]] uses.
+    * Other temperatures: pass `weightOf` (e.g. `pow(n, 0.7)`) — reproducible
+    * within an engine, but libm `pow` is not guaranteed to round identically
+    * across engines, so cross-engine hash comparison is only pinned for the
+    * default.
+    *
+    * Scale shape: group sizes are one tiny aggregation (rows = #groups),
+    * quotas broadcast back; the only corpus-wide work is quotaSample's one
+    * partitioned window. Groups smaller than their quota keep everything
+    * (rank ≤ quota is vacuous), so the realized total can undershoot
+    * `totalBudget` — the standard behavior when a low-resource group
+    * simply has no more data.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      totalBudget: Long,
+      weightOf: Column => Column =
+        c => floor(sqrt(c.cast("double"))).cast("bigint")
+  ): DataFrame = {
+    require(totalBudget > 0)
+    requireIntegralKey(df, keyCol, "temperatureSample")
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol), weightOf(col("__n")).as("__w"))
+    // exact integer weight sum (order-free), cross-joined as a 1-row frame
+    // — the no-driver-scalar pattern
+    val total = sizes.agg(sum(col("__w")).as("__sw"))
+    val quotas = sizes.crossJoin(broadcast(total))
+      .select(col(groupCol),
+        expr(s"__w * ${totalBudget}L div __sw").as("__quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(portableHash(col(keyCol)), col(keyCol))
+    df.join(broadcast(quotas), groupCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Token-budget cap: keep each group's documents, in deterministic hash
     * order, until the group's cumulative token count would exceed `budget`
     * (a doc is kept iff it fits entirely). The token-weighted counterpart of

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
@@ -93,6 +94,29 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     val learned = BpeTrainer.train(docs, "text", numMerges = 6)
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     assert(BpeTrainer.encodeCountViolations(docs, "text", "doc_id", learned).isEmpty)
+  }
+
+  test("property: encode roundtrip is lossless under ARBITRARY merge lists") {
+    // losslessness is invariant under ANY merge list (contraction preserves
+    // concatenation), not just trained ones — random words over {a,b,c} and
+    // random merges, including pairs that merge into/through the </w> marker
+    val word = for {
+      n <- Gen.choose(1, 8)
+      s <- Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield s
+    val sym = Gen.oneOf(word, word.map(_ + "</w>"))
+    val mergeList = Gen.listOfN(6, Gen.zip(word, sym))
+    val corpus = Gen.listOfN(8, Gen.listOfN(4, word).map(_.mkString(" ")))
+    val p = Prop.forAll(corpus, mergeList) { (docs, merges) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = BpeTrainer.encode(df, "text", "doc_id", merges)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString("")
+          .split("</w>", -1).dropRight(1).mkString(" ")).toMap
+      docs.zipWithIndex.forall { case (t, i) => got(i.toLong) == t }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(r.passed, r.status.toString)
   }
 
   test("mergeCountViolations: trained merges replay clean; a corrupted count is caught") {

@@ -135,6 +135,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .sameElements(crawlOnly.select("doc_id").as[Long].collect().sorted))
   }
 
+  test("temperatureSample flattens the head with integer-exact sqrt quotas") {
+    // sizes 64 / 16 / 4 → ⌊√n⌋ weights 8 / 4 / 2, sum 14; budget 21 →
+    // quotas 21·8 div 14 = 12, 21·4 div 14 = 6, 21·2 div 14 = 3
+    val docs = ((0 until 64).map(i => (i.toLong, "big")) ++
+      (100 until 116).map(i => (i.toLong, "mid")) ++
+      (200 until 204).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val kept = Curation.temperatureSample(docs, "lang", "doc_id", totalBudget = 21)
+      .as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("big" -> 12, "mid" -> 6, "small" -> 3))
+    // selection within each group is the SAME deterministic hash prefix
+    // quotaSample uses — pin "big" against quotaSample at its quota
+    val viaQuota = Curation.quotaSample(docs.filter($"lang" === "big"),
+      "lang", "doc_id", quota = 12).as[(Long, String)].collect().map(_._1).toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == viaQuota)
+    // a group smaller than its quota keeps everything and the total
+    // undershoots gracefully
+    val tiny = ((0 until 100).map(i => (i.toLong, "big")) ++
+      Seq((900L, "rare"))).toDF("doc_id", "lang")
+    val keptTiny = Curation.temperatureSample(tiny, "lang", "doc_id", totalBudget = 50)
+      .as[(Long, String)].collect()
+    assert(keptTiny.count(_._2 == "rare") == 1) // quota 50·1 div 11 = 4 > n = 1
+  }
+
   test("tokenBudgetCap keeps hash-ordered docs while they fit the budget") {
     val docs = Seq(
       (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L), (4L, "a", 400L),
