@@ -87,6 +87,11 @@ object SparkEntry {
   private val ivfIncrIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the delete-lifecycle fixture (s_knn_indexed_deleted): full build, then
+  // vec_id % 7 == 3 deleted in place (affected-partition rewrite only)
+  private val ivfDelIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // trained BPE merge list per sf dir (t_bpe_encode*): in production the
   // merge table is a persisted artifact trained once; encode queries
   // should measure ENCODING, not re-training
@@ -2198,6 +2203,28 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // the DELETE face of the index lifecycle (retention / right-to-be-
+    // forgotten): full build, then every vec_id % 7 == 3 deleted IN PLACE —
+    // only the affected cluster partitions rewrite (emptied ones drop).
+    // Exhaustive probe ≡ brute force over the SURVIVING corpus: a row that
+    // out-lives its delete, or a survivor lost in the rewrite, cannot
+    // hash-match
+    "s_knn_indexed_deleted" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfDelIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfidxdel")
+        deleteRecursivelyOnExit(dir)
+        Similarity.writeIvfIndex(emb, "embedding", "vec_id",
+          Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8), dir.toString)
+        Similarity.deleteFromIvfIndex(s, dir.toString,
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+        dir.toString
+      })
+      Similarity.ivfTopKFromIndex(s, path,
+        emb.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3),
+        "embedding", "vec_id", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     "s_knn_ivfpq_indexed" -> ((s, d) => {
       // the PERSISTED IVF-PQ index: centroids + residual codebooks +
       // cluster-partitioned CODES on disk ((1+m) ints per vector — the
@@ -2713,6 +2740,10 @@ object SparkEntry {
     // cannot hash-match
     "s_knn_indexed_incremental" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // brute force over the SURVIVING corpus only — deleted rows must be
+    // gone from the index, surviving rows must all still be there
+    "s_knn_indexed_deleted" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id AND c.vec_id % 7 != 3 WHERE q.vec_id < 10 AND q.vec_id % 7 != 3) WHERE rank <= 5",
     // same exactness argument, exercised through the NON-broadcast
     // (sort-merge probe join) plan — the large-query-set path
     "s_knn_ivfpq_indexed" ->

@@ -292,6 +292,52 @@ object Similarity {
     df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       nearestCentroid(col(vecCol), centroids).as("cluster"))
 
+  /** Delete vectors from a persisted index IN PLACE — the retention/
+    * right-to-be-forgotten face of the index lifecycle (build → append →
+    * delete → probe). Scale shape: the delete set (broadcast) first
+    * identifies the AFFECTED clusters — a bounded ≤ k-row collect — and
+    * only those clusters' partitions are rewritten (anti-join of their
+    * rows against the delete set, dynamic partition overwrite); every
+    * untouched cluster's files are never read or written. The kept slice
+    * is checkpointed before the overwrite because Spark refuses to
+    * overwrite files a plan is concurrently reading from — the checkpoint
+    * is bounded by the affected partitions' volume, not the index.
+    *
+    * Returns the number of rows actually deleted.
+    */
+  def deleteFromIvfIndex(
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val del = broadcast(ids.select(col(idCol).cast("long").as("__del_id")).distinct())
+    val affected = corpus.join(del, col("vec_id") === col("__del_id"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // bounded: ≤ k rows
+    if (affected.isEmpty) return 0L
+    val clusters = affected.map(_._1)
+    val kept = graft.CacheScope.localCheckpoint(
+      corpus.filter(col("cluster").isin(clusters: _*))
+        .join(del, col("vec_id") === col("__del_id"), "left_anti"))
+    try {
+      // dynamic overwrite only rewrites partitions PRESENT in the written
+      // frame — a cluster whose rows were ALL deleted writes nothing and
+      // would silently keep its old files. Surviving clusters go through
+      // the dynamic overwrite; fully-emptied ones are dropped directly.
+      val surviving = kept.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ affected clusters
+      if (surviving.nonEmpty)
+        kept.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster")
+          .mode("overwrite").parquet(s"$path/corpus")
+      val fs = new org.apache.hadoop.fs.Path(s"$path/corpus")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (clusters.toSet -- surviving).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/corpus/cluster=$c"), true)
+      }
+    } finally graft.CacheScope.unpersistCheckpoint(kept)
+    affected.map(_._2).sum
+  }
+
   def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] =
     spark.read.parquet(s"$path/centroids").orderBy(col("cluster"))
       .select(col("centroid")).collect().map(_.getSeq[Float](0).toSeq).toSeq

@@ -778,6 +778,61 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaIndex == brute)
   }
 
+  test("IVF index delete: in-place partition rewrite, untouched clusters' files intact, probe == brute on survivors") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(8)(j =>
+      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    val centroids = Similarity.trainIvfCentroids(all, "embedding", "vec_id", k = 4)
+    Similarity.writeIvfIndex(all, "embedding", "vec_id", centroids, path)
+    val beforeFiles = spark.read.parquet(s"$path/corpus")
+      .select(col("cluster"), org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(r => r.getInt(0) -> r.getString(1)).groupBy(_._1)
+
+    // delete set: every member of ONE whole cluster (it must vanish from
+    // disk), a few rows of another, plus ids not in the index (no-ops)
+    val assigned = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clusterOf = assigned.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val wholeCluster = clusterOf.minBy { case (_, ids) => ids.size }
+    val partialCluster = clusterOf.filter(_._1 != wholeCluster._1).maxBy(_._2.size)
+    val delIds = wholeCluster._2 ++ partialCluster._2.take(2) ++ Seq(999L, 1000L)
+    val deleted = Similarity.deleteFromIvfIndex(spark, path,
+      delIds.toDF("vec_id"), "vec_id")
+    assert(deleted == wholeCluster._2.size + 2) // not-found ids don't count
+
+    // emptied cluster's partition directory is gone; untouched clusters'
+    // files are byte-identical (same file paths — never rewritten)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/corpus/cluster=${wholeCluster._1}")))
+    val afterFiles = spark.read.parquet(s"$path/corpus")
+      .select(col("cluster"), org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(r => r.getInt(0) -> r.getString(1)).groupBy(_._1)
+    clusterOf.keys.filter(c => c != wholeCluster._1 && c != partialCluster._1)
+      .foreach { c =>
+        assert(afterFiles(c).map(_._2).toSet == beforeFiles(c).map(_._2).toSet,
+          s"untouched cluster $c was rewritten")
+      }
+    assert(afterFiles(partialCluster._1).map(_._2).toSet !=
+      beforeFiles(partialCluster._1).map(_._2).toSet)
+
+    // probe over the pruned index == brute force over the surviving corpus
+    val survivors = all.filter(!col("vec_id").isin(delIds: _*))
+    val queries = survivors.filter(col("vec_id") < 12)
+    val viaIndex = Similarity.ivfTopKFromIndex(spark, path, queries,
+      "embedding", "vec_id", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, survivors, "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == brute)
+    // idempotence: deleting the same set again is a no-op
+    assert(Similarity.deleteFromIvfIndex(spark, path,
+      delIds.toDF("vec_id"), "vec_id") == 0L)
+  }
+
   test("persisted IVF-PQ index: quantizers round-trip, frozen-quantizer append, probe == brute force") {
     import spark.implicits._
     def vec(seed: Int) = Array.tabulate(8)(j =>
