@@ -92,6 +92,11 @@ object SparkEntry {
   private val ivfDelIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the STREAM-ingested index fixture (e_stream_index_append): base half
+  // built, second half micro-batch-appended through Structured Streaming
+  private val ivfStreamIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // trained BPE merge list per sf dir (t_bpe_encode*): in production the
   // merge table is a persisted artifact trained once; encode queries
   // should measure ENCODING, not re-training
@@ -2203,6 +2208,34 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // the STREAMING-ingest face of the index: arrivals land as files, a
+    // Structured Streaming query assigns each micro-batch against the
+    // FROZEN centroids and appends into per-batch partitions (replay-
+    // idempotent). nprobe = #centroids ⇒ probe ≡ brute over the full
+    // corpus — a batch lost, duplicated, or mis-assigned cannot hash-match
+    "e_stream_index_append" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfStreamIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfidxstr")
+        val landing = java.nio.file.Files.createTempDirectory("ivfland")
+        val ckpt = java.nio.file.Files.createTempDirectory("ivfstrck")
+        Seq(dir, landing, ckpt).foreach(deleteRecursivelyOnExit)
+        val half1 = emb.filter(col("vec_id") % 2 === 0)
+        val half2 = emb.filter(col("vec_id") % 2 === 1)
+        Similarity.writeIvfIndex(half1, "embedding", "vec_id",
+          Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 8), dir.toString)
+        half2.repartition(4).write.mode("overwrite").parquet(landing.toString)
+        Similarity.streamAppendToIvfIndex(
+          s.readStream.schema(half2.schema).option("maxFilesPerTrigger", 1)
+            .parquet(landing.toString),
+          "embedding", "vec_id", dir.toString, ckpt.toString)
+          .awaitTermination()
+        dir.toString
+      })
+      Similarity.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     // the DELETE face of the index lifecycle (retention / right-to-be-
     // forgotten): full build, then every vec_id % 7 == 3 deleted IN PLACE —
     // only the affected cluster partitions rewrite (emptied ones drop).
@@ -2739,6 +2772,10 @@ object SparkEntry {
     // corpus: exhaustive probe ≡ brute force — a lost/duplicated append row
     // cannot hash-match
     "s_knn_indexed_incremental" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // streamed build + append must reconstruct the FULL corpus, same
+    // exactness argument as the batch incremental face
+    "e_stream_index_append" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // brute force over the SURVIVING corpus only — deleted rows must be
     // gone from the index, surviving rows must all still be there

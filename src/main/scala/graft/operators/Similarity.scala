@@ -274,8 +274,15 @@ object Similarity {
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // `ingest_batch` is a universal second partition level so batch builds,
+    // batch appends (-1) and streaming appends (batch ids ≥ 0,
+    // [[streamAppendToIvfIndex]]) share ONE consistent directory depth —
+    // parquet partition discovery rejects mixed depths. Cluster stays the
+    // leading level, so probe-side partition pruning is unchanged.
     assignToIndex(corpus, vecCol, idCol, centroids)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch")
+      .parquet(s"$path/corpus")
   }
 
   /** Append a batch to an existing index WITHOUT retraining: vectors are
@@ -285,7 +292,9 @@ object Similarity {
     */
   def appendToIvfIndex(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit =
     assignToIndex(batch, vecCol, idCol, readIvfCentroids(batch.sparkSession, path))
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/corpus")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("append").partitionBy("cluster", "ingest_batch")
+      .parquet(s"$path/corpus")
 
   private def assignToIndex(
       df: DataFrame, vecCol: String, idCol: String, centroids: Seq[Seq[Float]]): DataFrame =
@@ -318,24 +327,56 @@ object Similarity {
       corpus.filter(col("cluster").isin(clusters: _*))
         .join(del, col("vec_id") === col("__del_id"), "left_anti"))
     try {
-      // dynamic overwrite only rewrites partitions PRESENT in the written
-      // frame — a cluster whose rows were ALL deleted writes nothing and
-      // would silently keep its old files. Surviving clusters go through
-      // the dynamic overwrite; fully-emptied ones are dropped directly.
-      val surviving = kept.select(col("cluster")).distinct()
-        .collect().map(_.getInt(0)).toSet // bounded: ≤ affected clusters
-      if (surviving.nonEmpty)
-        kept.write
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster")
-          .mode("overwrite").parquet(s"$path/corpus")
+      // remove-then-append rather than dynamic overwrite: an overwrite only
+      // touches partitions PRESENT in the written frame, so a cluster (or
+      // an ingest_batch sub-partition) whose rows were ALL deleted would
+      // silently keep its old files. Dropping each affected cluster's
+      // directory and appending the checkpointed survivors handles emptied
+      // partitions at every level; the checkpoint makes the read-then-
+      // delete-then-write sequence safe.
       val fs = new org.apache.hadoop.fs.Path(s"$path/corpus")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      (clusters.toSet -- surviving).foreach { c =>
+      clusters.foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/corpus/cluster=$c"), true)
       }
+      kept.write.mode("append").partitionBy("cluster", "ingest_batch")
+        .parquet(s"$path/corpus")
     } finally graft.CacheScope.unpersistCheckpoint(kept)
     affected.map(_._2).sum
+  }
+
+  /** Streaming face of [[appendToIvfIndex]]: a stream of embeddings (e.g. a
+    * parquet landing dir of daily arrivals) is assigned per micro-batch
+    * against the FROZEN stored centroids and appended to the index —
+    * continuous ingest with no retrain, no rewrite of standing data.
+    *
+    * Exactly-once under replay: each batch writes its rows into their own
+    * `ingest_batch=<id>` sub-partition via dynamic partition overwrite, so
+    * a batch replayed after a failure between write and checkpoint commit
+    * REPLACES its own partitions instead of double-appending (the
+    * EventStream.foreachBatchIngest contract). The probe path is unchanged:
+    * partition discovery surfaces `ingest_batch` as an extra column the
+    * probe projection ignores, and cluster pruning still holds —
+    * `cluster` remains the leading partition level.
+    */
+  def streamAppendToIvfIndex(
+      stream: DataFrame, vecCol: String, idCol: String,
+      path: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // frozen quantizer: read ONCE at stream start — later arrivals never
+    // influence it (the appendToIvfIndex contract)
+    val centroids = readIvfCentroids(stream.sparkSession, path)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        assignToIndex(batch.toDF(), vecCol, idCol, centroids)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster", "ingest_batch")
+          .parquet(s"$path/corpus"))
+      .start()
   }
 
   def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] =

@@ -833,6 +833,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       delIds.toDF("vec_id"), "vec_id") == 0L)
   }
 
+  test("streaming IVF append: micro-batched landing-dir ingest, probe == brute on the union") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(8)(j =>
+      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val half1 = all.filter(col("vec_id") < 20)
+    val half2 = all.filter(col("vec_id") >= 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val landing = java.nio.file.Files.createTempDirectory("ivflanding").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfckpt").toString
+    val centroids = Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 4)
+    Similarity.writeIvfIndex(half1, "embedding", "vec_id", centroids, path)
+    // arrivals land as 4 files → maxFilesPerTrigger=1 forces 4 micro-batches
+    half2.repartition(4).write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream
+      .schema(half2.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = Similarity.streamAppendToIvfIndex(stream, "embedding", "vec_id", path, ckpt)
+    q.awaitTermination()
+    // several distinct ingest_batch partitions actually materialized
+    val batches = spark.read.parquet(s"$path/corpus")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches.size >= 3 && batches.contains(-1L))
+    // exhaustive probe over the streamed index == brute force on the union
+    val queries = all.filter(col("vec_id") < 5)
+    val viaIndex = Similarity.ivfTopKFromIndex(spark, path, queries,
+      "embedding", "vec_id", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, all, "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == brute)
+    // replay-idempotence: a fresh stream over the SAME landing dir with the
+    // SAME checkpoint has nothing new to do — the index is unchanged
+    val q2 = Similarity.streamAppendToIvfIndex(
+      spark.readStream.schema(half2.schema).option("maxFilesPerTrigger", 1).parquet(landing),
+      "embedding", "vec_id", path, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$path/corpus").count() == 40L)
+  }
+
   test("persisted IVF-PQ index: quantizers round-trip, frozen-quantizer append, probe == brute force") {
     import spark.implicits._
     def vec(seed: Int) = Array.tabulate(8)(j =>
