@@ -2035,6 +2035,25 @@ object SparkEntry {
         Similarity.nearestCentroid(col("embedding"), seeds)
           .cast("bigint").as("cluster"))
     }),
+    // ...and the Lloyd UPDATE step: per-(cluster, dimension) mean of the
+    // assigned vectors, exactly the aggregation trainIvfCentroids folds
+    // back into the next round's centroids. Emitted as FLOAT — the float32
+    // rounding absorbs double summation-order noise (a ~1e-15-relative
+    // double difference almost never straddles a ~1e-7-wide float32
+    // boundary), so the full train round (assign + update) is cross-engine
+    // pinned without a tolerance oracle
+    "s_kmeans_update" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val seeds = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("embedding")).collect() // bounded: k = 8 rows
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      emb.select(Similarity.nearestCentroid(col("embedding"), seeds).as("c"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .select(col("c").cast("bigint").as("c"), col("pos").cast("bigint").as("pos"),
+          col("m").cast("float").as("m"))
+    }),
     "s_knn_brute" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "embedding", "vec_id", k = 5)
@@ -2755,6 +2774,9 @@ object SparkEntry {
     // rn=1 equals cutting in the join
     "j16_asof_tolerance" ->
       "WITH c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2), f AS (SELECT event_id AS fact_id, user_id, ts FROM events WHERE event_type = 'purchase'), j AS (SELECT f.fact_id, f.user_id, f.ts, c.click_id, c.click_ts, row_number() OVER (PARTITION BY f.fact_id ORDER BY c.click_ts DESC) AS rn FROM f JOIN c ON f.user_id = c.user_id AND c.click_ts <= f.ts) SELECT fact_id, user_id, ts, click_id, click_ts FROM j WHERE rn = 1 AND click_ts >= ts - INTERVAL 2 HOUR",
+    // the update means, float32-rounded on both sides; 0-based pos
+    "s_kmeans_update" ->
+      "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), scored AS (SELECT e.vec_id, cent.c, list_cosine_similarity(e.embedding, cent.cv) AS sim FROM embeddings e CROSS JOIN cent), assign AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c DESC) AS rn FROM scored) WHERE rn = 1) SELECT CAST(a.c AS BIGINT) AS c, CAST(u.pos - 1 AS BIGINT) AS pos, CAST(avg(u.x) AS FLOAT) AS m FROM assign a JOIN (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM embeddings) u ON a.vec_id = u.vec_id GROUP BY 1, 2",
     // argmax by (sim, cluster-idx) lexicographic max == greatest(struct)
     "s_kmeans_assign" ->
       "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), scored AS (SELECT e.vec_id, cent.c, list_cosine_similarity(e.embedding, cent.cv) AS sim FROM embeddings e CROSS JOIN cent) SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c DESC) AS rn FROM scored) WHERE rn = 1",
