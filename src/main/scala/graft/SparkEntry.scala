@@ -97,6 +97,10 @@ object SparkEntry {
   private val ivfStreamIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the PQ delete-lifecycle fixture (s_knn_ivfpq_deleted)
+  private val ivfPqDelIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // trained BPE merge list per sf dir (t_bpe_encode*): in production the
   // merge table is a persisted artifact trained once; encode queries
   // should measure ENCODING, not re-training
@@ -2297,6 +2301,29 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 8, rerank = 1000000)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // delete face of the CODES table: same retention contract as
+    // s_knn_indexed_deleted, on the PQ index — rewrite touches only the
+    // affected clusters' (1+m)-int rows; exact-mode probe ≡ brute over the
+    // survivors (deleted ids can no longer appear as candidates because
+    // their codes are gone, even though the float base table still has them)
+    "s_knn_ivfpq_deleted" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfPqDelIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqdelq")
+        deleteRecursivelyOnExit(dir)
+        val cents = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+        val books = Similarity.trainIvfPqBooks(emb, "embedding", "vec_id",
+          cents, m = 8, ksub = 32)
+        Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", cents, books, dir.toString)
+        Similarity.deleteFromIvfPqIndex(s, dir.toString,
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+        dir.toString
+      })
+      Similarity.ivfPqTopKFromIndex(s, path,
+        emb.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3), emb,
+        "embedding", "vec_id", k = 5, nprobe = 8, rerank = 1000000)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     "s_knn_shuffled" -> ((s, d) => {
       // the large-query-set path: NO broadcast of the query side — the
       // probe join is a bucket-key sort-merge, the shape that survives when
@@ -2799,6 +2826,9 @@ object SparkEntry {
     // exactness argument as the batch incremental face
     "e_stream_index_append" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // PQ codes table after delete: same surviving-corpus brute oracle
+    "s_knn_ivfpq_deleted" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id AND c.vec_id % 7 != 3 WHERE q.vec_id < 10 AND q.vec_id % 7 != 3) WHERE rank <= 5",
     // brute force over the SURVIVING corpus only — deleted rows must be
     // gone from the index, surviving rows must all still be there
     "s_knn_indexed_deleted" ->

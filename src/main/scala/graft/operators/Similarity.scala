@@ -757,6 +757,36 @@ object Similarity {
       .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
   }
 
+  /** Delete vectors from a persisted IVF-PQ index in place — the codes-
+    * table twin of [[deleteFromIvfIndex]], same remove-then-append shape:
+    * only the affected clusters' partitions are touched, fully-emptied
+    * clusters drop cleanly, and the rewrite volume is (1+m) ints per
+    * surviving row of those clusters, never the index. Returns rows
+    * deleted.
+    */
+  def deleteFromIvfPqIndex(
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val del = broadcast(ids.select(col(idCol).cast("long").as("__del_id")).distinct())
+    val affected = codes.join(del, col("vec_id") === col("__del_id"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // bounded: ≤ k rows
+    if (affected.isEmpty) return 0L
+    val clusters = affected.map(_._1)
+    val kept = graft.CacheScope.localCheckpoint(
+      codes.filter(col("cluster").isin(clusters: _*))
+        .join(del, col("vec_id") === col("__del_id"), "left_anti"))
+    try {
+      val fs = new org.apache.hadoop.fs.Path(s"$path/codes")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      clusters.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cluster=$c"), true)
+      }
+      kept.write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+    } finally graft.CacheScope.unpersistCheckpoint(kept)
+    affected.map(_._2).sum
+  }
+
   def readIvfPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =
     spark.read.parquet(s"$path/books")
       .orderBy(col("subspace"), col("code"))

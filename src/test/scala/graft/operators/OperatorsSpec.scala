@@ -833,6 +833,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       delIds.toDF("vec_id"), "vec_id") == 0L)
   }
 
+  test("IVF-PQ index delete: affected code partitions only, exact probe == brute on survivors") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(8)(j =>
+      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpqdel").toString
+    val centroids = Similarity.trainIvfCentroids(all, "embedding", "vec_id", k = 4)
+    val books = Similarity.trainIvfPqBooks(all, "embedding", "vec_id", centroids, m = 4, ksub = 4)
+    Similarity.writeIvfPqIndex(all, "embedding", "vec_id", centroids, books, path)
+    val delIds = Seq(3L, 7L, 11L, 999L)
+    val deleted = Similarity.deleteFromIvfPqIndex(spark, path,
+      delIds.toDF("vec_id"), "vec_id")
+    assert(deleted == 3L)
+    assert(spark.read.parquet(s"$path/codes").count() == 37L)
+    // exact-mode probe (all clusters, rerank >= corpus) == brute over survivors
+    val survivors = all.filter(!col("vec_id").isin(delIds: _*))
+    val queries = survivors.filter(col("vec_id") < 10)
+    val viaIndex = Similarity.ivfPqTopKFromIndex(spark, path, queries, all,
+      "embedding", "vec_id", k = 3, nprobe = 4, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, survivors, "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == brute)
+  }
+
   test("streaming IVF append: micro-batched landing-dir ingest, probe == brute on the union") {
     import spark.implicits._
     def vec(seed: Int) = Array.tabulate(8)(j =>
