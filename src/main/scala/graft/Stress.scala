@@ -298,6 +298,43 @@ object Stress {
             .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       },
+      // retention delete at scale: build an index over the expanded corpus
+      // (untimed separately on stderr), then delete a ~1% id slice — the
+      // op's receipt is the DELETE-ONLY wall printed to stderr: affected
+      // clusters rewrite, untouched partitions are never read or written,
+      // so the cost tracks the hit clusters' volume, not the index
+      time(s"ivf_delete_x$mult") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_ivfdel")
+        try {
+          val cents = operators.Similarity.trainIvfCentroids(
+            embs, "embedding", "vec_id", k = 16, trainSample = 8)
+          operators.Similarity.writeIvfIndex(embs, "embedding", "vec_id", cents, dir.toString)
+          // worst case: a uniform 1% slice hits EVERY cluster — the rewrite
+          // approaches a full one
+          val t0 = System.nanoTime()
+          val deleted = operators.Similarity.deleteFromIvfIndex(spark, dir.toString,
+            embs.filter(pmod(col("vec_id"), lit(100)) === 37).select(col("vec_id")), "vec_id")
+          System.err.println(
+            f"[stress] ivf_delete_x$mult uniform 1%%: ${(System.nanoTime() - t0) / 1e9}%.2f s, $deleted rows (all clusters affected)")
+          // locality case: delete a slice of ONE cluster's members — only
+          // that cluster's partition rewrites, cost tracks its volume
+          val corpusIdx = spark.read.parquet(s"${dir.toString}/corpus")
+          val busiest = corpusIdx.groupBy(col("cluster")).count()
+            .orderBy(col("count").desc).head.getInt(0)
+          val oneCluster = corpusIdx.filter(col("cluster") === busiest)
+            .select(col("vec_id")).limit(2000)
+          val t1 = System.nanoTime()
+          val deleted1 = operators.Similarity.deleteFromIvfIndex(
+            spark, dir.toString, oneCluster, "vec_id")
+          System.err.println(
+            f"[stress] ivf_delete_x$mult one-cluster: ${(System.nanoTime() - t1) / 1e9}%.2f s, $deleted1 rows (1 cluster affected)")
+          deleted + deleted1
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
       // mergeable CMS at scale: per-part sketches folded must estimate
       // identically to the sketch of the whole — the incremental-ingest
       // sketch-table contract, checked (and REQUIRED to hold) over the

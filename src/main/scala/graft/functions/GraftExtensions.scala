@@ -36,6 +36,26 @@ object GraftExtensions {
   private def optIntArg(args: Seq[Expression], i: Int, what: String, default: Int): Int =
     if (args.length > i) intArg(args(i), what) else default
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  /** Merge-list literal for graft_bpe_encode: pairs separated by newlines,
+    * left/right separated by ONE space. Both separators are whitespace, and
+    * BPE symbols come from whitespace tokenization, so neither can occur
+    * inside a symbol — the encoding is unambiguous for any trained list.
+    */
+  private def mergesArg(e: Expression): Seq[(String, String)] =
+    stringArg(e, "merges").split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      line.split(' ') match {
+        case Array(a, b) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          s"merges line must be 'left right', got '$line'")
+      }
+    }
+
   /** The canonical registry: (name, usage, builder). Order is the doc
     * order; names are the exact SQL identifiers.
     */
@@ -69,6 +89,10 @@ object GraftExtensions {
       "graft_content_boundaries(text, window, divisor) - rolling-hash content-defined chunk boundaries (code-point offsets)",
       args => VectorHash.ContentBoundariesExpr(
         args(0), intArg(args(1), "window"), intArg(args(2), "divisor"))),
+
+    ("graft_bpe_encode",
+      "graft_bpe_encode(tokens, merges) - BPE symbol sequence of a token array; merges is a literal of newline-separated 'left right' pairs in rank order",
+      args => graft.operators.BpeTrainer.BpeEncodeExpr(args(0), mergesArg(args(1)))),
 
     ("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",

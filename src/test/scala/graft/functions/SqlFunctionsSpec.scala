@@ -82,6 +82,11 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
         """SELECT size(b) > 0 AND b = array_sort(b)
           |  AND forall(b, x -> x > 0 AND x <= length(text))
           |FROM (SELECT graft_content_boundaries(text, 4, 4) AS b, text FROM reg_docs)""".stripMargin,
+      // textbook merges: low → [low, </w>], newest → [n, e, w, est</w>]
+      "graft_bpe_encode" ->
+        ("SELECT graft_bpe_encode(array('low', 'newest'), '" +
+          Seq("e s", "es t", "est </w>", "l o", "lo w").mkString("\n") +
+          "') = array('low', '</w>', 'n', 'e', 'w', 'est</w>')"),
       "graft_jaro_winkler" ->
         "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') = 0.9611111111111111",
       "graft_jaro" ->
