@@ -321,8 +321,10 @@ object Stress {
           val corpusIdx = spark.read.parquet(s"${dir.toString}/corpus")
           val busiest = corpusIdx.groupBy(col("cluster")).count()
             .orderBy(col("count").desc).head.getInt(0)
+          // deterministic slice: LIMIT without ORDER BY could select a
+          // different 2000-id set per evaluation of the plan
           val oneCluster = corpusIdx.filter(col("cluster") === busiest)
-            .select(col("vec_id")).limit(2000)
+            .select(col("vec_id")).orderBy(col("vec_id")).limit(2000)
           val t1 = System.nanoTime()
           val deleted1 = operators.Similarity.deleteFromIvfIndex(
             spark, dir.toString, oneCluster, "vec_id")
@@ -676,11 +678,19 @@ object Stress {
       // of merge-list length. The aggregate forces full symbol
       // materialization (a bare count would prune the encode away)
       time(s"bpe_encode_x$mult") {
+        // training happens inside the op's wall (the harness times whole
+        // bodies) but is measured apart on stderr: the RECEIPT number for
+        // encode scaling is the encode-only line — merges are a persisted
+        // artifact in production, bpe_train_x's row prices training
         val merges = operators.BpeTrainer
           .train(Tables.balanced(spark, sfDir, "documents"), "text", numMerges = 8)
           .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
-        operators.BpeTrainer.encode(docs, "text", "doc_id", merges)
+        val t0 = System.nanoTime()
+        val n = operators.BpeTrainer.encode(docs, "text", "doc_id", merges)
           .agg(sum(size(col("syms")))).collect().head.getLong(0)
+        System.err.println(
+          f"[stress] bpe_encode_x$mult encode-only: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n symbols")
+        n
       },
       // per-group top-k at mult×-deepened groups (expand keeps o_custkey, so
       // each customer's order history grows mult×): the k-bounded partial

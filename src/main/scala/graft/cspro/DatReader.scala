@@ -138,7 +138,17 @@ object DatReader {
     val lines0 = charset.map(_.trim).filter(cs =>
         !cs.equalsIgnoreCase("UTF-8") && !cs.equalsIgnoreCase("US-ASCII")) match {
       case Some(cs) =>
-        java.nio.charset.Charset.forName(cs) // fail fast on a bad name, driver-side
+        val probe = java.nio.charset.Charset.forName(cs) // fail fast on a bad name, driver-side
+        // …and fail fast on a charset this split strategy would CORRUPT:
+        // TextInputFormat splits on raw 0x0A bytes, which is only exact
+        // when every character is one byte (so 0x0A can never be the tail
+        // of a multi-byte character — UTF-16's '\n' is 0A 00 and every
+        // split would land mid-character, silently). Multi-byte charsets
+        // must go through the fixedwidth DSv2 source, whose partition
+        // reader decodes streams natively.
+        require(probe.newEncoder().maxBytesPerChar() == 1.0f,
+          s"charset $cs is multi-byte: raw-byte line splitting would corrupt it — " +
+            "read this file through the fixedwidth DSv2 source (format(\"fixedwidth\")) instead")
         val rdd = spark.sparkContext.newAPIHadoopFile(
             datPath,
             classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],

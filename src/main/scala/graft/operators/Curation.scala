@@ -640,9 +640,15 @@ object Curation {
         posexplode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "key")))
 
-    // benchmark side is referenced twice (banding + verify): persist it —
-    // MB-scale, shingle hashes + signature, never text
-    val benchF = graft.CacheScope.persist(sideFrame(benchmark))
+    // benchmark side is referenced twice (banding + verify): materialize
+    // it — MB-scale, shingle hashes + signature, never text. Local
+    // CHECKPOINT, not persist: two concurrent queries can build canonically
+    // identical benchmark plans, and CacheManager dedupes persisted entries
+    // by canonical plan across threads — one scope's close would unpersist
+    // the shared entry out from under the other mid-query (the observed
+    // ANN-trainer failure class; see Similarity's trainScratch note).
+    // Checkpoint RDDs are per-call, never shared.
+    val benchF = graft.CacheScope.localCheckpoint(sideFrame(benchmark))
     val benchBanded =
       if (broadcastBenchmark) broadcast(bandKeys(benchF, "bench"))
       else bandKeys(benchF, "bench")

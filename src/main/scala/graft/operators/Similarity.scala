@@ -129,6 +129,13 @@ object Similarity {
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
+    // fail fast with the real cause: an under-k (or empty, after an
+    // aggressive trainSample) training set would otherwise surface as a
+    // silently smaller quantizer — or an obscure zero-arg greatest() error
+    // deep inside nearestCentroid (the trainPqCodebooks ksub guard, here)
+    require(centroids.size == k,
+      s"training corpus has only ${centroids.size} vectors for k = $k" +
+        (if (trainSample > 1) s" after trainSample = $trainSample — lower the sample denominator" else ""))
     (1 to iterations).foreach { _ =>
       val assigned = corpus.select(
         col(vecCol).as("v"),
@@ -303,46 +310,78 @@ object Similarity {
 
   /** Delete vectors from a persisted index IN PLACE — the retention/
     * right-to-be-forgotten face of the index lifecycle (build → append →
-    * delete → probe). Scale shape: the delete set (broadcast) first
-    * identifies the AFFECTED clusters — a bounded ≤ k-row collect — and
-    * only those clusters' partitions are rewritten (anti-join of their
-    * rows against the delete set, dynamic partition overwrite); every
-    * untouched cluster's files are never read or written. The kept slice
-    * is checkpointed before the overwrite because Spark refuses to
-    * overwrite files a plan is concurrently reading from — the checkpoint
-    * is bounded by the affected partitions' volume, not the index.
-    *
-    * Returns the number of rows actually deleted.
+    * delete → probe). Scale shape: the delete set first identifies the
+    * AFFECTED clusters — a bounded ≤ k-row collect — and only those
+    * clusters' partitions are rewritten; every untouched cluster's files
+    * are never read or written. See [[deleteFromIndexTable]] for the
+    * durability order. Returns the number of rows actually deleted.
     */
   def deleteFromIvfIndex(
-      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long = {
-    val corpus = spark.read.parquet(s"$path/corpus")
-    val del = broadcast(ids.select(col(idCol).cast("long").as("__del_id")).distinct())
-    val affected = corpus.join(del, col("vec_id") === col("__del_id"))
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)) // bounded: ≤ k rows
-    if (affected.isEmpty) return 0L
-    val clusters = affected.map(_._1)
-    val kept = graft.CacheScope.localCheckpoint(
-      corpus.filter(col("cluster").isin(clusters: _*))
-        .join(del, col("vec_id") === col("__del_id"), "left_anti"))
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long =
+    deleteFromIndexTable(spark, s"$path/corpus", ids, idCol,
+      Seq("cluster", "ingest_batch"))
+
+  /** Shared delete engine for the two index tables. Durability order:
+    *  1. the delete set is pinned ONCE (eager local checkpoint): a
+    *     non-deterministic `ids` plan (e.g. a LIMIT without ORDER BY — or
+    *     one that READS the index being mutated) must not select different
+    *     rows in the count than in the rewrite;
+    *  2. survivors of the affected clusters are written to a STAGING
+    *     sibling dir while the live table is untouched — a crash here
+    *     loses nothing;
+    *  3. each affected cluster swaps: drop the live `cluster=c` dir,
+    *     rename the staged one in. The two metadata ops per cluster are
+    *     the only non-atomic window, and the staged data outlives a crash
+    *     for recovery — unlike delete-then-rewrite, which would lose every
+    *     SURVIVOR of the affected clusters if the writer died mid-way.
+    *     (For fully transactional deletes, version the whole index with
+    *     the [[graft.load.Warehouse.commitSnapshot]] pattern instead.)
+    *  4. staging is dropped.
+    * Deleting the ENTIRE table is refused — it would leave a parquet dir
+    * with no files, which subsequent reads cannot even infer a schema
+    * from; drop the index directory instead.
+    */
+  private def deleteFromIndexTable(
+      spark: SparkSession, tableDir: String, ids: DataFrame, idCol: String,
+      partitionCols: Seq[String]): Long = {
+    val table = spark.read.parquet(tableDir)
+    val del = graft.CacheScope.localCheckpoint(
+      ids.select(col(idCol).cast("long").as("__del_id")).distinct())
     try {
-      // remove-then-append rather than dynamic overwrite: an overwrite only
-      // touches partitions PRESENT in the written frame, so a cluster (or
-      // an ingest_batch sub-partition) whose rows were ALL deleted would
-      // silently keep its old files. Dropping each affected cluster's
-      // directory and appending the checkpointed survivors handles emptied
-      // partitions at every level; the checkpoint makes the read-then-
-      // delete-then-write sequence safe.
-      val fs = new org.apache.hadoop.fs.Path(s"$path/corpus")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      clusters.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/corpus/cluster=$c"), true)
+      val affected = table.join(broadcast(del), col("vec_id") === col("__del_id"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)) // bounded: ≤ k rows
+      if (affected.isEmpty) return 0L
+      val clusters = affected.map(_._1)
+      val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+      val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def clusterDirsOf(p: org.apache.hadoop.fs.Path): Set[String] =
+        fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("cluster=")).toSet
+      val liveDirs = clusterDirsOf(tablePath)
+      val staging = new org.apache.hadoop.fs.Path(
+        s"${tableDir}__rewrite_${java.util.UUID.randomUUID().toString.take(8)}")
+      table.filter(col("cluster").isin(clusters: _*))
+        .join(broadcast(del), col("vec_id") === col("__del_id"), "left_anti")
+        .write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(staging.toString)
+      val stagedDirs = clusterDirsOf(staging)
+      if (stagedDirs.isEmpty &&
+        (liveDirs -- clusters.map(c => s"cluster=$c")).isEmpty) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"delete would erase the entire index table at $tableDir — " +
+            "drop the index directory instead of deleting every row")
       }
-      kept.write.mode("append").partitionBy("cluster", "ingest_batch")
-        .parquet(s"$path/corpus")
-    } finally graft.CacheScope.unpersistCheckpoint(kept)
-    affected.map(_._2).sum
+      clusters.foreach { c =>
+        val live = new org.apache.hadoop.fs.Path(s"$tableDir/cluster=$c")
+        fs.delete(live, true)
+        val staged = new org.apache.hadoop.fs.Path(s"$staging/cluster=$c")
+        if (fs.exists(staged)) fs.rename(staged, live)
+      }
+      fs.delete(staging, true)
+      affected.map(_._2).sum
+    } finally graft.CacheScope.unpersistCheckpoint(del)
   }
 
   /** Streaming face of [[appendToIvfIndex]]: a stream of embeddings (e.g. a
@@ -758,34 +797,14 @@ object Similarity {
   }
 
   /** Delete vectors from a persisted IVF-PQ index in place — the codes-
-    * table twin of [[deleteFromIvfIndex]], same remove-then-append shape:
-    * only the affected clusters' partitions are touched, fully-emptied
-    * clusters drop cleanly, and the rewrite volume is (1+m) ints per
-    * surviving row of those clusters, never the index. Returns rows
-    * deleted.
+    * table twin of [[deleteFromIvfIndex]] (same [[deleteFromIndexTable]]
+    * engine): only the affected clusters' partitions are touched, and the
+    * rewrite volume is (1+m) ints per surviving row of those clusters,
+    * never the index. Returns rows deleted.
     */
   def deleteFromIvfPqIndex(
-      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long = {
-    val codes = spark.read.parquet(s"$path/codes")
-    val del = broadcast(ids.select(col(idCol).cast("long").as("__del_id")).distinct())
-    val affected = codes.join(del, col("vec_id") === col("__del_id"))
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)) // bounded: ≤ k rows
-    if (affected.isEmpty) return 0L
-    val clusters = affected.map(_._1)
-    val kept = graft.CacheScope.localCheckpoint(
-      codes.filter(col("cluster").isin(clusters: _*))
-        .join(del, col("vec_id") === col("__del_id"), "left_anti"))
-    try {
-      val fs = new org.apache.hadoop.fs.Path(s"$path/codes")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      clusters.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cluster=$c"), true)
-      }
-      kept.write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
-    } finally graft.CacheScope.unpersistCheckpoint(kept)
-    affected.map(_._2).sum
-  }
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long =
+    deleteFromIndexTable(spark, s"$path/codes", ids, idCol, Seq("cluster"))
 
   def readIvfPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =
     spark.read.parquet(s"$path/books")

@@ -48,6 +48,25 @@ class DatReaderSpec extends AnyFunSuite with SparkTestBase {
     assert(rech1.head.getAs[String]("hvidx") == "1")
   }
 
+  test("multi-byte charsets are rejected by the raw-byte line reader with a routing hint") {
+    // TextInputFormat splits on raw 0x0A bytes — exact for single-byte
+    // charsets only. UTF-16's '\n' is 0A 00, so every split would land
+    // mid-character and decode to garbage SILENTLY; the reader must refuse
+    // and point at the fixedwidth DSv2 source instead.
+    val dir = java.nio.file.Files.createTempDirectory("datmb")
+    val f = dir.resolve("x.DAT")
+    java.nio.file.Files.write(f, "       1   9   H00BJ7\n".getBytes("UTF-16LE"))
+    val e = intercept[IllegalArgumentException] {
+      DatReader.readDat(spark, f.toString, docSpecs, charset = Some("UTF-16LE"))
+    }
+    assert(e.getMessage.contains("multi-byte") && e.getMessage.contains("fixedwidth"))
+    // the single-byte fallback family still reads fine through the same arg
+    val g = dir.resolve("y.DAT")
+    java.nio.file.Files.write(g, docLines.mkString("", "\n", "\n").getBytes("windows-1252"))
+    val scan = DatReader.readDat(spark, g.toString, docSpecs, charset = Some("windows-1252"))
+    try assert(scan("RECH0").count() == 1L) finally scan.release()
+  }
+
   test("unknown record types are skipped and reportable") {
     val lines = docLines.toDF("value")
     val unknown = DatReader.unknownRecordTypes(lines, docSpecs).collect()

@@ -831,6 +831,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // idempotence: deleting the same set again is a no-op
     assert(Similarity.deleteFromIvfIndex(spark, path,
       delIds.toDF("vec_id"), "vec_id") == 0L)
+    // full erasure is refused (it would leave an unreadable empty parquet
+    // dir) — the caller should drop the index directory instead
+    val e = intercept[IllegalStateException] {
+      Similarity.deleteFromIvfIndex(spark, path,
+        survivors.select(col("vec_id")), "vec_id")
+    }
+    assert(e.getMessage.contains("erase the entire index"))
+    // …and the refused delete left the index fully intact
+    assert(Similarity.ivfTopKFromIndex(spark, path, queries,
+      "embedding", "vec_id", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == brute)
   }
 
   test("IVF-PQ index delete: affected code partitions only, exact probe == brute on survivors") {
