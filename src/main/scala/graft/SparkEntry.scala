@@ -1708,6 +1708,20 @@ object SparkEntry {
           .select(col("doc_a"), col("doc_b")),
         "doc_id")
         .select(col("doc_id"))),
+    // quality-ranked keepers: same clusters, but each keeps its LONGEST
+    // member (ties → lowest id) — the production policy (keep the cleanest
+    // copy), exercised against the recursive-closure oracle with the same
+    // ranking restated in SQL
+    "d_keepers_quality" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Dedup.dropNearDuplicatesByQuality(
+        docs,
+        Dedup.jaccardDuplicatePairs(docs, "text", "doc_id",
+          shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2, reuseShingles = true)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_id", length(col("text")))
+        .select(col("doc_id"))
+    }),
     // salted equi-join (the AQE-can't-fix skew fallback) must be a drop-in:
     // same aggregate as the plain join, verified against the plain-join oracle
     "j11_salted_join" -> ((s, d) => {
@@ -2768,6 +2782,9 @@ object SparkEntry {
     // keepers = all documents minus each cluster's non-minimum members
     "d_keepers" ->
       s"""WITH clusters AS ($DupClusterClosureSql) SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc AND c.doc != c.cluster WHERE c.doc IS NULL""",
+    // quality keepers: per cluster keep argmax(length(text), min doc_id)
+    "d_keepers_quality" ->
+      s"""WITH clusters AS ($DupClusterClosureSql), ranked AS (SELECT c.doc, row_number() OVER (PARTITION BY c.cluster ORDER BY length(d.text) DESC, c.doc ASC) AS rn FROM clusters c JOIN documents d ON d.doc_id = c.doc) SELECT d.doc_id FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc AND r.rn > 1 WHERE r.doc IS NULL""",
     "j11_salted_join" ->
       "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",
     "j12_bloom_join" ->

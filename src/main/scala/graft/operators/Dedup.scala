@@ -767,6 +767,32 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("doc"), "left_anti")
   }
 
+  /** Quality-aware keeper selection: within each near-dup cluster keep the
+    * member with the BEST `score` (higher wins; ties → lowest id) instead
+    * of [[dropNearDuplicates]]'s lowest-id representative — the production
+    * dedup policy (of N copies of a document, keep the cleanest one: least
+    * boilerplate, best OCR, longest intact text). `score` is any
+    * deterministic expression over `docs`' columns.
+    *
+    * Scale shape: clustering is the same answer-sized [[duplicateClusters]]
+    * frame; the ranking window runs only over CLUSTERED members (join of
+    * docs against the cluster labels — tiny relative to the corpus), and
+    * unclustered documents never enter the window or the shuffle.
+    */
+  def dropNearDuplicatesByQuality(
+      docs: DataFrame, pairs: DataFrame, idCol: String, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = duplicateClusters(pairs)
+    val members = docs.join(clusters, docs(idCol) === clusters("doc"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(score.desc, col(idCol).asc)
+    val losers = members
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc"))
+    docs.join(losers, docs(idCol) === losers("doc"), "left_anti")
+  }
+
   // -------------------------------------------------------------- embedding
 
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from random-

@@ -96,6 +96,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val kept = Dedup.dropNearDuplicates(docsDf, pairs, "doc_id")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 5L, 7L)) // cluster minima + untouched doc
+
+    // quality-ranked keepers: best score wins within each cluster (not the
+    // min id), ties break to the lower id, unclustered docs pass through
+    val scored = Seq((1L, 10), (2L, 99), (3L, 99), (5L, 1), (7L, 5), (9L, 50))
+      .toDF("doc_id", "q")
+    val keptQ = Dedup.dropNearDuplicatesByQuality(scored, pairs, "doc_id", col("q"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptQ == Set(2L, 5L, 9L)) // 2 beats 3 on the tie; 9 outranks 7
   }
 
   test("duplicate clustering survives a diameter-12 chain (lineage checkpointing)") {
