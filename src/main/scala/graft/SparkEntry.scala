@@ -2590,9 +2590,10 @@ object SparkEntry {
       """WITH ca AS (SELECT token, count(*) AS n_a FROM (SELECT unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY 1), ta AS (SELECT sum(n_a) AS t FROM ca), fa AS (SELECT token, n_a, CAST((n_a * 1000000) // ta.t AS BIGINT) AS ppm_a FROM ca, ta), cb AS (SELECT token, count(*) AS n_b FROM (SELECT unnest(list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))) AS token FROM documents WHERE doc_id % 2 != 0) GROUP BY 1), tbt AS (SELECT sum(n_b) AS t FROM cb), fb AS (SELECT token, n_b, CAST((n_b * 1000000) // tbt.t AS BIGINT) AS ppm_b FROM cb, tbt) SELECT token, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, coalesce(ppm_a, 0) - coalesce(ppm_b, 0) AS shift_ppm FROM fa FULL OUTER JOIN fb USING (token) ORDER BY abs(coalesce(ppm_a, 0) - coalesce(ppm_b, 0)) DESC, token ASC LIMIT 40""",
     "t_mixture" ->
       """WITH r AS (SELECT * FROM (VALUES ('en', 1, 4), ('de', 1, 1), ('es', 1, 1), ('fr', 1, 1)) AS t(lang, numer, denom)) SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang WHERE ((((d.doc_id % 1000003) * 2654435761) % 1000003) % denom) < numer""",
-    // ⌊√n⌋ weights, exact integer quota division, same portable-hash rank
+    // ⌊√n⌋ weights, exact integer quota division + largest-remainder
+    // redistribution (Σ quota = budget exactly), same portable-hash rank
     "t_temperature_mix" ->
-      """WITH sz AS (SELECT lang, CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM documents GROUP BY 1), q AS (SELECT lang, CAST((w * 250) // (SELECT sum(w) FROM sz) AS BIGINT) AS quota FROM sz), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) AS rn FROM documents) SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota""",
+      """WITH sz AS (SELECT lang, CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM documents GROUP BY 1), q0 AS (SELECT lang, CAST((w * 250) // (SELECT sum(w) FROM sz) AS BIGINT) AS q0, CAST((w * 250) % (SELECT sum(w) FROM sz) AS BIGINT) AS rem FROM sz), q AS (SELECT lang, q0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC) <= 250 - (SELECT sum(q0) FROM q0) THEN 1 ELSE 0 END AS quota FROM q0), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) AS rn FROM documents) SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota""",
     "t_token_budget" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, sum(nt) OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM (SELECT doc_id, lang, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt FROM documents)) WHERE cum <= 2000""",
     "t_curation_pipeline" ->

@@ -149,6 +149,15 @@ object DatReader {
         require(probe.newEncoder().maxBytesPerChar() == 1.0f,
           s"charset $cs is multi-byte: raw-byte line splitting would corrupt it — " +
             "read this file through the fixedwidth DSv2 source (format(\"fixedwidth\")) instead")
+        // single-byte is necessary but not sufficient: the raw-0x0A split is
+        // only exact when the charset maps byte 0x0A to '\n'. EBCDIC-family
+        // single-byte charsets (IBM037 encodes '\n' as 0x25) pass the width
+        // guard yet would be silently chopped mid-record — probe the one
+        // byte that matters and fail fast instead.
+        require(new String(Array(0x0A.toByte), probe) == "\n",
+          s"charset $cs does not decode byte 0x0A as '\\n' (EBCDIC family?): " +
+            "raw-byte line splitting would corrupt records — decode this file " +
+            "externally or extend DatReader with a charset-aware record splitter")
         val rdd = spark.sparkContext.newAPIHadoopFile(
             datPath,
             classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],

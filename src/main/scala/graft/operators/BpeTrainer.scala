@@ -184,6 +184,14 @@ object BpeTrainer {
     * `</w>`-bearing final symbol — so the encoding is lossless:
     * concatenating the symbols and splitting on `</w>` reconstructs the
     * token sequence exactly (the oracled roundtrip face).
+    *
+    * PRECONDITION: no input token may contain the literal substring
+    * `</w>` — a word whose per-character symbols concatenate back into the
+    * marker would make the flattened encoding ambiguous and the roundtrip
+    * wrong (think raw HTML). The encoder enforces this with a fail-fast
+    * per-word check (negligible next to the O(len²) merge loop) instead of
+    * silently emitting an unreconstructable stream; screen such documents
+    * out first (`!col(text).contains("</w>")`) or strip markup upstream.
     */
   def encodeSymbols(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeExpr(Bridge.expression(tokens), merges))
@@ -239,6 +247,13 @@ object BpeTrainer {
       val nWords = arr.numElements()
       while (w < nWords) {
         val word = arr.getUTF8String(w).toString
+        // losslessness guard (see encodeSymbols): a token containing the
+        // literal marker would concatenate into an ambiguous stream
+        if (word.contains("</w>"))
+          throw new IllegalArgumentException(
+            "graft_bpe_encode: input token contains the end-of-word marker " +
+              s"'</w>' (token: '$word') — the flattened encoding would be " +
+              "ambiguous; screen or strip such documents before encoding")
         // initial symbols: one per character, plus the terminal marker
         val syms = new java.util.ArrayList[String](word.length + 1)
         var ci = 0

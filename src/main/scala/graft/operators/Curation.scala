@@ -151,10 +151,15 @@ object Curation {
     *
     * Scale shape: group sizes are one tiny aggregation (rows = #groups),
     * quotas broadcast back; the only corpus-wide work is quotaSample's one
-    * partitioned window. Groups smaller than their quota keep everything
-    * (rank ≤ quota is vacuous), so the realized total can undershoot
-    * `totalBudget` — the standard behavior when a low-resource group
-    * simply has no more data.
+    * partitioned window. Quotas follow the largest-remainder method: the
+    * floored shares `⌊w·B/Σw⌋` leave a shortfall of up to #groups−1 rows,
+    * which is redistributed +1 at a time to the groups with the largest
+    * division remainder (ties by group name asc) — so Σ quota equals
+    * `totalBudget` exactly, in pure integer arithmetic (engine-portable).
+    * Groups smaller than their quota keep everything (rank ≤ quota is
+    * vacuous), so the REALIZED total can still undershoot `totalBudget` —
+    * but only when a low-resource group simply has no more data, never
+    * from flooring.
     */
   def temperatureSample(
       df: DataFrame,
@@ -171,9 +176,22 @@ object Curation {
     // exact integer weight sum (order-free), cross-joined as a 1-row frame
     // — the no-driver-scalar pattern
     val total = sizes.agg(sum(col("__w")).as("__sw"))
+    // largest-remainder redistribution on the #groups-row frame: the
+    // whole-frame windows below are a single-partition sort over a frame
+    // that never exceeds the group count — driver-trivial by construction
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.partitionBy()
+      .orderBy(col("__rem").desc, col(groupCol).asc)
     val quotas = sizes.crossJoin(broadcast(total))
       .select(col(groupCol),
-        expr(s"__w * ${totalBudget}L div __sw").as("__quota"))
+        expr(s"__w * ${totalBudget}L div __sw").as("__q0"),
+        expr(s"(__w * ${totalBudget}L) % __sw").as("__rem"))
+      .withColumn("__short", lit(totalBudget) - sum(col("__q0")).over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .select(col(groupCol),
+        (col("__q0") + when(col("__rk") <= col("__short"), lit(1L))
+          .otherwise(lit(0L))).as("__quota"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(portableHash(col(keyCol)), col(keyCol))
     df.join(broadcast(quotas), groupCol)

@@ -67,6 +67,19 @@ class DatReaderSpec extends AnyFunSuite with SparkTestBase {
     try assert(scan("RECH0").count() == 1L) finally scan.release()
   }
 
+  test("EBCDIC-family single-byte charsets are rejected: 0x0A is not '\\n' there") {
+    // IBM037 is single-byte (passes the width guard) but encodes '\n' as
+    // 0x25 — raw-0x0A splitting would chop records mid-byte-stream
+    // silently. The reader must probe the newline byte and refuse.
+    val dir = java.nio.file.Files.createTempDirectory("datebcdic")
+    val f = dir.resolve("x.DAT")
+    java.nio.file.Files.write(f, "       1   9   H00BJ7\n".getBytes("IBM037"))
+    val e = intercept[IllegalArgumentException] {
+      DatReader.readDat(spark, f.toString, docSpecs, charset = Some("IBM037"))
+    }
+    assert(e.getMessage.contains("0x0A"))
+  }
+
   test("unknown record types are skipped and reportable") {
     val lines = docLines.toDF("value")
     val unknown = DatReader.unknownRecordTypes(lines, docSpecs).collect()

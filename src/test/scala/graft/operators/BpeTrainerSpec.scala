@@ -119,6 +119,23 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("encode fails fast when a token contains the literal '</w>' marker") {
+    // per-character symbols of such a token concatenate back into the
+    // marker, making the flattened encoding ambiguous — raw HTML is the
+    // realistic source. The encoder must refuse, not silently emit an
+    // unreconstructable stream.
+    val dirty = Seq((1L, "clean text"), (2L, "markup </w> inside"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      BpeTrainer.encode(dirty, "text", "doc_id", Seq(("a", "b"))).collect()
+    }
+    assert(e.getMessage.contains("</w>") ||
+      Option(e.getCause).exists(_.getMessage.contains("</w>")))
+    // screened input encodes fine
+    val clean = dirty.filter(!$"text".contains("</w>"))
+    assert(BpeTrainer.encode(clean, "text", "doc_id", Seq(("a", "b"))).count() == 1L)
+  }
+
   test("mergeCountViolations: trained merges replay clean; a corrupted count is caught") {
     val docs = Seq((1L, "low low low lower lower newest newest newest newest widest"))
       .toDF("doc_id", "text")

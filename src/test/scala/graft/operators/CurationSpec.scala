@@ -157,6 +157,15 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val keptTiny = Curation.temperatureSample(tiny, "lang", "doc_id", totalBudget = 50)
       .as[(Long, String)].collect()
     assert(keptTiny.count(_._2 == "rare") == 1) // quota 50·1 div 11 = 4 > n = 1
+    // largest-remainder redistribution: budget 20 → floored quotas
+    // 160 div 14 = 11 (rem 6), 80 div 14 = 5 (rem 10), 40 div 14 = 2
+    // (rem 12) sum to 18; the shortfall of 2 goes to the two largest
+    // remainders (small, mid) so Σ quota = budget EXACTLY, not 18
+    val kept20 = Curation.temperatureSample(docs, "lang", "doc_id", totalBudget = 20)
+      .as[(Long, String)].collect()
+    val byLang20 = kept20.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang20 == Map("big" -> 11, "mid" -> 6, "small" -> 3))
+    assert(kept20.length == 20)
   }
 
   test("tokenBudgetCap keeps hash-ordered docs while they fit the budget") {
