@@ -1314,6 +1314,14 @@ object SparkEntry {
         .sortBy(_._1).toSeq
       graft.operators.BpeTrainer.mergeCountViolations(docs, "text", learned)
     }),
+    // trainer-equivalence contract (VERDICT r9 #1): the driver-side fast
+    // trainer (one job + one bounded collect + incremental pair stats —
+    // the production path for 30k-merge vocabularies) must learn a merge
+    // table ROW-IDENTICAL to the distributed one-job-per-merge trainer.
+    // Violations frame provably empty, hash-gated.
+    "t_bpe_fast_contract" -> ((s, d) =>
+      graft.operators.BpeTrainer.fastTrainViolations(
+        tb(s, d, "documents"), "text", numMerges = 8)),
     // BPE ENCODE — the tokenizer-application step (train → encode is the
     // full loop). Native min-rank expression, merges a per-dir trained
     // artifact (cached: production encodes with a persisted merge table).
@@ -2636,6 +2644,8 @@ object SparkEntry {
       "SELECT doc_id, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fp_ws, CAST(0 AS BIGINT) AS fp_case, CAST(0 AS BIGINT) AS fp_ext, CAST(0 AS BIGINT) AS fp_cont FROM documents WHERE 1 = 0",
     "t_bpe_merges_contract" ->
       "SELECT CAST(0 AS INTEGER) AS merge_rank, CAST(0 AS BIGINT) AS expected, CAST(0 AS BIGINT) AS actual FROM documents WHERE 1 = 0",
+    "t_bpe_fast_contract" ->
+      "SELECT '' AS src, CAST(0 AS INTEGER) AS merge_rank, '' AS lhs, '' AS rhs, CAST(0 AS BIGINT) AS pair_count FROM documents WHERE 1 = 0",
     "t_bpe_encode_contract" ->
       "SELECT doc_id, CAST(0 AS BIGINT) AS n_enc, CAST(0 AS BIGINT) AS n_bpe_tokens FROM documents WHERE 1 = 0",
     "d_simhash_pairs_contract" ->

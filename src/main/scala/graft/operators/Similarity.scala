@@ -297,11 +297,62 @@ object Similarity {
     * cluster partitions — the incremental-ingest shape (drifted corpora
     * retrain + rewrite on their own cadence).
     */
-  def appendToIvfIndex(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit =
+  def appendToIvfIndex(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+    requireTwoLevelCorpusLayout(batch.sparkSession, path)
+    recoverPendingSwaps(batch.sparkSession, s"$path/corpus")
     assignToIndex(batch, vecCol, idCol, readIvfCentroids(batch.sparkSession, path))
       .withColumn("ingest_batch", lit(-1L))
       .write.mode("append").partitionBy("cluster", "ingest_batch")
       .parquet(s"$path/corpus")
+  }
+
+  /** FORMAT BUMP (round 8): the corpus table gained `ingest_batch` as a
+    * universal second partition level. An index persisted by the earlier
+    * cluster-only layout has data files directly under its `cluster=c`
+    * dirs; parquet partition discovery REJECTS a mix of the two depths, so
+    * append/delete/stream-ingest onto an old index must not silently write
+    * the new shape next to the old. [[requireTwoLevelCorpusLayout]] detects
+    * the old layout on every mutating entry point and fails with a pointer
+    * here; this migration upgrades in place — each cluster's files are
+    * RENAMED into an `ingest_batch=-1` subdir (pure FS metadata, no data
+    * rewrite; -1 is the batch-append sentinel, so migrated rows read
+    * identically to batch-built ones). Idempotent: already-migrated
+    * clusters are left alone.
+    */
+  def migrateIvfIndexLayout(spark: SparkSession, path: String): Unit = {
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(corpus).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("cluster=")).foreach { c =>
+      val loose = fs.listStatus(c.getPath).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (loose.nonEmpty) {
+        val sub = new org.apache.hadoop.fs.Path(c.getPath, "ingest_batch=-1")
+        fs.mkdirs(sub)
+        loose.foreach(f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(sub, f.getPath.getName)))
+      }
+    }
+  }
+
+  /** Old-layout tripwire (see [[migrateIvfIndexLayout]]): a cluster dir
+    * holding loose data files is the pre-`ingest_batch` format.
+    */
+  private def requireTwoLevelCorpusLayout(spark: SparkSession, path: String): Unit = {
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(corpus)) return
+    val oldStyle = fs.listStatus(corpus).exists(s => s.isDirectory &&
+      s.getPath.getName.startsWith("cluster=") &&
+      fs.listStatus(s.getPath).exists(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+    if (oldStyle) throw new IllegalStateException(
+      s"IVF index at $path uses the pre-ingest_batch single-level corpus " +
+        "layout; mutating it in the two-level format would leave mixed " +
+        "partition depths that parquet partition discovery rejects. Run " +
+        "Similarity.migrateIvfIndexLayout(spark, path) once (in-place, " +
+        "metadata-only) and retry.")
+  }
 
   private def assignToIndex(
       df: DataFrame, vecCol: String, idCol: String, centroids: Seq[Seq[Float]]): DataFrame =
@@ -317,9 +368,34 @@ object Similarity {
     * durability order. Returns the number of rows actually deleted.
     */
   def deleteFromIvfIndex(
-      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long =
-    deleteFromIndexTable(spark, s"$path/corpus", ids, idCol,
-      Seq("cluster", "ingest_batch"))
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long = {
+    requireTwoLevelCorpusLayout(spark, path)
+    // Tombstone the FULL requested id set (not just ids found) BEFORE
+    // touching data: a streaming ingest batch that was written but not yet
+    // checkpoint-committed, replayed AFTER this delete, would dynamically
+    // overwrite its ingest_batch partitions with pre-delete rows —
+    // silently resurrecting deleted vectors. Every ingest batch
+    // ([[ingestBatchToIvfIndex]]) anti-joins these tombstones, so a replay
+    // re-applies the delete. Recording ids that are not (yet) in the index
+    // is the point: the id may live only in that uncommitted batch.
+    // Consequences of tombstone semantics ("this id must not re-enter via
+    // stream ingest"): re-adding a deleted vector later requires pruning
+    // the tombstone dir first (or the batch [[appendToIvfIndex]] path,
+    // which does not consult tombstones); tombstones accumulate until
+    // pruned, and a delete that subsequently FAILS (e.g. the full-erasure
+    // refusal) leaves its tombstones behind — over-conservative, matching
+    // retry-the-delete semantics, never data loss. The id set is pinned
+    // once so tombstones and the rewrite cannot diverge under a
+    // non-deterministic `ids` plan.
+    val pinned = graft.CacheScope.localCheckpoint(
+      ids.select(col(idCol).cast("long").as(idCol)).distinct())
+    try {
+      pinned.select(col(idCol).as("vec_id"))
+        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+      deleteFromIndexTable(spark, s"$path/corpus", pinned, idCol,
+        Seq("cluster", "ingest_batch"))
+    } finally graft.CacheScope.unpersistCheckpoint(pinned)
+  }
 
   /** Shared delete engine for the two index tables. Durability order:
     *  1. the delete set is pinned ONCE (eager local checkpoint): a
@@ -329,14 +405,24 @@ object Similarity {
     *  2. survivors of the affected clusters are written to a STAGING
     *     sibling dir while the live table is untouched — a crash here
     *     loses nothing;
-    *  3. each affected cluster swaps: drop the live `cluster=c` dir,
-    *     rename the staged one in. The two metadata ops per cluster are
-    *     the only non-atomic window, and the staged data outlives a crash
-    *     for recovery — unlike delete-then-rewrite, which would lose every
-    *     SURVIVOR of the affected clusters if the writer died mid-way.
-    *     (For fully transactional deletes, version the whole index with
-    *     the [[graft.load.Warehouse.commitSnapshot]] pattern instead.)
-    *  4. staging is dropped.
+    *  3. a `_COMMIT` marker (the affected cluster list) is written into
+    *     staging — the swap's point of no return: recovery rolls BACK
+    *     (drops staging, live untouched) before the marker exists and
+    *     rolls FORWARD (finishes the per-cluster swaps) after;
+    *  4. each affected cluster swaps: drop the live `cluster=c` dir,
+    *     rename the staged one in. A crash anywhere in this loop is
+    *     repaired by [[recoverPendingSwaps]], which every probe/mutate
+    *     entry point runs first (one listStatus when nothing is pending) —
+    *     unlike delete-then-rewrite, which would lose every SURVIVOR of
+    *     the affected clusters if the writer died mid-way. NOTE: rename is
+    *     atomic on HDFS/POSIX but copy+delete on object stores (S3A) — on
+    *     those, a crash can additionally leave a cluster half-copied;
+    *     recovery re-runs the rename, and for fully transactional deletes
+    *     version the whole index with the
+    *     [[graft.load.Warehouse.commitSnapshot]] pattern instead;
+    *  5. staging (marker included) is dropped.
+    * Single-writer discipline assumed, as for all table maintenance here:
+    * recovery repairs CRASHED writers; it does not coordinate live ones.
     * Deleting the ENTIRE table is refused — it would leave a parquet dir
     * with no files, which subsequent reads cannot even infer a schema
     * from; drop the index directory instead.
@@ -344,6 +430,7 @@ object Similarity {
   private def deleteFromIndexTable(
       spark: SparkSession, tableDir: String, ids: DataFrame, idCol: String,
       partitionCols: Seq[String]): Long = {
+    recoverPendingSwaps(spark, tableDir)
     val table = spark.read.parquet(tableDir)
     val del = graft.CacheScope.localCheckpoint(
       ids.select(col(idCol).cast("long").as("__del_id")).distinct())
@@ -373,6 +460,24 @@ object Similarity {
           s"delete would erase the entire index table at $tableDir — " +
             "drop the index directory instead of deleting every row")
       }
+      // point of no return: the marker commits the swap — a crash after
+      // this line rolls FORWARD via recoverPendingSwaps. Each line records
+      // the cluster AND whether survivors were staged for it: a cluster
+      // whose rows were ALL deleted has no staged dir, which recovery
+      // could not otherwise tell apart from one already swapped (where
+      // deleting the live dir again would destroy the new data).
+      // the marker itself commits via write-temp-then-rename, so its
+      // EXISTENCE implies complete content — a crash mid-write leaves only
+      // the temp file and recovery correctly rolls back
+      val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
+      val markerTmp = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker + ".tmp")
+      val out = fs.create(markerTmp, false)
+      try out.write(clusters.map { c =>
+        val kind = if (stagedDirs.contains(s"cluster=$c")) "staged" else "empty"
+        s"cluster=$c $kind"
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(markerTmp, marker)
       clusters.foreach { c =>
         val live = new org.apache.hadoop.fs.Path(s"$tableDir/cluster=$c")
         fs.delete(live, true)
@@ -384,6 +489,59 @@ object Similarity {
     } finally graft.CacheScope.unpersistCheckpoint(del)
   }
 
+  private val SwapCommitMarker = "_COMMIT"
+
+  /** Crash repair for [[deleteFromIndexTable]]'s staged swap, run by every
+    * probe and mutate entry point before reading the table. Cost when
+    * nothing is pending: one `listStatus` of the index directory. For each
+    * orphaned `<table>__rewrite_*` staging dir found:
+    *  - no `_COMMIT` marker → the writer died while staging survivors; the
+    *    live table was never touched → roll BACK (drop staging);
+    *  - marker present → the writer died mid-swap; some clusters may
+    *    already hold staged data, others still the pre-delete live dir,
+    *    and a cluster may be caught BETWEEN its delete and rename (live
+    *    dir absent, staged copy intact) → roll FORWARD per marker line:
+    *    a `staged` cluster whose staged dir still exists gets the live dir
+    *    dropped and the staged one renamed in (staged dir gone = already
+    *    swapped, skipped); an `empty` cluster (every row deleted — nothing
+    *    was staged) gets its live dir dropped, idempotently. Then staging
+    *    is dropped.
+    * Idempotent: replaying recovery after its own crash re-enters the same
+    * roll-forward.
+    */
+  private[graft] def recoverPendingSwaps(spark: SparkSession, tableDir: String): Unit = {
+    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = tablePath.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = tablePath.getName + "__rewrite_"
+    fs.listStatus(parent)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .foreach { st =>
+        val staging = st.getPath
+        val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          val committed =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .filter(_.nonEmpty).map(_.split(' ')).toList
+            finally in.close()
+          committed.collect { case Array(clusterDir, kind) =>
+            val live = new org.apache.hadoop.fs.Path(tablePath, clusterDir)
+            if (kind == "empty") fs.delete(live, true)
+            else {
+              val staged = new org.apache.hadoop.fs.Path(staging, clusterDir)
+              if (fs.exists(staged)) {
+                fs.delete(live, true)
+                fs.rename(staged, live)
+              }
+            }
+          }
+        }
+        fs.delete(staging, true)
+      }
+  }
+
   /** Streaming face of [[appendToIvfIndex]]: a stream of embeddings (e.g. a
     * parquet landing dir of daily arrivals) is assigned per micro-batch
     * against the FROZEN stored centroids and appended to the index —
@@ -393,7 +551,10 @@ object Similarity {
     * `ingest_batch=<id>` sub-partition via dynamic partition overwrite, so
     * a batch replayed after a failure between write and checkpoint commit
     * REPLACES its own partitions instead of double-appending (the
-    * EventStream.foreachBatchIngest contract). The probe path is unchanged:
+    * EventStream.foreachBatchIngest contract) — and the batch write
+    * re-applies the index's delete tombstones first, so a replay cannot
+    * resurrect vectors [[deleteFromIvfIndex]] removed in the meantime
+    * (see [[ingestBatchToIvfIndex]]). The probe path is unchanged:
     * partition discovery surfaces `ingest_batch` as an extra column the
     * probe projection ignores, and cluster pruning still holds —
     * `cluster` remains the leading partition level.
@@ -401,6 +562,7 @@ object Similarity {
   def streamAppendToIvfIndex(
       stream: DataFrame, vecCol: String, idCol: String,
       path: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireTwoLevelCorpusLayout(stream.sparkSession, path)
     // frozen quantizer: read ONCE at stream start — later arrivals never
     // influence it (the appendToIvfIndex contract)
     val centroids = readIvfCentroids(stream.sparkSession, path)
@@ -409,13 +571,42 @@ object Similarity {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        assignToIndex(batch.toDF(), vecCol, idCol, centroids)
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster", "ingest_batch")
-          .parquet(s"$path/corpus"))
+        ingestBatchToIvfIndex(batch.toDF(), vecCol, idCol, path, centroids, batchId))
       .start()
+  }
+
+  /** One ingest batch of [[streamAppendToIvfIndex]], exposed for replay
+    * testing and receipts. Replay-idempotent twice over: the dynamic
+    * partition overwrite makes a re-run REPLACE the batch's own
+    * `ingest_batch=<id>` partitions (never double-append), and the
+    * anti-join against `$path/tombstones` re-applies every delete issued
+    * since the batch first ran — without it, a batch written but not yet
+    * checkpoint-committed, replayed after a [[deleteFromIvfIndex]], would
+    * silently resurrect the deleted vectors from its pre-delete input.
+    * The tombstone scan is a broadcast-sized read per batch (delete sets;
+    * prune the dir once the stream has committed past the affected
+    * batches).
+    */
+  private[graft] def ingestBatchToIvfIndex(
+      batch: DataFrame, vecCol: String, idCol: String,
+      path: String, centroids: Seq[Seq[Float]], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val assigned = assignToIndex(batch, vecCol, idCol, centroids)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val screened =
+      if (fs.exists(tombDir))
+        assigned.join(
+          broadcast(spark.read.parquet(tombDir.toString)
+            .select(col("vec_id").as("__tomb_id")).distinct()),
+          col("vec_id") === col("__tomb_id"), "left_anti")
+      else assigned
+    screened
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster", "ingest_batch")
+      .parquet(s"$path/corpus")
   }
 
   def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] =
@@ -430,6 +621,9 @@ object Similarity {
       spark: SparkSession, path: String, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nprobe: Int,
       broadcastQueries: Boolean = true): DataFrame = {
+    // reader-side crash repair: a writer that died mid-delete-swap leaves
+    // a committed staging dir; finish (or discard) it before probing
+    recoverPendingSwaps(spark, s"$path/corpus")
     val centroids = readIvfCentroids(spark, path)
     probeAssignedCorpus(
       spark.read.parquet(s"$path/corpus")
@@ -822,11 +1016,13 @@ object Similarity {
   def ivfPqTopKFromIndex(
       spark: SparkSession, path: String, queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nprobe: Int = 2, rerank: Int = 4): DataFrame =
+      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    recoverPendingSwaps(spark, s"$path/codes")
     ivfPqProbe(
       spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cluster"), col("codes")),
       queries, corpus, vecCol, idCol, k,
       readIvfCentroids(spark, path), readIvfPqBooks(spark, path), nprobe, rerank)
+  }
 
   /** Zero-violation contract for the quantize→dequantize round trip: every
     * element must reconstruct within half a bucket width (+1 ulp slack for

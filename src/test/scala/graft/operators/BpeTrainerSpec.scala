@@ -119,6 +119,42 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("trainFast learns the textbook sequence and matches train row-for-row") {
+    val fast = BpeTrainer.trainFast(corpus, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(fast.toList == List(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+    // equivalence on a richer, tie-heavy corpus (pseudo-random words over
+    // a small alphabet force shared prefixes/suffixes and count ties —
+    // the cases where the incremental bookkeeping or the lazy heap's
+    // tie-break could drift from the distributed argmax)
+    val rnd = new scala.util.Random(42)
+    val rich = (0 until 400).map { i =>
+      val w = (0 until (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      (i.toLong, s"$w ${w.reverse} ${if (i % 3 == 0) w else w + "x"}")
+    }.toDF("doc_id", "text")
+    assert(BpeTrainer.fastTrainViolations(rich, "text", numMerges = 30).isEmpty)
+    // exhaustion parity: both stop at the same point short of numMerges
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(BpeTrainer.fastTrainViolations(tiny, "text", numMerges = 10).isEmpty)
+  }
+
+  test("trainFast enforces the driver-memory bound and prunes with minCount") {
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.trainFast(corpus, "text", numMerges = 2, maxWords = 2L)
+    }
+    assert(e.getMessage.contains("minCount"))
+    // minCount prunes the tail BEFORE the bound check: low×5 newest×6
+    // widest×3 survive minCount=3 (lower×2 dropped) → 3 words ≤ maxWords=3
+    val merges = BpeTrainer.trainFast(corpus, "text", numMerges = 3,
+      minCount = 3L, maxWords = 3L)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // without "lower", (e,s)/(es,t)/(est,</w>) still lead at count 9
+    assert(merges.toList == List(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L)))
+  }
+
   test("encode fails fast when a token contains the literal '</w>' marker") {
     // per-character symbols of such a token concatenate back into the
     // marker, making the flattened encoding ambiguous — raw HTML is the

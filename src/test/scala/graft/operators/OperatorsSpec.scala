@@ -921,6 +921,135 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$path/corpus").count() == 40L)
   }
 
+  test("IVF delete swap is crash-safe: probe-path recovery rolls committed swaps forward, uncommitted back") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(8)(j =>
+      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfcrash").toString
+    val centroids = Similarity.trainIvfCentroids(all, "embedding", "vec_id", k = 4)
+    Similarity.writeIvfIndex(all, "embedding", "vec_id", centroids, path)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val assigned = corpus.select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clusterOf = assigned.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val (cStaged, stagedIds) = clusterOf.maxBy(_._2.size)
+    val (cEmpty, emptyIds) = clusterOf.filter(_._1 != cStaged).minBy(_._2.size)
+    val delIds = stagedIds.take(2) ++ emptyIds
+
+    // CRASH STATE 1 (uncommitted): a staging dir with survivors but NO
+    // _COMMIT marker — the writer died before the point of no return.
+    // Recovery must roll BACK: staging dropped, live table untouched.
+    val stagingA = s"$path/corpus__rewrite_crasha"
+    corpus.filter(col("cluster") === cStaged &&
+        !col("vec_id").isin(stagedIds.take(2): _*))
+      .write.partitionBy("cluster", "ingest_batch").parquet(stagingA)
+    val queries = all.filter(col("vec_id") < 5)
+    def probe() = Similarity.ivfTopKFromIndex(spark, path, queries,
+      "embedding", "vec_id", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def bruteOn(c: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(queries, c, "embedding", "vec_id", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probe() == bruteOn(all)) // pre-delete data intact
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingA)))
+
+    // CRASH STATE 2 (committed): staging with survivors for cStaged, a
+    // marker naming a `staged` cluster and an `empty` (fully-deleted) one,
+    // writer died BEFORE any swap — live dirs still hold pre-delete data.
+    // Recovery must roll FORWARD: staged survivors in, empty cluster gone.
+    val stagingB = s"$path/corpus__rewrite_crashb"
+    corpus.filter(col("cluster") === cStaged &&
+        !col("vec_id").isin(stagedIds.take(2): _*))
+      .write.partitionBy("cluster", "ingest_batch").parquet(stagingB)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stagingB, "_COMMIT"),
+      s"cluster=$cStaged staged\ncluster=$cEmpty empty"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val survivors = all.filter(!col("vec_id").isin(delIds: _*))
+    assert(probe() == bruteOn(survivors)) // recovery finished the delete
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingB)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/corpus/cluster=$cEmpty")))
+    // recovery is idempotent / a no-op when nothing is pending
+    assert(probe() == bruteOn(survivors))
+  }
+
+  test("pre-ingest_batch index layout: mutations fail with a migration pointer; migration is in-place and metadata-only") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(8)(j =>
+      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val half1 = all.filter(col("vec_id") < 20)
+    val half2 = all.filter(col("vec_id") >= 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfold").toString
+    val centroids = Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 4)
+    Similarity.writeIvfIndex(half1, "embedding", "vec_id", centroids, path)
+    // rewrite the corpus in the r7 single-level layout (cluster only)
+    val oldRows = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("embedding"), col("cluster")).collect()
+    val fs = new org.apache.hadoop.fs.Path(s"$path/corpus")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/corpus"), true)
+    val typed = oldRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .toSeq.toDF("vec_id", "embedding", "cluster")
+    typed.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
+    // every mutating entry point refuses with the migration pointer
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(half2, "embedding", "vec_id", path)
+    }
+    assert(e.getMessage.contains("migrateIvfIndexLayout"))
+    assert(intercept[IllegalStateException] {
+      Similarity.deleteFromIvfIndex(spark, path, Seq(1L).toDF("vec_id"), "vec_id")
+    }.getMessage.contains("migrateIvfIndexLayout"))
+    // migrate: pure renames into ingest_batch=-1; then the append works
+    // and the probe sees the union
+    Similarity.migrateIvfIndexLayout(spark, path)
+    Similarity.migrateIvfIndexLayout(spark, path) // idempotent
+    Similarity.appendToIvfIndex(half2, "embedding", "vec_id", path)
+    val queries = all.filter(col("vec_id") < 5)
+    val viaIndex = Similarity.ivfTopKFromIndex(spark, path, queries,
+      "embedding", "vec_id", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, all, "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == brute)
+  }
+
+  test("delete tombstones: a replayed pre-delete ingest batch cannot resurrect deleted vectors") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(8)(j =>
+      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 20)
+    val batch = all.filter(col("vec_id") >= 20)
+    val path = java.nio.file.Files.createTempDirectory("ivftomb").toString
+    val centroids = Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 4)
+    Similarity.writeIvfIndex(base, "embedding", "vec_id", centroids, path)
+    // batch 0 ingested (written AND committed in the happy path)
+    Similarity.ingestBatchToIvfIndex(batch, "embedding", "vec_id", path, centroids, 0L)
+    assert(spark.read.parquet(s"$path/corpus").count() == 40L)
+    // retention delete hits ids from the ingested batch AND the base
+    val delIds = Seq(25L, 30L, 3L)
+    assert(Similarity.deleteFromIvfIndex(spark, path,
+      delIds.toDF("vec_id"), "vec_id") == 3L)
+    // the failure being modeled: batch 0's write predated the delete but
+    // its checkpoint commit didn't land — the stream replays it with
+    // PRE-DELETE content. Without tombstones this dynamic overwrite would
+    // resurrect 25 and 30.
+    Similarity.ingestBatchToIvfIndex(batch, "embedding", "vec_id", path, centroids, 0L)
+    val after = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(after == (0L until 40L).toSet -- delIds)
+    // a NEW batch of genuinely new ids is unaffected by the tombstones
+    val fresh = Seq((100L, vec(100))).toDF("vec_id", "embedding")
+    Similarity.ingestBatchToIvfIndex(fresh, "embedding", "vec_id", path, centroids, 1L)
+    assert(spark.read.parquet(s"$path/corpus")
+      .filter(col("vec_id") === 100L).count() == 1L)
+  }
+
   test("persisted IVF-PQ index: quantizers round-trip, frozen-quantizer append, probe == brute force") {
     import spark.implicits._
     def vec(seed: Int) = Array.tabulate(8)(j =>
