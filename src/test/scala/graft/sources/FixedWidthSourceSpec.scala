@@ -152,6 +152,44 @@ class FixedWidthSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(bomDf.count() == 1)
   }
 
+  test("UTF-16 DAT end-to-end: the route readDat fails fast toward actually decodes") {
+    // DatReader.readDat REFUSES multi-byte charsets (raw-0x0A splitting
+    // would corrupt them) and points at this source; drive that route with
+    // real multi-byte data. Reference charset behavior: DCF_Parser.py:34-42,
+    // DAT_Parser.py:62-68 (BOM sniff, decode, parse decoded text).
+    val dir = Files.createTempDirectory("fwutf16")
+    val dcfPath = dir.resolve("511.BJHR71.DCF")
+    Files.writeString(dcfPath, dcf)
+    val lines = Seq(
+      "     100   7   H00BJé 42", // é: multi-byte-relevant non-ASCII
+      "     100   8   H00BJ7  7",
+      "     100   8   X99junkjunk")
+    for ((cs, name) <- Seq(("UTF-16LE", "le.DAT"), ("UTF-16BE", "be.DAT"))) {
+      val datPath = dir.resolve(name)
+      val out = java.nio.file.Files.newOutputStream(datPath)
+      // explicit BOM, then the body in the same charset — the sniffer
+      // detects the charset from the BOM, the reader strips the decoded
+      // BOM off the first line's record tag
+      val bom = if (cs == "UTF-16LE") Array[Byte](0xFF.toByte, 0xFE.toByte)
+                else Array[Byte](0xFE.toByte, 0xFF.toByte)
+      out.write(bom)
+      out.write(lines.mkString("", "\n", "\n").getBytes(cs))
+      out.close()
+      val df = spark.read.format("fixedwidth")
+        .option("dcf", dcfPath.toString).option("record", "RECH0")
+        .option("surveyid", "511")
+        .load(datPath.toString)
+        .orderBy("hv001")
+      val got = df.select("hhid", "hv000", "hv001", "surveyid")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      // golden: the same logical content decodes identically to what the
+      // single-byte path yields on a UTF-8 copy of the file
+      assert(got.toSeq == Seq(
+        ("     100   7", "BJé", "42", "511"),
+        ("     100   8", "BJ7", "7", "511")), s"charset $cs")
+    }
+  }
+
   test("a DCF-declared SURVEYID item wins over the injected surveyid option") {
     val dir = Files.createTempDirectory("fwsid")
     val dcfSid = dcf.replace(
