@@ -800,6 +800,152 @@ object Stress {
           operators.PageRank.undirected(
             li.select((col("s") * 2 + 1).as("a"), (col("p") * 2).as("b")), "a", "b"),
           iters = 3).count()
+      },
+      // VERDICT r9 #4: the GENERAL (dangling-redistribution) PageRank path
+      // at mult× — DIRECTED supplier→part edges, so every part is a sink
+      // and the per-round dangling sum + redistribution actually runs (the
+      // sink-free unrolled path is receipted by pagerank_x above; this one
+      // had only sf0.1 oracle coverage). Receipt = the shuffle tally line
+      // plus round-cost invariance: iters=1 vs iters=3 walls on stderr —
+      // the marginal per-round cost must stay flat, since each round is
+      // the same join + two aggregations over the same static frames
+      time(s"pagerank_sinks_x$mult") {
+        val li = lineitem
+          .select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")).distinct()
+        // untimed warm-up: under STRESS_ONLY isolation this is the first
+        // op in the JVM and the iters=1 leg would otherwise absorb all
+        // codegen/scan warm-up, making the marginal come out negative
+        operators.PageRank.ranks(li, iters = 1).count()
+        val t1 = System.nanoTime()
+        operators.PageRank.ranks(li, iters = 1).count()
+        val w1 = (System.nanoTime() - t1) / 1e9
+        val t3 = System.nanoTime()
+        val n = operators.PageRank.ranks(li, iters = 3).count()
+        val w3 = (System.nanoTime() - t3) / 1e9
+        System.err.println(
+          f"[stress] pagerank_sinks_x$mult round-cost: iters=1 $w1%.2f s, " +
+            f"iters=3 $w3%.2f s → marginal ${(w3 - w1) / 2}%.2f s/round")
+        n
+      },
+      // VERDICT r9 #1 receipt: the fast BPE trainer at a production-depth
+      // merge count — customer names give a 15k-word vocabulary (deep
+      // digit-pattern merge capacity; the 31-word documents corpus
+      // exhausts near 170). The receipt is the stderr line: ~2 Spark jobs
+      // TOTAL (word-count + bounded collect; the final local-relation
+      // count may add one) where train() schedules one aggregation job
+      // per merge — 1000+ jobs of pure scheduling overhead at this depth
+      time("bpe_trainfast_1k") {
+        val cust = Tables(spark, sfDir, "customer")
+        val jobs = new java.util.concurrent.atomic.AtomicLong
+        val jl = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(jl)
+        val t0 = System.nanoTime()
+        val n =
+          try operators.BpeTrainer.trainFast(cust, "c_name", numMerges = 1000).count()
+          finally {
+            org.apache.spark.graftbridge.CoreBridge.drainListenerBus(spark.sparkContext)
+            spark.sparkContext.removeSparkListener(jl)
+          }
+        System.err.println(
+          f"[stress] bpe_trainfast_1k: $n merges in ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+            s"${jobs.get} Spark jobs total (train() would be ~1 per merge)")
+        n
+      },
+      // VERDICT r9 #5: the streaming index INGEST itself at mult× (the
+      // bench e_stream_index_append times probe-only): N micro-batches of
+      // M rows assigned against frozen centroids and landed as per-batch
+      // partitions; then one batch REPLAYED through the same per-batch
+      // write path — the dynamic partition overwrite must leave the corpus
+      // content-identical (hash compared), the exactly-once claim as a
+      // measured receipt rather than a doc line
+      time(s"stream_index_ingest_x$mult") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_ivfstr")
+        val landing = java.nio.file.Files.createTempDirectory("stress_ivfland")
+        val ckpt = java.nio.file.Files.createTempDirectory("stress_ivfck")
+        try {
+          val base = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
+          val arrivals = embs.filter(pmod(col("vec_id"), lit(2)) === 1)
+          val cents = operators.Similarity.trainIvfCentroids(
+            base, "embedding", "vec_id", k = 16, trainSample = 8)
+          operators.Similarity.writeIvfIndex(base, "embedding", "vec_id", cents, dir.toString)
+          arrivals.repartition(8).write.mode("overwrite").parquet(landing.toString)
+          val t0 = System.nanoTime()
+          operators.Similarity.streamAppendToIvfIndex(
+            spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1)
+              .parquet(landing.toString),
+            "embedding", "vec_id", dir.toString, ckpt.toString)
+            .awaitTermination()
+          val ingestWall = (System.nanoTime() - t0) / 1e9
+          def corpusHash(): (Long, Long) = {
+            val r = spark.read.parquet(s"$dir/corpus")
+              .agg(count(lit(1)), sum(hash(col("vec_id"), col("embedding"),
+                col("cluster"), col("ingest_batch")).cast("long")))
+              .head
+            (r.getLong(0), r.getLong(1))
+          }
+          val before = corpusHash()
+          // replay batch 3 with its own landed content (what a failure
+          // between write and checkpoint commit re-delivers)
+          val replay = graft.CacheScope.localCheckpoint(
+            spark.read.parquet(s"$dir/corpus")
+              .filter(col("ingest_batch") === 3L)
+              .select(col("vec_id"), col("embedding")))
+          try operators.Similarity.ingestBatchToIvfIndex(
+            replay, "embedding", "vec_id", dir.toString, cents, 3L)
+          finally graft.CacheScope.unpersistCheckpoint(replay)
+          val after = corpusHash()
+          require(before == after,
+            s"replayed ingest batch changed the corpus: $before -> $after")
+          System.err.println(
+            f"[stress] stream_index_ingest_x$mult: 8 batches ingested in " +
+              f"$ingestWall%.1f s; replayed batch left corpus content-identical " +
+              s"(rows=${before._1}, hash=${before._2})")
+          before._1
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Seq(dir, landing, ckpt).foreach(d =>
+            java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p)))
+        }
+      },
+      // VERDICT r9 #6: e_stream_join cost breakdown — the bench-shaped
+      // interval join on the UNEXPANDED sf0.1 events, per-micro-batch wall
+      // + state rows from the progress log. The receipt separates
+      // micro-batch/state-store FIXED overhead (per-batch floor, state
+      // maintenance) from data-proportional work
+      time("stream_join_breakdown") {
+        val clicks = streaming.EventStream.readEvents(spark, s"$sfDir/events.parquet")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+        val purchases = streaming.EventStream.readEvents(spark, s"$sfDir/events.parquet")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        val joined = streaming.EventStream.intervalJoin(
+          clicks, purchases, "user_id", "p_user", "click_ts", "purchase_ts",
+          maxLagSeconds = 3600, watermarkDelay = "1 hour")
+          .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val q = joined.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch((b: Dataset[Row], _: Long) => { acc.addAndGet(b.count()); () })
+          .start()
+        q.awaitTermination()
+        q.recentProgress.foreach { p =>
+          val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+          System.err.println(
+            s"[stress] stream_join_breakdown batch=${p.batchId} " +
+              s"trigger=${p.durationMs.getOrDefault("triggerExecution", 0L)}ms " +
+              s"addBatch=${p.durationMs.getOrDefault("addBatch", 0L)}ms " +
+              s"rows_in=${p.numInputRows} state_rows=$stateRows")
+        }
+        acc.get
       }
     )
     val ran = results.flatten
