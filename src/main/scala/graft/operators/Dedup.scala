@@ -878,4 +878,234 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
     dropNearDuplicates(embs, pairs, idCol)
   }
+
+  // ----------------------------------------------- near-dup signature index
+
+  /** Persisted near-dup SIGNATURE INDEX — the on-disk lifecycle face of
+    * [[nearDupManifest]], symmetric with the ANN index family
+    * ([[Similarity.writeIvfIndex]]/append/delete/stream). Layout:
+    *
+    *   `$path/params`      one-row parquet pinning (shingle_size, bands,
+    *                       rows_per_band, numer, denom): every gate/append
+    *                       reads the STORED shape, so mixing LSH parameters
+    *                       across writers is impossible by construction
+    *   `$path/manifest`    [[nearDupManifest]] rows partitioned by
+    *                       `ingest_batch` (batch build = -1; streaming gate
+    *                       batches land under their batch id)
+    *   `$path/tombstones`  doc ids whose signatures must be IGNORED
+    *                       (retention deletes — see
+    *                       [[deleteFromNearDupIndex]]); physically purged by
+    *                       [[compactNearDupIndex]]
+    *
+    * Scale shape: the manifest is ~1 KB/doc of band keys + hashed shingles —
+    * a 100 TB corpus condenses to a signature table a fraction of a percent
+    * of its size, each arriving batch is gated against it with manifest-scale
+    * IO (never corpus text), and the `ingest_batch` partitioning makes the
+    * streaming gate's "strictly earlier batches" read a partition-pruned
+    * scan.
+    */
+  def writeNearDupIndex(
+      docs: DataFrame, textCol: String, idCol: String, path: String,
+      shingleSize: Int = 3, numer: Int = 7, denom: Int = 10,
+      bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleSize, bands, rowsPerBand, numer, denom))
+      .toDF("shingle_size", "bands", "rows_per_band", "numer", "denom")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    nearDupManifest(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$path/manifest")
+  }
+
+  private[graft] def readNearDupIndexParams(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/params").head
+    (r.getAs[Int]("shingle_size"), r.getAs[Int]("bands"),
+      r.getAs[Int]("rows_per_band"), r.getAs[Int]("numer"), r.getAs[Int]("denom"))
+  }
+
+  /** The LIVE manifest view of a persisted index: tombstoned docs removed
+    * (broadcast anti-join — delete sets are small relative to the corpus),
+    * and, for the streaming gate's replay safety, optionally restricted to
+    * batches STRICTLY BEFORE `beforeBatch` (partition-pruned: `-1` batch
+    * builds always qualify). Runs pending-compact recovery first, so a
+    * reader never sees a half-swapped manifest.
+    */
+  def nearDupIndexManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    recoverPendingCompact(spark, path)
+    val m0 = spark.read.parquet(s"$path/manifest")
+    val m1 = beforeBatch.map(b => m0.filter(col("ingest_batch") < lit(b))).getOrElse(m0)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (fs.exists(tombDir))
+        m1.join(
+          broadcast(spark.read.parquet(tombDir.toString)
+            .select(col("doc").as("__tomb")).distinct()),
+          col("doc") === col("__tomb"), "left_anti")
+      else m1
+    live.select(col("doc"), col("keys"), col("shh"))
+  }
+
+  /** Retention delete ("right to be forgotten" for the dedup corpus): the
+    * given doc ids stop suppressing future arrivals IMMEDIATELY — every
+    * probe reads the manifest through the tombstone anti-join — without
+    * rewriting any manifest partition. The signature rows themselves remain
+    * on disk until [[compactNearDupIndex]] physically purges them; pipelines
+    * whose retention clock starts at the delete call run compact on their
+    * own cadence (it is a manifest-scale rewrite, not a corpus-scale one).
+    * Idempotent: re-deleting an id appends a duplicate tombstone row, which
+    * the probe-side `distinct()` collapses.
+    */
+  def deleteFromNearDupIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically purge tombstoned signatures: rewrite the manifest minus the
+    * tombstone set, then clear the tombstones. Crash-safe via a staged swap:
+    * the replacement is FULLY written (parquet's job-commit `_SUCCESS` is
+    * the commit marker) before the live dir is touched, and
+    * [[recoverPendingCompact]] — run by every reader/writer entry point —
+    * rolls an interrupted swap forward (staged complete) or back (staged
+    * partial). Same object-store caveat as the ANN index swap: directory
+    * rename is not atomic on S3-like stores; run compaction from a
+    * single-writer maintenance job there.
+    *
+    * Refuses to compact an index whose every doc is tombstoned (an empty
+    * partitioned parquet table is unreadable) — rebuild with
+    * [[writeNearDupIndex]] instead.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    recoverPendingCompact(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!fs.exists(tombDir)) return
+    val tomb = broadcast(spark.read.parquet(tombDir.toString)
+      .select(col("doc").as("__tomb")).distinct())
+    val survivors = spark.read.parquet(s"$path/manifest")
+      .join(tomb, col("doc") === col("__tomb"), "left_anti")
+    require(survivors.limit(1).count() > 0,
+      s"compactNearDupIndex($path): every manifest row is tombstoned; an " +
+        "empty partitioned manifest is unreadable — rebuild the index with " +
+        "writeNearDupIndex instead of compacting it to nothing.")
+    val staged = new org.apache.hadoop.fs.Path(s"$path/manifest__staged")
+    survivors.write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(staged.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    fs.delete(live, true)
+    fs.rename(staged, live)
+    fs.delete(tombDir, true)
+  }
+
+  /** Interrupted-compact recovery (see [[compactNearDupIndex]]): a staged
+    * manifest carrying parquet's `_SUCCESS` commit marker is COMPLETE and
+    * already reflects manifest ⊖ tombstones — roll it forward (replace the
+    * live dir, clear tombstones); one without the marker is a dead partial
+    * write — roll it back (delete). Idempotent and cheap (two `exists`
+    * probes) on the no-pending-swap fast path.
+    */
+  private[graft] def recoverPendingCompact(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(s"$path/manifest__staged")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(staged)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+      val live = new org.apache.hadoop.fs.Path(s"$path/manifest")
+      fs.delete(live, true)
+      fs.rename(staged, live)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    } else {
+      fs.delete(staged, true) // partial write, no marker: the compact never
+      ()                      // committed — the live manifest stands
+    }
+  }
+
+  /** The streaming DEDUP GATE — near-dup-at-ingest against a persisted,
+    * self-growing signature index (the shape a continuous crawl needs: the
+    * corpus never recomputes, each arriving micro-batch pays batch-sized
+    * work). Per batch ([[gateBatchAgainstNearDupIndex]]):
+    *
+    *  1. drop arrivals with a near-dup among STRICTLY EARLIER batches'
+    *     signatures (partition-pruned manifest read through the tombstone
+    *     anti-join — a forgotten doc no longer suppresses);
+    *  2. self-dedup the survivors within the batch (LSH candidates + exact
+    *     verify + cluster keeper, the [[dropNearDuplicates]] policy);
+    *  3. land kept docs under `$keptDir/ingest_batch=<id>` and their
+    *     signature rows under the index's matching partition — BOTH via
+    *     dynamic partition overwrite, so a replayed batch (written but not
+    *     checkpoint-committed) REPLACES its own output instead of
+    *     double-appending, and — because step 1 never reads batches ≥ its
+    *     own id — a replay cannot be suppressed by its first attempt's own
+    *     signatures.
+    *
+    * LSH parameters come from the index's pinned params. Batch ordering is
+    * the file source's (modification time): the kept-set is order-DEPENDENT
+    * by construction (first arrival wins), exactly like the sequential
+    * batch pipeline it replaces. Crash window: kept docs land before
+    * signatures, so a crash between the two writes leaves batch N visible
+    * in `keptDir` but absent from the index until the replay rewrites both
+    * — same single-batch window as the ANN ingest, closed by the replay.
+    */
+  def streamDedupAgainstNearDupIndex(
+      stream: DataFrame, textCol: String, idCol: String,
+      indexPath: String, keptDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        gateBatchAgainstNearDupIndex(
+          batch.toDF(), textCol, idCol, indexPath, keptDir, batchId))
+      .start()
+
+  /** One gate batch of [[streamDedupAgainstNearDupIndex]], exposed for
+    * replay testing and receipts.
+    */
+  private[graft] def gateBatchAgainstNearDupIndex(
+      batch: DataFrame, textCol: String, idCol: String,
+      indexPath: String, keptDir: String, batchId: Long): Unit =
+    // scoped: the gate's internal persistReuse frames (batch manifest,
+    // banded shingles) are freed at batch end — a long-running stream must
+    // not accrue one cache entry per micro-batch
+    graft.CacheScope.withScope {
+    val spark = batch.sparkSession
+    val (ss, bands, rpb, numer, denom) = readNearDupIndexParams(spark, indexPath)
+    val manifest = nearDupIndexManifest(spark, indexPath, beforeBatch = Some(batchId))
+    val unseen = dropSeenNearDuplicates(
+      batch, manifest, textCol, idCol, ss, numer, denom, bands, rpb)
+    val kept = dropNearDuplicates(
+      unseen,
+      jaccardDuplicatePairs(unseen, textCol, idCol, ss, numer, denom, bands, rpb,
+        reuseShingles = true),
+      idCol)
+    kept.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(keptDir)
+    // derive the appended signatures from the WRITTEN kept partition (one
+    // partition-pruned read-back) instead of re-evaluating the gate plan —
+    // replay-identical by construction and nothing to persist/unpersist.
+    // An all-suppressed batch writes no partition (dynamic overwrite emits
+    // nothing for zero rows) and appends no signatures — correctly so
+    val keptFs = new org.apache.hadoop.fs.Path(keptDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (keptFs.exists(
+        new org.apache.hadoop.fs.Path(s"$keptDir/ingest_batch=$batchId"))) {
+      val keptBack = spark.read.parquet(keptDir)
+        .filter(col("ingest_batch") === lit(batchId))
+      nearDupManifest(keptBack, textCol, idCol, ss, bands, rpb)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(s"$indexPath/manifest")
+    }
+  }
 }

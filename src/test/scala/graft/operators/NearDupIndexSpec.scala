@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle tests for the persisted near-dup signature index and its
+  * streaming dedup gate (Dedup.writeNearDupIndex / deleteFromNearDupIndex /
+  * compactNearDupIndex / streamDedupAgainstNearDupIndex).
+  */
+class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val baseText = "the quick brown fox jumps over the lazy dog again and again today"
+  private val otherText = "completely different content about spark catalyst expressions and shuffles here"
+  private val thirdText = "yet another unrelated document mentioning minhash banding and bucket joins now"
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def writeIndex(docs: DataFrame, path: String): Unit =
+    Dedup.writeNearDupIndex(docs, "text", "doc_id", path,
+      shingleSize = 3, numer = 1, denom = 2, bands = 32, rowsPerBand = 2)
+
+  private def gate(batch: DataFrame, idx: String, kept: String, id: Long): Unit =
+    Dedup.gateBatchAgainstNearDupIndex(batch, "text", "doc_id", idx, kept, id)
+
+  private def keptIds(kept: String): Set[Long] =
+    spark.read.parquet(kept).select("doc_id").as[Long].collect().toSet
+
+  test("gate drops near-dups of the index and of earlier batches; first arrival wins") {
+    val idx = tmpDir("ndidx")
+    val kept = tmpDir("ndkept")
+    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
+    // batch 0: a near-dup of the index doc (dropped), a new doc (kept)
+    gate(Seq((10L, baseText + " extra"), (11L, otherText)).toDF("doc_id", "text"),
+      idx, kept, 0L)
+    // batch 1: a near-dup of batch 0's kept doc (dropped), a new doc (kept),
+    // plus two copies of one text — self-dedup keeps the lower id
+    gate(Seq((20L, otherText + " also"), (21L, thirdText),
+      (22L, thirdText), (23L, thirdText + " too")).toDF("doc_id", "text"),
+      idx, kept, 1L)
+    assert(keptIds(kept) === Set(11L, 21L))
+  }
+
+  test("params are pinned by the index, not the caller") {
+    val idx = tmpDir("ndidx")
+    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
+    assert(Dedup.readNearDupIndexParams(spark, idx) === ((3, 32, 2, 1, 2)))
+  }
+
+  test("replaying a gate batch leaves kept table and manifest content-identical") {
+    val idx = tmpDir("ndidx")
+    val kept = tmpDir("ndkept")
+    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
+    val b0 = Seq((10L, otherText), (11L, baseText + " more")).toDF("doc_id", "text")
+    val b1 = Seq((20L, thirdText), (21L, otherText + " variant")).toDF("doc_id", "text")
+    gate(b0, idx, kept, 0L)
+    gate(b1, idx, kept, 1L)
+    def snap(): (Set[Long], Long) = {
+      val m = spark.read.parquet(s"$idx/manifest")
+        .agg(sum(hash(col("doc"), col("keys"), col("shh"), col("ingest_batch"))
+          .cast("long"))).head.getLong(0)
+      (keptIds(kept), m)
+    }
+    val before = snap()
+    gate(b0, idx, kept, 0L) // replay the EARLIER batch after a later one ran
+    assert(snap() === before)
+  }
+
+  test("tombstoned docs stop suppressing arrivals; compact purges them physically") {
+    val idx = tmpDir("ndidx")
+    val kept = tmpDir("ndkept")
+    writeIndex(Seq((1L, baseText), (2L, otherText)).toDF("doc_id", "text"), idx)
+    gate(Seq((10L, baseText + " near"), (11L, thirdText)).toDF("doc_id", "text"),
+      idx, kept, 0L)
+    assert(keptIds(kept) === Set(11L)) // 10 suppressed by index doc 1
+    Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
+    gate(Seq((20L, baseText + " near")).toDF("doc_id", "text"), idx, kept, 1L)
+    assert(keptIds(kept) === Set(11L, 20L)) // doc 1 forgotten: no longer suppresses
+    val liveBefore = Dedup.nearDupIndexManifest(spark, idx)
+      .select("doc").as[Long].collect().toSet
+    Dedup.compactNearDupIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    // live view unchanged; the raw manifest no longer holds doc 1 at all
+    assert(Dedup.nearDupIndexManifest(spark, idx)
+      .select("doc").as[Long].collect().toSet === liveBefore)
+    assert(spark.read.parquet(s"$idx/manifest")
+      .filter(col("doc") === 1L).count() === 0)
+  }
+
+  test("interrupted compact: committed staged manifest rolls forward, partial rolls back") {
+    val idx = tmpDir("ndidx")
+    writeIndex(Seq((1L, baseText), (2L, otherText)).toDF("doc_id", "text"), idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // committed staged copy (has _SUCCESS) + stale live + stale tombstones:
+    // a crash after the staged write, before the swap — must roll FORWARD
+    Dedup.deleteFromNearDupIndex(Seq(2L).toDF("doc_id"), "doc_id", idx)
+    spark.read.parquet(s"$idx/manifest").filter(col("doc") =!= 2L)
+      .write.partitionBy("ingest_batch").parquet(s"$idx/manifest__staged")
+    Dedup.recoverPendingCompact(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(spark.read.parquet(s"$idx/manifest")
+      .select("doc").as[Long].collect().toSet === Set(1L))
+    // partial staged copy (no _SUCCESS): a crash mid-write — must roll BACK
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged/ingest_batch=-1"))
+    Dedup.recoverPendingCompact(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
+    assert(spark.read.parquet(s"$idx/manifest")
+      .select("doc").as[Long].collect().toSet === Set(1L))
+  }
+
+  test("compacting an all-tombstoned index is refused") {
+    val idx = tmpDir("ndidx")
+    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
+    Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
+    val e = intercept[IllegalArgumentException](Dedup.compactNearDupIndex(spark, idx))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("streaming gate over mod-time-ordered files equals sequential gate batches") {
+    val idx = tmpDir("ndidx")
+    val idxSeq = tmpDir("ndidxseq")
+    val keptStream = tmpDir("ndkepts")
+    val keptSeq = tmpDir("ndkeptq")
+    val landing = tmpDir("ndland")
+    val ckpt = tmpDir("ndckpt")
+    val baseDocs = Seq((1L, baseText)).toDF("doc_id", "text")
+    writeIndex(baseDocs, idx)
+    writeIndex(baseDocs, idxSeq)
+    val batches = Seq(
+      Seq((10L, baseText + " copy"), (11L, otherText)),
+      Seq((20L, otherText + " ish"), (21L, thirdText)),
+      Seq((30L, thirdText), (31L, baseText), (32L, "fresh totally novel words appear in this last one")))
+      .map(_.toDF("doc_id", "text"))
+    batches.zipWithIndex.foreach { case (b, k) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"ndb$k")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dst = java.nio.file.Paths.get(landing, s"b$k.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+    Dedup.streamDedupAgainstNearDupIndex(
+      spark.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      "text", "doc_id", idx, keptStream, ckpt)
+      .awaitTermination()
+    batches.zipWithIndex.foreach { case (b, k) => gate(b, idxSeq, keptSeq, k.toLong) }
+    assert(keptIds(keptStream) === keptIds(keptSeq))
+    assert(keptIds(keptStream) === Set(11L, 21L, 32L))
+  }
+}
