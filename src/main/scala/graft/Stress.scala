@@ -946,6 +946,72 @@ object Stress {
               s"rows_in=${p.numInputRows} state_rows=$stateRows")
         }
         acc.get
+      },
+      // round-9 addition: the streaming near-dup DEDUP GATE at mult× —
+      // signature index on half the expanded corpus, the other half gated
+      // in 4 batches through the per-batch path (the crawl-ingest shape).
+      // Receipts: per-batch wall printed (must track BATCH size — each
+      // batch reads the manifest, never corpus text, and the manifest read
+      // is partition-pruned to earlier batches), then one batch REPLAYED
+      // after later ones ran — kept table and manifest must stay
+      // content-identical (the exactly-once claim, measured)
+      time(s"stream_gate_x$mult") {
+        val idx = java.nio.file.Files.createTempDirectory("stress_ndidx")
+        val kept = java.nio.file.Files.createTempDirectory("stress_ndkept")
+        try {
+          val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          // half the arrivals are corpus near-dups (the suppression work),
+          // half genuinely novel (id-salted so they don't near-dup each
+          // other) — the replicated stress corpus otherwise makes EVERY
+          // arrival a near-dup of an index doc and the gate keeps nothing
+          // novel text = four tokens all carrying the doc id: ZERO shared
+          // shingles between two novel docs (shared filler words would give
+          // J≈0.2 pairs a ~70% any-of-32-bands collision rate — a
+          // candidate-pair explosion quadratic in the novel count)
+          val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+            .withColumn("text",
+              when(pmod(col("doc_id"), lit(4)) === 1,
+                concat(lit("nva"), col("doc_id"), lit(" nvb"), col("doc_id"),
+                  lit(" nvc"), col("doc_id"), lit(" nvd"), col("doc_id")))
+                .otherwise(col("text")))
+          def batchOf(k: Int) =
+            arrivals.filter(pmod(col("doc_id"), lit(8)) === (2 * k + 1))
+          operators.Dedup.writeNearDupIndex(base, "text", "doc_id",
+            idx.toString, shingleSize = 3, numer = 1, denom = 2,
+            bands = 32, rowsPerBand = 2)
+          (0 to 3).foreach { k =>
+            val t0 = System.nanoTime()
+            operators.Dedup.gateBatchAgainstNearDupIndex(batchOf(k),
+              "text", "doc_id", idx.toString, kept.toString, k.toLong)
+            System.err.println(
+              f"[stress] stream_gate_x$mult batch=$k " +
+                f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          }
+          def snap(): ((Long, Long), (Long, Long)) = {
+            val kr = spark.read.parquet(kept.toString)
+              .agg(count(lit(1)), sum(hash(col("doc_id"), col("ingest_batch"))
+                .cast("long"))).head
+            val mr = spark.read.parquet(s"$idx/manifest")
+              .agg(count(lit(1)), sum(hash(col("doc"), col("ingest_batch"))
+                .cast("long"))).head
+            ((kr.getLong(0), kr.getLong(1)), (mr.getLong(0), mr.getLong(1)))
+          }
+          val before = snap()
+          operators.Dedup.gateBatchAgainstNearDupIndex(batchOf(1),
+            "text", "doc_id", idx.toString, kept.toString, 1L)
+          require(snap() == before,
+            s"replayed gate batch changed kept/manifest content: $before")
+          System.err.println(
+            f"[stress] stream_gate_x$mult replay of batch 1 after batches " +
+              s"2-3: kept table + manifest content-identical " +
+              s"(kept=${before._1._1}, sigs=${before._2._1})")
+          before._1._1
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Seq(idx, kept).foreach(d =>
+            java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p)))
+        }
       }
     )
     val ran = results.flatten
