@@ -70,7 +70,14 @@ object Plans {
     // (e_stream_index_append absent like e_stream_upsert: building its
     // frame RUNS the stream; the probe plan is s_knn_indexed's.)
     "s_knn_indexed_deleted", "s_knn_ivfpq_deleted", "t_temperature_mix",
-    "s_kmeans_update")
+    "s_kmeans_update",
+    // round-9 addition: one near-dup gate batch (manifest probe partition-
+    // pruned to earlier batches + tombstone anti-join, LSH self-dedup,
+    // read-back of the written kept partition). The STREAM face is absent
+    // like e_stream_upsert; d_stream_gate's plan is the kept-table scan
+    // after the gate runs, so the reviewable plan here is the kept read
+    // with its partition filter
+    "d_stream_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -205,22 +205,6 @@ object BpeTrainer {
       })
     pairCounts.foreach { case ((a, b), c) => heap.add((c, a, b)) }
 
-    def contractArr(s: Array[String], a: String, b: String): Array[String] = {
-      val out = new mutable.ArrayBuffer[String](s.length)
-      var j = 0
-      while (j < s.length) {
-        if (j < s.length - 1 && s(j) == a && s(j + 1) == b) { out += (a + b); j += 2 }
-        else { out += s(j); j += 1 }
-      }
-      out.toArray
-    }
-    def pairSetOf(s: Array[String]): mutable.HashSet[(String, String)] = {
-      val set = mutable.HashSet.empty[(String, String)]
-      var j = 0
-      while (j < s.length - 1) { set.add((s(j), s(j + 1))); j += 1 }
-      set
-    }
-
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -243,34 +227,53 @@ object BpeTrainer {
           val wi = affected(k)
           val old = syms(wi)
           val n = wn(wi)
+          // quick occurrence scan first: index entries are never removed
+          // (see below), so a listed word may no longer contain the pair —
+          // the stale entry costs exactly this O(len) scan and nothing else
           var j = 0
-          while (j < old.length - 1) {
-            val p = (old(j), old(j + 1))
-            val nv = pairCounts(p) - n
-            if (nv == 0L) pairCounts.remove(p) else pairCounts.update(p, nv)
-            changed += p
-            j += 1
-          }
-          val neu = contractArr(old, a, b)
-          val oldSet = pairSetOf(old)
-          val newSet = pairSetOf(neu)
-          oldSet.foreach { p =>
-            if (!newSet.contains(p)) index.get(p).foreach { s =>
-              s.remove(wi); if (s.isEmpty) index.remove(p)
+          while (j < old.length - 1 && !(old(j) == a && old(j + 1) == b)) j += 1
+          if (j < old.length - 1) {
+            // LOCALIZED pair-count deltas: each merged occurrence removes
+            // its (left, a), (a, b), (b, right) pairs and adds (left, ab),
+            // (ab, right) — O(occurrences) hash updates instead of the
+            // subtract-whole-word / re-add-whole-word O(len) double pass.
+            // `out.last` is the correct evolving left neighbor: when two
+            // occurrences touch ("a b a b"), the tentative (ab, a) added by
+            // the first is exactly reversed by the second's left-dec.
+            val out = new mutable.ArrayBuffer[String](old.length)
+            def dec(x: String, y: String): Unit = {
+              val p = (x, y)
+              val nv = pairCounts.getOrElse(p, 0L) - n
+              if (nv <= 0L) pairCounts.remove(p) else pairCounts.update(p, nv)
+              changed += p
+              ()
             }
-          }
-          newSet.foreach { p =>
-            if (!oldSet.contains(p))
+            def inc(x: String, y: String): Unit = {
+              val p = (x, y)
+              pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+              // index gains entries on every inc and never removes: stale
+              // membership is benign (skipped by the scan above), missing
+              // membership would silently freeze a pair's count — the
+              // asymmetric-failure direction decides the policy
               index.getOrElseUpdate(p, mutable.HashSet.empty[Int]).add(wi)
+              changed += p
+              ()
+            }
+            val m = a + b
+            j = 0
+            while (j < old.length) {
+              if (j < old.length - 1 && old(j) == a && old(j + 1) == b) {
+                if (out.nonEmpty) dec(out.last, a)
+                dec(a, b)
+                if (j + 2 < old.length) dec(b, old(j + 2))
+                if (out.nonEmpty) inc(out.last, m)
+                if (j + 2 < old.length) inc(m, old(j + 2))
+                out += m
+                j += 2
+              } else { out += old(j); j += 1 }
+            }
+            syms(wi) = out.toArray
           }
-          j = 0
-          while (j < neu.length - 1) {
-            val p = (neu(j), neu(j + 1))
-            pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
-            changed += p
-            j += 1
-          }
-          syms(wi) = neu
           k += 1
         }
         changed.foreach { p =>
