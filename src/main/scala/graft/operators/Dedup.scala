@@ -910,6 +910,13 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // rebuilding over an existing index is a fresh start: stale tombstones
+    // or a dead staged swap from the previous incarnation must not leak
+    // into (or roll over) the new manifest
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest__staged"), true)
     Seq((shingleSize, bands, rowsPerBand, numer, denom))
       .toDF("shingle_size", "bands", "rows_per_band", "numer", "denom")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
@@ -959,11 +966,22 @@ object Dedup {
     * whose retention clock starts at the delete call run compact on their
     * own cadence (it is a manifest-scale rewrite, not a corpus-scale one).
     * Idempotent: re-deleting an id appends a duplicate tombstone row, which
-    * the probe-side `distinct()` collapses.
+    * the probe-side `distinct()` collapses. Ids must be integral (the
+    * manifest's `doc` column is the corpus id; the cluster/keeper machinery
+    * downstream requires numeric ids anyway).
+    *
+    * Runs pending-compact recovery FIRST: a tombstone appended between a
+    * crashed compact and its eventual roll-forward would be deleted by
+    * that roll-forward's tombstone clear — silently un-forgetting the doc.
+    * Recovering here closes the window to concurrent writers, which the
+    * index (like the ANN index's delete path) does not support — run
+    * deletes and compaction from a single maintenance writer.
     */
-  def deleteFromNearDupIndex(ids: DataFrame, idCol: String, path: String): Unit =
+  def deleteFromNearDupIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    recoverPendingCompact(ids.sparkSession, path)
     ids.select(col(idCol).cast("long").as("doc")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
 
   /** Physically purge tombstoned signatures: rewrite the manifest minus the
     * tombstone set, then clear the tombstones. Crash-safe via a staged swap:

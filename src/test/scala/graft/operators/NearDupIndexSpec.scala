@@ -118,6 +118,39 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
       .select("doc").as[Long].collect().toSet === Set(1L))
   }
 
+  test("a delete issued after a crashed compact survives the roll-forward") {
+    val idx = tmpDir("ndidx")
+    writeIndex(Seq((1L, baseText), (2L, otherText)).toDF("doc_id", "text"), idx)
+    // crash scenario: doc 2's compact staged fully (committed, live not yet
+    // swapped) — then a NEW delete (doc 1) arrives before any reader ran
+    Dedup.deleteFromNearDupIndex(Seq(2L).toDF("doc_id"), "doc_id", idx)
+    spark.read.parquet(s"$idx/manifest").filter(col("doc") =!= 2L)
+      .write.partitionBy("ingest_batch").parquet(s"$idx/manifest__staged")
+    Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
+    // the recovery inside the delete rolled doc 2's compact forward (and
+    // cleared ITS tombstones) BEFORE appending doc 1's — doc 1 stays
+    // forgotten instead of being swept away with the stale tombstone dir
+    assert(spark.read.parquet(s"$idx/tombstones")
+      .select("doc").as[Long].collect().toSet === Set(1L))
+    assert(Dedup.nearDupIndexManifest(spark, idx)
+      .select("doc").as[Long].collect().toSet === Set.empty[Long])
+  }
+
+  test("rebuilding an index clears stale tombstones and dead staged swaps") {
+    val idx = tmpDir("ndidx")
+    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
+    Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged/ingest_batch=-1"))
+    writeIndex(Seq((1L, baseText), (2L, otherText)).toDF("doc_id", "text"), idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
+    // doc 1's old tombstone must NOT shadow the rebuilt index's doc 1
+    assert(Dedup.nearDupIndexManifest(spark, idx)
+      .select("doc").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("compacting an all-tombstoned index is refused") {
     val idx = tmpDir("ndidx")
     writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
