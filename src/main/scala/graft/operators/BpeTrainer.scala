@@ -140,6 +140,26 @@ object BpeTrainer {
     * the learned merge table is ROW-IDENTICAL to [[train]]'s —
     * [[fastTrainViolations]] states that as a hash-gated empty frame.
     */
+  /** Persist a trained merge table ([[train]]/[[trainFast]] output) as the
+    * tokenizer ARTIFACT: train once, load everywhere — encode jobs,
+    * streaming token counters, later sessions. One parquet file (a merge
+    * table is ≤ vocab-size rows of short strings; a single file reads in
+    * one task and diffs cleanly across tokenizer versions).
+    */
+  def writeModel(merges: DataFrame, path: String): Unit =
+    merges.orderBy(col("rank")).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge table in the rank-ordered (left, right) form
+    * [[encode]]/[[BpeTokenCount]] consume. Driver-side by design — the
+    * merge list ships to executors as a broadcast-sized closure literal,
+    * exactly like the in-memory training path.
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
   def trainFast(
       docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 1L, maxWords: Long = 5000000L): DataFrame = {

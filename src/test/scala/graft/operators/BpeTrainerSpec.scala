@@ -172,6 +172,24 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(BpeTrainer.encode(clean, "text", "doc_id", Seq(("a", "b"))).count() == 1L)
   }
 
+  test("writeModel/readModel roundtrip: the persisted artifact encodes identically") {
+    val docs = Seq((1L, "low lower lowest low low newer newest new"),
+      (2L, "wider wide widest new lower")).toDF("doc_id", "text")
+    val trained = BpeTrainer.trainFast(docs, "text", numMerges = 6)
+    val inMemory = trained.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("bpemodel")
+    dir.toFile.deleteOnExit()
+    BpeTrainer.writeModel(trained, dir.toString)
+    val loaded = BpeTrainer.readModel(spark, dir.toString)
+    assert(loaded === inMemory)
+    val a = BpeTrainer.encode(docs, "text", "doc_id", inMemory)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val b = BpeTrainer.encode(docs, "text", "doc_id", loaded)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("mergeCountViolations: trained merges replay clean; a corrupted count is caught") {
     val docs = Seq((1L, "low low low lower lower newest newest newest newest widest"))
       .toDF("doc_id", "text")
