@@ -76,8 +76,9 @@ object Plans {
     // read-back of the written kept partition). The STREAM face is absent
     // like e_stream_upsert; d_stream_gate's plan is the kept-table scan
     // after the gate runs, so the reviewable plan here is the kept read
-    // with its partition filter
-    "d_stream_gate")
+    // with its partition filter. s_semantic_gate is its embedding twin
+    // (IVF-probe suppression + semantic self-dedup + index append)
+    "d_stream_gate", "s_semantic_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

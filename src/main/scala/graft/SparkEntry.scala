@@ -109,6 +109,14 @@ object SparkEntry {
   private val nearDupGateCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Boolean, Boolean)]()
 
+  // the streaming SEMANTIC gate fixture (s_semantic_gate /
+  // s_semantic_gate_contract): IVF index on one embedding quarter, an
+  // arrival quarter gated in 3 batches (2 streamed + 1 after a retention
+  // delete), batch 1 replayed. Value: (indexDir, keptDir, replayOk,
+  // frozen centroids)
+  private val semanticGateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Boolean, Seq[Seq[Float]])]()
+
   // trained BPE merge list per sf dir (t_bpe_encode*): in production the
   // merge table is a persisted artifact trained once; encode queries
   // should measure ENCODING, not re-training
@@ -250,7 +258,7 @@ object SparkEntry {
     "d_simhash_pairs", "d_embed_neardup",
     "m_media_features", "m_image_neardup",
     "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_knn_ivfpq",
-    "d_stream_gate")
+    "d_stream_gate", "s_semantic_gate")
 
   /** Shared LSH shape for the streaming-gate fixture: the recall-1.0 design
     * point (J ≥ 1/2 at 32×2 banding — the d_jaccard_lsh ≡ brute argument),
@@ -289,6 +297,69 @@ object SparkEntry {
     val r = df.agg(count(lit(1)),
       sum(hash(cols.map(col): _*).cast("long"))).head
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private val SemGateTau = 0.4 // the d_semantic_keepers design point on this corpus
+  private val SemGateNprobe = 2
+
+  private def semSubBatch(embs: DataFrame, k: Int): DataFrame =
+    embs.filter(pmod(col("vec_id"), lit(12)) === lit(4 * k))
+
+  /** Build the streaming semantic gate fixture once per sf dir — same
+    * shape as the text-gate fixture: IVF index on the vec_id ≡ 2 mod 4
+    * quarter (frozen k = 8 centroids), arrival quarter in 3 pinned
+    * batches, batches 0-1 streamed through
+    * [[operators.Similarity.streamSemanticGate]], batch 1 replayed
+    * (replayOk), vec_id ≡ 2 mod 20 deleted from the index, batch 2 gated
+    * after the delete.
+    */
+  private def buildSemanticGateFixture(
+      s: SparkSession, d: String): (String, String, Boolean, Seq[Seq[Float]]) = {
+    val embs = tb(s, d, "embeddings")
+    val base = embs.filter(pmod(col("vec_id"), lit(4)) === 2)
+      .select(col("vec_id"), col("embedding"))
+    val arrivals = embs.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("sgidx")
+    val kept = java.nio.file.Files.createTempDirectory("sgkept")
+    val landing = java.nio.file.Files.createTempDirectory("sgland")
+    val ckpt = java.nio.file.Files.createTempDirectory("sgckpt")
+    Seq(idx, kept, landing, ckpt).foreach(deleteRecursivelyOnExit)
+    val cents = Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 8)
+    Similarity.writeIvfIndex(base, "embedding", "vec_id", cents, idx.toString)
+    (0 to 1).foreach { k =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"sgtmp$k")
+      semSubBatch(arrivals, k).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dst = landing.resolve(f"batch$k%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+    Similarity.streamSemanticGate(
+      s.readStream.schema(arrivals.schema).option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString),
+      "embedding", "vec_id", idx.toString, kept.toString, ckpt.toString,
+      SemGateTau, SemGateNprobe)
+      .awaitTermination()
+    def outputsHash(): ((Long, Long), (Long, Long)) = (
+      contentHash(s.read.parquet(kept.toString), Seq("vec_id", "ingest_batch")),
+      contentHash(s.read.parquet(s"$idx/corpus"),
+        Seq("vec_id", "cluster", "ingest_batch")))
+    val beforeReplay = outputsHash()
+    Similarity.semanticGateBatch(semSubBatch(arrivals, 1), "embedding", "vec_id",
+      idx.toString, kept.toString, cents, 1L, SemGateTau, SemGateNprobe)
+    val replayOk = outputsHash() == beforeReplay
+    Similarity.deleteFromIvfIndex(s, idx.toString,
+      base.filter(pmod(col("vec_id"), lit(20)) === 2).select(col("vec_id")),
+      "vec_id")
+    Similarity.semanticGateBatch(semSubBatch(arrivals, 2), "embedding", "vec_id",
+      idx.toString, kept.toString, cents, 2L, SemGateTau, SemGateNprobe)
+    (idx.toString, kept.toString, replayOk, cents)
   }
 
   /** Build the streaming near-dup gate fixture once per sf dir:
@@ -1780,6 +1851,67 @@ object SparkEntry {
       extra.union(missing).union(lifecycle)
         .select(col("doc_id").cast("bigint").as("doc"), col("violation"))
     }),
+    // the streaming SEMANTIC dedup gate — SemDeDup at ingest over the
+    // persisted IVF index (embedding twin of d_stream_gate): arrivals with
+    // a cosine ≥ τ neighbor among EARLIER batches' vectors are dropped
+    // (nprobe-bounded probe, tombstone-filtered), survivors self-dedup and
+    // append to the index. Timing face: one full gate batch (re-gating
+    // batch 2 is replay-idempotent)
+    "s_semantic_gate" -> ((s, d) => {
+      val (idx, kept, _, cents) =
+        semanticGateCache.computeIfAbsent(d, _ => buildSemanticGateFixture(s, d))
+      val arrivals = tb(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.semanticGateBatch(semSubBatch(arrivals, 2), "embedding",
+        "vec_id", idx, kept, cents, 2L, SemGateTau, SemGateNprobe)
+      s.read.parquet(kept).filter(col("ingest_batch") === 2L)
+        .select(col("vec_id"))
+    }),
+    // semantic-gate lifecycle contract: the streamed kept-set must equal an
+    // independently composed sequential pipeline — in-memory ivfTopK
+    // suppression against an accumulating corpus frame (same frozen
+    // centroids/nprobe/τ, none of the index/stream machinery), including
+    // the retention delete before batch 2 — plus the replay-identity probe.
+    // Violations frame provably empty, hash-gated
+    "s_semantic_gate_contract" -> ((s, d) => {
+      import s.implicits._
+      val (_, kept, replayOk, cents) =
+        semanticGateCache.computeIfAbsent(d, _ => buildSemanticGateFixture(s, d))
+      val embs = tb(s, d, "embeddings")
+      val base = embs.filter(pmod(col("vec_id"), lit(4)) === 2)
+        .select(col("vec_id"), col("embedding"))
+      val arrivals = embs.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val deleted = base.filter(pmod(col("vec_id"), lit(20)) === 2)
+        .select(col("vec_id").as("__t"))
+      val (_, refKept) = (0 to 2).foldLeft(
+        (graft.CacheScope.localCheckpoint(base),
+          s.emptyDataset[Long].toDF("vec_id"))) { case ((corpusRef, acc), k) =>
+        val cr =
+          if (k == 2) corpusRef.join(broadcast(deleted),
+            col("vec_id") === col("__t"), "left_anti")
+          else corpusRef
+        val bk = semSubBatch(arrivals, k)
+        val sup = Similarity.ivfTopK(bk, cr, "embedding", "vec_id",
+            k = 1, cents, SemGateNprobe)
+          .filter(col("cos") >= SemGateTau).select(col("query_id"))
+        val unseen = bk.join(sup, bk("vec_id") === sup("query_id"), "left_anti")
+        val keptK = graft.CacheScope.localCheckpoint(
+          Dedup.semanticKeepers(unseen, "embedding", "vec_id", SemGateTau))
+        (graft.CacheScope.localCheckpoint(corpusRef.union(keptK)),
+          acc.union(keptK.select(col("vec_id"))))
+      }
+      val streamKept = s.read.parquet(kept).select(col("vec_id"))
+      val extra = streamKept.except(refKept)
+        .withColumn("violation", lit("kept by stream, not by reference"))
+      val missing = refKept.except(streamKept)
+        .withColumn("violation", lit("kept by reference, not by stream"))
+      val lifecycle = Seq(("replay changed gate outputs", replayOk))
+        .filter(!_._2).map(t => (0L, t._1)).toDF("vec_id", "violation")
+      extra.union(missing).union(lifecycle)
+        .select(col("vec_id").cast("bigint").as("vec"), col("violation"))
+    }),
     // Bloom-manifest soundness: batch rows kept by the memory-resident
     // Bloom dedup gate that exact digests prove were in the corpus — the
     // no-false-negative property as a provably-empty frame
@@ -2824,6 +2956,10 @@ object SparkEntry {
     // into one provably-empty violations frame
     "d_stream_gate_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
+    // semantic-gate lifecycle: stream ≡ sequential in-memory reference,
+    // replay identity, tombstone release — one provably-empty frame
+    "s_semantic_gate_contract" ->
+      "SELECT CAST(vec_id AS BIGINT) AS vec, '' AS violation FROM embeddings WHERE 1 = 0",
     // Contract siblings of the 9 production rows-only queries (VERDICT r5
     // #4: bench the operator under its original name; verify the contract
     // as a `_contract` sibling excluded from bench). Each emits a provably-

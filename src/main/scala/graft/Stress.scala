@@ -1012,6 +1012,66 @@ object Stress {
             java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
               .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p)))
         }
+      },
+      // round-9 addition: the streaming SEMANTIC gate at mult× — IVF index
+      // on half the expanded embeddings, the other half gated in 4 batches
+      // (half exact replicas of index vectors = suppression work; half
+      // sign-flipped = novel to the index, with identical copies inside
+      // each batch = self-dedup work), then batch 1 replayed after later
+      // batches ran. Receipt: per-batch wall + the probe shuffle bounded by
+      // arrivals × nprobe clusters (never the index), replay content-identity
+      time(s"semantic_gate_x$mult") {
+        val idx = java.nio.file.Files.createTempDirectory("stress_sgidx")
+        val kept = java.nio.file.Files.createTempDirectory("stress_sgkept")
+        try {
+          val base = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
+            .select(col("vec_id"), col("embedding"))
+          val arrivals = embs.filter(pmod(col("vec_id"), lit(2)) === 1)
+            .withColumn("embedding",
+              when(pmod(col("vec_id"), lit(4)) === 1,
+                transform(col("embedding"), x => -x))
+                .otherwise(col("embedding")))
+            .select(col("vec_id"), col("embedding"))
+          def batchOf(k: Int) =
+            arrivals.filter(pmod(col("vec_id"), lit(8)) === (2 * k + 1))
+          val cents = operators.Similarity.trainIvfCentroids(
+            base, "embedding", "vec_id", k = 16, trainSample = 8)
+          operators.Similarity.writeIvfIndex(base, "embedding", "vec_id",
+            cents, idx.toString)
+          (0 to 3).foreach { k =>
+            val t0 = System.nanoTime()
+            operators.Similarity.semanticGateBatch(batchOf(k), "embedding",
+              "vec_id", idx.toString, kept.toString, cents, k.toLong,
+              threshold = 0.9, nprobe = 2)
+            System.err.println(
+              f"[stress] semantic_gate_x$mult batch=$k " +
+                f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          }
+          def snap(): ((Long, Long), (Long, Long)) = {
+            val kr = spark.read.parquet(kept.toString)
+              .agg(count(lit(1)), sum(hash(col("vec_id"), col("ingest_batch"))
+                .cast("long"))).head
+            val cr = spark.read.parquet(s"$idx/corpus")
+              .agg(count(lit(1)), sum(hash(col("vec_id"), col("cluster"),
+                col("ingest_batch")).cast("long"))).head
+            ((kr.getLong(0), kr.getLong(1)), (cr.getLong(0), cr.getLong(1)))
+          }
+          val before = snap()
+          operators.Similarity.semanticGateBatch(batchOf(1), "embedding",
+            "vec_id", idx.toString, kept.toString, cents, 1L,
+            threshold = 0.9, nprobe = 2)
+          require(snap() == before,
+            s"replayed semantic gate batch changed kept/index content: $before")
+          System.err.println(
+            f"[stress] semantic_gate_x$mult replay of batch 1 after batches " +
+              s"2-3: kept + index content-identical (kept=${before._1._1})")
+          before._1._1
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Seq(idx, kept).foreach(d =>
+            java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p)))
+        }
       }
     )
     val ran = results.flatten

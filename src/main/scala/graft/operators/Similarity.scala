@@ -610,6 +610,93 @@ object Similarity {
       .parquet(s"$path/corpus")
   }
 
+  /** Streaming SEMANTIC dedup gate — SemDeDup at ingest over a persisted
+    * IVF index, the embedding twin of
+    * [[Dedup.streamDedupAgainstNearDupIndex]]. Per micro-batch
+    * ([[semanticGateBatch]]):
+    *
+    *  1. drop arrivals with ANY cosine ≥ `threshold` neighbor among
+    *     STRICTLY EARLIER batches' vectors, probing only the top-`nprobe`
+    *     clusters (partition-pruned corpus read through the delete
+    *     tombstones — a forgotten vector no longer suppresses);
+    *  2. semantic-self-dedup the survivors within the batch
+    *     ([[Dedup.semanticKeepers]], hyperplane-LSH candidates + exact
+    *     cosine verify + cluster keeper);
+    *  3. land kept rows under `$keptDir/ingest_batch=<id>` and append them
+    *     to the index via [[ingestBatchToIvfIndex]] — both dynamic
+    *     partition overwrites, so a replayed batch replaces its own output
+    *     and (because step 1 never reads batches ≥ its own id) cannot be
+    *     suppressed by its first attempt.
+    *
+    * Suppression recall is nprobe-bounded by design (the production
+    * SemDeDup trade: at threshold ≥ 0.9 near-duplicates are near-parallel
+    * and land in the same coarse cell, so small nprobe catches them;
+    * nprobe = #centroids makes the gate exact). Centroids are FROZEN at
+    * stream start — the appendToIvfIndex contract. Ids must be globally
+    * unique across index and arrivals.
+    */
+  def streamSemanticGate(
+      stream: DataFrame, vecCol: String, idCol: String,
+      indexPath: String, keptDir: String, checkpointDir: String,
+      threshold: Double, nprobe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireTwoLevelCorpusLayout(stream.sparkSession, indexPath)
+    val centroids = readIvfCentroids(stream.sparkSession, indexPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        semanticGateBatch(batch.toDF(), vecCol, idCol, indexPath, keptDir,
+          centroids, batchId, threshold, nprobe))
+      .start()
+  }
+
+  /** One gate batch of [[streamSemanticGate]], exposed for replay testing
+    * and receipts.
+    */
+  private[graft] def semanticGateBatch(
+      batch: DataFrame, vecCol: String, idCol: String,
+      indexPath: String, keptDir: String, centroids: Seq[Seq[Float]],
+      batchId: Long, threshold: Double, nprobe: Int): Unit =
+    graft.CacheScope.withScope {
+      val spark = batch.sparkSession
+      recoverPendingSwaps(spark, s"$indexPath/corpus")
+      val c0 = spark.read.parquet(s"$indexPath/corpus")
+        .filter(col("ingest_batch") < lit(batchId))
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col("cluster"))
+      val tombDir = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+      val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val corpus =
+        if (fs.exists(tombDir))
+          c0.join(
+            broadcast(spark.read.parquet(tombDir.toString)
+              .select(col("vec_id").as("__tomb")).distinct()),
+            col("neighbor_id") === col("__tomb"), "left_anti")
+        else c0
+      val suppressed = probeAssignedCorpus(corpus, batch, vecCol, idCol,
+          k = 1, centroids, nprobe, broadcastQueries = true)
+        .filter(col("cos") >= threshold)
+        .select(col("query_id"))
+      val unseen = batch.join(suppressed,
+        batch(idCol) === suppressed("query_id"), "left_anti")
+      val kept = Dedup.semanticKeepers(unseen, vecCol, idCol, threshold)
+      kept.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(keptDir)
+      // append from the WRITTEN kept partition (replay-identical read-back,
+      // same rationale as the text gate); an all-suppressed batch writes no
+      // partition and appends nothing
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$keptDir/ingest_batch=$batchId"))) {
+        val keptBack = spark.read.parquet(keptDir)
+          .filter(col("ingest_batch") === lit(batchId))
+        ingestBatchToIvfIndex(keptBack, vecCol, idCol, indexPath, centroids, batchId)
+      }
+    }
+
   def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] =
     spark.read.parquet(s"$path/centroids").orderBy(col("cluster"))
       .select(col("centroid")).collect().map(_.getSeq[Float](0).toSeq).toSeq
