@@ -993,20 +993,42 @@ object Dedup {
     * rename is not atomic on S3-like stores; run compaction from a
     * single-writer maintenance job there.
     *
+    * `consolidate = true` additionally folds every gate batch's partition
+    * into the `-1` base partition — the partition-count maintenance for a
+    * LONG-RUNNING gate, which otherwise accrues one `ingest_batch=<id>`
+    * dir per micro-batch forever (10k batches = 10k dirs for partition
+    * discovery to list). Correctness is unchanged: `-1 < id` for every
+    * batch id, so consolidated signatures still read as "strictly earlier"
+    * for all future batches. Run it only when the ingest stream has no
+    * UNCOMMITTED batches (the same single-writer discipline as deletes):
+    * a batch written-but-not-committed before consolidation replays as a
+    * no-op afterwards (its docs now suppress themselves via `-1`), which
+    * leaves the consolidated state standing — consistent, but the
+    * dependence on that subtlety is not worth inviting.
+    *
     * Refuses to compact an index whose every doc is tombstoned (an empty
     * partitioned parquet table is unreadable) — rebuild with
     * [[writeNearDupIndex]] instead.
     */
-  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compactNearDupIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      consolidate: Boolean = false): Unit = {
     recoverPendingCompact(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (!fs.exists(tombDir)) return
-    val tomb = broadcast(spark.read.parquet(tombDir.toString)
-      .select(col("doc").as("__tomb")).distinct())
-    val survivors = spark.read.parquet(s"$path/manifest")
-      .join(tomb, col("doc") === col("__tomb"), "left_anti")
+    if (!fs.exists(tombDir) && !consolidate) return
+    val m = spark.read.parquet(s"$path/manifest")
+    val survivors0 =
+      if (fs.exists(tombDir))
+        m.join(
+          broadcast(spark.read.parquet(tombDir.toString)
+            .select(col("doc").as("__tomb")).distinct()),
+          col("doc") === col("__tomb"), "left_anti")
+      else m
+    val survivors =
+      if (consolidate) survivors0.withColumn("ingest_batch", lit(-1L))
+      else survivors0
     require(survivors.limit(1).count() > 0,
       s"compactNearDupIndex($path): every manifest row is tombstoned; an " +
         "empty partitioned manifest is unreadable — rebuild the index with " +

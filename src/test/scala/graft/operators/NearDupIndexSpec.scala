@@ -151,6 +151,29 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
       .select("doc").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("consolidating compaction folds batch partitions into the base; gate semantics unchanged") {
+    val idx = tmpDir("ndidx")
+    val kept = tmpDir("ndkept")
+    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
+    gate(Seq((10L, otherText)).toDF("doc_id", "text"), idx, kept, 0L)
+    gate(Seq((20L, thirdText)).toDF("doc_id", "text"), idx, kept, 1L)
+    val liveBefore = Dedup.nearDupIndexManifest(spark, idx)
+      .select("doc").as[Long].collect().toSet
+    Dedup.compactNearDupIndex(spark, idx, consolidate = true)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one partition left; live view identical
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/manifest"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(parts === Set("ingest_batch=-1"))
+    assert(Dedup.nearDupIndexManifest(spark, idx)
+      .select("doc").as[Long].collect().toSet === liveBefore)
+    // consolidated signatures still suppress future batches
+    gate(Seq((30L, otherText + " ish"), (31L, "wholly new unseen sentence goes right here"))
+      .toDF("doc_id", "text"), idx, kept, 2L)
+    assert(keptIds(kept) === Set(10L, 20L, 31L))
+  }
+
   test("compacting an all-tombstoned index is refused") {
     val idx = tmpDir("ndidx")
     writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
