@@ -490,6 +490,60 @@ object Similarity {
     } finally graft.CacheScope.unpersistCheckpoint(del)
   }
 
+  /** Fold every per-batch ingest partition into the `-1` base partition —
+    * partition-count maintenance for a long-running ingest stream or gate,
+    * which otherwise accrues one `ingest_batch=<id>` dir per micro-batch
+    * per cluster forever. Correctness is unchanged for every consumer:
+    * probes read all batches regardless, and the gates' strictly-earlier
+    * filter treats `-1` as earlier than every batch id. Runs under the
+    * SAME staged `_COMMIT` swap protocol as deletes ([[recoverPendingSwaps]]
+    * repairs a crash at any point), rewrites ONLY clusters that actually
+    * hold batch partitions, and obeys the same single-writer discipline:
+    * run it when the ingest stream has no uncommitted batches (a batch
+    * consolidated out from under its pending checkpoint replays as a
+    * dynamic-overwrite re-append of rows that now also exist in `-1` —
+    * duplicating them; the discipline, not the machinery, prevents that).
+    */
+  def consolidateIvfIndex(spark: SparkSession, path: String): Unit = {
+    requireTwoLevelCorpusLayout(spark, path)
+    val tableDir = s"$path/corpus"
+    recoverPendingSwaps(spark, tableDir)
+    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val clusters = fs.listStatus(tablePath).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("cluster="))
+      .filter { c =>
+        val subs = fs.listStatus(c).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("ingest_batch="))
+        subs.exists(_ != "ingest_batch=-1")
+      }
+      .map(_.getName.stripPrefix("cluster=").toInt)
+    if (clusters.isEmpty) return
+    val staging = new org.apache.hadoop.fs.Path(
+      s"${tableDir}__rewrite_${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.read.parquet(tableDir)
+      .filter(col("cluster").isin(clusters.toSeq: _*))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch")
+      .parquet(staging.toString)
+    // same commit-marker protocol as deleteFromIndexTable; consolidation
+    // never empties a cluster, so every line is `staged`
+    val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
+    val markerTmp = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker + ".tmp")
+    val out = fs.create(markerTmp, false)
+    try out.write(clusters.map(c => s"cluster=$c staged").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(markerTmp, marker)
+    clusters.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(s"$tableDir/cluster=$c")
+      fs.delete(live, true)
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/cluster=$c")
+      if (fs.exists(staged)) fs.rename(staged, live)
+    }
+    fs.delete(staging, true)
+  }
+
   private val SwapCommitMarker = "_COMMIT"
 
   /** Crash repair for [[deleteFromIndexTable]]'s staged swap, run by every

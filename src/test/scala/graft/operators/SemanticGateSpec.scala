@@ -81,6 +81,35 @@ class SemanticGateSpec extends AnyFunSuite with SparkTestBase {
     assert(keptIds(kept) === Set(20L)) // vec 1 forgotten: no longer suppresses
   }
 
+  test("consolidateIvfIndex folds batch partitions into the base; probes and gates unchanged") {
+    val idx = tmp("sgidx"); val kept = tmp("sgkept")
+    val cents = buildIndex(idx)
+    gate(vecs(10L -> v(0, 0, 1, 0)), idx, kept, cents, 0L)
+    gate(vecs(20L -> v(0, 0, 0, 1)), idx, kept, cents, 1L)
+    def corpusIds() = spark.read.parquet(s"$idx/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    val before = corpusIds()
+    Similarity.consolidateIvfIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every cluster dir now holds exactly the -1 base partition
+    import scala.jdk.CollectionConverters._
+    val subs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/corpus"))
+      .filter(_.isDirectory).flatMap(c => fs.listStatus(c.getPath))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(subs === Set("ingest_batch=-1"))
+    assert(corpusIds() === before)
+    // consolidated vectors still suppress (read as strictly-earlier)
+    gate(vecs(30L -> v(0, 0, 0.01f, 0.999f), 31L -> v(0.5f, 0.5f, 0.5f, 0.5f)),
+      idx, kept, cents, 2L)
+    assert(keptIds(kept) === Set(10L, 20L, 31L)) // 30 ~ consolidated vec 20
+    // re-running folds the new batch too and is otherwise a no-op
+    Similarity.consolidateIvfIndex(spark, idx)
+    assert(corpusIds() === before + 31L)
+    Similarity.consolidateIvfIndex(spark, idx)
+    assert(corpusIds() === before + 31L)
+  }
+
   test("streaming gate over mod-time-ordered files equals sequential gate batches") {
     val idx = tmp("sgidx"); val idxSeq = tmp("sgidxq")
     val keptS = tmp("sgkepts"); val keptQ = tmp("sgkeptq")
