@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -35,6 +36,17 @@ object VectorStats {
       child: Expression,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[VecAvgBuf] with UnaryLike[Expression] {
+    // analysis-time contract: array<float> ONLY. The accumulator reads
+    // 4-byte slots (arr.getFloat), so an array<double> child would silently
+    // misread 8-byte slots and produce garbage centroids with no error —
+    // reject it at analysis instead (callers cast explicitly if needed).
+    // (checkInputDataTypes rather than ExpectsInputTypes: AbstractDataType
+    // is private[sql], so the trait's signature is unimplementable here.)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_vector_avg requires array<float> input, got ${other.catalogString}")
+    }
     override def dataType: DataType = ArrayType(FloatType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "graft_vector_avg"
@@ -49,7 +61,14 @@ object VectorStats {
         require(buffer.sums.length == len,
           s"graft_vector_avg: mixed vector lengths ${buffer.sums.length} vs $len")
         var i = 0
-        while (i < len) { buffer.sums(i) += arr.getFloat(i); i += 1 }
+        while (i < len) {
+          // a null ELEMENT would read as 0.0 through getFloat and skew the
+          // mean silently — refuse loudly; upstream cleans partial vectors
+          require(!arr.isNullAt(i),
+            s"graft_vector_avg: null element at position $i — filter or " +
+              "impute partial vectors before aggregating")
+          buffer.sums(i) += arr.getFloat(i); i += 1
+        }
         buffer.n += 1L
       }
       buffer

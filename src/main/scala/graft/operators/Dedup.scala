@@ -922,7 +922,13 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     nearDupManifest(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
       .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch")
+      // PINNED static overwrite: a rebuild must replace the WHOLE previous
+      // manifest. Under a session-global partitionOverwriteMode=dynamic this
+      // write would otherwise only replace ingest_batch=-1 and leave the
+      // previous incarnation's gate partitions (ids ≥ 0) standing — stale
+      // signatures silently suppressing future arrivals
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("ingest_batch")
       .parquet(s"$path/manifest")
   }
 
@@ -1029,18 +1035,40 @@ object Dedup {
     val survivors =
       if (consolidate) survivors0.withColumn("ingest_batch", lit(-1L))
       else survivors0
-    require(survivors.limit(1).count() > 0,
-      s"compactNearDupIndex($path): every manifest row is tombstoned; an " +
-        "empty partitioned manifest is unreadable — rebuild the index with " +
-        "writeNearDupIndex instead of compacting it to nothing.")
     val staged = new org.apache.hadoop.fs.Path(s"$path/manifest__staged")
-    survivors.write.mode("overwrite").partitionBy("ingest_batch")
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static") // fresh staging dir; pin anyway
+      .partitionBy("ingest_batch")
       .parquet(staged.toString)
+    // emptiness is validated on the STAGED OUTPUT itself, not with a
+    // separate pre-write count: the survivors plan evaluates exactly once,
+    // and there is no check-then-write gap for the live manifest to drift
+    // in. An all-tombstoned manifest stages zero partitions; committing it
+    // would leave an unreadable empty parquet table — refuse and roll back.
+    // (recoverPendingCompact applies the same no-partitions test, so a
+    // crash landing exactly here also rolls back.)
+    if (!stagedManifestHasData(fs, staged)) {
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"compactNearDupIndex($path): every manifest row is tombstoned; an " +
+          "empty partitioned manifest is unreadable — rebuild the index with " +
+          "writeNearDupIndex instead of compacting it to nothing.")
+    }
     val live = new org.apache.hadoop.fs.Path(s"$path/manifest")
     fs.delete(live, true)
     fs.rename(staged, live)
     fs.delete(tombDir, true)
   }
+
+  /** A staged manifest that holds at least one `ingest_batch=` partition —
+    * the commit eligibility test shared by [[compactNearDupIndex]] and
+    * [[recoverPendingCompact]].
+    */
+  private def stagedManifestHasData(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(staged) && fs.listStatus(staged).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
 
   /** Interrupted-compact recovery (see [[compactNearDupIndex]]): a staged
     * manifest carrying parquet's `_SUCCESS` commit marker is COMPLETE and
@@ -1054,7 +1082,12 @@ object Dedup {
     val staged = new org.apache.hadoop.fs.Path(s"$path/manifest__staged")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(staged)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+    // _SUCCESS alone is not commit-eligible: an all-tombstoned compact can
+    // complete its (empty) staged write and crash before compactNearDupIndex
+    // rejects it — rolling THAT forward would replace the live manifest with
+    // an unreadable empty table. No partitions staged → dead partial.
+    if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")) &&
+        stagedManifestHasData(fs, staged)) {
       val live = new org.apache.hadoop.fs.Path(s"$path/manifest")
       fs.delete(live, true)
       fs.rename(staged, live)

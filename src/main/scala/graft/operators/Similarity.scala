@@ -147,6 +147,11 @@ object Similarity {
       val updated = corpus
         .select(nearestCentroid(col(vecCol), centroids).as("c"), col(vecCol).as("v"))
         .groupBy("c").agg(graft.functions.VectorStats.vectorAvg(col("v")).as("centroid"))
+        // a cluster whose every row carried a NULL vector aggregates to a
+        // null centroid (and a null vector assigns to a null cluster id) —
+        // drop both so getOrElse retains the previous centroid, matching
+        // the old posexplode shape which simply emitted no rows for it
+        .filter(col("c").isNotNull && col("centroid").isNotNull)
         .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
     }
@@ -279,6 +284,13 @@ object Similarity {
       centroids: Seq[Seq[Float]], path: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // rebuilding over an existing index is a fresh start (the
+    // writeNearDupIndex contract): the previous incarnation's tombstones
+    // and any dead staged swap must not leak into the new index
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    recoverPendingSwaps(spark, s"$path/corpus")
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -287,9 +299,14 @@ object Similarity {
     // [[streamAppendToIvfIndex]]) share ONE consistent directory depth —
     // parquet partition discovery rejects mixed depths. Cluster stays the
     // leading level, so probe-side partition pruning is unchanged.
+    // PINNED static overwrite: a rebuild must replace the whole previous
+    // corpus table, not just the partitions this build happens to touch
+    // (a session-global partitionOverwriteMode=dynamic would otherwise
+    // leave the previous incarnation's ingest_batch>=0 partitions in place)
     assignToIndex(corpus, vecCol, idCol, centroids)
       .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster", "ingest_batch")
       .parquet(s"$path/corpus")
   }
 
@@ -880,6 +897,9 @@ object Similarity {
         .select(col("v"), posexplode(col("codes")).as(Seq("s", "c")))
         .groupBy("s", "c").agg(graft.functions.VectorStats.vectorAvg(
           slice(col("v"), col("s") * dsub + 1, lit(dsub))).as("centroid"))
+        // same null-group guard as the coarse trainer: getOrElse keeps the
+        // previous sub-centroid for a group that averaged to null
+        .filter(col("centroid").isNotNull)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toSeq).toMap
       books = books.zipWithIndex.map { case (book, sI) =>
@@ -1115,7 +1135,10 @@ object Similarity {
       .toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
     ivfPqEncode(corpus, vecCol, idCol, centroids, books)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+      // same static-overwrite pin as writeIvfIndex: a rebuild replaces the
+      // WHOLE codes table even under a globally-dynamic session
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster").parquet(s"$path/codes")
   }
 
   /** Append a batch against the FROZEN stored quantizers (no retrain) —

@@ -174,12 +174,57 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(keptIds(kept) === Set(10L, 20L, 31L))
   }
 
-  test("compacting an all-tombstoned index is refused") {
+  test("compacting an all-tombstoned index is refused; live manifest intact") {
     val idx = tmpDir("ndidx")
     writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
     Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
-    val e = intercept[IllegalArgumentException](Dedup.compactNearDupIndex(spark, idx))
+    val e = intercept[IllegalStateException](Dedup.compactNearDupIndex(spark, idx))
     assert(e.getMessage.contains("rebuild"))
+    // the refusal rolled the empty staged write back: live manifest and
+    // tombstones both still standing (retry-the-delete semantics)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
+    assert(spark.read.parquet(s"$idx/manifest")
+      .select("doc").as[Long].collect().toSet === Set(1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+  }
+
+  test("an empty committed staged manifest rolls BACK, never over the live one") {
+    // the crash window between an all-tombstoned compact's staged write
+    // (complete, _SUCCESS present, zero partitions) and its rejection:
+    // recovery must treat it as dead, not install an unreadable manifest
+    val idx = tmpDir("ndidx")
+    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged/_SUCCESS"), true).close()
+    Dedup.recoverPendingCompact(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
+    assert(spark.read.parquet(s"$idx/manifest")
+      .select("doc").as[Long].collect().toSet === Set(1L))
+  }
+
+  test("rebuild replaces ALL partitions even under session-global dynamic overwrite") {
+    val idx = tmpDir("ndidx")
+    val kept = tmpDir("ndkept")
+    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
+    // a gate batch lands signatures under ingest_batch=0
+    gate(Seq((10L, otherText)).toDF("doc_id", "text"), idx, kept, 0L)
+    assert(spark.read.parquet(s"$idx/manifest")
+      .select("doc").as[Long].collect().toSet === Set(1L, 10L))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try writeIndex(Seq((2L, thirdText)).toDF("doc_id", "text"), idx)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // the old incarnation's gate partition must be gone, not lingering to
+    // suppress future arrivals
+    assert(spark.read.parquet(s"$idx/manifest")
+      .select("doc").as[Long].collect().toSet === Set(2L))
   }
 
   test("streaming gate over mod-time-ordered files equals sequential gate batches") {

@@ -1214,6 +1214,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // 13 beats 12: c(2) > c(3)
   }
 
+  test("trainIvfCentroids tolerates null vectors (ADVICE r9: null-centroid group)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // non-null vectors at low ids (the k seeds), null rows at high ids —
+    // the null rows form a null cluster whose vectorAvg is null; training
+    // must skip it and keep k centroids instead of NPE-ing on the collect
+    val rows = (0L until 40L).map(id => (id, Array.fill(8)(rnd.nextGaussian().toFloat))) ++
+      (40L until 50L).map(id => (id, null.asInstanceOf[Array[Float]]))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, "embedding", "vec_id", k = 4)
+    assert(cents.size == 4 && cents.forall(c => c != null && c.size == 8))
+  }
+
   test("rrfFuse tie on equal contributions resolves by ascending item id") {
     import spark.implicits._
     val ra = Seq((1L, 20L, 1), (1L, 21L, 2)).toDF("query_id", "item_id", "rank")
