@@ -983,11 +983,12 @@ object Dedup {
     * index (like the ANN index's delete path) does not support — run
     * deletes and compaction from a single maintenance writer.
     */
-  def deleteFromNearDupIndex(ids: DataFrame, idCol: String, path: String): Unit = {
-    recoverPendingCompact(ids.sparkSession, path)
-    ids.select(col(idCol).cast("long").as("doc")).distinct()
-      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-  }
+  def deleteFromNearDupIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    MaintenanceLock.withLock(ids.sparkSession, path) {
+      recoverPendingCompact(ids.sparkSession, path)
+      ids.select(col(idCol).cast("long").as("doc")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    }
 
   /** Physically purge tombstoned signatures: rewrite the manifest minus the
     * tombstone set, then clear the tombstones. Crash-safe via a staged swap:
@@ -1010,7 +1011,10 @@ object Dedup {
     * a batch written-but-not-committed before consolidation replays as a
     * no-op afterwards (its docs now suppress themselves via `-1`), which
     * leaves the consolidated state standing — consistent, but the
-    * dependence on that subtlety is not worth inviting.
+    * dependence on that subtlety is not worth inviting. Pass the gate
+    * stream's `checkpointDir` to enforce the discipline mechanically
+    * (refuses while a batch is started-but-uncommitted); concurrent
+    * maintenance writers are fenced by the index's [[MaintenanceLock]].
     *
     * Refuses to compact an index whose every doc is tombstoned (an empty
     * partitioned parquet table is unreadable) — rebuild with
@@ -1018,7 +1022,11 @@ object Dedup {
     */
   def compactNearDupIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      consolidate: Boolean = false): Unit = {
+      consolidate: Boolean = false,
+      checkpointDir: Option[String] = None): Unit = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"compactNearDupIndex($path)"))
+   MaintenanceLock.withLock(spark, path) {
     recoverPendingCompact(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1058,6 +1066,7 @@ object Dedup {
     fs.delete(live, true)
     fs.rename(staged, live)
     fs.delete(tombDir, true)
+   }
   }
 
   /** A staged manifest that holds at least one `ingest_batch=` partition —

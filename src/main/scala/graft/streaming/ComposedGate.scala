@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** The PRODUCTION ingest composition: text near-dup gate → semantic gate,
+  * stacked in ONE foreachBatch over one arrival stream (the shape a crawl
+  * pipeline actually runs — exact/near-dup text dedup first because it is
+  * cheap and catches the bulk, SemDeDup on the survivors because embedding
+  * probes are the expensive tail). Each stage is the proven standalone
+  * gate; this wires their per-batch entry points so one micro-batch flows
+  * batch → text-kept → semantic-kept with a single checkpoint.
+  *
+  * Replay safety composes because each stage already has it: both stages
+  * key every write to `ingest_batch=<batchId>` dynamic overwrites and read
+  * only STRICTLY EARLIER batches for suppression, so a replayed batch
+  * replaces its own text-kept partition, re-derives the same survivors
+  * from it, and replaces its own semantic outputs — byte-identical end to
+  * end (pinned by the d_composed_gate_contract query and the Stress
+  * receipt). The stage-1 → stage-2 handoff reads the WRITTEN text-kept
+  * partition back rather than re-evaluating the gate plan — the same
+  * read-back-what-you-wrote rationale as each gate's own manifest append.
+  *
+  * Batch rows must carry text AND embedding columns (`idCol`, `textCol`,
+  * `vecCol`); ids must be globally unique across both indexes and the
+  * stream. Scale shape: stage 1 is manifest-scale IO (never corpus text),
+  * stage 2's probe exchange is bounded by (text survivors) × nprobe — the
+  * composition strictly shrinks stage 2's input, it never adds cost.
+  */
+object ComposedGate {
+
+  /** One composed micro-batch, exposed for replay testing and receipts. */
+  def ingestBatch(
+      batch: DataFrame, textCol: String, vecCol: String, idCol: String,
+      textIndexPath: String, annIndexPath: String,
+      centroids: Seq[Seq[Float]],
+      textKeptDir: String, keptDir: String, batchId: Long,
+      threshold: Double, nprobe: Int): Unit = {
+    val spark = batch.sparkSession
+    // stage 1: text near-dup gate. The embedding column rides along into
+    // the kept partition (the gate keeps every batch column), so stage 2
+    // needs no join back to the arrival source.
+    Dedup.gateBatchAgainstNearDupIndex(
+      batch, textCol, idCol, textIndexPath, textKeptDir, batchId)
+    // stage 2: semantic gate over stage 1's survivors, read back from the
+    // written partition. An all-suppressed batch wrote no partition and
+    // has nothing to gate semantically.
+    val part = new org.apache.hadoop.fs.Path(s"$textKeptDir/ingest_batch=$batchId")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(part)) {
+      val survivors = spark.read.parquet(textKeptDir)
+        .filter(col("ingest_batch") === lit(batchId))
+        .select(col(idCol), col(vecCol))
+      Similarity.semanticGateBatch(survivors, vecCol, idCol,
+        annIndexPath, keptDir, centroids, batchId, threshold, nprobe)
+    }
+  }
+
+  /** Drive the composition as a Structured Streaming query (AvailableNow,
+    * one checkpoint for the whole composition — a batch either fully
+    * commits both stages or replays both). LSH parameters come from the
+    * text index's pinned params; centroids are FROZEN at stream start
+    * (the standing appendToIvfIndex contract). Final kept rows land under
+    * `$keptDir/ingest_batch=<id>` as (id, vector); the text-kept dir is
+    * the intermediate ledger (useful for auditing what each stage
+    * dropped).
+    */
+  def stream(
+      stream: DataFrame, textCol: String, vecCol: String, idCol: String,
+      textIndexPath: String, annIndexPath: String,
+      textKeptDir: String, keptDir: String, checkpointDir: String,
+      threshold: Double, nprobe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Similarity.requireTwoLevelCorpusLayout(stream.sparkSession, annIndexPath)
+    val centroids = Similarity.readIvfCentroids(stream.sparkSession, annIndexPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), textCol, vecCol, idCol,
+          textIndexPath, annIndexPath, centroids,
+          textKeptDir, keptDir, batchId, threshold, nprobe))
+      .start()
+  }
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 lifecycle closures for the persisted IVF index: tombstone
+  * purge (symmetric with compactNearDupIndex), in-place centroid retrain
+  * under the staged `_COMMIT` swap, the streaming-checkpoint commit-log
+  * guard, and the single-writer maintenance lease.
+  */
+class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Deterministic corpus: `n` vectors of dim 8 clustered around axis
+    * `axes(i % axes.size)` with small seeded noise, ids starting at `idBase`.
+    */
+  private def axisCorpus(idBase: Long, n: Int, axes: Seq[Int], seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+      v(axes(i % axes.size)) += 1.0f
+      (idBase + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def probeIds(path: String, queries: DataFrame, nprobe: Int): Set[Long] =
+    Similarity.ivfTopKFromIndex(spark, path, queries, "embedding", "vec_id",
+      k = 5, nprobe = nprobe).select("neighbor_id").as[Long].collect().toSet
+
+  // ------------------------------------------------------------- purge
+
+  test("purge: tombstones stop screening, dir drops, deleted ids re-add via ingest") {
+    val idx = tmpDir("pidx")
+    val corpus = axisCorpus(0L, 60, Seq(0, 1, 2, 3), seed = 1)
+    Similarity.writeIvfIndex(corpus, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(corpus, "embedding", "vec_id", k = 4), idx)
+    val cents = Similarity.readIvfCentroids(spark, idx)
+    val delIds = Seq(7L, 11L)
+    Similarity.deleteFromIvfIndex(spark, idx, delIds.toDF("vec_id"), "vec_id")
+    val q = corpus.filter(col("vec_id") === 0L)
+    assert(!probeIds(idx, q, nprobe = 4).exists(delIds.contains))
+    // BEFORE purge: a stream-ingest re-add of a tombstoned id is screened
+    Similarity.ingestBatchToIvfIndex(
+      corpus.filter(col("vec_id").isin(delIds: _*)), "embedding", "vec_id",
+      idx, cents, batchId = 0L)
+    assert(!probeIds(idx, q, nprobe = 4).exists(delIds.contains))
+    Similarity.purgeIvfTombstones(spark, idx)
+    assert(!fsOf(idx).exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    // AFTER purge: the same ingest lands and the vectors are probe-visible
+    Similarity.ingestBatchToIvfIndex(
+      corpus.filter(col("vec_id").isin(delIds: _*)), "embedding", "vec_id",
+      idx, cents, batchId = 1L)
+    val after = probeIds(idx, corpus.filter(col("vec_id") === 7L), nprobe = 4)
+    assert(after.nonEmpty)
+    assert(Similarity.ivfTopKFromIndex(spark, idx, q, "embedding", "vec_id",
+      k = 60, nprobe = 4).filter(col("neighbor_id").isin(delIds: _*)).count() === 2)
+    // purging an index with no tombstones is a no-op
+    Similarity.purgeIvfTombstones(spark, idx)
+  }
+
+  // ----------------------------------------------------------- retrain
+
+  test("retrain recovers recall on a drifted corpus; exact probe stays ≡ brute") {
+    val idx = tmpDir("ridx")
+    val a = axisCorpus(0L, 80, Seq(0, 1, 2, 3), seed = 2)
+    val b = axisCorpus(1000L, 80, Seq(4, 5, 6, 7), seed = 3)
+    Similarity.writeIvfIndex(a, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 4), idx)
+    // drift: a second population lands against the FROZEN centroids
+    Similarity.appendToIvfIndex(b, "embedding", "vec_id", idx)
+    val full = a.union(b)
+    val queries = b.filter(col("vec_id") < 1008L)
+    def recallAt1(): Double = {
+      val brute = Similarity.bruteForceTopK(queries, full, "embedding", "vec_id", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val approx = Similarity.ivfTopKFromIndex(spark, idx, queries,
+        "embedding", "vec_id", k = 5, nprobe = 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      approx.intersect(brute).size.toDouble / brute.size
+    }
+    val before = recallAt1()
+    Similarity.retrainIvfIndex(spark, idx, k = Some(8))
+    val after = recallAt1()
+    assert(after > before,
+      s"retrain should lift nprobe=1 recall on the drifted corpus: $before -> $after")
+    assert(after >= 0.9, s"retrained recall@nprobe=1 = $after")
+    // exactness invariant: exhaustive probe ≡ brute for ANY centroid set —
+    // the retrain swap lost or duplicated nothing
+    val brute = Similarity.bruteForceTopK(queries, full, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.ivfTopKFromIndex(spark, idx, queries,
+      "embedding", "vec_id", k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(exact === brute)
+    assert(Similarity.readIvfCentroids(spark, idx).size === 8)
+  }
+
+  test("retrain preserves ingest_batch partitions and the tombstone set") {
+    val idx = tmpDir("rpidx")
+    val a = axisCorpus(0L, 40, Seq(0, 1), seed = 4)
+    Similarity.writeIvfIndex(a, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 2), idx)
+    val cents = Similarity.readIvfCentroids(spark, idx)
+    Similarity.ingestBatchToIvfIndex(axisCorpus(500L, 10, Seq(0, 1), seed = 5),
+      "embedding", "vec_id", idx, cents, batchId = 3L)
+    Similarity.deleteFromIvfIndex(spark, idx, Seq(5L).toDF("vec_id"), "vec_id")
+    Similarity.retrainIvfIndex(spark, idx)
+    val batches = spark.read.parquet(s"$idx/corpus")
+      .select("ingest_batch").distinct().as[Long].collect().toSet
+    assert(batches === Set(-1L, 3L))
+    assert(fsOf(idx).exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    // the tombstoned id is still gone after the full rewrite
+    assert(spark.read.parquet(s"$idx/corpus")
+      .filter(col("vec_id") === 5L).count() === 0)
+  }
+
+  test("interrupted retrain: no marker rolls back, marker rolls forward") {
+    val idx = tmpDir("rcidx")
+    val a = axisCorpus(0L, 30, Seq(0, 1), seed = 6)
+    Similarity.writeIvfIndex(a, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 2), idx)
+    val fs = fsOf(idx)
+    val beforeCents = Similarity.readIvfCentroids(spark, idx)
+    // crash BEFORE the marker: dead staging must roll back untouched
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/__retrain_dead/centroids"))
+    Similarity.recoverPendingRetrain(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/__retrain_dead")))
+    assert(Similarity.readIvfCentroids(spark, idx) === beforeCents)
+    // crash AFTER the marker, mid-swap (centroids already swapped in — no
+    // staged copy left — the staged corpus still waiting): recovery must
+    // finish the swap. Stage a corpus whose rows are a recognizable subset
+    // (vec_id < 10)
+    val staging = s"$idx/__retrain_crash"
+    spark.read.parquet(s"$idx/corpus").filter(col("vec_id") < 10)
+      .write.partitionBy("cluster", "ingest_batch").parquet(s"$staging/corpus")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMIT"), false)
+    out.write("centroids corpus".getBytes("UTF-8")); out.close()
+    Similarity.recoverPendingRetrain(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+    assert(spark.read.parquet(s"$idx/corpus")
+      .agg(max(col("vec_id"))).head.getLong(0) < 10)
+    // idempotent: nothing pending, second run is a no-op
+    Similarity.recoverPendingRetrain(spark, idx)
+  }
+
+  // ------------------------------------------------- commit-log guard
+
+  test("commit-log guard: an uncommitted batch blocks consolidation, committed permits") {
+    val idx = tmpDir("cgidx")
+    val landing = tmpDir("cgland")
+    val ckpt = tmpDir("cgckpt")
+    val a = axisCorpus(0L, 30, Seq(0, 1), seed = 7)
+    Similarity.writeIvfIndex(a, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 2), idx)
+    axisCorpus(100L, 10, Seq(0, 1), seed = 8).coalesce(1)
+      .write.mode("overwrite").parquet(landing)
+    Similarity.streamAppendToIvfIndex(
+      spark.readStream.schema(a.schema).parquet(landing),
+      "embedding", "vec_id", idx, ckpt).awaitTermination()
+    val started = graft.streaming.CommitLog.lastStartedBatch(spark, ckpt)
+    assert(started.isDefined &&
+      started === graft.streaming.CommitLog.lastCommittedBatch(spark, ckpt))
+    assert(graft.streaming.CommitLog.uncommittedBatch(spark, ckpt).isEmpty)
+    // forge an in-flight batch: offsets entry with no matching commit
+    val next = started.get + 1
+    val fs = fsOf(ckpt)
+    fs.create(new org.apache.hadoop.fs.Path(s"$ckpt/offsets/$next"), false).close()
+    assert(graft.streaming.CommitLog.uncommittedBatch(spark, ckpt) === Some(next))
+    val e = intercept[IllegalStateException](
+      Similarity.consolidateIvfIndex(spark, idx, checkpointDir = Some(ckpt)))
+    assert(e.getMessage.contains("not committed"))
+    intercept[IllegalStateException](
+      Similarity.purgeIvfTombstones(spark, idx, checkpointDir = Some(ckpt)))
+    // batch commits → maintenance permitted
+    fs.create(new org.apache.hadoop.fs.Path(s"$ckpt/commits/$next"), false).close()
+    Similarity.consolidateIvfIndex(spark, idx, checkpointDir = Some(ckpt))
+    val parts = spark.read.parquet(s"$idx/corpus")
+      .select("ingest_batch").distinct().as[Long].collect().toSet
+    assert(parts === Set(-1L))
+  }
+
+  test("commit-log guard blocks near-dup compaction the same way") {
+    val idx = tmpDir("cgnd")
+    val ckpt = tmpDir("cgndck")
+    val fs = fsOf(ckpt)
+    Dedup.writeNearDupIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog once more"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/offsets"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$ckpt/offsets/0"), false).close()
+    intercept[IllegalStateException](
+      Dedup.compactNearDupIndex(spark, idx, consolidate = true,
+        checkpointDir = Some(ckpt)))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false).close()
+    Dedup.compactNearDupIndex(spark, idx, consolidate = true,
+      checkpointDir = Some(ckpt))
+  }
+
+  // ------------------------------------------------- maintenance lease
+
+  test("a held lease fails a second mutator fast; an expired one is broken") {
+    val idx = tmpDir("lkidx")
+    val a = axisCorpus(0L, 30, Seq(0, 1), seed = 9)
+    Similarity.writeIvfIndex(a, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 2), idx)
+    val lock = java.nio.file.Paths.get(idx, "_maintenance.lock")
+    java.nio.file.Files.writeString(lock, "other-job pid=1")
+    val e = intercept[IllegalStateException](
+      Similarity.deleteFromIvfIndex(spark, idx, Seq(1L).toDF("vec_id"), "vec_id"))
+    assert(e.getMessage.contains("held by"))
+    // nothing was mutated behind the held lease
+    assert(!fsOf(idx).exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    // expire the lease: mutators may break it and proceed
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - MaintenanceLock.DefaultTtlMs - 60000L))
+    assert(Similarity.deleteFromIvfIndex(spark, idx,
+      Seq(1L).toDF("vec_id"), "vec_id") === 1L)
+    // released on exit
+    assert(!java.nio.file.Files.exists(lock))
+    // the same lease fences the near-dup family
+    val nd = tmpDir("lknd")
+    Dedup.writeNearDupIndex(
+      Seq((1L, "some sufficiently long text body for shingling right here"))
+        .toDF("doc_id", "text"), "text", "doc_id", nd)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(nd, "_maintenance.lock"), "other-job pid=2")
+    intercept[IllegalStateException](
+      Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", nd))
+  }
+}
