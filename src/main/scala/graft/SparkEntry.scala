@@ -115,13 +115,14 @@ object SparkEntry {
 
   // the composed text→semantic gate fixture (d_composed_gate /
   // d_composed_gate_contract): text signature index + IVF index on the
-  // ≡2 mod 4 quarter, the ≡0 mod 4 arrival quarter driven through BOTH
-  // gates in one foreachBatch (2 streamed batches + 1 direct), batch 1
-  // replayed through the whole composition. Value: (textIdx, annIdx,
-  // textKept, kept, replayOk, frozen centroids)
+  // ≡2 mod 4 quarter, 2 batches of the ≡0 mod 4 arrival quarter driven
+  // through BOTH gates in one foreachBatch stream. The replay probe runs
+  // inside the CONTRACT query (and the bench face re-replays batch 1), so
+  // neither query's smoke cost carries more than fixture + one composed
+  // execution. Value: (textIdx, annIdx, textKept, kept, frozen centroids)
   private val composedGateCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (String, String, String, String, Boolean, Seq[Seq[Float]])]()
+      String, (String, String, String, String, Seq[Seq[Float]])]()
 
   // the streaming near-dup gate fixture (d_stream_gate /
   // d_stream_gate_contract): signature index on 3/4 of the corpus, the
@@ -463,15 +464,31 @@ object SparkEntry {
       .filter(pmod(col("doc_id"), lit(4)) === 0)
   }
 
+  /** Content hashes of the composed gate's four output tables — the
+    * replay-identity currency shared by the contract query and the Stress
+    * receipt.
+    */
+  private def composedOutputsHash(
+      s: SparkSession, textIdx: String, annIdx: String,
+      textKept: String, kept: String): Seq[(Long, Long)] = Seq(
+    contentHash(s.read.parquet(textKept), Seq("doc_id", "text", "ingest_batch")),
+    contentHash(s.read.parquet(kept), Seq("doc_id", "ingest_batch")),
+    contentHash(s.read.parquet(s"$annIdx/corpus"),
+      Seq("vec_id", "cluster", "ingest_batch")),
+    contentHash(s.read.parquet(s"$textIdx/manifest"),
+      Seq("doc", "keys", "shh", "ingest_batch")))
+
   /** Build the composed text→semantic gate fixture once per sf dir: both
     * indexes on the ≡2 mod 4 quarter, arrival batches 0-1 streamed through
-    * [[streaming.ComposedGate.stream]] (ONE foreachBatch, one checkpoint),
-    * batch 1 replayed through the whole composition (replayOk = every
-    * output table hash-identical), batch 2 applied directly.
+    * [[streaming.ComposedGate.stream]] (ONE foreachBatch, one checkpoint).
+    * Deliberately NO further composed executions here — the smoke gate's
+    * 20 s bound must hold with the whole build billed to one query, so the
+    * replay probe lives in the contract query and the bench face replays
+    * batch 1 itself.
     */
   private def buildComposedGateFixture(
       s: SparkSession, d: String)
-      : (String, String, String, String, Boolean, Seq[Seq[Float]]) = {
+      : (String, String, String, String, Seq[Seq[Float]]) = {
     val docs = tb(s, d, "documents")
     val embs = tb(s, d, "embeddings")
     val baseDocs = gateIndexBase(docs)
@@ -510,24 +527,7 @@ object SparkEntry {
       textKept.toString, kept.toString, ckpt.toString,
       SemGateTau, SemGateNprobe)
       .awaitTermination()
-    def outputsHash(): Seq[(Long, Long)] = Seq(
-      contentHash(s.read.parquet(textKept.toString),
-        Seq("doc_id", "text", "ingest_batch")),
-      contentHash(s.read.parquet(kept.toString), Seq("doc_id", "ingest_batch")),
-      contentHash(s.read.parquet(s"$annIdx/corpus"),
-        Seq("vec_id", "cluster", "ingest_batch")),
-      contentHash(s.read.parquet(s"$textIdx/manifest"),
-        Seq("doc", "keys", "shh", "ingest_batch")))
-    val beforeReplay = outputsHash()
-    graft.streaming.ComposedGate.ingestBatch(gateSubBatch(arrivals, 1),
-      "text", "embedding", "doc_id", textIdx.toString, annIdx.toString,
-      cents, textKept.toString, kept.toString, 1L, SemGateTau, SemGateNprobe)
-    val replayOk = outputsHash() == beforeReplay
-    graft.streaming.ComposedGate.ingestBatch(gateSubBatch(arrivals, 2),
-      "text", "embedding", "doc_id", textIdx.toString, annIdx.toString,
-      cents, textKept.toString, kept.toString, 2L, SemGateTau, SemGateNprobe)
-    (textIdx.toString, annIdx.toString, textKept.toString, kept.toString,
-      replayOk, cents)
+    (textIdx.toString, annIdx.toString, textKept.toString, kept.toString, cents)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2014,27 +2014,36 @@ object SparkEntry {
     }),
     // the COMPOSED ingest pipeline — text near-dup gate → semantic gate in
     // one foreachBatch over one stream (the production stacking). Timing
-    // face: one full composed batch (re-running batch 2 is replay-
+    // face: one full composed batch (re-running batch 1 is replay-
     // idempotent through BOTH stages)
     "d_composed_gate" -> ((s, d) => {
-      val (textIdx, annIdx, textKept, kept, _, cents) =
+      val (textIdx, annIdx, textKept, kept, cents) =
         composedGateCache.computeIfAbsent(d, _ => buildComposedGateFixture(s, d))
       graft.streaming.ComposedGate.ingestBatch(
-        gateSubBatch(composedArrivals(s, d), 2), "text", "embedding", "doc_id",
-        textIdx, annIdx, cents, textKept, kept, 2L,
+        gateSubBatch(composedArrivals(s, d), 1), "text", "embedding", "doc_id",
+        textIdx, annIdx, cents, textKept, kept, 1L,
         SemGateTau, SemGateNprobe)
-      s.read.parquet(kept).filter(col("ingest_batch") === 2L)
+      s.read.parquet(kept).filter(col("ingest_batch") === 1L)
         .select(col("doc_id"))
     }),
     // composed-gate lifecycle contract: the streamed composition's kept-set
     // must equal the two SEQUENTIAL reference pipelines stacked — the text
     // gate's exact-Jaccard fold feeding the semantic gate's in-memory
-    // ivfTopK fold — plus replay identity across the whole composition.
-    // Violations frame provably empty, hash-gated
+    // ivfTopK fold — plus replay identity across the whole composition
+    // (batch 1 re-driven through ComposedGate.ingestBatch HERE, all four
+    // output tables hash-compared). Violations frame provably empty,
+    // hash-gated
     "d_composed_gate_contract" -> ((s, d) => {
       import s.implicits._
-      val (_, _, _, kept, replayOk, cents) =
+      val (textIdx, annIdx, textKept, kept, cents) =
         composedGateCache.computeIfAbsent(d, _ => buildComposedGateFixture(s, d))
+      val beforeReplay = composedOutputsHash(s, textIdx, annIdx, textKept, kept)
+      graft.streaming.ComposedGate.ingestBatch(
+        gateSubBatch(composedArrivals(s, d), 1), "text", "embedding", "doc_id",
+        textIdx, annIdx, cents, textKept, kept, 1L,
+        SemGateTau, SemGateNprobe)
+      val replayOk =
+        composedOutputsHash(s, textIdx, annIdx, textKept, kept) == beforeReplay
       val docs = tb(s, d, "documents")
       val embs = tb(s, d, "embeddings")
       val arrivals = composedArrivals(s, d)
@@ -2044,7 +2053,7 @@ object SparkEntry {
       val corpus0 = graft.CacheScope.localCheckpoint(
         embs.filter(pmod(col("vec_id"), lit(4)) === 2)
           .select(col("vec_id").as("doc_id"), col("embedding")))
-      val (_, _, refKept) = (0 to 2).foldLeft(
+      val (_, _, refKept) = (0 to 1).foldLeft(
         (man0, corpus0, s.emptyDataset[Long].toDF("doc_id"))) {
         case ((man, corpusRef, acc), k) =>
           val bk = gateSubBatch(arrivals, k)
