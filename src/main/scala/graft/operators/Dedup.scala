@@ -907,7 +907,10 @@ object Dedup {
   def writeNearDupIndex(
       docs: DataFrame, textCol: String, idCol: String, path: String,
       shingleSize: Int = 3, numer: Int = 7, denom: Int = 10,
-      bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+      bands: Int = 16, rowsPerBand: Int = 4): Unit =
+   // a rebuild IS a mutation — same lease as delete/compact (a rebuild
+   // racing a live compact would interleave with its staged swap)
+   MaintenanceLock.withLock(docs.sparkSession, path) {
     val spark = docs.sparkSession
     import spark.implicits._
     // rebuilding over an existing index is a fresh start: stale tombstones
@@ -930,7 +933,7 @@ object Dedup {
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("ingest_batch")
       .parquet(s"$path/manifest")
-  }
+   }
 
   private[graft] def readNearDupIndexParams(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int, Int, Int) = {

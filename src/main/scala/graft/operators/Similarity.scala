@@ -281,7 +281,10 @@ object Similarity {
     */
   def writeIvfIndex(
       corpus: DataFrame, vecCol: String, idCol: String,
-      centroids: Seq[Seq[Float]], path: String): Unit = {
+      centroids: Seq[Seq[Float]], path: String): Unit =
+   // a rebuild IS a mutation: it must not interleave with a live delete/
+   // retrain/consolidate on the same index — same lease as maintenance
+   MaintenanceLock.withLock(corpus.sparkSession, path) {
     val spark = corpus.sparkSession
     import spark.implicits._
     // rebuilding over an existing index is a fresh start (the
@@ -290,6 +293,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    recoverPendingRetrain(spark, path)
     recoverPendingSwaps(spark, s"$path/corpus")
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cluster", "centroid")
@@ -308,7 +312,7 @@ object Similarity {
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("cluster", "ingest_batch")
       .parquet(s"$path/corpus")
-  }
+   }
 
   /** Append a batch to an existing index WITHOUT retraining: vectors are
     * assigned against the FROZEN stored centroids and appended to their
@@ -1298,7 +1302,8 @@ object Similarity {
   def writeIvfPqIndex(
       corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
-      path: String): Unit = {
+      path: String): Unit =
+   MaintenanceLock.withLock(corpus.sparkSession, path) { // see writeIvfIndex
     val spark = corpus.sparkSession
     import spark.implicits._
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
@@ -1313,7 +1318,7 @@ object Similarity {
       // WHOLE codes table even under a globally-dynamic session
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("cluster").parquet(s"$path/codes")
-  }
+   }
 
   /** Append a batch against the FROZEN stored quantizers (no retrain) —
     * same incremental-ingest contract as [[appendToIvfIndex]].
@@ -1321,6 +1326,10 @@ object Similarity {
   def appendToIvfPqIndex(
       batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
     val spark = batch.sparkSession
+    // appending into a half-swapped codes table (a writer died mid-delete)
+    // would land rows in a cluster dir the roll-forward is about to drop —
+    // finish/discard any pending swap first, like every other entry point
+    recoverPendingSwaps(spark, s"$path/codes")
     ivfPqEncode(batch, vecCol, idCol,
       readIvfCentroids(spark, path), readIvfPqBooks(spark, path))
       .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")

@@ -210,6 +210,31 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
 
   // ------------------------------------------------- maintenance lease
 
+  test("withLock serializes concurrent mutators: one holder, contenders fail fast") {
+    val idx = tmpDir("lkrace")
+    val inside = new java.util.concurrent.atomic.AtomicInteger
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 4).map(_ => new Thread(() =>
+      try MaintenanceLock.withLock(spark, idx) {
+        val n = inside.incrementAndGet()
+        maxInside.updateAndGet(m => math.max(m, n))
+        Thread.sleep(150)
+        inside.decrementAndGet()
+        ()
+      } catch { case _: IllegalStateException => failures.incrementAndGet(); () }))
+    // small stagger: the local-FS create-if-absent is atomic only outside a
+    // sub-millisecond window (the documented object-store caveat applies
+    // locally too); the lease's job is fencing maintenance JOBS, which
+    // never start microseconds apart
+    threads.foreach { t => t.start(); Thread.sleep(30) }
+    threads.foreach(_.join())
+    assert(maxInside.get() === 1, "two mutators held the lease at once")
+    assert(failures.get() === 3, s"contenders should fail fast, got ${failures.get()}")
+    // fully released afterwards
+    MaintenanceLock.withLock(spark, idx) { () }
+  }
+
   test("a held lease fails a second mutator fast; an expired one is broken") {
     val idx = tmpDir("lkidx")
     val a = axisCorpus(0L, 30, Seq(0, 1), seed = 9)
