@@ -453,6 +453,22 @@ object SparkEntry {
     (idx.toString, kept.toString, replayOk, compactOk)
   }
 
+  /** The retrain fixture (s_knn_retrained / s_knn_drift_contract): half
+    * build, frozen-centroid append of the other half (the drift shape),
+    * then an in-place retrain.
+    */
+  private def buildRetrainFixture(s: SparkSession, emb: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ivfretrain")
+    deleteRecursivelyOnExit(dir)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfIndex(half1, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 8), dir.toString)
+    Similarity.appendToIvfIndex(half2, "embedding", "vec_id", dir.toString)
+    Similarity.retrainIvfIndex(s, dir.toString, k = Some(8))
+    dir.toString
+  }
+
   /** Arrival rows for the composed gate: the ≡0 mod 4 quarter with text
     * AND embedding (documents ⋈ embeddings share the 0..n-1 id space).
     */
@@ -2839,20 +2855,24 @@ object SparkEntry {
     // lose/duplicate nothing: exhaustive probe ≡ brute over the full corpus
     "s_knn_retrained" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
-      val path = ivfRetrainIndexCache.computeIfAbsent(d, _ => {
-        val dir = java.nio.file.Files.createTempDirectory("ivfretrain")
-        deleteRecursivelyOnExit(dir)
-        val half1 = emb.filter(col("vec_id") % 2 === 0)
-        val half2 = emb.filter(col("vec_id") % 2 === 1)
-        Similarity.writeIvfIndex(half1, "embedding", "vec_id",
-          Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 8), dir.toString)
-        Similarity.appendToIvfIndex(half2, "embedding", "vec_id", dir.toString)
-        Similarity.retrainIvfIndex(s, dir.toString, k = Some(8))
-        dir.toString
-      })
+      val path = ivfRetrainIndexCache.computeIfAbsent(d,
+        _ => buildRetrainFixture(s, emb))
       Similarity.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    // the drift scan's INTEGRITY law: every stored row of a healthy index
+    // sits in its argmax cluster (all write paths assign the argmax;
+    // retrain reassigns atomically with the centroid swap) — zero
+    // misassigned rows across the full build → append → retrain fixture.
+    // A cluster dir renamed wrong by a buggy swap/consolidation trips this
+    "s_knn_drift_contract" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfRetrainIndexCache.computeIfAbsent(d,
+        _ => buildRetrainFixture(s, emb))
+      Similarity.ivfAssignmentDrift(s, path)
+        .filter(col("misassigned") > 0L)
+        .select(col("ingest_batch"), col("n"), col("misassigned"))
     }),
     "s_knn_ivfpq_indexed" -> ((s, d) => {
       // the PERSISTED IVF-PQ index: centroids + residual codebooks +
@@ -3426,6 +3446,9 @@ object SparkEntry {
     // dropped) and not resurrect/lose anything else
     "s_knn_purge_readd" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // every stored row sits in its argmax cluster — provably-empty frame
+    "s_knn_drift_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS ingest_batch, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS misassigned FROM embeddings WHERE 1 = 0",
     // the in-place retrain's full rewrite must preserve corpus content
     // exactly (exhaustive probe ≡ brute holds for ANY centroid set)
     "s_knn_retrained" ->

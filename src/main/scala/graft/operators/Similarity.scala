@@ -697,6 +697,50 @@ object Similarity {
     }
   }
 
+  /** The retrain TRIGGER metric + an index integrity invariant, one narrow
+    * pass over the corpus (k native cosines per row against broadcast
+    * centroid literals; the only shuffle is the #batches-row aggregate).
+    * Per `ingest_batch`:
+    *
+    *  - `align_ppm_sum / n` — mean cosine of each stored vector to its
+    *    ASSIGNED centroid (ppm-integerized). Every write path assigns the
+    *    argmax at write time, so assignments are never "wrong" — what
+    *    drifts is FIT: batches ingested against centroids trained on an
+    *    older population score systematically lower than the base build.
+    *    Recent batches' alignment falling materially below `-1`'s is the
+    *    "run [[retrainIvfIndex]] now" signal, priced at one scan instead
+    *    of a recall study (and retrain visibly restores it — spec-pinned);
+    *  - `misassigned` — rows whose CURRENT nearest centroid beats their
+    *    assigned one. Zero by construction on any healthy index (every
+    *    path assigns the argmax; retrain reassigns atomically with the
+    *    centroid swap), so ANY nonzero value is structural corruption —
+    *    e.g. a cluster dir renamed wrong by a buggy swap/consolidation —
+    *    which is exactly what the hash-gated `s_knn_drift_contract`
+    *    (drift scan over the full build → append → retrain fixture,
+    *    provably empty) would catch.
+    *
+    * All outputs integer, so the frame hash-replays across engines.
+    */
+  def ivfAssignmentDrift(spark: SparkSession, path: String): DataFrame = {
+    recoverIvfIndex(spark, path)
+    val centroids = readIvfCentroids(spark, path)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    // partition discovery may infer ingest_batch as int from small dir
+    // values — pin the column to bigint so the output schema is stable
+    val scored = corpus.select(col("ingest_batch").cast("bigint").as("ingest_batch"),
+      cosine(col("embedding"),
+        element_at(typedLit(centroids), col("cluster").cast("int") + 1))
+        .cast("double").as("assigned_cos"),
+      greatest(centroids.map(c =>
+        cosine(col("embedding"), typedLit(c)).cast("double")): _*).as("best_cos"))
+    scored.groupBy(col("ingest_batch")).agg(
+      count(lit(1)).as("n"),
+      sum(floor(col("assigned_cos") * lit(1000000.0)).cast("bigint"))
+        .as("align_ppm_sum"),
+      sum(when(col("best_cos") > col("assigned_cos"), 1L).otherwise(0L))
+        .as("misassigned"))
+  }
+
   /** Crash repair for [[retrainIvfIndex]]'s whole-index staged swap, run
     * (with [[recoverPendingSwaps]]) by every probe/mutate entry point. No
     * `_COMMIT` marker → the writer died staging (training or the rewrite)

@@ -106,6 +106,38 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.readIvfCentroids(spark, idx).size === 8)
   }
 
+  test("ivfAssignmentDrift: drifted batches score low alignment, retrain restores it, misassigned stays 0") {
+    val idx = tmpDir("didx")
+    val a = axisCorpus(0L, 60, Seq(0, 1, 2, 3), seed = 11)
+    Similarity.writeIvfIndex(a, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 4), idx)
+    // a drifted population ingests against the FROZEN centroids: assigned
+    // to its argmax (so never "misassigned") but FITTING poorly — the
+    // per-batch alignment mean is the retrain trigger
+    val cents = Similarity.readIvfCentroids(spark, idx)
+    Similarity.ingestBatchToIvfIndex(
+      axisCorpus(1000L, 60, Seq(4, 5, 6, 7), seed = 12),
+      "embedding", "vec_id", idx, cents, batchId = 5L)
+    def drift(): Map[Long, (Long, Long, Long)] =
+      Similarity.ivfAssignmentDrift(spark, idx).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val before = drift()
+    assert(before.keySet === Set(-1L, 5L))
+    assert(before.values.forall(_._3 === 0L), s"healthy index must have 0 misassigned: $before")
+    def meanPpm(t: (Long, Long, Long)): Double = t._2.toDouble / t._1
+    // base population is well-quantized (~aligned to its own centroids);
+    // the drifted batch's vectors are near-orthogonal to every centroid
+    assert(meanPpm(before(-1L)) > 900000.0, s"base alignment: $before")
+    assert(meanPpm(before(5L)) < 500000.0,
+      s"drifted batch should fit poorly against frozen centroids: $before")
+    Similarity.retrainIvfIndex(spark, idx, k = Some(8))
+    val after = drift()
+    assert(after.keySet === Set(-1L, 5L)) // batch partitions preserved
+    assert(after.values.forall(_._3 === 0L))
+    assert(meanPpm(after(5L)) > 900000.0,
+      s"retrain should restore the drifted batch's alignment: $after")
+  }
+
   test("retrain preserves ingest_batch partitions and the tombstone set") {
     val idx = tmpDir("rpidx")
     val a = axisCorpus(0L, 40, Seq(0, 1), seed = 4)
