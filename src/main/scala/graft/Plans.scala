@@ -84,7 +84,13 @@ object Plans {
     // must survive both full-rewrite maintenance paths. (d_composed_gate
     // is absent like the other stream faces: its reviewable per-stage
     // plans are d_stream_gate's and s_semantic_gate's.)
-    "s_knn_purge_readd", "s_knn_retrained")
+    "s_knn_purge_readd", "s_knn_retrained",
+    // exact substring dedup: the occurrence agg must show map-side partial
+    // aggregation on the two-hash key (never the window text) and the
+    // cut-occurrence join should broadcast the duplicated-key side; the
+    // clean face joins spans back to the corpus once — no token-wise
+    // corpus explode crosses a shuffle
+    "d_substr_spans", "d_substr_clean")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

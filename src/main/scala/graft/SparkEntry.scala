@@ -2150,6 +2150,18 @@ object SparkEntry {
     // OperatorsSpec set-equality test against the brute-force pairs
     "d_minhash_candidates" -> ((s, d) =>
       Dedup.minhashCandidatePairs(tb(s, d, "documents"), "text", "doc_id")),
+    // exact SUBSTRING dedup (Lee et al. ExactSubstr at token granularity):
+    // maximal removed token spans — all-but-first occurrences of every
+    // duplicated 8-token window, overlaps merged. The hashed production
+    // path; hash ≡ string pinned by the spec suite's brute contract
+    "d_substr_spans" -> ((s, d) =>
+      Dedup.substringRemovedSpans(tb(s, d, "documents"), "text", "doc_id", n = 8)
+        .select(col("doc").as("doc_id"), col("span_start"), col("span_len"))),
+    // the production face: text with the removed spans cut out (rebuilt
+    // from kept tokens, whitespace-normalized); fully-duplicated docs drop
+    "d_substr_clean" -> ((s, d) =>
+      Dedup.substringClean(tb(s, d, "documents"), "text", "doc_id", n = 8)
+        .select(col("doc").as("doc_id"), col("cleaned_text"))),
     "d_dup_clusters" -> ((s, d) =>
       // connected components over exact-Jaccard pairs (min-label
       // propagation); oracle = DuckDB recursive-CTE transitive closure
@@ -3484,6 +3496,14 @@ object SparkEntry {
     // comment; set equality pinned in OperatorsSpec)
     "d_minhash_candidates" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks FROM documents) WHERE len(toks) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.sh, b.sh)) * 2 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1""",
+    // ExactSubstr semantics straight from window strings (no hashing):
+    // all-but-first occurrences of ≥2-count 8-token windows, covered
+    // positions unioned, islands merged by the p - row_number() trick
+    "d_substr_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov) SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(count(*) AS BIGINT) AS span_len FROM isl GROUP BY doc_id, grp""",
+    // kept tokens re-joined by single spaces; fully-covered docs vanish
+    "d_substr_clean" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), alltok AS (SELECT t.doc_id, u.i - 1 AS p, t.toks[u.i] AS tok FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) u), kept AS (SELECT a.doc_id, a.p, a.tok FROM alltok a ANTI JOIN cov USING (doc_id, p)) SELECT CAST(doc_id AS BIGINT) AS doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text FROM kept GROUP BY doc_id""",
     // real javax.sound decode must recover duration_ms = 100 + id % 400
     "m_audio_dims" ->
       "SELECT CAST(doc_id AS BIGINT) AS media_id, 'audio' AS kind, CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms FROM documents",

@@ -159,6 +159,12 @@ object Stress {
         docs, "text", "doc_id", shingleSize = 3, bands = 32, rowsPerBand = 2, reuseShingles = true).count()),
       time(s"simhash_x$mult")(operators.Dedup.simhashDuplicatePairs(
         docs, "text", "doc_id", maxDist = 3, reuseSketches = true).count()),
+      // exact substring dedup under replication: every "variant" replica's
+      // whole prefix duplicates the original, so cut content grows with
+      // mult — the occurrence agg (map-side combined two-hash key) and the
+      // span merge must track that answer growth, never windows²
+      time(s"substr_spans_x$mult")(operators.Dedup.substringRemovedSpans(
+        docs, "text", "doc_id", n = 8).count()),
       // the skew killer: thousands of docs per distinct text (boilerplate-
       // heavy corpus) — must stay bounded via the distinct-value collapse
       time(s"simhash_lowent_x$mult")(operators.Dedup.simhashDuplicatePairs(

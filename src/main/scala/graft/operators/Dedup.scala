@@ -577,6 +577,139 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------- exact substring deduplication
+
+  /** Exact SUBSTRING dedup at token granularity — the operation the
+    * doc-level family above cannot express: a boilerplate header pasted
+    * into a million otherwise-distinct pages survives every doc-level
+    * dedup, but is exactly what substring dedup removes (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr). Semantics, deterministic and engine-portable:
+    *
+    *  - tokens are the `\S+` runs of `textCol` (case-preserved — this is
+    *    EXACT dedup);
+    *  - every length-`n` token window is an occurrence keyed by its
+    *    content; a window content occurring ≥ 2 times corpus-wide
+    *    (across OR within docs) is duplicated;
+    *  - the globally-first occurrence — ordered by (doc id, position) —
+    *    of each duplicated window is retained; every other occurrence is
+    *    cut, and a doc's removed region is the UNION of its cut windows'
+    *    token ranges (so overlapping duplicated windows merge into one
+    *    maximal span, the ExactSubstr behavior: the second copy of a
+    *    whole duplicated paragraph disappears in one piece).
+    *
+    * 100 TB shape — this is the honest price of EXACT substring dedup
+    * (the alternative, distributed suffix arrays, shuffles rank arrays
+    * several times the corpus size):
+    *  1. the occurrence scan shuffles one (h1, h2, partial count, partial
+    *     argmin) record per DISTINCT window per partition — map-side
+    *     combine collapses the within-partition repeats (boilerplate is
+    *     precisely the high-repeat case), and the 16-byte two-hash key
+    *     replaces the n-token string, so the corpus text itself never
+    *     shuffles;
+    *  2. duplicated keys (count ≥ 2) are a small fraction of distinct —
+    *     the re-scan joins occurrences against them (AQE picks broadcast
+    *     when they fit), emitting only the occurrences to cut;
+    *  3. span-merging windows over (doc, position) — rows ∝ cut windows,
+    *     not corpus;
+    *  4. [[substringClean]] applies cuts with a per-doc higher-order
+    *     filter after ONE join of the span table back to the corpus: the
+    *     corpus is never exploded token-wise across a shuffle.
+    *
+    * Collision honesty: keys are two independent xxhash64s (~128 bits);
+    * a false merge needs a 2⁻¹²⁸ double collision — negligible at any
+    * corpus size (and [[substringRemovedSpansBrute]], keyed on the window
+    * CONTENT, pins hash ≡ string equivalence in the spec suite).
+    */
+  def substringRemovedSpans(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    mergeCoveredSpans(cutOccurrences(docs, textCol, idCol, n, hashed = true), n)
+
+  /** [[substringRemovedSpans]] keyed on the raw window STRING instead of
+    * its two hashes — the collision-free reference the spec suite holds
+    * the hashed production path equal to. Shuffles window text; test-scale
+    * only.
+    */
+  def substringRemovedSpansBrute(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    mergeCoveredSpans(cutOccurrences(docs, textCol, idCol, n, hashed = false), n)
+
+  /** Duplicated-window occurrences to cut: every occurrence of a ≥2-count
+    * window content except the globally-first one. Output: (doc, pos).
+    */
+  private def cutOccurrences(
+      docs: DataFrame, textCol: String, idCol: String, n: Int,
+      hashed: Boolean): DataFrame = {
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    val toks = docs.select(col(idCol).cast("long").as("doc"),
+      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+    // windows: pos is the 0-based token index; the ngram string is built
+    // once per occurrence (posexplode output), hashes derived in a separate
+    // select so the concat runs once per row, not once per hash
+    val grams = toks.filter(size(col("__toks")) >= n)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+      .toDF("doc", "pos", "ng")
+    val occ =
+      if (hashed) grams.select(col("doc"), col("pos"),
+        xxhash64(col("ng")).as("h1"), xxhash64(lit(0x9E3779B9L), col("ng")).as("h2"))
+      else grams.select(col("doc"), col("pos"),
+        col("ng").as("h1"), lit(0L).as("h2"))
+    // duplicated keys + their first occurrence: ONE hash-shuffle with
+    // map-side combine (count + struct-min partials); never the text
+    val firsts = occ.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc"), col("pos"))).as("first"))
+      .filter(col("c") >= 2)
+      .select(col("h1"), col("h2"), col("first"))
+    occ.join(firsts, Seq("h1", "h2"))
+      .filter(!(col("doc") === col("first.doc") && col("pos") === col("first.pos")))
+      .select(col("doc"), col("pos"))
+  }
+
+  /** Union the cut windows' token ranges into maximal per-doc spans
+    * (classic gaps-and-islands: consecutive covered positions share
+    * `p - row_number()`). Output: (doc, span_start, span_len), token units.
+    */
+  private def mergeCoveredSpans(cut: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cov = cut
+      .select(col("doc"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val w = Window.partitionBy(col("doc")).orderBy(col("p"))
+    cov.withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc"), col("grp"))
+      .agg(min(col("p")).cast("bigint").as("span_start"), count(lit(1)).as("span_len"))
+      .select(col("doc"), col("span_start"), col("span_len"))
+  }
+
+  /** The production face: each doc's text with its removed spans cut out,
+    * rebuilt from the kept tokens joined by single spaces (so the output
+    * is whitespace-normalized — deterministic across engines). Docs whose
+    * every token is covered (the trailing copies of an exact full-doc
+    * duplicate) drop out entirely — substring dedup subsumes exact dedup.
+    *
+    * The corpus never sheds its row shape: spans collapse to ≤ one array
+    * per doc, join back on the doc id, and a (token, index) higher-order
+    * filter applies every cut map-side — no token-wise explode/re-group of
+    * the corpus.
+    */
+  def substringClean(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val spans = substringRemovedSpans(docs, textCol, idCol, n)
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("__cuts"))
+    val toks = docs.select(col(idCol).cast("long").as("doc"),
+      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+    toks.join(spans, Seq("doc"), "left")
+      .select(col("doc"), array_join(filter(col("__toks"), (_, i) =>
+        col("__cuts").isNull || !exists(col("__cuts"), c =>
+          i >= c.getField("span_start") &&
+            i < c.getField("span_start") + c.getField("span_len"))), " ")
+        .as("cleaned_text"))
+      .filter(length(col("cleaned_text")) > 0)
+  }
+
   // ------------------------------------------------------------- clustering
 
   /** Connected components over near-dup pairs: every doc labeled with the

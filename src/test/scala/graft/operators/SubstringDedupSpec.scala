@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact substring dedup (ExactSubstr at token granularity): handcrafted
+  * boundary fixtures plus the hash ≡ string contract that lets the hashed
+  * production path share the string-semantics DuckDB oracle.
+  */
+class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def toks(ws: Range, tag: String): String =
+    ws.map(i => s"$tag$i").mkString(" ")
+
+  // a 10-token boilerplate run planted in three docs at different offsets,
+  // surrounded by doc-unique filler; doc 30 is an exact full copy of doc 10
+  private val boiler = toks(0 until 10, "b")
+  private val fixture = Seq(
+    (10L, s"${toks(0 until 5, "x")} $boiler ${toks(0 until 5, "y")}"),
+    (20L, s"${toks(0 until 3, "z")} $boiler ${toks(0 until 7, "w")}"),
+    (30L, s"${toks(0 until 5, "x")} $boiler ${toks(0 until 5, "y")}"),
+    (40L, toks(0 until 20, "u"))
+  ).toDF("doc_id", "text")
+
+  private def spanSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("removed spans: keep-first policy, offset-shifted copies, exact boundaries") {
+    val spans = spanSet(Dedup.substringRemovedSpans(fixture, "text", "doc_id", n = 4))
+    // doc 10 holds the globally-first occurrence of every duplicated
+    // window → nothing removed from it; doc 20's copy of the boilerplate
+    // sits at token 3, all 10 tokens covered (windows merge into ONE
+    // maximal span — not 7 window-sized fragments); doc 30 is an exact
+    // copy of doc 10 → removed wholesale (substring dedup subsumes exact
+    // dedup); doc 40 untouched
+    assert(spans === Set((20L, 3L, 10L), (30L, 0L, 20L)))
+  }
+
+  test("within-doc repetition is cut after its first occurrence") {
+    val rep = Seq((1L, s"$boiler ${toks(0 until 4, "q")} $boiler")).toDF("doc_id", "text")
+    val spans = spanSet(Dedup.substringRemovedSpans(rep, "text", "doc_id", n = 4))
+    assert(spans === Set((1L, 14L, 10L)))
+    val cleaned = Dedup.substringClean(rep, "text", "doc_id", n = 4)
+      .select("cleaned_text").as[String].collect()
+    assert(cleaned.toSeq === Seq(s"$boiler ${toks(0 until 4, "q")}"))
+  }
+
+  test("clean face: cuts applied, firsts intact, full duplicates drop, whitespace normalized") {
+    val cleaned = Dedup.substringClean(fixture, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned.keySet === Set(10L, 20L, 40L)) // 30 = exact dup, dropped
+    assert(cleaned(10L) === s"${toks(0 until 5, "x")} $boiler ${toks(0 until 5, "y")}")
+    assert(cleaned(20L) === s"${toks(0 until 3, "z")} ${toks(0 until 7, "w")}")
+    assert(cleaned(40L) === toks(0 until 20, "u"))
+    // whitespace-normalized rebuild: tabs/runs collapse to single spaces
+    val messy = Seq((1L, "a\t b   c \n d")).toDF("doc_id", "text")
+    assert(Dedup.substringClean(messy, "text", "doc_id", n = 4)
+      .select("cleaned_text").as[String].collect().toSeq === Seq("a b c d"))
+  }
+
+  test("short docs (< n tokens) emit no windows and survive cleaning intact") {
+    val shorties = Seq((1L, "one two three"), (2L, "one two three")).toDF("doc_id", "text")
+    assert(Dedup.substringRemovedSpans(shorties, "text", "doc_id", n = 4).count() === 0)
+    val kept = Dedup.substringClean(shorties, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept === Map(1L -> "one two three", 2L -> "one two three"))
+  }
+
+  test("hashed production path ≡ string-keyed brute on the harness corpus " +
+      "(d_substr_spans oracle validity)") {
+    // the DuckDB oracle computes spans from window STRINGS; the production
+    // path keys on two independent xxhash64s — equal outputs on the gate's
+    // actual corpus pin the hash path to the string semantics
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables(spark, dir, "documents")
+    val hashed = spanSet(Dedup.substringRemovedSpans(docs, "text", "doc_id", n = 8))
+    val brute = spanSet(Dedup.substringRemovedSpansBrute(docs, "text", "doc_id", n = 8))
+    assert(hashed === brute)
+    val fx = spanSet(Dedup.substringRemovedSpans(fixture, "text", "doc_id", n = 4))
+    assert(fx === spanSet(Dedup.substringRemovedSpansBrute(fixture, "text", "doc_id", n = 4)))
+  }
+}
