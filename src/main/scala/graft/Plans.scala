@@ -90,7 +90,11 @@ object Plans {
     // cut-occurrence join should broadcast the duplicated-key side; the
     // clean face joins spans back to the corpus once — no token-wise
     // corpus explode crosses a shuffle
-    "d_substr_spans", "d_substr_clean")
+    "d_substr_spans", "d_substr_clean",
+    // DSIR: both model aggs map-side combined; the bucket-sized log-ratio
+    // table must BROADCAST into the scoring scan (corpus text never
+    // shuffles; the only corpus-wide exchange is the #docs-row final agg)
+    "t_dsir_hashed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

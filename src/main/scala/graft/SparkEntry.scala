@@ -1788,6 +1788,36 @@ object SparkEntry {
       Curation.temperatureSample(tb(s, d, "documents"), "lang", "doc_id",
         totalBudget = 250L)
         .select(col("doc_id"), col("lang"))),
+    // DSIR importance weights (target domain = the en slice): bag-of-
+    // (uni+bi)gram log-likelihood ratio between target and raw models,
+    // add-one smoothed over the union vocabulary. Exact string-keyed face
+    "t_dsir_weights" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "text", "doc_id")
+        .select(col("doc").as("doc_id"), col("n_feats"), col("weight"))
+    }),
+    // the paper's (and the 100 TB) configuration: features hashed into a
+    // FIXED bucket space so the model table is corpus-size-independent
+    // (occupied buckets only, so the space being large is free). Shares
+    // the exact face's oracle — valid because 2^30 buckets are collision-
+    // free for this corpus' 947-feature vocabulary (2^20 was a coin flip:
+    // 947²/2²¹ ≈ 0.43, and it collided), pinned by CurationSpec
+    "t_dsir_hashed" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "text", "doc_id", buckets = 1L << 30)
+        .select(col("doc").as("doc_id"), col("n_feats"), col("weight"))
+    }),
+    // the selection face: Gumbel top-k = sample 50 docs without
+    // replacement ∝ exp(weight); the noise is the portable hash through
+    // the inverse CDF, so the whole draw replays in DuckDB
+    "t_dsir_sample" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Curation.dsirResample(docs, docs.filter(col("lang") === "en"),
+        "text", "doc_id", k = 50)
+        .select(col("doc").as("doc_id"))
+    }),
     // token-weighted mix cap: ≤ 2000 tokens per language, hash-ordered
     "t_token_budget" -> ((s, d) =>
       Curation.tokenBudgetCap(tb(s, d, "documents"), "lang", "doc_id",
@@ -3166,6 +3196,18 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), spans AS (SELECT doc_id, i - 1 AS span_idx, array_to_string(tk[(i-1)*8+1 : least(i*8, len(tk))], ' ') AS span_text FROM (SELECT doc_id, tk, unnest(generate_series(1, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i FROM toks WHERE len(tk) > 0)), kept AS (SELECT doc_id, span_idx, span_text, row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn FROM spans) SELECT d.doc_id, COALESCE(k.t, '') AS text_deduped FROM documents d LEFT JOIN (SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS t FROM kept WHERE rn = 1 GROUP BY 1) k ON d.doc_id = k.doc_id""",
     "t_quota_sample" ->
       "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 50",
+    // DSIR semantics straight from feature strings: bag of unigrams ∪
+    // bigrams, add-one-smoothed union-vocab LLR, summed per doc
+    "t_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), fr AS (SELECT doc_id, unnest(tk) AS f FROM tk UNION ALL SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1,0)), i -> tk[i] || ' ' || tk[i+1])) AS f FROM tk), ft AS (SELECT fr.doc_id, fr.f FROM fr JOIN tk ON fr.doc_id = tk.doc_id AND tk.lang = 'en'), cr AS (SELECT f, count(*) AS c FROM fr GROUP BY 1), ct AS (SELECT f, count(*) AS c FROM ft GROUP BY 1), m AS (SELECT coalesce(cr.f, ct.f) AS f, coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct FROM cr FULL JOIN ct ON cr.f = ct.f), tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS vsz FROM m), r AS (SELECT f, ln((ct + 1.0)/(nt + vsz)) - ln((cr + 1.0)/(nr + vsz)) AS w FROM m, tot) SELECT CAST(fr.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(r.w) AS weight FROM fr JOIN r USING (f) GROUP BY 1""",
+    // hashed-bucket face ≡ exact face here: 2^30 buckets are collision-
+    // free for this corpus' 947-feature vocabulary (CurationSpec pins
+    // zero observed collisions), so it shares the string-semantics oracle
+    "t_dsir_hashed" ->
+      """WITH tk AS (SELECT doc_id, lang, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), fr AS (SELECT doc_id, unnest(tk) AS f FROM tk UNION ALL SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1,0)), i -> tk[i] || ' ' || tk[i+1])) AS f FROM tk), ft AS (SELECT fr.doc_id, fr.f FROM fr JOIN tk ON fr.doc_id = tk.doc_id AND tk.lang = 'en'), cr AS (SELECT f, count(*) AS c FROM fr GROUP BY 1), ct AS (SELECT f, count(*) AS c FROM ft GROUP BY 1), m AS (SELECT coalesce(cr.f, ct.f) AS f, coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct FROM cr FULL JOIN ct ON cr.f = ct.f), tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS vsz FROM m), r AS (SELECT f, ln((ct + 1.0)/(nt + vsz)) - ln((cr + 1.0)/(nr + vsz)) AS w FROM m, tot) SELECT CAST(fr.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(r.w) AS weight FROM fr JOIN r USING (f) GROUP BY 1""",
+    // Gumbel top-50: weight + (−ln(−ln(u))) with u from the portable hash
+    "t_dsir_sample" ->
+      """WITH tk AS (SELECT doc_id, lang, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), fr AS (SELECT doc_id, unnest(tk) AS f FROM tk UNION ALL SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1,0)), i -> tk[i] || ' ' || tk[i+1])) AS f FROM tk), ft AS (SELECT fr.doc_id, fr.f FROM fr JOIN tk ON fr.doc_id = tk.doc_id AND tk.lang = 'en'), cr AS (SELECT f, count(*) AS c FROM fr GROUP BY 1), ct AS (SELECT f, count(*) AS c FROM ft GROUP BY 1), m AS (SELECT coalesce(cr.f, ct.f) AS f, coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct FROM cr FULL JOIN ct ON cr.f = ct.f), tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS vsz FROM m), r AS (SELECT f, ln((ct + 1.0)/(nt + vsz)) - ln((cr + 1.0)/(nr + vsz)) AS w FROM m, tot), wts AS (SELECT fr.doc_id AS doc_id, sum(r.w) AS weight FROM fr JOIN r USING (f) GROUP BY 1) SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (SELECT doc_id, weight + (-ln(-ln((((doc_id % 1000003) * 2654435761) % 1000003 + 0.5)/1000003.0))) AS priority FROM wts) ORDER BY priority DESC, doc_id LIMIT 50""",
     "t_domain_cap" ->
       "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY (((doc_id % 1000003) * 2654435761) % 1000003), doc_id) AS rn FROM documents) WHERE rn <= 10",
     "t_repetition" ->

@@ -165,6 +165,12 @@ object Stress {
       // span merge must track that answer growth, never windows²
       time(s"substr_spans_x$mult")(operators.Dedup.substringRemovedSpans(
         docs, "text", "doc_id", n = 8).count()),
+      // DSIR at the paper's configuration: the bucket-space model is
+      // corpus-size-independent, so scoring must stay broadcast-join +
+      // one #docs-row agg as the corpus grows
+      time(s"dsir_hashed_x$mult")(operators.Curation.dsirWeights(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id",
+        buckets = 1L << 30).count()),
       // the skew killer: thousands of docs per distinct text (boilerplate-
       // heavy corpus) — must stay bounded via the distinct-value collapse
       time(s"simhash_lowent_x$mult")(operators.Dedup.simhashDuplicatePairs(

@@ -706,6 +706,104 @@ object Curation {
     * assignment itself is one left join of docs against the (tiny relative
     * to corpus) cluster labels plus a pure filter-stage hash.
     */
+  // --------------------------------------- DSIR-style importance resampling
+
+  /** Bag-of-feature frame for DSIR: one row per feature OCCURRENCE (with
+    * multiplicity — this is a bag model), features = lowercased unigrams ∪
+    * bigrams. Unigram tokens contain no whitespace and bigram strings
+    * always do, so the two families can never collide as strings.
+    */
+  private def dsirFeatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tk = TextOps.tokens(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc"), tk.as("__tk"))
+      .select(col("doc"), explode(concat(col("__tk"),
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => concat_ws(" ", element_at(col("__tk"), i + 1),
+              element_at(col("__tk"), i + 2))))
+          .otherwise(array().cast("array<string>")))).as("f"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw-corpus
+    * doc by how much more likely a TARGET-domain bag-of-ngram model finds
+    * it than the raw-corpus model —
+    * `w(doc) = Σ_f n_f(doc) · [ln p_t(f) − ln p_r(f)]` with add-one
+    * smoothing over the union vocabulary (`p(f) = (c_f + 1)/(N + V)`).
+    * Output: (doc, n_feats, weight), docs with ≥ 1 token.
+    *
+    * `buckets = 0` keys features on their raw strings — exact, and the
+    * shape the DuckDB oracle replays. `buckets > 0` is the paper's (and
+    * the 100 TB) configuration: features hash into a FIXED bucket space,
+    * so the model table is corpus-size-independent — at web scale the raw
+    * string vocabulary is itself corpus-sized and would not broadcast.
+    * Either way the plan is: two map-side-combined feature aggs (model
+    * build), a broadcast join of the vocab/bucket-sized log-ratio table
+    * into the scoring scan, one #docs-row agg. The corpus text never
+    * shuffles. With buckets ≥ collision-free for the observed vocabulary,
+    * hashed ≡ exact (pinned on the harness corpus by CurationSpec, the
+    * d_minhash_candidates oracle-validity precedent).
+    */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+      buckets: Long = 0L): DataFrame = {
+    require(buckets >= 0, s"buckets must be >= 0, got $buckets")
+    def keyed(docs: DataFrame): DataFrame = {
+      val f = dsirFeatures(docs, textCol, idCol)
+      if (buckets == 0L) f
+      else f.select(col("doc"), pmod(xxhash64(col("f")), lit(buckets)).as("f"))
+    }
+    val rawF = keyed(raw)
+    val tgtF = keyed(target)
+    val cr = rawF.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val ct = tgtF.groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    // scalars: broadcast 1-row frames (totals + union-vocab size)
+    val model0 = cr.join(ct, Seq("f"), "full_outer")
+      .select(col("f"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val model = persistIfScopedOrCheckpoint(model0)
+    val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("vsz"))
+    val ratio = model.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (log((col("ct") + lit(1.0)) / (col("nt") + col("vsz"))) -
+          log((col("cr") + lit(1.0)) / (col("nr") + col("vsz")))).as("w"))
+    rawF.join(broadcast(ratio), Seq("f"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("weight"))
+  }
+
+  /** The selection face: DSIR's Gumbel top-k — sampling k docs WITHOUT
+    * replacement with probability ∝ exp(weight) is exactly "top k by
+    * weight + Gumbel noise". The noise is the house deterministic hash
+    * ([[portableHash]]) pushed through the inverse-CDF
+    * `g = −ln(−ln(u))`, `u = (h + 0.5)/1000003` — engine-portable, so the
+    * whole draw replays in SQL. `temperature = 0` disables the noise
+    * (plain argmax top-k).
+    */
+  def dsirResample(
+      raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+      k: Int, temperature: Double = 1.0, buckets: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature >= 0, s"temperature must be >= 0, got $temperature")
+    val gumbel =
+      if (temperature == 0.0) lit(0.0)
+      else -log(-log((portableHash(col("doc")) + lit(0.5)) /
+        lit(PortableHashModulus.toDouble))) * temperature
+    dsirWeights(raw, target, textCol, idCol, buckets)
+      .select(col("doc"), (col("weight") + gumbel).as("priority"))
+      .orderBy(col("priority").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"))
+  }
+
+  /** [[Dedup.persistReuse]]'s sibling for the multiply-referenced model
+    * frame: scoped persist keeps the two model reads (totals + ratio) from
+    * recomputing both feature aggs.
+    */
+  private def persistIfScopedOrCheckpoint(df: DataFrame): DataFrame =
+    graft.CacheScope.persist(df)
+
   def leakFreeSplit(
       docs: DataFrame,
       pairs: DataFrame,

@@ -406,4 +406,92 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(shared >= a.size - 1,
       s"edit broke $a.size - $shared downstream chunks; content-defined boundaries should confine the shift")
   }
+
+  test("dsirWeights matches an independent driver-side reimplementation") {
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha"), // mixed
+      (2L, "delta epsilon zeta"),     // off-target
+      (3L, "alpha beta alpha beta"),  // target-heavy
+      (4L, "single")                  // one token, no bigrams
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha"), (11L, "beta alpha")).toDF("doc_id", "text")
+    val got = Curation.dsirWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // independent reference: plain Scala over the same definitions
+    def feats(s: String): Seq[String] = {
+      val tk = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val rawDocs = Map(1L -> "alpha beta gamma alpha", 2L -> "delta epsilon zeta",
+      3L -> "alpha beta alpha beta", 4L -> "single")
+    val rawBag = rawDocs.values.toSeq.flatMap(feats)
+    val tgtBag = Seq("alpha beta alpha", "beta alpha").flatMap(feats)
+    val cr = rawBag.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = tgtBag.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vsz = (cr.keySet ++ ct.keySet).size.toDouble
+    val (nr, nt) = (rawBag.size.toDouble, tgtBag.size.toDouble)
+    def w(f: String): Double =
+      math.log((ct.getOrElse(f, 0L) + 1.0) / (nt + vsz)) -
+        math.log((cr.getOrElse(f, 0L) + 1.0) / (nr + vsz))
+    rawDocs.foreach { case (id, text) =>
+      val fs = feats(text)
+      val (gn, gw) = got(id)
+      assert(gn === fs.size.toLong, s"doc $id n_feats")
+      assert(math.abs(gw - fs.map(w).sum) < 1e-9, s"doc $id weight")
+    }
+    // directionality: the target-heavy doc outranks the off-target one
+    assert(got(3L)._2 > got(1L)._2 && got(1L)._2 > got(2L)._2)
+  }
+
+  test("hashed buckets are collision-free on the harness corpus and hashed ≡ exact " +
+      "(t_dsir_hashed oracle validity)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables(spark, dir, "documents")
+    val target = docs.filter(col("lang") === "en")
+    // zero collisions: distinct features == distinct occupied buckets
+    val tk = TextOps.tokens(col("text"))
+    val feats = docs.select(tk.as("__tk"))
+      .select(explode(concat(col("__tk"),
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => concat_ws(" ", element_at(col("__tk"), i + 1),
+              element_at(col("__tk"), i + 2))))
+          .otherwise(array().cast("array<string>")))).as("f"))
+      .distinct()
+    val nFeats = feats.count()
+    val nBuckets = feats.select(pmod(xxhash64(col("f")), lit(1L << 30)).as("b"))
+      .distinct().count()
+    assert(nFeats === nBuckets,
+      s"bucket collisions: $nFeats features -> $nBuckets buckets; the shared oracle is invalid")
+    val exact = Curation.dsirWeights(docs, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val hashed = Curation.dsirWeights(docs, target, "text", "doc_id", buckets = 1L << 30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(exact.keySet === hashed.keySet)
+    exact.foreach { case (id, (n, w)) =>
+      assert(hashed(id)._1 === n)
+      assert(math.abs(hashed(id)._2 - w) < 1e-9, s"doc $id hashed weight drifted")
+    }
+  }
+
+  test("dsirResample: temperature 0 is argmax top-k; gumbel draw is deterministic") {
+    // target-looking docs must be RARE in raw: DSIR scores the ratio of
+    // target rate to raw rate, so a raw corpus saturated with the target
+    // signature correctly scores it low
+    val raw = Seq.tabulate(40)(i =>
+      (i.toLong, if (i == 0 || i == 20) "alpha beta alpha beta"
+      else s"filler$i other$i words$i here$i"))
+      .toDF("doc_id", "text")
+    val target = Seq.tabulate(3)(i => (100L + i, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val argmax = Curation.dsirResample(raw, target, "text", "doc_id", k = 2, temperature = 0.0)
+      .as[Long].collect().toSeq
+    assert(argmax.toSet === Set(0L, 20L))
+    val g1 = Curation.dsirResample(raw, target, "text", "doc_id", k = 10).as[Long].collect().toSeq
+    val g2 = Curation.dsirResample(raw, target, "text", "doc_id", k = 10).as[Long].collect().toSeq
+    assert(g1 === g2) // hash-derived gumbel noise replays exactly
+    assert(g1.size === 10 && g1.toSet.subsetOf((0L until 40L).toSet))
+  }
 }
