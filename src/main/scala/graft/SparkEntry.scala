@@ -2192,6 +2192,20 @@ object SparkEntry {
     "d_substr_clean" -> ((s, d) =>
       Dedup.substringClean(tb(s, d, "documents"), "text", "doc_id", n = 8)
         .select(col("doc").as("doc_id"), col("cleaned_text"))),
+    // INCREMENTAL substring dedup: batch (ids ≥ 250) against the window
+    // manifest of the earlier corpus (ids < 250) + within-batch keep-first
+    // ≡ the one-shot pipeline's spans restricted to the batch docs (the
+    // strictly-earlier arrival semantics — the oracle IS the one-shot SQL
+    // filtered to the batch)
+    "d_substr_incremental" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Dedup.substringSpansAgainstManifest(
+        docs.filter(col("doc_id") >= 250),
+        Dedup.substringWindowManifest(
+          docs.filter(col("doc_id") < 250), "text", "doc_id", n = 8),
+        "text", "doc_id", n = 8)
+        .select(col("doc").as("doc_id"), col("span_start"), col("span_len"))
+    }),
     "d_dup_clusters" -> ((s, d) =>
       // connected components over exact-Jaccard pairs (min-label
       // propagation); oracle = DuckDB recursive-CTE transitive closure
@@ -3543,6 +3557,10 @@ object SparkEntry {
     // positions unioned, islands merged by the p - row_number() trick
     "d_substr_spans" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov) SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(count(*) AS BIGINT) AS span_len FROM isl GROUP BY doc_id, grp""",
+    // one-shot spans over the WHOLE corpus, restricted to the late-arrival
+    // half — the incremental face must land exactly these
+    "d_substr_incremental" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov) SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(count(*) AS BIGINT) AS span_len FROM isl WHERE doc_id >= 250 GROUP BY doc_id, grp""",
     // kept tokens re-joined by single spaces; fully-covered docs vanish
     "d_substr_clean" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), alltok AS (SELECT t.doc_id, u.i - 1 AS p, t.toks[u.i] AS tok FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) u), kept AS (SELECT a.doc_id, a.p, a.tok FROM alltok a ANTI JOIN cov USING (doc_id, p)) SELECT CAST(doc_id AS BIGINT) AS doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text FROM kept GROUP BY doc_id""",

@@ -165,6 +165,17 @@ object Stress {
       // span merge must track that answer growth, never windows²
       time(s"substr_spans_x$mult")(operators.Dedup.substringRemovedSpans(
         docs, "text", "doc_id", n = 8).count()),
+      // the incremental substring face: a FIXED-size arriving batch against
+      // a manifest that grows with mult — per-batch cost must track the
+      // manifest SCAN (batch keys broadcast, manifest never shuffles),
+      // not the manifest's row count through a shuffle
+      time(s"substr_gate_x$mult") {
+        val batch = Tables.balanced(spark, sfDir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        operators.Dedup.substringSpansAgainstManifest(batch,
+          operators.Dedup.substringWindowManifest(docs, "text", "doc_id", n = 8),
+          "text", "doc_id", n = 8).count()
+      },
       // DSIR at the paper's configuration: the bucket-space model is
       // corpus-size-independent, so scoring must stay broadcast-join +
       // one #docs-row agg as the corpus grows

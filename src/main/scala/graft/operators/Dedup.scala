@@ -641,21 +641,20 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String, n: Int,
       hashed: Boolean): DataFrame = {
     require(n >= 2, s"window must span at least 2 tokens, got $n")
-    val toks = docs.select(col(idCol).cast("long").as("doc"),
-      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
-    // windows: pos is the 0-based token index; the ngram string is built
-    // once per occurrence (posexplode output), hashes derived in a separate
-    // select so the concat runs once per row, not once per hash
-    val grams = toks.filter(size(col("__toks")) >= n)
-      .select(col("doc"), posexplode(transform(
-        sequence(lit(0), size(col("__toks")) - n),
-        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
-      .toDF("doc", "pos", "ng")
     val occ =
-      if (hashed) grams.select(col("doc"), col("pos"),
-        xxhash64(col("ng")).as("h1"), xxhash64(lit(0x9E3779B9L), col("ng")).as("h2"))
-      else grams.select(col("doc"), col("pos"),
-        col("ng").as("h1"), lit(0L).as("h2"))
+      if (hashed) cutOccurrenceKeys(docs, textCol, idCol, n)
+      else {
+        // windows: pos is the 0-based token index; the ngram string is
+        // built once per occurrence (posexplode output)
+        val toks = docs.select(col(idCol).cast("long").as("doc"),
+          regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+        toks.filter(size(col("__toks")) >= n)
+          .select(col("doc"), posexplode(transform(
+            sequence(lit(0), size(col("__toks")) - n),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+          .toDF("doc", "pos", "ng")
+          .select(col("doc"), col("pos"), col("ng").as("h1"), lit(0L).as("h2"))
+      }
     // duplicated keys + their first occurrence: ONE hash-shuffle with
     // map-side combine (count + struct-min partials); never the text
     val firsts = occ.groupBy(col("h1"), col("h2"))
@@ -681,6 +680,73 @@ object Dedup {
       .groupBy(col("doc"), col("grp"))
       .agg(min(col("p")).cast("bigint").as("span_start"), count(lit(1)).as("span_len"))
       .select(col("doc"), col("span_start"), col("span_len"))
+  }
+
+  /** Window manifest — the INCREMENTAL face's state: one (h1, h2) row per
+    * DISTINCT window content ever seen (kept or cut — keep-first-globally
+    * means any window with history cuts every later occurrence). 16 bytes
+    * per distinct window, the substring analogue of [[digestManifest]];
+    * grow it batch-over-batch by unioning [[substringWindowManifest]] of
+    * each arriving batch (distinct is idempotent, so replays are safe).
+    */
+  def substringWindowManifest(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    cutOccurrenceKeys(docs, textCol, idCol, n).select(col("h1"), col("h2")).distinct()
+
+  /** Incremental substring dedup: cut from `batch` every window occurrence
+    * whose content the `manifest` has seen, PLUS the within-batch
+    * all-but-first occurrences — exactly the spans the one-shot
+    * [[substringRemovedSpans]] over (corpus ∪ batch) would assign to the
+    * batch docs when batch ids order after corpus ids (the strictly-earlier
+    * arrival semantics every incremental face here uses; pinned by the
+    * d_substr_incremental oracle). Output: (doc, span_start, span_len).
+    *
+    * Scale: the expensive side is membership against a corpus-sized
+    * manifest. The batch's distinct window keys broadcast into the
+    * manifest SCAN (a map-side semi-join — the manifest never shuffles,
+    * one sequential read per batch, the near-dup gate's cost model), and
+    * everything after runs on batch-sized frames.
+    */
+  def substringSpansAgainstManifest(
+      batch: DataFrame, manifest: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val occ = persistReuse(cutOccurrenceKeys(batch, textCol, idCol, n))
+    val batchKeys = occ.select(col("h1"), col("h2")).distinct()
+    // manifest-side semi-join with the batch keys broadcast: emits only
+    // the (tiny) already-seen subset of the batch's keys
+    val seen = manifest.join(broadcast(batchKeys), Seq("h1", "h2"), "left_semi")
+    val seenCuts = occ.join(seen, Seq("h1", "h2"), "left_semi")
+      .select(col("doc"), col("pos"))
+    // within-batch keep-first applies only to windows with NO history
+    // (a seen window's occurrences are all cut — its keeper lives in the
+    // corpus); restricting the self-dedup to unseen keys keeps the two
+    // cut sets disjoint by construction
+    val unseenOcc = occ.join(seen, Seq("h1", "h2"), "left_anti")
+    val selfFirsts = unseenOcc.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc"), col("pos"))).as("first"))
+      .filter(col("c") >= 2)
+      .select(col("h1"), col("h2"), col("first"))
+    val selfCuts = unseenOcc.join(selfFirsts, Seq("h1", "h2"))
+      .filter(!(col("doc") === col("first.doc") && col("pos") === col("first.pos")))
+      .select(col("doc"), col("pos"))
+    mergeCoveredSpans(seenCuts.unionByName(selfCuts), n)
+  }
+
+  /** Occurrence frame shared by the one-shot and incremental faces:
+    * (doc, pos, h1, h2) for every length-`n` token window.
+    */
+  private def cutOccurrenceKeys(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    val toks = docs.select(col(idCol).cast("long").as("doc"),
+      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+    toks.filter(size(col("__toks")) >= n)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+      .toDF("doc", "pos", "ng")
+      .select(col("doc"), col("pos"),
+        xxhash64(col("ng")).as("h1"), xxhash64(lit(0x9E3779B9L), col("ng")).as("h2"))
   }
 
   /** The production face: each doc's text with its removed spans cut out,

@@ -69,6 +69,45 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept === Map(1L -> "one two three", 2L -> "one two three"))
   }
 
+  test("incremental face ≡ one-shot spans restricted to the batch (fixture + harness corpus)") {
+    def incremental(docs: DataFrame, split: Long, n: Int): Set[(Long, Long, Long)] =
+      spanSet(Dedup.substringSpansAgainstManifest(
+        docs.filter(col("doc_id") >= split),
+        Dedup.substringWindowManifest(docs.filter(col("doc_id") < split), "text", "doc_id", n),
+        "text", "doc_id", n))
+    def oneShotBatch(docs: DataFrame, split: Long, n: Int): Set[(Long, Long, Long)] =
+      spanSet(Dedup.substringRemovedSpans(docs, "text", "doc_id", n)
+        .filter(col("doc") >= split))
+    // fixture split between the boilerplate carriers: docs 10/20 are
+    // corpus, 30 (exact copy of 10) and 40 arrive later
+    assert(incremental(fixture, 25L, 4) === oneShotBatch(fixture, 25L, 4))
+    // a batch-only duplicated window (keep-first WITHIN the batch) plus a
+    // corpus-seen window in the same doc — the two cut sets must compose
+    val mixed = Seq(
+      (1L, s"$boiler ${toks(0 until 6, "c")}"),
+      (50L, s"${toks(0 until 3, "m")} $boiler ${toks(0 until 4, "bb")}"),
+      (51L, s"${toks(0 until 4, "bb")} ${toks(0 until 3, "mm")}")
+    ).toDF("doc_id", "text")
+    assert(incremental(mixed, 40L, 4) === oneShotBatch(mixed, 40L, 4))
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables(spark, dir, "documents")
+    assert(incremental(docs, 25L, 8) === oneShotBatch(docs, 25L, 8))
+  }
+
+  test("window manifest grows by union and is replay-idempotent") {
+    val m1 = Dedup.substringWindowManifest(
+      fixture.filter(col("doc_id") <= 20), "text", "doc_id", n = 4)
+    val m2 = Dedup.substringWindowManifest(
+      fixture.filter(col("doc_id") > 20), "text", "doc_id", n = 4)
+    val grown = m1.unionByName(m2).distinct()
+    val whole = Dedup.substringWindowManifest(fixture, "text", "doc_id", n = 4)
+    assert(grown.exceptAll(whole).count() === 0 && whole.exceptAll(grown).count() === 0)
+    // replaying a batch union changes nothing
+    val replayed = grown.unionByName(m2).distinct()
+    assert(replayed.count() === grown.count())
+  }
+
   test("hashed production path ≡ string-keyed brute on the harness corpus " +
       "(d_substr_spans oracle validity)") {
     // the DuckDB oracle computes spans from window STRINGS; the production
