@@ -2621,6 +2621,19 @@ object SparkEntry {
     // (first k vectors by id). The exact-probe IVF gates (nprobe = all ≡
     // brute) hold for ANY bucketing, so this is the one query that anchors
     // the trainer/bucketer's argmax itself against an independent engine
+    // prototypicality pruning (Sorscher et al.): keep the HARDEST quarter
+    // of each cluster — cosine-to-assigned-centroid ranking, integer-exact
+    // per-cluster quota (⌊n/4⌋), same fixed seed centroids as the kmeans
+    // faces so the whole selection replays in SQL
+    "s_prototype_prune" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val seeds = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("embedding")).collect() // bounded: k = 8 rows
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      Similarity.pruneByPrototypicality(emb, "embedding", "vec_id", seeds,
+        keepNumer = 1, keepDenom = 4)
+        .select(col("vec_id"), col("cluster"))
+    }),
     "s_kmeans_assign" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
       val seeds = emb.orderBy(col("vec_id")).limit(8)
@@ -3484,6 +3497,11 @@ object SparkEntry {
     // the update means, float32-rounded on both sides; 0-based pos
     "s_kmeans_update" ->
       "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), scored AS (SELECT e.vec_id, cent.c, list_cosine_similarity(e.embedding, cent.cv) AS sim FROM embeddings e CROSS JOIN cent), assign AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c DESC) AS rn FROM scored) WHERE rn = 1) SELECT CAST(a.c AS BIGINT) AS c, CAST(u.pos - 1 AS BIGINT) AS pos, CAST(avg(u.x) AS FLOAT) AS m FROM assign a JOIN (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM embeddings) u ON a.vec_id = u.vec_id GROUP BY 1, 2",
+    // assigned-centroid cosine ranked ASC per cluster (hardest first),
+    // integer-exact ⌊n/4⌋ quota — ordering by list_cosine_similarity is
+    // the same cross-engine contract every s_knn oracle already relies on
+    "s_prototype_prune" ->
+      "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), scored AS (SELECT e.vec_id, cent.c, list_cosine_similarity(e.embedding, cent.cv) AS sim FROM embeddings e CROSS JOIN cent), assign AS (SELECT vec_id, c, sim FROM (SELECT vec_id, c, sim, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c DESC) AS rn FROM scored) WHERE rn = 1), r AS (SELECT vec_id, c, row_number() OVER (PARTITION BY c ORDER BY sim ASC, vec_id ASC) AS rn, count(*) OVER (PARTITION BY c) AS n FROM assign) SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM r WHERE rn * 4 <= n * 1",
     // argmax by (sim, cluster-idx) lexicographic max == greatest(struct)
     "s_kmeans_assign" ->
       "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), scored AS (SELECT e.vec_id, cent.c, list_cosine_similarity(e.embedding, cent.cv) AS sim FROM embeddings e CROSS JOIN cent) SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c DESC) AS rn FROM scored) WHERE rn = 1",

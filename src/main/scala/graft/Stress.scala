@@ -176,6 +176,15 @@ object Stress {
           operators.Dedup.substringWindowManifest(docs, "text", "doc_id", n = 8),
           "text", "doc_id", n = 8).count()
       },
+      // prototypicality pruning: k+1 narrow cosines per row, ONE shuffle on
+      // the cluster id for the two windows — wall must track corpus size
+      time(s"proto_prune_x$mult") {
+        val seeds = embs.orderBy(col("vec_id")).limit(8)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toSeq).toSeq
+        operators.Similarity.pruneByPrototypicality(
+          embs, "embedding", "vec_id", seeds, keepNumer = 1, keepDenom = 4).count()
+      },
       // DSIR at the paper's configuration: the bucket-space model is
       // corpus-size-independent, so scoring must stay broadcast-join +
       // one #docs-row agg as the corpus grows

@@ -171,6 +171,57 @@ object Similarity {
       greatest(scored: _*).getField("idx")
     }
 
+  /** Prototypicality scores (Sorscher et al. 2022, "Beyond neural scaling
+    * laws: beating power law scaling via data pruning"): each vector's
+    * cosine to its ASSIGNED centroid. High = prototypical/easy (deep in a
+    * cluster, redundant with its neighbors); low = hard/marginal — the
+    * signal their pruning metric keeps when data is abundant. Narrow
+    * projection: k + 1 native cosines per row against the broadcast
+    * centroid literals, zero shuffle. Output: (idCol, cluster, proto).
+    */
+  def prototypicality(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]]): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), centroids).cast("bigint").as("cluster"))
+      .select(col(idCol), col("cluster"),
+        cosine(col(vecCol), element_at(typedLit(centroids),
+          col("cluster").cast("int") + 1)).cast("double").as("proto"))
+
+  /** Prototypicality PRUNING: keep exactly ⌊n·numer/denom⌋ vectors per
+    * cluster — the HARDEST (least prototypical) when `keepHardest` (the
+    * paper's abundant-data regime; `false` keeps the easiest, their
+    * scarce-data regime). The keep quota is pure integer math
+    * (`rank·denom ≤ n·numer`), so the selection replays exactly across
+    * engines; ties (identical vectors) break on the id.
+    *
+    * One shuffle, on the cluster id (the two window functions share the
+    * partitioning). Giant clusters serialize their sort into single
+    * tasks — a corpus known to collapse into few clusters should raise k
+    * or pre-split; an approximate two-pass variant (per-cluster score
+    * percentile, then a stateless filter) trades the exact quota for no
+    * per-cluster sort if that ever binds.
+    */
+  def pruneByPrototypicality(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], keepNumer: Int, keepDenom: Int,
+      keepHardest: Boolean = true): DataFrame = {
+    require(keepDenom > 0 && keepNumer >= 0 && keepNumer <= keepDenom,
+      s"keep fraction must be a rational in [0, 1], got $keepNumer/$keepDenom")
+    import org.apache.spark.sql.expressions.Window
+    val scored = prototypicality(corpus, vecCol, idCol, centroids)
+    val order =
+      if (keepHardest) Seq(col("proto").asc, col(idCol).asc)
+      else Seq(col("proto").desc, col(idCol).asc)
+    val w = Window.partitionBy(col("cluster")).orderBy(order: _*)
+    val wc = Window.partitionBy(col("cluster"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") * lit(keepDenom.toLong) <= col("__n") * lit(keepNumer.toLong))
+      .select(col(idCol), col("cluster"))
+  }
+
   /** Top-`nprobe` centroid ids by cosine, as an array column. */
   def probeCentroids(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column = {
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>

@@ -1214,6 +1214,57 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // 13 beats 12: c(2) > c(3)
   }
 
+  test("prototypicality pruning: exact per-cluster quota, hardest/easiest direction, " +
+      "matches a driver-side reimplementation") {
+    // two planted direction clusters, 20 vectors each, with a per-vector
+    // perturbation that GROWS with the index — later ids sit further from
+    // their centroid (harder)
+    val base = Seq(
+      Array.tabulate(8)(i => if (i < 4) 1f else 0f),
+      Array.tabulate(8)(i => if (i >= 4) 1f else 0f))
+    val vecs = (0 until 40).map { i =>
+      val b = base(i % 2)
+      (i.toLong, b.zipWithIndex.map { case (x, d) =>
+        x + 0.02f * (i / 2) * (if (d == (i % 8)) 1f else 0f) })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Float]] = Seq(base(0).toSeq, base(1).toSeq)
+
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    // driver reference: assign to argmax cosine (ties -> higher idx, the
+    // greatest(struct) semantics), rank ascending per cluster, keep n/4
+    val ref = vecs.map { case (id, v) =>
+      val sims = cents.map(c => cosine(v, c))
+      val cl = if (sims(1) >= sims(0)) 1 else 0
+      (id, cl, sims(cl))
+    }
+    val want = ref.groupBy(_._2).flatMap { case (cl, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(rows.size * 1 / 4).map(r => (r._1, cl.toLong))
+    }.toSet
+
+    val got = Similarity.pruneByPrototypicality(df, "embedding", "vec_id", cents,
+      keepNumer = 1, keepDenom = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // quota exactness: 20 per cluster -> keep exactly 5 from each
+    assert(got.groupBy(_._2).view.mapValues(_.size).toMap === Map(0L -> 5, 1L -> 5))
+
+    // keepHardest=false selects the opposite tail: disjoint from the
+    // hardest quarter, and strictly easier (higher proto) on average
+    val easy = Similarity.pruneByPrototypicality(df, "embedding", "vec_id", cents,
+      keepNumer = 1, keepDenom = 4, keepHardest = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(easy.intersect(got).isEmpty)
+    val protoOf = ref.map(r => (r._1, r._2.toLong) -> r._3).toMap
+    def meanProto(s: Set[(Long, Long)]): Double = s.toSeq.map(protoOf).sum / s.size
+    assert(meanProto(easy) > meanProto(got))
+  }
+
   test("trainIvfCentroids tolerates null vectors (ADVICE r9: null-centroid group)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
