@@ -140,6 +140,14 @@ object SparkEntry {
   private val semanticGateCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Boolean, Seq[Seq[Float]])]()
 
+  // the streaming SUBSTRING gate fixture (d_substr_gate /
+  // d_substr_gate_contract): window index on the first half of the corpus,
+  // the rest gated in 3 contiguous-id-range batches (so sequential arrival
+  // order ≡ global id order and the one-shot SQL is the oracle), batch 1
+  // replayed after batch 2 ran. Value: (indexDir, cleanDir, replayOk)
+  private val substrGateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Boolean)]()
+
   // trained BPE merge list per sf dir (t_bpe_encode*): in production the
   // merge table is a persisted artifact trained once; encode queries
   // should measure ENCODING, not re-training
@@ -398,6 +406,56 @@ object SparkEntry {
     *   5. compact: physical purge must leave the LIVE manifest view
     *      hash-identical and remove the tombstone dir (compactOk).
     */
+  /** Substring-gate fixture: window index on docs < 250; arrivals in three
+    * CONTIGUOUS ASCENDING id ranges — [250,333) and [333,416) through the
+    * real file stream, batch 1 replayed (replayOk), then [416,∞) gated as
+    * batch 2 (the bench face re-replays it as its timed body). Ascending
+    * ranges make sequential arrival order ≡ global id order, so the
+    * one-shot substringClean SQL restricted to the arrivals IS the oracle.
+    */
+  private def buildSubstringGateFixture(
+      s: SparkSession, d: String): (String, String, Boolean) = {
+    val docs = tb(s, d, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("ssgidx")
+    val clean = java.nio.file.Files.createTempDirectory("ssgclean")
+    val landing = java.nio.file.Files.createTempDirectory("ssgland")
+    val ckpt = java.nio.file.Files.createTempDirectory("ssgckpt")
+    Seq(idx, clean, landing, ckpt).foreach(deleteRecursivelyOnExit)
+    Dedup.writeSubstringIndex(docs.filter(col("doc_id") < 250),
+      "text", "doc_id", idx.toString, n = 8)
+    Seq((250L, 333L), (333L, 416L)).zipWithIndex.foreach { case ((lo, hi), k) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"ssgtmp$k")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dst = landing.resolve(f"batch$k%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+    Dedup.streamSubstringGate(
+      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString),
+      "text", "doc_id", idx.toString, clean.toString, ckpt.toString)
+      .awaitTermination()
+    def outputsHash(): ((Long, Long), (Long, Long)) = (
+      contentHash(s.read.parquet(clean.toString),
+        Seq("doc", "cleaned_text", "ingest_batch")),
+      contentHash(s.read.parquet(s"$idx/manifest"),
+        Seq("h1", "h2", "ingest_batch")))
+    val beforeReplay = outputsHash()
+    Dedup.gateBatchAgainstSubstringIndex(
+      docs.filter(col("doc_id") >= 333 && col("doc_id") < 416),
+      "text", "doc_id", idx.toString, clean.toString, 1L)
+    val replayOk = outputsHash() == beforeReplay
+    Dedup.gateBatchAgainstSubstringIndex(docs.filter(col("doc_id") >= 416),
+      "text", "doc_id", idx.toString, clean.toString, 2L)
+    (idx.toString, clean.toString, replayOk)
+  }
+
   private def buildNearDupGateFixture(
       s: SparkSession, d: String): (String, String, Boolean, Boolean) = {
     val docs = tb(s, d, "documents")
@@ -1934,6 +1992,34 @@ object SparkEntry {
     // signatures). Timing face: one full gate batch — re-gating batch 2 is
     // replay-idempotent (dynamic partition overwrite + strictly-earlier
     // manifest read), so repeated bench runs leave the fixture identical
+    // streaming SUBSTRING gate — ExactSubstr at ingest: the timed body
+    // replays batch 2 ([416,∞)) against the gate-grown window index, then
+    // returns its cleaned rows. Hash-gated on CONTENT: ascending-id-range
+    // batches make the stream ≡ the one-shot pipeline, so the oracle is
+    // the one-shot clean SQL restricted to the batch
+    "d_substr_gate" -> ((s, d) => {
+      val (idx, clean, _) =
+        substrGateCache.computeIfAbsent(d, _ => buildSubstringGateFixture(s, d))
+      Dedup.gateBatchAgainstSubstringIndex(
+        tb(s, d, "documents").filter(col("doc_id") >= 416),
+        "text", "doc_id", idx, clean, 2L)
+      s.read.parquet(clean).filter(col("ingest_batch") === 2L)
+        .select(col("doc").as("doc_id"), col("cleaned_text"))
+    }),
+    // the whole streamed output (all three gate batches incl. the replayed
+    // one) hash-checked against the one-shot SQL over the full corpus —
+    // plus the replay-identity probe surfaced as a sentinel row that can
+    // never hash-match if replay changed anything
+    "d_substr_gate_contract" -> ((s, d) => {
+      import s.implicits._
+      val (_, clean, replayOk) =
+        substrGateCache.computeIfAbsent(d, _ => buildSubstringGateFixture(s, d))
+      val streamed = s.read.parquet(clean)
+        .select(col("doc").as("doc_id"), col("cleaned_text"))
+      if (replayOk) streamed
+      else streamed.unionByName(
+        Seq((-1L, "REPLAY_CHANGED_OUTPUTS")).toDF("doc_id", "cleaned_text"))
+    }),
     "d_stream_gate" -> ((s, d) => {
       val (idx, kept, _, _) =
         nearDupGateCache.computeIfAbsent(d, _ => buildNearDupGateFixture(s, d))
@@ -3579,6 +3665,12 @@ object SparkEntry {
     // half — the incremental face must land exactly these
     "d_substr_incremental" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov) SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(count(*) AS BIGINT) AS span_len FROM isl WHERE doc_id >= 250 GROUP BY doc_id, grp""",
+    // the gate's batch 2 ≡ one-shot clean restricted to [416,∞)
+    "d_substr_gate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), alltok AS (SELECT t.doc_id, u.i - 1 AS p, t.toks[u.i] AS tok FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) u), kept AS (SELECT a.doc_id, a.p, a.tok FROM alltok a ANTI JOIN cov USING (doc_id, p)) SELECT CAST(doc_id AS BIGINT) AS doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text FROM kept WHERE doc_id >= 416 GROUP BY doc_id""",
+    // the full streamed output ≡ one-shot clean over every arrival batch
+    "d_substr_gate_contract" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), alltok AS (SELECT t.doc_id, u.i - 1 AS p, t.toks[u.i] AS tok FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) u), kept AS (SELECT a.doc_id, a.p, a.tok FROM alltok a ANTI JOIN cov USING (doc_id, p)) SELECT CAST(doc_id AS BIGINT) AS doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text FROM kept WHERE doc_id >= 250 GROUP BY doc_id""",
     // kept tokens re-joined by single spaces; fully-covered docs vanish
     "d_substr_clean" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY ng) AS c, row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn FROM occ), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM r CROSS JOIN range(0,8) g WHERE c>=2 AND rn>1), alltok AS (SELECT t.doc_id, u.i - 1 AS p, t.toks[u.i] AS tok FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) u), kept AS (SELECT a.doc_id, a.p, a.tok FROM alltok a ANTI JOIN cov USING (doc_id, p)) SELECT CAST(doc_id AS BIGINT) AS doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text FROM kept GROUP BY doc_id""",

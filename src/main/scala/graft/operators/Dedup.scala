@@ -761,13 +761,23 @@ object Dedup {
     * the corpus.
     */
   def substringClean(
-      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val spans = substringRemovedSpans(docs, textCol, idCol, n)
-      .groupBy(col("doc"))
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    applyRemovedSpans(docs, substringRemovedSpans(docs, textCol, idCol, n),
+      textCol, idCol)
+
+  /** Apply a (doc, span_start, span_len) cut table to its corpus — the
+    * assembly half of [[substringClean]], shared by the one-shot,
+    * incremental, and streaming faces. Spans collapse to ≤ one array per
+    * doc, join back on the doc id, and a (token, index) higher-order
+    * filter applies every cut map-side.
+    */
+  def applyRemovedSpans(
+      docs: DataFrame, spans: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cuts = spans.groupBy(col("doc"))
       .agg(collect_list(struct(col("span_start"), col("span_len"))).as("__cuts"))
     val toks = docs.select(col(idCol).cast("long").as("doc"),
       regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
-    toks.join(spans, Seq("doc"), "left")
+    toks.join(cuts, Seq("doc"), "left")
       .select(col("doc"), array_join(filter(col("__toks"), (_, i) =>
         col("__cuts").isNull || !exists(col("__cuts"), c =>
           i >= c.getField("span_start") &&
@@ -1392,4 +1402,118 @@ object Dedup {
         .parquet(s"$indexPath/manifest")
     }
   }
+
+  // ------------------------------------------- substring window index + gate
+
+  /** Persisted SUBSTRING WINDOW INDEX — the on-disk lifecycle face of
+    * [[substringWindowManifest]], completing the at-ingest gate family
+    * (exact digests, near-dup signatures, semantic embeddings, and now
+    * duplicated substrings). Layout:
+    *
+    *   `$path/params`    one-row parquet pinning the window size `n` —
+    *                     every gate reads the STORED shape, so mixing
+    *                     window sizes across writers is impossible
+    *   `$path/manifest`  (h1, h2) per distinct window ever seen,
+    *                     partitioned by `ingest_batch` (batch build = -1;
+    *                     gate batches land under their batch id)
+    *
+    * 16 bytes per DISTINCT window: a boilerplate-heavy corpus (the case
+    * substring dedup exists for) collapses hard — the repeats that
+    * dominate the token count contribute one manifest row each.
+    *
+    * No tombstone face, deliberately: manifest rows are CONTENT keys, not
+    * doc rows — "forget doc X" has no per-doc rows to screen (the same
+    * window text typically also occurred in other docs), so retention
+    * deletes for substring state mean rebuilding the manifest from the
+    * retained corpus. Documented, not hidden.
+    */
+  def writeSubstringIndex(
+      docs: DataFrame, textCol: String, idCol: String, path: String,
+      n: Int = 8): Unit =
+   MaintenanceLock.withLock(docs.sparkSession, path) {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(n).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    substringWindowManifest(docs, textCol, idCol, n)
+      .withColumn("ingest_batch", lit(-1L))
+      // PINNED static overwrite — a rebuild replaces the whole previous
+      // manifest, including any prior incarnation's gate partitions
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("ingest_batch")
+      .parquet(s"$path/manifest")
+   }
+
+  private[graft] def readSubstringIndexN(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/params").head.getAs[Int]("n")
+
+  /** The manifest view of a persisted substring index, optionally
+    * restricted to batches STRICTLY BEFORE `beforeBatch` (partition-
+    * pruned; the `-1` base always qualifies) — the streaming gate's
+    * replay-safe read.
+    */
+  def substringIndexManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val m0 = spark.read.parquet(s"$path/manifest")
+    beforeBatch.map(b => m0.filter(col("ingest_batch") < lit(b))).getOrElse(m0)
+      .select(col("h1"), col("h2"))
+  }
+
+  /** Streaming substring dedup at ingest: each micro-batch is cut against
+    * every strictly-earlier batch's windows ([[substringSpansAgainstManifest]]
+    * — manifest-seen cuts ∪ within-batch keep-first), the cleaned text
+    * lands in `cleanDir`, and the batch's windows join the index. Both
+    * writes are `ingest_batch`-partitioned dynamic overwrites, so a
+    * replayed batch (crash between writes, checkpoint rollback) lands
+    * byte-identically on top of itself. Sequential batch semantics ≡ the
+    * one-shot pipeline over the concatenated corpus when ids order by
+    * arrival — the d_substr_gate_contract gate.
+    */
+  def streamSubstringGate(
+      stream: DataFrame, textCol: String, idCol: String,
+      indexPath: String, cleanDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        gateBatchAgainstSubstringIndex(
+          batch.toDF(), textCol, idCol, indexPath, cleanDir, batchId))
+      .start()
+
+  /** One gate batch of [[streamSubstringGate]], exposed for replay testing
+    * and receipts.
+    */
+  private[graft] def gateBatchAgainstSubstringIndex(
+      batch: DataFrame, textCol: String, idCol: String,
+      indexPath: String, cleanDir: String, batchId: Long): Unit =
+    graft.CacheScope.withScope {
+      val spark = batch.sparkSession
+      val n = readSubstringIndexN(spark, indexPath)
+      val manifest = substringIndexManifest(spark, indexPath,
+        beforeBatch = Some(batchId))
+      val spans = substringSpansAgainstManifest(batch, manifest, textCol, idCol, n)
+      applyRemovedSpans(batch, spans, textCol, idCol)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(cleanDir)
+      // index growth: the batch's windows from its ORIGINAL text — a cut
+      // occurrence still HAPPENED, and a later arrival of the same window
+      // must be cut even if this batch's copy was (keep-first-globally).
+      // Keys already present in strictly-earlier batches are dropped (the
+      // anti-join keeps the manifest one-row-per-distinct-window); the
+      // strictly-earlier read keeps the append deterministic under replay
+      val newKeys = substringWindowManifest(batch, textCol, idCol, n)
+        .join(manifest, Seq("h1", "h2"), "left_anti")
+      newKeys.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(s"$indexPath/manifest")
+    }
 }

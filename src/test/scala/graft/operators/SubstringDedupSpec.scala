@@ -108,6 +108,105 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(replayed.count() === grown.count())
   }
 
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def gate(batch: DataFrame, idx: String, clean: String, id: Long): Unit =
+    Dedup.gateBatchAgainstSubstringIndex(batch, "text", "doc_id", idx, clean, id)
+
+  private def cleanedMap(dir: String): Map[Long, String] =
+    spark.read.parquet(dir).select("doc", "cleaned_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("substring gate across batches ≡ one-shot pipeline; params pinned by the index") {
+    val idx = tmpDir("ssidx")
+    val clean = tmpDir("ssclean")
+    val corpus = Seq((10L, s"${toks(0 until 5, "x")} $boiler ${toks(0 until 5, "y")}"))
+      .toDF("doc_id", "text")
+    Dedup.writeSubstringIndex(corpus, "text", "doc_id", idx, n = 4)
+    assert(Dedup.readSubstringIndexN(spark, idx) === 4)
+    // batch 0: a doc re-pasting the boilerplate (cut), one novel doc;
+    // batch 1: a doc duplicating batch 0's novel text (cut against the
+    // GATE-GROWN index, not just the base build)
+    val b0 = Seq(
+      (20L, s"${toks(0 until 3, "z")} $boiler"),
+      (21L, toks(0 until 12, "n"))).toDF("doc_id", "text")
+    val b1 = Seq(
+      (30L, s"${toks(0 until 12, "n")} ${toks(0 until 3, "q")}"),
+      (31L, toks(0 until 6, "v"))).toDF("doc_id", "text")
+    gate(b0, idx, clean, 0L)
+    gate(b1, idx, clean, 1L)
+    val got = cleanedMap(clean)
+    val oneShot = Dedup.substringClean(
+      corpus.unionByName(b0).unionByName(b1), "text", "doc_id", n = 4)
+      .filter(col("doc") >= 20L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === oneShot)
+    assert(got(20L) === toks(0 until 3, "z")) // boilerplate cut
+    assert(got(30L) === toks(0 until 3, "q")) // batch-0 text cut
+  }
+
+  test("substring gate replay leaves clean table and manifest content-identical; " +
+      "an all-duplicate batch adds nothing") {
+    val idx = tmpDir("ssidx")
+    val clean = tmpDir("ssclean")
+    val corpus = Seq((10L, s"$boiler ${toks(0 until 6, "c")}")).toDF("doc_id", "text")
+    Dedup.writeSubstringIndex(corpus, "text", "doc_id", idx, n = 4)
+    val b0 = Seq((20L, toks(0 until 10, "k"))).toDF("doc_id", "text")
+    gate(b0, idx, clean, 0L)
+    def snap(): (Map[Long, String], Long, Long) = {
+      val m = spark.read.parquet(s"$idx/manifest")
+      (cleanedMap(clean), m.count(),
+        m.agg(sum(hash(col("h1"), col("h2"), col("ingest_batch")).cast("long")))
+          .head.getLong(0))
+    }
+    // an ALL-DUPLICATE batch: every window already seen → no cleaned rows
+    // land, no manifest keys append
+    val before = snap()
+    gate(Seq((40L, boiler)).toDF("doc_id", "text"), idx, clean, 1L)
+    val afterDup = snap()
+    assert(afterDup === before, "all-duplicate batch must be a physical no-op")
+    // replaying batch 0 after batch 1 ran: content-identical
+    gate(b0, idx, clean, 0L)
+    assert(snap() === before)
+  }
+
+  test("streaming substring gate over mod-time-ordered files equals sequential batches") {
+    val idx = tmpDir("ssidx"); val idxSeq = tmpDir("ssidxq")
+    val cleanStream = tmpDir("sscls"); val cleanSeq = tmpDir("ssclq")
+    val landing = tmpDir("ssland"); val ckpt = tmpDir("ssckpt")
+    val corpus = Seq((1L, s"$boiler ${toks(0 until 6, "c")}")).toDF("doc_id", "text")
+    Dedup.writeSubstringIndex(corpus, "text", "doc_id", idx, n = 4)
+    Dedup.writeSubstringIndex(corpus, "text", "doc_id", idxSeq, n = 4)
+    val batches = Seq(
+      Seq((10L, s"$boiler ${toks(0 until 4, "p")}"), (11L, toks(0 until 9, "w"))),
+      Seq((20L, s"${toks(0 until 9, "w")} tailA tailB tailC tailD"), (21L, toks(0 until 5, "r"))))
+      .map(_.toDF("doc_id", "text"))
+    batches.zipWithIndex.foreach { case (b, k) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"ssb$k")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dst = java.nio.file.Paths.get(landing, s"b$k.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+    Dedup.streamSubstringGate(
+      spark.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      "text", "doc_id", idx, cleanStream, ckpt)
+      .awaitTermination()
+    batches.zipWithIndex.foreach { case (b, k) => gate(b, idxSeq, cleanSeq, k.toLong) }
+    assert(cleanedMap(cleanStream) === cleanedMap(cleanSeq))
+    // doc 20's copy of batch-0 text is cut through the stream too
+    assert(cleanedMap(cleanStream)(20L) === "tailA tailB tailC tailD")
+  }
+
   test("hashed production path ≡ string-keyed brute on the harness corpus " +
       "(d_substr_spans oracle validity)") {
     // the DuckDB oracle computes spans from window STRINGS; the production
