@@ -124,6 +124,14 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, String, String, String, Seq[Seq[Float]])]()
 
+  // the THREE-stage composed fixture (d_composed3_gate / _contract):
+  // substring gate → near-dup gate → semantic gate, one checkpoint.
+  // Value: (substrIdx, textIdx, annIdx, cleanDir, textKeptDir, keptDir,
+  // frozen centroids)
+  private val composed3GateCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, String, String, String, String, String, Seq[Seq[Float]])]()
+
   // the streaming near-dup gate fixture (d_stream_gate /
   // d_stream_gate_contract): signature index on 3/4 of the corpus, the
   // rest gated through Structured Streaming in mod-time-ordered batches,
@@ -289,7 +297,7 @@ object SparkEntry {
     "d_simhash_pairs", "d_embed_neardup",
     "m_media_features", "m_image_neardup",
     "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_knn_ivfpq",
-    "d_stream_gate", "s_semantic_gate", "d_composed_gate")
+    "d_stream_gate", "s_semantic_gate", "d_composed_gate", "d_composed3_gate")
 
   /** Shared LSH shape for the streaming-gate fixture: the recall-1.0 design
     * point (J ≥ 1/2 at 32×2 banding — the d_jaccard_lsh ≡ brute argument),
@@ -332,6 +340,22 @@ object SparkEntry {
 
   private val SemGateTau = 0.4 // the d_semantic_keepers design point on this corpus
   private val SemGateNprobe = 2
+  private val SubstrGateN = 8 // window size of the composed fixture's stage 0
+
+  /** Verify evaluates queries on a THREAD POOL, and each streaming-gate
+    * fixture is shared by a bench face that REPLAYS a batch (dynamic
+    * overwrite: new part files written, old ones deleted) and a contract
+    * sibling reading the same partitions — concurrent evaluation chases
+    * deleted files. Serialize per (fixture, sf dir), and EAGERLY
+    * materialize the returned frame inside the lock (localCheckpoint) so
+    * nothing escaping the lock still reads fixture dirs lazily.
+    */
+  private val fixtureLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def fixtureSerialized(key: String, d: String)(body: => DataFrame): DataFrame =
+    fixtureLocks.computeIfAbsent(s"$key@$d", _ => new Object).synchronized {
+      graft.CacheScope.localCheckpoint(body)
+    }
 
   private def semSubBatch(embs: DataFrame, k: Int): DataFrame =
     embs.filter(pmod(col("vec_id"), lit(12)) === lit(4 * k))
@@ -454,6 +478,77 @@ object SparkEntry {
     Dedup.gateBatchAgainstSubstringIndex(docs.filter(col("doc_id") >= 416),
       "text", "doc_id", idx.toString, clean.toString, 2L)
     (idx.toString, clean.toString, replayOk)
+  }
+
+  /** Three-stage composed fixture (d_composed3_gate / _contract): substring
+    * index + near-dup index on the ≡2 mod 4 doc quarter, ANN index on the
+    * matching embedding quarter; ONE arrival batch streamed through
+    * [[streaming.ComposedGate.stream3]] (one foreachBatch, one
+    * checkpoint) — the smoke gate's 20 s bound prices every composed
+    * execution, so the driver fixture runs the minimum and CROSS-batch
+    * composition is pinned by ComposedGateSpec's planted two-batch case
+    * (and the two-stage d_composed_gate still streams two batches here).
+    * Replay probe lives in the contract; the bench face replays batch 0.
+    * Value: (substrIdx, textIdx, annIdx, cleanDir, textKeptDir, keptDir,
+    * centroids)
+    */
+  private def buildComposed3GateFixture(
+      s: SparkSession, d: String)
+      : (String, String, String, String, String, String, Seq[Seq[Float]]) = {
+    val docs = tb(s, d, "documents")
+    val embs = tb(s, d, "embeddings")
+    val baseDocs = gateIndexBase(docs)
+    val baseEmb = embs.filter(pmod(col("vec_id"), lit(4)) === 2)
+      .select(col("vec_id"), col("embedding"))
+    val arrivals = composedArrivals(s, d)
+    val dirs = Seq("c3s", "c3t", "c3a", "c3cl", "c3tk", "c3k", "c3l", "c3c")
+      .map(p => java.nio.file.Files.createTempDirectory(p))
+    dirs.foreach(deleteRecursivelyOnExit)
+    val Seq(substrIdx, textIdx, annIdx, cleanDir, textKept, kept, landing, ckpt) = dirs
+    Dedup.writeSubstringIndex(baseDocs, "text", "doc_id", substrIdx.toString,
+      n = SubstrGateN)
+    Dedup.writeNearDupIndex(baseDocs, "text", "doc_id", textIdx.toString,
+      GateShingle, GateNumer, GateDenom, GateBands, GateRows)
+    val cents = Similarity.trainIvfCentroids(baseEmb, "embedding", "vec_id", k = 8)
+    Similarity.writeIvfIndex(baseEmb, "embedding", "vec_id", cents, annIdx.toString)
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("c3b0")
+      gateSubBatch(arrivals, 0).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.move(part, landing.resolve("batch00.parquet"))
+    }
+    graft.streaming.ComposedGate.stream3(
+      s.readStream.schema(arrivals.schema).option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString),
+      "text", "embedding", "doc_id",
+      substrIdx.toString, textIdx.toString, annIdx.toString,
+      cleanDir.toString, textKept.toString, kept.toString, ckpt.toString,
+      SemGateTau, SemGateNprobe)
+      .awaitTermination()
+    (substrIdx.toString, textIdx.toString, annIdx.toString,
+      cleanDir.toString, textKept.toString, kept.toString, cents)
+  }
+
+  /** Content hashes of the three-stage composition's six output tables —
+    * the replay-identity currency of d_composed3_gate_contract.
+    */
+  private def composed3OutputsHash(
+      s: SparkSession, substrIdx: String, textIdx: String, annIdx: String,
+      cleanDir: String, textKept: String, kept: String): Seq[(Long, Long)] = {
+    // the replay probe dynamic-overwrites partitions BETWEEN two hashes of
+    // the same path — drop the session's cached file listings first, or the
+    // second read can chase the pre-replay part files
+    Seq(cleanDir, s"$substrIdx/manifest", textKept, kept, s"$annIdx/corpus",
+      s"$textIdx/manifest").foreach(s.catalog.refreshByPath)
+    contentHash(s.read.parquet(cleanDir),
+      Seq("doc", "cleaned_text", "ingest_batch")) +:
+      contentHash(s.read.parquet(s"$substrIdx/manifest"),
+        Seq("h1", "h2", "ingest_batch")) +:
+      composedOutputsHash(s, textIdx, annIdx, textKept, kept)
   }
 
   private def buildNearDupGateFixture(
@@ -1997,7 +2092,7 @@ object SparkEntry {
     // returns its cleaned rows. Hash-gated on CONTENT: ascending-id-range
     // batches make the stream ≡ the one-shot pipeline, so the oracle is
     // the one-shot clean SQL restricted to the batch
-    "d_substr_gate" -> ((s, d) => {
+    "d_substr_gate" -> ((s, d) => fixtureSerialized("substrgate", d) {
       val (idx, clean, _) =
         substrGateCache.computeIfAbsent(d, _ => buildSubstringGateFixture(s, d))
       Dedup.gateBatchAgainstSubstringIndex(
@@ -2010,7 +2105,7 @@ object SparkEntry {
     // one) hash-checked against the one-shot SQL over the full corpus —
     // plus the replay-identity probe surfaced as a sentinel row that can
     // never hash-match if replay changed anything
-    "d_substr_gate_contract" -> ((s, d) => {
+    "d_substr_gate_contract" -> ((s, d) => fixtureSerialized("substrgate", d) {
       import s.implicits._
       val (_, clean, replayOk) =
         substrGateCache.computeIfAbsent(d, _ => buildSubstringGateFixture(s, d))
@@ -2020,7 +2115,100 @@ object SparkEntry {
       else streamed.unionByName(
         Seq((-1L, "REPLAY_CHANGED_OUTPUTS")).toDF("doc_id", "cleaned_text"))
     }),
-    "d_stream_gate" -> ((s, d) => {
+    // THREE-stage composed ingest (substring → near-dup → semantic), the
+    // full crawl-pipeline shape in one foreachBatch: timed body = replay
+    // of batch 0 through all three stages
+    "d_composed3_gate" -> ((s, d) => fixtureSerialized("composed3", d) {
+      val (substrIdx, textIdx, annIdx, cleanDir, textKept, kept, cents) =
+        composed3GateCache.computeIfAbsent(d, _ => buildComposed3GateFixture(s, d))
+      graft.streaming.ComposedGate.ingestBatch3(
+        gateSubBatch(composedArrivals(s, d), 0), "text", "embedding", "doc_id",
+        substrIdx, textIdx, annIdx, cents, cleanDir, textKept, kept, 0L,
+        SemGateTau, SemGateNprobe)
+      // the replay just overwrote partitions the fixture's stream wrote —
+      // drop any cached listing before reading the result back
+      s.catalog.refreshByPath(kept)
+      s.read.parquet(kept).filter(col("ingest_batch") === 0L)
+        .select(col("doc_id"))
+    }),
+    // three-stage composition contract: streamed final kept-set ≡ the
+    // THREE sequential reference pipelines stacked (substring manifest
+    // fold → exact-Jaccard text fold → in-memory semantic fold), plus
+    // replay identity across all SIX output tables (batch 1 re-driven
+    // through ingestBatch3 here). Violations frame provably empty
+    "d_composed3_gate_contract" -> ((s, d) => fixtureSerialized("composed3", d) {
+      import s.implicits._
+      val (substrIdx, textIdx, annIdx, cleanDir, textKept, kept, cents) =
+        composed3GateCache.computeIfAbsent(d, _ => buildComposed3GateFixture(s, d))
+      val beforeReplay =
+        composed3OutputsHash(s, substrIdx, textIdx, annIdx, cleanDir, textKept, kept)
+      graft.streaming.ComposedGate.ingestBatch3(
+        gateSubBatch(composedArrivals(s, d), 0), "text", "embedding", "doc_id",
+        substrIdx, textIdx, annIdx, cents, cleanDir, textKept, kept, 0L,
+        SemGateTau, SemGateNprobe)
+      val replayOk = composed3OutputsHash(
+        s, substrIdx, textIdx, annIdx, cleanDir, textKept, kept) == beforeReplay
+      val docs = tb(s, d, "documents")
+      val embs = tb(s, d, "embeddings")
+      val arrivals = composedArrivals(s, d)
+      val baseDocs = gateIndexBase(docs)
+      def manifestOf(df: DataFrame): DataFrame =
+        Dedup.nearDupManifest(df, "text", "doc_id", GateShingle, GateBands, GateRows)
+      val subMan0 = graft.CacheScope.localCheckpoint(
+        Dedup.substringWindowManifest(baseDocs, "text", "doc_id", SubstrGateN))
+      val man0 = graft.CacheScope.localCheckpoint(manifestOf(baseDocs))
+      val corpus0 = graft.CacheScope.localCheckpoint(
+        embs.filter(pmod(col("vec_id"), lit(4)) === 2)
+          .select(col("vec_id").as("doc_id"), col("embedding")))
+      val (_, _, _, refKept) = (0 to 0).foldLeft(
+        (subMan0, man0, corpus0, s.emptyDataset[Long].toDF("doc_id"))) {
+        case ((subMan, man, corpusRef, acc), k) =>
+          val bk = gateSubBatch(arrivals, k)
+          // stage 0 reference: the batch-incremental substring face (pure
+          // batch ops) — cleaned text, fully-duplicated docs dropped,
+          // manifest grown by the batch's ORIGINAL windows
+          val spans = Dedup.substringSpansAgainstManifest(
+            bk, subMan, "text", "doc_id", SubstrGateN)
+          val cleanedK = graft.CacheScope.localCheckpoint(
+            Dedup.applyRemovedSpans(bk, spans, "text", "doc_id")
+              .select(col("doc").as("doc_id"), col("cleaned_text").as("text"))
+              .join(bk.select(col("doc_id"), col("embedding")), Seq("doc_id")))
+          // stage 1 reference: the text gate's exact-Jaccard pipeline
+          val unseenT = Dedup.dropSeenNearDuplicates(
+            cleanedK, man, "text", "doc_id",
+            GateShingle, GateNumer, GateDenom, GateBands, GateRows)
+          val keptT = graft.CacheScope.localCheckpoint(Dedup.dropNearDuplicates(
+            unseenT,
+            Dedup.jaccardDuplicatePairs(unseenT, "text", "doc_id",
+              GateShingle, GateNumer, GateDenom, GateBands, GateRows),
+            "doc_id"))
+          // stage 2 reference: semantic suppression + in-batch keepers
+          val bkE = keptT.select(col("doc_id"), col("embedding"))
+          val sup = Similarity.ivfTopK(bkE, corpusRef, "embedding", "doc_id",
+              k = 1, cents, SemGateNprobe)
+            .filter(col("cos") >= SemGateTau).select(col("query_id"))
+          val unseenS = bkE.join(sup, bkE("doc_id") === sup("query_id"), "left_anti")
+          val keptS = graft.CacheScope.localCheckpoint(
+            Dedup.semanticKeepers(unseenS, "embedding", "doc_id", SemGateTau))
+          (graft.CacheScope.localCheckpoint(subMan.unionByName(
+            Dedup.substringWindowManifest(bk, "text", "doc_id", SubstrGateN))
+            .distinct()),
+            graft.CacheScope.localCheckpoint(
+              man.union(manifestOf(keptT.select(col("doc_id"), col("text"))))),
+            graft.CacheScope.localCheckpoint(corpusRef.union(keptS)),
+            acc.union(keptS.select(col("doc_id"))))
+      }
+      val streamKept = s.read.parquet(kept).select(col("doc_id"))
+      val extra = streamKept.except(refKept)
+        .withColumn("violation", lit("kept by composition, not by reference"))
+      val missing = refKept.except(streamKept)
+        .withColumn("violation", lit("kept by reference, not by composition"))
+      val lifecycle = Seq(("replay changed composed outputs", replayOk))
+        .filter(!_._2).map(t => (0L, t._1)).toDF("doc_id", "violation")
+      extra.union(missing).union(lifecycle)
+        .select(col("doc_id").cast("bigint").as("doc"), col("violation"))
+    }),
+    "d_stream_gate" -> ((s, d) => fixtureSerialized("streamgate", d) {
       val (idx, kept, _, _) =
         nearDupGateCache.computeIfAbsent(d, _ => buildNearDupGateFixture(s, d))
       Dedup.gateBatchAgainstNearDupIndex(
@@ -2037,7 +2225,7 @@ object SparkEntry {
     // before batch 2 (forgotten docs must stop suppressing) — plus the
     // replay-identity and compact-invariance probes from the fixture
     // build. Violations frame provably empty, hash-gated
-    "d_stream_gate_contract" -> ((s, d) => {
+    "d_stream_gate_contract" -> ((s, d) => fixtureSerialized("streamgate", d) {
       import s.implicits._
       val (_, kept, replayOk, compactOk) =
         nearDupGateCache.computeIfAbsent(d, _ => buildNearDupGateFixture(s, d))
@@ -2089,7 +2277,7 @@ object SparkEntry {
     // (nprobe-bounded probe, tombstone-filtered), survivors self-dedup and
     // append to the index. Timing face: one full gate batch (re-gating
     // batch 2 is replay-idempotent)
-    "s_semantic_gate" -> ((s, d) => {
+    "s_semantic_gate" -> ((s, d) => fixtureSerialized("semgate", d) {
       val (idx, kept, _, cents) =
         semanticGateCache.computeIfAbsent(d, _ => buildSemanticGateFixture(s, d))
       val arrivals = tb(s, d, "embeddings")
@@ -2106,7 +2294,7 @@ object SparkEntry {
     // centroids/nprobe/τ, none of the index/stream machinery), including
     // the retention delete before batch 2 — plus the replay-identity probe.
     // Violations frame provably empty, hash-gated
-    "s_semantic_gate_contract" -> ((s, d) => {
+    "s_semantic_gate_contract" -> ((s, d) => fixtureSerialized("semgate", d) {
       import s.implicits._
       val (_, kept, replayOk, cents) =
         semanticGateCache.computeIfAbsent(d, _ => buildSemanticGateFixture(s, d))
@@ -2148,7 +2336,7 @@ object SparkEntry {
     // one foreachBatch over one stream (the production stacking). Timing
     // face: one full composed batch (re-running batch 1 is replay-
     // idempotent through BOTH stages)
-    "d_composed_gate" -> ((s, d) => {
+    "d_composed_gate" -> ((s, d) => fixtureSerialized("composed", d) {
       val (textIdx, annIdx, textKept, kept, cents) =
         composedGateCache.computeIfAbsent(d, _ => buildComposedGateFixture(s, d))
       graft.streaming.ComposedGate.ingestBatch(
@@ -2165,7 +2353,7 @@ object SparkEntry {
     // (batch 1 re-driven through ComposedGate.ingestBatch HERE, all four
     // output tables hash-compared). Violations frame provably empty,
     // hash-gated
-    "d_composed_gate_contract" -> ((s, d) => {
+    "d_composed_gate_contract" -> ((s, d) => fixtureSerialized("composed", d) {
       import s.implicits._
       val (textIdx, annIdx, textKept, kept, cents) =
         composedGateCache.computeIfAbsent(d, _ => buildComposedGateFixture(s, d))
@@ -3383,6 +3571,8 @@ object SparkEntry {
     // composed text→semantic gate: streamed composition ≡ the two stacked
     // sequential references + whole-composition replay identity
     "d_composed_gate_contract" ->
+      "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
+    "d_composed3_gate_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
     // Contract siblings of the 9 production rows-only queries (VERDICT r5
     // #4: bench the operator under its original name; verify the contract

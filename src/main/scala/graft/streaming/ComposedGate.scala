@@ -57,6 +57,66 @@ object ComposedGate {
     }
   }
 
+  /** The FULL three-modality ingest: substring gate → near-dup gate →
+    * semantic gate in one micro-batch. Stage 0 cuts duplicated token
+    * windows out of the arriving TEXT (boilerplate removal — run first
+    * because downstream near-dup similarity should be judged on the
+    * de-boilerplated text, the order real pipelines use) and drops
+    * fully-duplicated docs outright; survivors re-attach their embedding
+    * (one batch-sized join back to the arrival frame) and flow through the
+    * proven two-stage composition. Replay safety composes exactly as
+    * before: stage 0's clean table and window-key append are
+    * `ingest_batch` dynamic overwrites reading strictly-earlier batches,
+    * so a replayed batch rewrites its own partitions byte-identically and
+    * re-derives identical downstream inputs.
+    */
+  def ingestBatch3(
+      batch: DataFrame, textCol: String, vecCol: String, idCol: String,
+      substrIndexPath: String, textIndexPath: String, annIndexPath: String,
+      centroids: Seq[Seq[Float]],
+      cleanDir: String, textKeptDir: String, keptDir: String, batchId: Long,
+      threshold: Double, nprobe: Int): Unit = {
+    val spark = batch.sparkSession
+    Dedup.gateBatchAgainstSubstringIndex(
+      batch, textCol, idCol, substrIndexPath, cleanDir, batchId)
+    // an all-duplicate batch wrote no partition — nothing survives stage 0
+    val part = new org.apache.hadoop.fs.Path(s"$cleanDir/ingest_batch=$batchId")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(part)) {
+      val cleaned = spark.read.parquet(cleanDir)
+        .filter(col("ingest_batch") === lit(batchId))
+        .select(col("doc").as(idCol), col("cleaned_text").as(textCol))
+      val withVec = cleaned.join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+      ingestBatch(withVec, textCol, vecCol, idCol,
+        textIndexPath, annIndexPath, centroids,
+        textKeptDir, keptDir, batchId, threshold, nprobe)
+    }
+  }
+
+  /** [[ingestBatch3]] as a Structured Streaming query — one checkpoint for
+    * the whole three-stage composition. The near-dup index should be built
+    * over substring-CLEANED base text (the same normalization arrivals get
+    * before reaching it); the substring index pins its own window size.
+    */
+  def stream3(
+      stream: DataFrame, textCol: String, vecCol: String, idCol: String,
+      substrIndexPath: String, textIndexPath: String, annIndexPath: String,
+      cleanDir: String, textKeptDir: String, keptDir: String,
+      checkpointDir: String, threshold: Double, nprobe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Similarity.requireTwoLevelCorpusLayout(stream.sparkSession, annIndexPath)
+    val centroids = Similarity.readIvfCentroids(stream.sparkSession, annIndexPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch3(batch.toDF(), textCol, vecCol, idCol,
+          substrIndexPath, textIndexPath, annIndexPath, centroids,
+          cleanDir, textKeptDir, keptDir, batchId, threshold, nprobe))
+      .start()
+  }
+
   /** Drive the composition as a Structured Streaming query (AvailableNow,
     * one checkpoint for the whole composition — a batch either fully
     * commits both stages or replays both). LSH parameters come from the
