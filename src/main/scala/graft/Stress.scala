@@ -176,6 +176,18 @@ object Stress {
           operators.Dedup.substringWindowManifest(docs, "text", "doc_id", n = 8),
           "text", "doc_id", n = 8).count()
       },
+      // BM25: candidate rows = Σ df over the query terms — linear in corpus
+      // for a fixed query batch; the df cap tracks the corpus like the
+      // sparse-cosine path
+      // queries are EXPANDED docs: their "variant <id>" tokens are the
+      // only sub-cap (discriminative) terms in this 31-word synthetic
+      // vocabulary — the cap correctly drops the ubiquitous head and the
+      // rare tail still retrieves (self-hit per query)
+      time(s"bm25_x$mult") {
+        operators.SparseSim.bm25TopK(docs, docs.filter(col("doc_id") < 8),
+          "text", "doc_id", "text", "doc_id", k = 10,
+          maxDf = docs.count() / 2).count()
+      },
       // prototypicality pruning: k+1 narrow cosines per row, ONE shuffle on
       // the cluster id for the two windows — wall must track corpus size
       time(s"proto_prune_x$mult") {

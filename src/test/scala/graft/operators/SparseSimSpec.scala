@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class SparseSimSpec extends AnyFunSuite with SparkTestBase {
@@ -77,5 +78,45 @@ class SparseSimSpec extends AnyFunSuite with SparkTestBase {
         n = 2, minDf = 2L, maxDf = 10L, k = 5)
       .select("a_id", "b_id", "cos_x1e6").as[(Long, Long, Long)].collect().toSet
     rows.foreach { case (a, b, c) => assert(rows.contains((b, a, c))) }
+  }
+
+  test("bm25TopK: self top-1, rare terms dominate, length normalization, maxDf cap") {
+    val corpus = Seq(
+      (1L, "zebra quagga okapi unique beasts"),
+      (2L, "zebra zebra zebra common common common common common"),
+      (3L, "common words fill this entire document with plain tokens"),
+      (4L, "quagga sighting"), // short doc sharing a rare term
+      (5L, "common common plain plain words words tokens fill")
+    ).toDF("doc_id", "text")
+    val q = Seq((100L, "quagga okapi")).toDF("doc_id", "text")
+    val hits = SparseSim.bm25TopK(corpus, q, "text", "doc_id", "text", "doc_id", k = 5)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // both rare-term docs surface; nothing without a query term does
+    assert(hits.map(_._1).toSet === Set(1L, 4L))
+    // doc 1 matches two rare terms, doc 4 one → doc 1 first
+    assert(hits.head._1 === 1L)
+
+    // self-retrieval: each doc queries itself to the top on a distinct corpus
+    val self = SparseSim.bm25TopK(corpus, corpus.filter(col("doc_id") <= 3),
+      "text", "doc_id", "text", "doc_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(self === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+
+    // length normalization: identical tf for the query term, shorter doc wins
+    val ln = Seq(
+      (10L, "needle alpha beta"),
+      (11L, "needle " + Seq.tabulate(30)(i => s"pad$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val lnHits = SparseSim.bm25TopK(ln, Seq((1L, "needle")).toDF("doc_id", "text"),
+      "text", "doc_id", "text", "doc_id", k = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(1))
+    assert(lnHits.toSeq === Seq(10L, 11L))
+
+    // maxDf: a term in every doc is dropped from candidacy entirely
+    val capped = SparseSim.bm25TopK(corpus, Seq((1L, "common")).toDF("doc_id", "text"),
+      "text", "doc_id", "text", "doc_id", k = 5, maxDf = 2L)
+      .count()
+    assert(capped === 0L) // df(common) = 3 > 2 → no candidates at all
   }
 }
