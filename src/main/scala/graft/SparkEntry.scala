@@ -505,12 +505,28 @@ object SparkEntry {
       .map(p => java.nio.file.Files.createTempDirectory(p))
     dirs.foreach(deleteRecursivelyOnExit)
     val Seq(substrIdx, textIdx, annIdx, cleanDir, textKept, kept, landing, ckpt) = dirs
-    Dedup.writeSubstringIndex(baseDocs, "text", "doc_id", substrIdx.toString,
-      n = SubstrGateN)
-    Dedup.writeNearDupIndex(baseDocs, "text", "doc_id", textIdx.toString,
-      GateShingle, GateNumer, GateDenom, GateBands, GateRows)
-    val cents = Similarity.trainIvfCentroids(baseEmb, "embedding", "vec_id", k = 8)
-    Similarity.writeIvfIndex(baseEmb, "embedding", "vec_id", cents, annIdx.toString)
+    // the three base indexes are independent — build them on concurrent
+    // threads (Spark actions are thread-safe; local[32] has slack) to keep
+    // the whole fixture + one composed execution inside the smoke gate's
+    // 20 s single-shot bound. One Lloyd round: the contract compares the
+    // stream against a reference sharing the SAME frozen centroids, so
+    // centroid quality is not under test here (the recall contracts are)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fSub = Future(Dedup.writeSubstringIndex(
+      baseDocs, "text", "doc_id", substrIdx.toString, n = SubstrGateN))
+    val fText = Future(Dedup.writeNearDupIndex(baseDocs, "text", "doc_id",
+      textIdx.toString, GateShingle, GateNumer, GateDenom, GateBands, GateRows))
+    val fAnn = Future {
+      val c = Similarity.trainIvfCentroids(baseEmb, "embedding", "vec_id",
+        k = 8, iterations = 1)
+      Similarity.writeIvfIndex(baseEmb, "embedding", "vec_id", c, annIdx.toString)
+      c
+    }
+    Await.result(fSub, Duration.Inf)
+    Await.result(fText, Duration.Inf)
+    val cents = Await.result(fAnn, Duration.Inf)
     locally {
       val tmp = java.nio.file.Files.createTempDirectory("c3b0")
       gateSubBatch(arrivals, 0).coalesce(1)
@@ -2647,6 +2663,23 @@ object SparkEntry {
     // hybrid-retrieval rank fusion: dense-cosine and L2 rankers fused by
     // reciprocal rank (RRF) in exact integer contributions — fusion cost
     // is answer-sized (k·|queries| rows per ranker), never corpus-sized
+    // HYBRID retrieval — the RAG-era production shape: lexical BM25 and
+    // dense cosine ranked independently over the SAME id space
+    // (documents ⋈ embeddings), fused by integer RRF. Pure composition of
+    // three gated operators; exact-integer fusion keeps it hash-stable
+    "s_hybrid_retrieval" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val embs = tb(s, d, "embeddings")
+      val lex = SparseSim.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+        "text", "doc_id", "text", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(embs.filter(col("vec_id") < 5),
+        embs, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, dense), k0 = 60, k = 5)
+        .select(col("query_id"), col("item_id"), col("rrf_x1e9"),
+          col("rank").cast("bigint").as("rank"))
+    }),
     "s_rrf_fuse" -> ((s, d) => {
       val embs = tb(s, d, "embeddings")
       val queries = embs.filter(col("vec_id") < 10)
@@ -3764,6 +3797,9 @@ object SparkEntry {
       """WITH tk AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), tri AS (SELECT DISTINCT doc_id, array_to_string(tk[i : i + 2], ' ') AS s FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3)), sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM tri GROUP BY 1), dfr AS (SELECT s FROM (SELECT s, count(*) AS df FROM tri GROUP BY 1) WHERE df BETWEEN 2 AND 500), g AS (SELECT tri.doc_id, tri.s FROM tri JOIN dfr USING (s)), inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS inter_sz FROM g a JOIN g b USING (s) WHERE a.doc_id != b.doc_id GROUP BY 1, 2) SELECT src, dst, inter_sz, CAST(inter_sz * 1000000 // n_sh AS BIGINT) AS containment_ppm FROM inter JOIN sizes ON sizes.doc_id = inter.src WHERE inter_sz * 1000000 // n_sh >= 600000""",
     // integer RRF contributions: 10^9 // (60 + rank) summed across the
     // two rankers, re-ranked on the exact integer score
+    // hybrid fusion: the BM25 CTE + self-free dense CTE + integer RRF
+    "s_hybrid_retrieval" ->
+      """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2), lex AS (SELECT query_id, doc_id AS item_id, rank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5), dense AS (SELECT query_id, neighbor_id AS item_id, rank FROM (SELECT e.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings e JOIN embeddings c ON c.vec_id != e.vec_id WHERE e.vec_id < 5) WHERE rank <= 5), u AS (SELECT query_id, item_id, 1000000000 // (60 + rank) AS contrib FROM lex UNION ALL SELECT query_id, item_id, 1000000000 // (60 + rank) FROM dense), f AS (SELECT query_id, item_id, CAST(sum(contrib) AS BIGINT) AS rrf_x1e9 FROM u GROUP BY 1, 2) SELECT query_id, item_id, rrf_x1e9, rank FROM (SELECT query_id, item_id, rrf_x1e9, row_number() OVER (PARTITION BY query_id ORDER BY rrf_x1e9 DESC, item_id ASC) AS rank FROM f) WHERE rank <= 5""",
     "s_rrf_fuse" ->
       "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), cosr AS (SELECT query_id, item_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS item_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM q JOIN embeddings c ON c.vec_id != q.vec_id) WHERE rank <= 5), l2r AS (SELECT query_id, item_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS item_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(q.embedding, c.embedding) ASC, c.vec_id ASC) AS rank FROM q JOIN embeddings c ON c.vec_id != q.vec_id) WHERE rank <= 5), u AS (SELECT query_id, item_id, 1000000000 // (60 + rank) AS contrib FROM cosr UNION ALL SELECT query_id, item_id, 1000000000 // (60 + rank) FROM l2r), f AS (SELECT query_id, item_id, CAST(sum(contrib) AS BIGINT) AS rrf_x1e9 FROM u GROUP BY 1, 2) SELECT query_id, item_id, rrf_x1e9, rank FROM (SELECT query_id, item_id, rrf_x1e9, row_number() OVER (PARTITION BY query_id ORDER BY rrf_x1e9 DESC, item_id ASC) AS rank FROM f) WHERE rank <= 5",
     // the same integer recurrence unrolled: // is BIGINT floor-div in
