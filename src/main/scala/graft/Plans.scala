@@ -90,11 +90,16 @@ object Plans {
     // cut-occurrence join should broadcast the duplicated-key side; the
     // clean face joins spans back to the corpus once — no token-wise
     // corpus explode crosses a shuffle
-    "d_substr_spans", "d_substr_clean",
+    "d_substr_spans", "d_substr_clean", "d_substr_incremental",
     // DSIR: both model aggs map-side combined; the bucket-sized log-ratio
     // table must BROADCAST into the scoring scan (corpus text never
     // shuffles; the only corpus-wide exchange is the #docs-row final agg)
-    "t_dsir_hashed")
+    "t_dsir_hashed",
+    // BM25: query terms broadcast into the posting join, tf/df aggs
+    // map-side combined, k-bounded per-query window; hybrid = two
+    // answer-sized ranking frames unioned into one integer agg;
+    // prototypicality = narrow cosine projection + one cluster-id window
+    "t_bm25_topk", "s_hybrid_retrieval", "s_prototype_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
