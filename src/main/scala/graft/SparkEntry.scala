@@ -1762,6 +1762,17 @@ object SparkEntry {
     // corpus-trained bigram LM, self-scored: the distributable perplexity
     // proxy for quality filtering (sum order differs from the oracle only in
     // float ulps — inside the verifier's 6-sig-digit canonicalization)
+    // CCNet perplexity buckets (Wenzek et al.): rank by the self-trained
+    // LM score, head/middle/tail thirds via the distributed exact ntile
+    // (score-histogram cumulative counts + score-partitioned ranks —
+    // no single-partition window anywhere)
+    "t_perplexity_buckets" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      graft.operators.NgramLm.perplexityBuckets(docs,
+        graft.operators.NgramLm.train(docs, "text", "doc_id"),
+        "text", "doc_id", nBuckets = 3)
+        .select(col("doc").as("doc_id"), col("score_x1e6"), col("bucket"))
+    }),
     "t_lm_score" -> ((s, d) =>
       graft.operators.NgramLm.selfScore(tb(s, d, "documents"), "text", "doc_id")),
     // inverted index rows; postings rendered "doc:tf doc:tf" (the driver's
@@ -3537,6 +3548,9 @@ object SparkEntry {
     // bigram LM replayed in SQL: same tokenizer, same add-one smoothing; the
     // self-scored corpus means every doc bigram exists in the model (the
     // engine's left join and this inner join agree)
+    // the t_lm_score CTEs + floored score + the same integer bucket math
+    "t_perplexity_buckets" ->
+      """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), bigt AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 2)), bc AS (SELECT w1, w2, count(*) AS c FROM bigt GROUP BY 1, 2), cc AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT t) AS vsz FROM (SELECT unnest(tk) AS t FROM toks)), sc AS (SELECT b.doc_id AS doc, CAST(floor((sum(ln((bc.c + 1.0) / (cc.c1 + v.vsz))) / count(*)) * 1000000.0) AS BIGINT) AS score_x1e6 FROM bigt b JOIN bc USING (w1, w2) JOIN cc USING (w1), v GROUP BY 1), hist AS (SELECT score_x1e6, count(*) AS c FROM sc GROUP BY 1), cum AS (SELECT score_x1e6, coalesce(sum(c) OVER (ORDER BY score_x1e6 DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM hist), tot AS (SELECT count(*) AS n FROM sc), r AS (SELECT doc, score_x1e6, row_number() OVER (PARTITION BY score_x1e6 ORDER BY doc) AS rr FROM sc) SELECT CAST(r.doc AS BIGINT) AS doc_id, r.score_x1e6, CAST((cum.before + rr - 1) * 3 // tot.n + 1 AS BIGINT) AS bucket FROM r JOIN cum USING (score_x1e6) CROSS JOIN tot""",
     "t_lm_score" ->
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), bigt AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 2)), bc AS (SELECT w1, w2, count(*) AS c FROM bigt GROUP BY 1, 2), cc AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT t) AS vsz FROM (SELECT unnest(tk) AS t FROM toks)) SELECT b.doc_id, count(*) AS n_bigrams, sum(ln((bc.c + 1.0) / (cc.c1 + v.vsz))) / count(*) AS avg_logp FROM bigt b JOIN bc USING (w1, w2) JOIN cc USING (w1), v GROUP BY 1""",
     "t_span_dedup" ->

@@ -275,6 +275,12 @@ object Stress {
         docs, "text", n = 2, k = 50).count()),
       time(s"inverted_index_x$mult")(operators.TextOps.invertedIndex(
         docs, "text", "doc_id").count()),
+      // CCNet buckets: LM-score cost + a histogram-sized ordered window
+      // (the corpus-sized frame shuffles only on the parallel score key)
+      time(s"perplexity_buckets_x$mult") {
+        val m = operators.NgramLm.train(docs, "text", "doc_id")
+        operators.NgramLm.perplexityBuckets(docs, m, "text", "doc_id", 3).count()
+      },
       time(s"lm_score_x$mult")(operators.NgramLm.selfScore(
         docs, "text", "doc_id").count()),
       // BPE merges: the word-count reduction must keep iteration cost bound

@@ -78,4 +78,44 @@ object NgramLm {
     */
   def selfScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     score(docs, train(docs, textCol, idCol), textCol, idCol)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * scorable document by its LM score and split the ranking into
+    * `nBuckets` equal slices — bucket 1 = the best-modeled head (CCNet
+    * keeps head, samples middle, drops tail). Deterministic total order:
+    * (×10⁶-floored score DESC, doc id ASC); bucket =
+    * `rank0 · nBuckets div N + 1` (pure integer math, engine-replayable).
+    * Output: (doc, score_x1e6, bucket).
+    *
+    * The global ranking is computed WITHOUT a single-partition window:
+    * a per-distinct-score histogram (map-side combined) carries the
+    * cumulative counts — only the histogram (≤ #distinct scores rows,
+    * the corpus collapsed to its score distribution) passes through the
+    * ordered window — and each doc's within-score rank comes from a
+    * window PARTITIONED on the score, so the corpus-sized frame only
+    * ever shuffles on a parallel key.
+    */
+  def perplexityBuckets(
+      docs: DataFrame, model: BigramModel, textCol: String, idCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"need at least one bucket, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val s = score(docs, model, textCol, idCol)
+      .select(col(idCol).cast("long").as("doc"),
+        floor(col("avg_logp") * lit(1000000.0)).cast("long").as("score_x1e6"))
+    val hist = s.groupBy(col("score_x1e6")).agg(count(lit(1)).as("c"))
+    val wh = Window.orderBy(col("score_x1e6").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("score_x1e6"),
+      coalesce(sum(col("c")).over(wh), lit(0L)).as("before"))
+    val total = s.agg(count(lit(1)).as("n"))
+    val ws = Window.partitionBy(col("score_x1e6")).orderBy(col("doc"))
+    s.withColumn("__r", row_number().over(ws).cast("long"))
+      .join(broadcast(cum), Seq("score_x1e6"))
+      .crossJoin(broadcast(total))
+      .select(col("doc"), col("score_x1e6"),
+        // integer DIV, not `/` (which is double division in Spark SQL)
+        expr(s"CAST((before + __r - 1) * $nBuckets DIV n + 1 AS BIGINT)")
+          .as("bucket"))
+  }
 }

@@ -138,6 +138,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - d2) < 1e-12)
   }
 
+  test("perplexity buckets: exact integer ntile over the LM ranking, head = best-modeled") {
+    // ten scorable docs: 6 made of the corpus-dominant pattern (well
+    // modeled → head), 4 of one-off token pairs (poorly modeled → tail)
+    val docs = ((0 until 6).map(i => (i.toLong, "a b a b a b")) ++
+      (6 until 10).map(i => (i.toLong, s"q$i r$i"))).toDF("doc_id", "text")
+    val model = NgramLm.train(docs, "text", "doc_id")
+    val got = NgramLm.perplexityBuckets(docs, model, "text", "doc_id", nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 10)
+    // driver reference: same scores via selfScore, same total order + bucket math
+    val scores = NgramLm.score(docs, model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> math.floor(r.getDouble(2) * 1e6).toLong).toMap
+    val ranked = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }
+    val want = ranked.zipWithIndex.map { case ((id, sc), r0) =>
+      id -> ((sc, r0.toLong * 3 / 10 + 1))
+    }.toMap
+    assert(got === want)
+    // bucket sizes: floor split puts the remainder on the FIRST bucket here
+    assert(got.values.groupBy(_._2).view.mapValues(_.size).toMap ===
+      Map(1L -> 4, 2L -> 3, 3L -> 3))
+    // direction: every dominant-pattern doc outranks every one-off doc
+    assert((0 until 6).forall(i => got(i.toLong)._2 === 1L || got(i.toLong)._2 === 2L))
+    assert((6 until 10).forall(i => got(i.toLong)._2 === 3L || got(i.toLong)._2 === 2L))
+  }
+
   test("corpus-trained LM scores unseen documents via smoothing") {
     val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     val model = NgramLm.train(train, "text", "doc_id")
