@@ -432,10 +432,13 @@ object SparkEntry {
     */
   /** Substring-gate fixture: window index on docs < 250; arrivals in three
     * CONTIGUOUS ASCENDING id ranges — [250,333) and [333,416) through the
-    * real file stream, batch 1 replayed (replayOk), then [416,∞) gated as
-    * batch 2 (the bench face re-replays it as its timed body). Ascending
-    * ranges make sequential arrival order ≡ global id order, so the
-    * one-shot substringClean SQL restricted to the arrivals IS the oracle.
+    * real file stream, then [416,∞) gated as batch 2 (the bench face
+    * re-replays it as its timed body), and finally batch 1 replayed AFTER
+    * batch 2 ran (replayOk) — the real crash-recovery shape, where a
+    * replayed batch re-runs with its successors' partitions already
+    * standing. Ascending ranges make sequential arrival order ≡ global id
+    * order, so the one-shot substringClean SQL restricted to the arrivals
+    * IS the oracle.
     */
   private def buildSubstringGateFixture(
       s: SparkSession, d: String): (String, String, Boolean) = {
@@ -470,13 +473,16 @@ object SparkEntry {
         Seq("doc", "cleaned_text", "ingest_batch")),
       contentHash(s.read.parquet(s"$idx/manifest"),
         Seq("h1", "h2", "ingest_batch")))
+    // gate batch 2 FIRST, then replay batch 1: the replay probe must hold
+    // with a LATER batch's partitions already standing (the real replay
+    // shape — a crash-recovered batch re-runs after its successors landed)
+    Dedup.gateBatchAgainstSubstringIndex(docs.filter(col("doc_id") >= 416),
+      "text", "doc_id", idx.toString, clean.toString, 2L)
     val beforeReplay = outputsHash()
     Dedup.gateBatchAgainstSubstringIndex(
       docs.filter(col("doc_id") >= 333 && col("doc_id") < 416),
       "text", "doc_id", idx.toString, clean.toString, 1L)
     val replayOk = outputsHash() == beforeReplay
-    Dedup.gateBatchAgainstSubstringIndex(docs.filter(col("doc_id") >= 416),
-      "text", "doc_id", idx.toString, clean.toString, 2L)
     (idx.toString, clean.toString, replayOk)
   }
 

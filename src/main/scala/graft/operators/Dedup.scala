@@ -1161,7 +1161,7 @@ object Dedup {
   def nearDupIndexManifest(
       spark: org.apache.spark.sql.SparkSession, path: String,
       beforeBatch: Option[Long] = None): DataFrame = {
-    recoverPendingCompact(spark, path)
+    recoverPendingCompact(spark, path, asLockHolder = false)
     val m0 = spark.read.parquet(s"$path/manifest")
     val m1 = beforeBatch.map(b => m0.filter(col("ingest_batch") < lit(b))).getOrElse(m0)
     val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -1197,7 +1197,7 @@ object Dedup {
     */
   def deleteFromNearDupIndex(ids: DataFrame, idCol: String, path: String): Unit =
     MaintenanceLock.withLock(ids.sparkSession, path) {
-      recoverPendingCompact(ids.sparkSession, path)
+      recoverPendingCompact(ids.sparkSession, path, asLockHolder = true)
       ids.select(col(idCol).cast("long").as("doc")).distinct()
         .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
     }
@@ -1239,7 +1239,7 @@ object Dedup {
     checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
       spark, _, s"compactNearDupIndex($path)"))
    MaintenanceLock.withLock(spark, path) {
-    recoverPendingCompact(spark, path)
+    recoverPendingCompact(spark, path, asLockHolder = true)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -1297,18 +1297,32 @@ object Dedup {
     * live dir, clear tombstones); one without the marker is a dead partial
     * write — roll it back (delete). Idempotent and cheap (two `exists`
     * probes) on the no-pending-swap fast path.
+    *
+    * Same reader rules as the ANN index's recovery
+    * ([[graft.operators.Similarity.recoverPendingRetrain]]): an un-locked
+    * caller (every manifest probe) only rolls FORWARD a committed staging
+    * that has been quiet for a full lease TTL — a younger one may belong
+    * to a LIVE compact whose swap a racing reader could tear (reader
+    * deletes the live manifest after the writer's rename lands → manifest
+    * lost) — and never deletes marker-less staging (a live compact's
+    * staged write in progress). Lock holders repair unconditionally.
     */
   private[graft] def recoverPendingCompact(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asLockHolder: Boolean): Unit = {
     val staged = new org.apache.hadoop.fs.Path(s"$path/manifest__staged")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(staged)) return
+    val committed =
+      try fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+      catch { case _: Exception => false }
+    if (!asLockHolder && !(committed && compactStagingLooksDead(fs, staged)))
+      return // young or marker-less staging: a reader keeps hands off
     // _SUCCESS alone is not commit-eligible: an all-tombstoned compact can
     // complete its (empty) staged write and crash before compactNearDupIndex
     // rejects it — rolling THAT forward would replace the live manifest with
     // an unreadable empty table. No partitions staged → dead partial.
-    if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")) &&
-        stagedManifestHasData(fs, staged)) {
+    if (committed && stagedManifestHasData(fs, staged)) {
       val live = new org.apache.hadoop.fs.Path(s"$path/manifest")
       fs.delete(live, true)
       fs.rename(staged, live)
@@ -1317,6 +1331,26 @@ object Dedup {
       fs.delete(staged, true) // partial write, no marker: the compact never
       ()                      // committed — the live manifest stands
     }
+  }
+
+  /** Reader-side age gate for [[recoverPendingCompact]]: the staging is
+    * presumed dead once its newest mtime (top two levels — task files
+    * landing in partition dirs bump those dirs' mtimes, so a live writer
+    * keeps it young) is older than one maintenance-lease TTL. Errors
+    * (staging vanished mid-check) read as "not dead".
+    */
+  private def compactStagingLooksDead(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path): Boolean = {
+    def newest(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
+      val st = fs.getFileStatus(p)
+      if (depth == 0 || !st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).map(c => newest(c.getPath, depth - 1)).toSeq).max
+    }
+    try System.currentTimeMillis() - newest(staged, 2) >
+      MaintenanceLock.DefaultTtlMs
+    catch { case _: Exception => false }
   }
 
   /** The streaming DEDUP GATE — near-dup-at-ingest against a persisted,

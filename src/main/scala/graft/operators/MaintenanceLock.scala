@@ -15,15 +15,31 @@ import org.apache.spark.sql.SparkSession
   * file's MODIFICATION TIME is the lease clock — a holder that died keeps
   * the lock only until `ttlMs` elapses, after which the next acquirer
   * breaks it (crash-safety: the staged-swap recovery protocols already
-  * repair whatever the dead holder left behind). The content records the
-  * owner for the error message only.
+  * repair whatever the dead holder left behind). The content carries an
+  * acquisition UUID: release deletes the lock ONLY while that UUID is
+  * still in place, so a holder whose body overran the TTL (its lease
+  * broken, a successor now holding) exits WITHOUT deleting the
+  * successor's lease — overrunning turns into "lost the lock", never
+  * "unlocked someone else's index".
+  *
+  * Expired leases are broken by atomically RENAMING the lock file to a
+  * unique per-breaker tombstone name: of N contenders that all observe
+  * the same expired lease, exactly one rename succeeds (file rename is
+  * atomic on HDFS/POSIX), so the delete-then-create double-acquire window
+  * (two breakers each delete + create, the second delete removing the
+  * first breaker's FRESH lock) cannot occur. Losers fall through to the
+  * ordinary create race and fail fast. A breaker that crashes between
+  * rename and tombstone delete leaves a `.broken.<uuid>` debris file —
+  * inert (acquisition matches the exact lock name only) and removed by
+  * the next acquirer's sweep.
   *
   * Caveats, deliberately documented rather than engineered around:
   *  - this is an ADVISORY lock: it coordinates maintenance jobs that all
   *    use these entry points; it cannot stop an arbitrary writer;
-  *  - object stores without atomic create-if-absent (S3 pre-conditional-
-  *    write APIs) reduce it to advisory-with-races — run maintenance from
-  *    a single scheduler there (same caveat as the swap protocol's rename);
+  *  - object stores without atomic create-if-absent or atomic single-file
+  *    rename (S3 pre-conditional-write APIs) reduce it to advisory-with-
+  *    races — run maintenance from a single scheduler there (same caveat
+  *    as the swap protocol's rename; see USAGE.md's object-store section);
   *  - the streaming ingest gates do NOT take the lock per micro-batch (a
   *    lock per batch would serialize ingest against its own maintenance
   *    windows); stream-vs-maintenance safety is the checkpoint commit-log
@@ -40,10 +56,10 @@ object MaintenanceLock {
     s"$host pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
   }
 
-  /** Run `body` holding the index's maintenance lease; always released on
-    * exit (including failure — a failed maintenance op must not brick the
-    * index until TTL). Throws IllegalStateException when another holder's
-    * unexpired lease exists.
+  /** Run `body` holding the index's maintenance lease; released on exit
+    * (including failure — a failed maintenance op must not brick the
+    * index until TTL) IF this acquisition still owns the lock. Throws
+    * IllegalStateException when another holder's unexpired lease exists.
     */
   def withLock[T](
       spark: SparkSession, indexPath: String,
@@ -51,37 +67,68 @@ object MaintenanceLock {
     val lock = new org.apache.hadoop.fs.Path(indexPath, LockName)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
+    // the acquisition identity: written into the lock, compared at release
+    val owner = s"uuid=${java.util.UUID.randomUUID()} $defaultOwner"
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lock, false)
-        try out.write(defaultOwner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def readLock(): Option[(Long, String)] =
+      try {
+        val st = fs.getFileStatus(lock)
+        val in = fs.open(lock)
+        val who =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.take(200)
+          finally in.close()
+        Some((System.currentTimeMillis() - st.getModificationTime, who))
+      } catch { case _: Exception => None }
+    // sweep breaker debris (crashed between rename and tombstone delete);
+    // stale tombstones are inert but should not accumulate forever
+    try fs.listStatus(lock.getParent)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(LockName + ".broken."))
+      .filter(s => System.currentTimeMillis() - s.getModificationTime > ttlMs)
+      .foreach(s => fs.delete(s.getPath, false))
+    catch { case _: Exception => () }
     if (!tryCreate()) {
-      val (age, holder) =
-        try {
-          val st = fs.getFileStatus(lock)
-          val in = fs.open(lock)
-          val who =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.take(200)
-            finally in.close()
-          (System.currentTimeMillis() - st.getModificationTime, who)
-        } catch { case _: Exception => (0L, "unknown (lock vanished mid-read)") }
-      if (age > ttlMs) {
-        // expired lease: the holder is presumed dead — break it and retry
-        // once (a concurrent breaker may beat us to the re-create)
-        fs.delete(lock, false)
-        if (!tryCreate()) throw new IllegalStateException(
-          s"maintenance lock on $indexPath: lost the race re-acquiring an " +
-            s"expired lease (was held by $holder) — another maintenance " +
-            "job is active; retry later")
-      } else throw new IllegalStateException(
-        s"maintenance lock on $indexPath is held by $holder " +
-          s"(age ${age / 1000}s, ttl ${ttlMs / 1000}s) — a concurrent " +
-          "maintenance job is running; wait for it or, if it crashed, " +
-          "retry after the TTL expires")
+      readLock() match {
+        case Some((age, holder)) if age > ttlMs =>
+          // expired lease: the holder is presumed dead. Break it by atomic
+          // rename to a unique tombstone — exactly one of N concurrent
+          // breakers wins the rename; the rest fall through to the create
+          // race below and fail fast.
+          val tombstone = new org.apache.hadoop.fs.Path(
+            lock.getParent, s"$LockName.broken.${java.util.UUID.randomUUID()}")
+          val won =
+            try fs.rename(lock, tombstone)
+            catch { case _: java.io.IOException => false }
+          if (won) fs.delete(tombstone, false)
+          if (!tryCreate()) throw new IllegalStateException(
+            s"maintenance lock on $indexPath: lost the race re-acquiring an " +
+              s"expired lease (was held by $holder) — another maintenance " +
+              "job is active; retry later")
+        case Some((age, holder)) => throw new IllegalStateException(
+          s"maintenance lock on $indexPath is held by $holder " +
+            s"(age ${age / 1000}s, ttl ${ttlMs / 1000}s) — a concurrent " +
+            "maintenance job is running; wait for it or, if it crashed, " +
+            "retry after the TTL expires")
+        case None =>
+          // the holder released between our failed create and the read —
+          // one immediate retry, then defer to whoever beat us
+          if (!tryCreate()) throw new IllegalStateException(
+            s"maintenance lock on $indexPath was released and immediately " +
+              "re-acquired by another maintenance job; retry later")
+      }
     }
-    try body finally fs.delete(lock, false)
+    try body finally {
+      // ownership-checked release: if the content no longer matches this
+      // acquisition (we overran the TTL and a successor broke + re-took
+      // the lease), leave the successor's lock strictly alone
+      val stillOurs = readLock().exists(_._2 == owner)
+      if (stillOurs)
+        try fs.delete(lock, false) catch { case _: Exception => () }
+    }
   }
 }

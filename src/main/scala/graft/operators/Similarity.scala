@@ -178,11 +178,17 @@ object Similarity {
     * signal their pruning metric keeps when data is abundant. Narrow
     * projection: k + 1 native cosines per row against the broadcast
     * centroid literals, zero shuffle. Output: (idCol, cluster, proto).
+    *
+    * Null input vectors are excluded (the kmeansIterate/vectorAvg guard):
+    * a null vector has no cluster or score, and letting its null proto
+    * sort first under the keep-hardest window would select unscoreable
+    * rows into [[pruneByPrototypicality]]'s keep set.
     */
   def prototypicality(
       corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Float]]): DataFrame =
-    corpus.select(col(idCol), col(vecCol),
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
       nearestCentroid(col(vecCol), centroids).cast("bigint").as("cluster"))
       .select(col(idCol), col("cluster"),
         cosine(col(vecCol), element_at(typedLit(centroids),
@@ -344,8 +350,8 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    recoverPendingRetrain(spark, path)
-    recoverPendingSwaps(spark, s"$path/corpus")
+    recoverPendingRetrain(spark, path, asLockHolder = true)
+    recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = true)
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -372,11 +378,18 @@ object Similarity {
     */
   def appendToIvfIndex(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
     requireTwoLevelCorpusLayout(batch.sparkSession, path)
-    recoverIvfIndex(batch.sparkSession, path)
-    assignToIndex(batch, vecCol, idCol, readIvfCentroids(batch.sparkSession, path))
-      .withColumn("ingest_batch", lit(-1L))
-      .write.mode("append").partitionBy("cluster", "ingest_batch")
-      .parquet(s"$path/corpus")
+    // an append IS a mutation: appending into a cluster dir that a live
+    // delete/consolidate is mid-swap on would land rows the swap's
+    // roll-forward drops — take the lease like every other mutator (and
+    // recover as its holder: a dead writer's staging must not outlive us)
+    MaintenanceLock.withLock(batch.sparkSession, path) {
+      recoverPendingRetrain(batch.sparkSession, path, asLockHolder = true)
+      recoverPendingSwaps(batch.sparkSession, s"$path/corpus", asLockHolder = true)
+      assignToIndex(batch, vecCol, idCol, readIvfCentroids(batch.sparkSession, path))
+        .withColumn("ingest_batch", lit(-1L))
+        .write.mode("append").partitionBy("cluster", "ingest_batch")
+        .parquet(s"$path/corpus")
+    }
   }
 
   /** FORMAT BUMP (round 8): the corpus table gained `ingest_batch` as a
@@ -444,7 +457,7 @@ object Similarity {
       spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long =
    MaintenanceLock.withLock(spark, path) {
     requireTwoLevelCorpusLayout(spark, path)
-    recoverPendingRetrain(spark, path)
+    recoverPendingRetrain(spark, path, asLockHolder = true)
     // Tombstone the FULL requested id set (not just ids found) BEFORE
     // touching data: a streaming ingest batch that was written but not yet
     // checkpoint-committed, replayed AFTER this delete, would dynamically
@@ -505,7 +518,7 @@ object Similarity {
   private def deleteFromIndexTable(
       spark: SparkSession, tableDir: String, ids: DataFrame, idCol: String,
       partitionCols: Seq[String]): Long = {
-    recoverPendingSwaps(spark, tableDir)
+    recoverPendingSwaps(spark, tableDir, asLockHolder = true)
     val table = spark.read.parquet(tableDir)
     val del = graft.CacheScope.localCheckpoint(
       ids.select(col(idCol).cast("long").as("__del_id")).distinct())
@@ -589,9 +602,9 @@ object Similarity {
     checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
       spark, _, s"consolidateIvfIndex($path)"))
    MaintenanceLock.withLock(spark, path) {
-    recoverPendingRetrain(spark, path)
+    recoverPendingRetrain(spark, path, asLockHolder = true)
     val tableDir = s"$path/corpus"
-    recoverPendingSwaps(spark, tableDir)
+    recoverPendingSwaps(spark, tableDir, asLockHolder = true)
     val tablePath = new org.apache.hadoop.fs.Path(tableDir)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val clusters = fs.listStatus(tablePath).filter(_.isDirectory)
@@ -655,8 +668,8 @@ object Similarity {
     checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
       spark, _, s"purgeIvfTombstones($path)"))
     MaintenanceLock.withLock(spark, path) {
-      recoverPendingRetrain(spark, path)
-      recoverPendingSwaps(spark, s"$path/corpus")
+      recoverPendingRetrain(spark, path, asLockHolder = true)
+      recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = true)
       val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
       val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(tombDir)) {
@@ -705,8 +718,8 @@ object Similarity {
     checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
       spark, _, s"retrainIvfIndex($path)"))
     MaintenanceLock.withLock(spark, path) {
-      recoverPendingRetrain(spark, path)
-      recoverPendingSwaps(spark, s"$path/corpus")
+      recoverPendingRetrain(spark, path, asLockHolder = true)
+      recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = true)
       import spark.implicits._
       val corpus = spark.read.parquet(s"$path/corpus")
       val kk = k.getOrElse(readIvfCentroids(spark, path).size)
@@ -799,8 +812,24 @@ object Similarity {
     * roll FORWARD: each sub-table whose staged copy still exists swaps in
     * (already-swapped ones are skipped — their staged dir is gone), then
     * staging drops. Idempotent under repeated crashes.
+    *
+    * `asLockHolder` scopes WHO may repair WHAT: a caller inside the
+    * [[MaintenanceLock]] lease repairs unconditionally (no live writer can
+    * hold the same lease). An UN-LOCKED caller (probes, stream starts) may
+    * only roll FORWARD a marker-committed swap whose staging has gone
+    * quiet for a full lease TTL — a younger staging may belong to a LIVE
+    * retrain, and racing its swap can tear centroids from assignments (a
+    * reader's delete(live) landing after the writer's rename leaves the
+    * index missing a sub-table). Marker-LESS staging is never a reader's
+    * business: the live index is untouched by construction, so skipping
+    * it costs nothing, and deleting it could yank a live writer's staging
+    * out from under the marker it is about to write. A post-marker crash
+    * therefore leaves probes reading-or-failing against whatever swap
+    * state stands for up to one TTL, after which any entry point heals
+    * the index — fail-loud-then-self-heal, never silently torn.
     */
-  private[graft] def recoverPendingRetrain(spark: SparkSession, path: String): Unit = {
+  private[graft] def recoverPendingRetrain(
+      spark: SparkSession, path: String, asLockHolder: Boolean): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -808,27 +837,54 @@ object Similarity {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__retrain_"))
       .foreach { st =>
         val staging = st.getPath
-        if (fs.exists(new org.apache.hadoop.fs.Path(staging, SwapCommitMarker))) {
-          Seq("centroids", "corpus").foreach { sub =>
-            val staged = new org.apache.hadoop.fs.Path(staging, sub)
-            if (fs.exists(staged)) {
-              val live = new org.apache.hadoop.fs.Path(root, sub)
-              fs.delete(live, true)
-              fs.rename(staged, live)
+        val committed =
+          fs.exists(new org.apache.hadoop.fs.Path(staging, SwapCommitMarker))
+        if (asLockHolder || (committed && stagingLooksDead(fs, staging))) {
+          if (committed) {
+            Seq("centroids", "corpus").foreach { sub =>
+              val staged = new org.apache.hadoop.fs.Path(staging, sub)
+              if (fs.exists(staged)) {
+                val live = new org.apache.hadoop.fs.Path(root, sub)
+                fs.delete(live, true)
+                fs.rename(staged, live)
+              }
             }
           }
+          fs.delete(staging, true)
         }
-        fs.delete(staging, true)
       }
   }
 
-  /** The full reader-side repair for a persisted IVF index: finish or
-    * discard a crashed retrain swap, then a crashed delete/consolidate
-    * swap. One listStatus each when nothing is pending.
+  /** The full reader-side repair for a persisted IVF index: finish a
+    * long-dead committed retrain swap, then a long-dead committed
+    * delete/consolidate swap (forward-only, TTL-aged — see
+    * [[recoverPendingRetrain]]'s reader rules). One listStatus each when
+    * nothing is pending.
     */
   private def recoverIvfIndex(spark: SparkSession, path: String): Unit = {
-    recoverPendingRetrain(spark, path)
-    recoverPendingSwaps(spark, s"$path/corpus")
+    recoverPendingRetrain(spark, path, asLockHolder = false)
+    recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = false)
+  }
+
+  /** Readers must not repair staging younger than one lease TTL: it may
+    * belong to a live writer. Staleness = the newest mtime across the
+    * staging tree's top two levels (task files landing in cluster dirs
+    * bump those dirs' mtimes, so a live writer keeps its staging young
+    * even during a long rewrite). Errors (staging vanished mid-check —
+    * someone else repaired it) read as "not dead": hands off.
+    */
+  private def stagingLooksDead(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path): Boolean = {
+    def newest(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
+      val st = fs.getFileStatus(p)
+      if (depth == 0 || !st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).map(c => newest(c.getPath, depth - 1)).toSeq).max
+    }
+    try System.currentTimeMillis() - newest(staging, 2) >
+      MaintenanceLock.DefaultTtlMs
+    catch { case _: Exception => false }
   }
 
   private val SwapCommitMarker = "_COMMIT"
@@ -850,8 +906,13 @@ object Similarity {
     *    is dropped.
     * Idempotent: replaying recovery after its own crash re-enters the same
     * roll-forward.
+    *
+    * Same reader rules as [[recoverPendingRetrain]]: un-locked callers
+    * only roll FORWARD committed swaps whose staging has been quiet for a
+    * full lease TTL, and never touch marker-less staging.
     */
-  private[graft] def recoverPendingSwaps(spark: SparkSession, tableDir: String): Unit = {
+  private[graft] def recoverPendingSwaps(
+      spark: SparkSession, tableDir: String, asLockHolder: Boolean): Unit = {
     val tablePath = new org.apache.hadoop.fs.Path(tableDir)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = tablePath.getParent
@@ -859,6 +920,9 @@ object Similarity {
     val prefix = tablePath.getName + "__rewrite_"
     fs.listStatus(parent)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(st => asLockHolder ||
+        (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, SwapCommitMarker)) &&
+          stagingLooksDead(fs, st.getPath)))
       .foreach { st =>
         val staging = st.getPath
         val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
@@ -1423,11 +1487,13 @@ object Similarity {
     val spark = batch.sparkSession
     // appending into a half-swapped codes table (a writer died mid-delete)
     // would land rows in a cluster dir the roll-forward is about to drop —
-    // finish/discard any pending swap first, like every other entry point
-    recoverPendingSwaps(spark, s"$path/codes")
-    ivfPqEncode(batch, vecCol, idCol,
-      readIvfCentroids(spark, path), readIvfPqBooks(spark, path))
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+    // an append IS a mutation: take the lease and recover as its holder
+    MaintenanceLock.withLock(spark, path) {
+      recoverPendingSwaps(spark, s"$path/codes", asLockHolder = true)
+      ivfPqEncode(batch, vecCol, idCol,
+        readIvfCentroids(spark, path), readIvfPqBooks(spark, path))
+        .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+    }
   }
 
   /** Delete vectors from a persisted IVF-PQ index in place — the codes-
@@ -1459,7 +1525,7 @@ object Similarity {
       spark: SparkSession, path: String, queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
       nprobe: Int = 2, rerank: Int = 4): DataFrame = {
-    recoverPendingSwaps(spark, s"$path/codes")
+    recoverPendingSwaps(spark, s"$path/codes", asLockHolder = false)
     ivfPqProbe(
       spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cluster"), col("codes")),
       queries, corpus, vecCol, idCol, k,

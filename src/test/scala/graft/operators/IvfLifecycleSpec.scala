@@ -166,7 +166,7 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
     val beforeCents = Similarity.readIvfCentroids(spark, idx)
     // crash BEFORE the marker: dead staging must roll back untouched
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/__retrain_dead/centroids"))
-    Similarity.recoverPendingRetrain(spark, idx)
+    Similarity.recoverPendingRetrain(spark, idx, asLockHolder = true)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/__retrain_dead")))
     assert(Similarity.readIvfCentroids(spark, idx) === beforeCents)
     // crash AFTER the marker, mid-swap (centroids already swapped in — no
@@ -178,12 +178,12 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
       .write.partitionBy("cluster", "ingest_batch").parquet(s"$staging/corpus")
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMIT"), false)
     out.write("centroids corpus".getBytes("UTF-8")); out.close()
-    Similarity.recoverPendingRetrain(spark, idx)
+    Similarity.recoverPendingRetrain(spark, idx, asLockHolder = true)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
     assert(spark.read.parquet(s"$idx/corpus")
       .agg(max(col("vec_id"))).head.getLong(0) < 10)
     // idempotent: nothing pending, second run is a no-op
-    Similarity.recoverPendingRetrain(spark, idx)
+    Similarity.recoverPendingRetrain(spark, idx, asLockHolder = true)
   }
 
   // ------------------------------------------------- commit-log guard
@@ -296,5 +296,35 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(nd, "_maintenance.lock"), "other-job pid=2")
     intercept[IllegalStateException](
       Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", nd))
+  }
+
+  test("release is ownership-checked: an overrunning holder never deletes a successor's lease") {
+    val idx = tmpDir("lkown")
+    val lock = java.nio.file.Paths.get(idx, "_maintenance.lock")
+    // simulate the TTL-overrun takeover from inside the body: a successor
+    // broke our expired lease and wrote its own — our exit must leave it
+    val successor = "uuid=someone-else host pid=999"
+    MaintenanceLock.withLock(spark, idx) {
+      java.nio.file.Files.writeString(lock, successor)
+    }
+    assert(java.nio.file.Files.exists(lock),
+      "overrunning holder deleted the successor's lease on exit")
+    assert(java.nio.file.Files.readString(lock) === successor)
+    java.nio.file.Files.delete(lock)
+    // the normal path still releases: same index, un-tampered lease
+    MaintenanceLock.withLock(spark, idx) { () }
+    assert(!java.nio.file.Files.exists(lock))
+    // breaking an expired lease leaves no tombstone debris behind
+    java.nio.file.Files.writeString(lock, "dead-holder")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - MaintenanceLock.DefaultTtlMs - 60000L))
+    MaintenanceLock.withLock(spark, idx) { () }
+    assert(!java.nio.file.Files.exists(lock))
+    import scala.jdk.CollectionConverters._
+    val debris = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("_maintenance.lock.broken")).toSeq
+    assert(debris.isEmpty, s"breaker left tombstone debris: $debris")
   }
 }

@@ -105,14 +105,14 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
     Dedup.deleteFromNearDupIndex(Seq(2L).toDF("doc_id"), "doc_id", idx)
     spark.read.parquet(s"$idx/manifest").filter(col("doc") =!= 2L)
       .write.partitionBy("ingest_batch").parquet(s"$idx/manifest__staged")
-    Dedup.recoverPendingCompact(spark, idx)
+    Dedup.recoverPendingCompact(spark, idx, asLockHolder = true)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
     assert(spark.read.parquet(s"$idx/manifest")
       .select("doc").as[Long].collect().toSet === Set(1L))
     // partial staged copy (no _SUCCESS): a crash mid-write — must roll BACK
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged/ingest_batch=-1"))
-    Dedup.recoverPendingCompact(spark, idx)
+    Dedup.recoverPendingCompact(spark, idx, asLockHolder = true)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
     assert(spark.read.parquet(s"$idx/manifest")
       .select("doc").as[Long].collect().toSet === Set(1L))
@@ -200,7 +200,7 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged"))
     fs.create(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged/_SUCCESS"), true).close()
-    Dedup.recoverPendingCompact(spark, idx)
+    Dedup.recoverPendingCompact(spark, idx, asLockHolder = true)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
     assert(spark.read.parquet(s"$idx/manifest")
       .select("doc").as[Long].collect().toSet === Set(1L))

@@ -921,6 +921,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$path/corpus").count() == 40L)
   }
 
+  /** Age every node of a staging tree past the maintenance-lease TTL —
+    * the reader-side recovery's "writer presumed dead" precondition.
+    */
+  private def ageStagingTree(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - MaintenanceLock.DefaultTtlMs - 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .foreach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+  }
+
   test("IVF delete swap is crash-safe: probe-path recovery rolls committed swaps forward, uncommitted back") {
     import spark.implicits._
     def vec(seed: Int) = Array.tabulate(8)(j =>
@@ -939,7 +950,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
 
     // CRASH STATE 1 (uncommitted): a staging dir with survivors but NO
     // _COMMIT marker — the writer died before the point of no return.
-    // Recovery must roll BACK: staging dropped, live table untouched.
+    // A PROBE must keep hands off (marker-less staging could be a LIVE
+    // delete mid-write; the live table is untouched either way); the next
+    // LOCK-HOLDING mutator's recovery rolls it back.
     val stagingA = s"$path/corpus__rewrite_crasha"
     corpus.filter(col("cluster") === cStaged &&
         !col("vec_id").isin(stagedIds.take(2): _*))
@@ -953,12 +966,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(probe() == bruteOn(all)) // pre-delete data intact
+    // the reader did NOT delete the (possibly live) marker-less staging
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stagingA)))
+    Similarity.recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = true)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingA)))
+    assert(probe() == bruteOn(all)) // rollback left the live table standing
 
     // CRASH STATE 2 (committed): staging with survivors for cStaged, a
     // marker naming a `staged` cluster and an `empty` (fully-deleted) one,
     // writer died BEFORE any swap — live dirs still hold pre-delete data.
-    // Recovery must roll FORWARD: staged survivors in, empty cluster gone.
+    // A probe leaves a YOUNG committed staging alone (it may be a live
+    // writer between marker and swap — racing it can tear the table); once
+    // the staging has been quiet past the lease TTL, the probe itself
+    // rolls it FORWARD: staged survivors in, empty cluster gone.
     val stagingB = s"$path/corpus__rewrite_crashb"
     corpus.filter(col("cluster") === cStaged &&
         !col("vec_id").isin(stagedIds.take(2): _*))
@@ -968,7 +988,10 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"cluster=$cStaged staged\ncluster=$cEmpty empty"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val survivors = all.filter(!col("vec_id").isin(delIds: _*))
-    assert(probe() == bruteOn(survivors)) // recovery finished the delete
+    assert(probe() == bruteOn(all)) // young staging: reader reads pre-swap state
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stagingB)))
+    ageStagingTree(stagingB)
+    assert(probe() == bruteOn(survivors)) // TTL-aged: recovery finished the delete
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingB)))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$path/corpus/cluster=$cEmpty")))
@@ -1263,6 +1286,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val protoOf = ref.map(r => (r._1, r._2.toLong) -> r._3).toMap
     def meanProto(s: Set[(Long, Long)]): Double = s.toSeq.map(protoOf).sum / s.size
     assert(meanProto(easy) > meanProto(got))
+
+    // null input vectors are excluded, not selected (ADVICE r10: nulls sort
+    // first under the keep-hardest window and used to enter a null cluster)
+    val withNulls = df.unionByName(Seq((100L, null.asInstanceOf[Array[Float]]),
+      (101L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val scoredN = Similarity.prototypicality(withNulls, "embedding", "vec_id", cents)
+      .collect()
+    assert(scoredN.length === 40, "null vectors must be excluded from scoring")
+    assert(scoredN.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    val gotN = Similarity.pruneByPrototypicality(withNulls, "embedding", "vec_id",
+      cents, keepNumer = 1, keepDenom = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotN === got, "null rows must not enter (or shift) the keep set")
   }
 
   test("trainIvfCentroids tolerates null vectors (ADVICE r9: null-centroid group)") {
