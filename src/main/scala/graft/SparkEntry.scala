@@ -162,6 +162,16 @@ object SparkEntry {
   private val bpeMergesCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
+  // the persisted BM25 text-retrieval index fixture (s_bm25_indexed /
+  // s_hybrid_indexed): full-corpus base build probed without re-tokenizing
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // the frozen-stats BM25 append fixture (s_bm25_appended): base build on
+  // doc_id % 4 != 3, the remaining quarter appended as a committed segment
+  private val bm25AppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // and the range-layout fixture (s17_stats_prune)
   private val rangeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -720,6 +730,30 @@ object SparkEntry {
       .awaitTermination()
     (textIdx.toString, annIdx.toString, textKept.toString, kept.toString, cents)
   }
+
+  /** The persisted full-corpus IVF index for this sf dir — cached per
+    * dataset dir for the JVM lifetime (a dataset regenerated in place
+    * mid-JVM would serve a stale index — the harness never does); the
+    * corpus-sized fixture is deleted at JVM exit.
+    */
+  private def ivfIndexPath(s: SparkSession, d: String): String =
+    ivfIndexCache.computeIfAbsent(d, _ => {
+      val emb = tb(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("ivfidx")
+      deleteRecursivelyOnExit(dir)
+      Similarity.writeIvfIndex(emb, "embedding", "vec_id",
+        Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8), dir.toString)
+      dir.toString
+    })
+
+  /** The persisted full-corpus BM25 index (base segment only). */
+  private def bm25IndexPath(s: SparkSession, d: String): String =
+    bm25IndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("bm25idx")
+      deleteRecursivelyOnExit(dir)
+      SparseSim.writeBm25Index(tb(s, d, "documents"), "text", "doc_id", dir.toString)
+      dir.toString
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregations -----------------------------------------------------
@@ -2697,6 +2731,53 @@ object SparkEntry {
         .select(col("query_id"), col("item_id"), col("rrf_x1e9"),
           col("rank").cast("bigint").as("rank"))
     }),
+    // the PERSISTED text-retrieval index (round-11 close of the r10 gap):
+    // tf/df/doc-length/stats staged once as a marker-committed segment,
+    // probed WITHOUT touching the corpus — partition-pruned to the query
+    // terms' hash buckets. Same oracle as the recompute face (t_bm25_topk):
+    // a lost posting, wrong bucket, or drifted stat cannot hash-match
+    "s_bm25_indexed" -> ((s, d) =>
+      SparseSim.bm25TopKFromIndex(s, bm25IndexPath(s, d),
+        tb(s, d, "documents").filter(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))),
+    // the FROZEN-STATS incremental-ingest face: base segment on 3/4 of the
+    // corpus, the last quarter appended as its own committed segment.
+    // Appended docs retrieve through the BASE's df/N/avgdl (the frozen-
+    // centroid contract transplanted to text) — the oracle restates
+    // exactly that split, so staleness semantics are themselves hash-gated
+    "s_bm25_appended" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val path = bm25AppendIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("bm25app")
+        deleteRecursivelyOnExit(dir)
+        SparseSim.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
+          "text", "doc_id", dir.toString)
+        SparseSim.appendToBm25Index(docs.filter(col("doc_id") % 4 === 3),
+          "text", "doc_id", dir.toString)
+        dir.toString
+      })
+      SparseSim.bm25TopKFromIndex(s, path,
+        docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
+    }),
+    // hybrid retrieval COMPOSED FROM THE PERSISTED INDEXES — the
+    // production serving shape: BM25 from the posting segments, dense from
+    // the IVF index at nprobe = #centroids (provably exact), fused by
+    // integer RRF. Shares s_hybrid_retrieval's fully-recomputed oracle, so
+    // index-vs-recompute equivalence rides the hash gate end-to-end
+    "s_hybrid_indexed" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val embs = tb(s, d, "embeddings")
+      val lex = SparseSim.bm25TopKFromIndex(s, bm25IndexPath(s, d),
+        docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+      val dense = Similarity.ivfTopKFromIndex(s, ivfIndexPath(s, d),
+        embs.filter(col("vec_id") < 5), "embedding", "vec_id", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, dense), k0 = 60, k = 5)
+        .select(col("query_id"), col("item_id"), col("rrf_x1e9"),
+          col("rank").cast("bigint").as("rank"))
+    }),
     "s_rrf_fuse" -> ((s, d) => {
       val embs = tb(s, d, "embeddings")
       val queries = embs.filter(col("vec_id") < 10)
@@ -3130,17 +3211,7 @@ object SparkEntry {
       // nprobe = #centroids keeps it provably equal to brute force, so the
       // whole write→read→probe loop rides the hash gate
       val emb = tb(s, d, "embeddings")
-      // cached per dataset dir for the JVM lifetime (a dataset regenerated
-      // in place mid-JVM would serve a stale index — the harness never
-      // does); the full corpus-sized fixture is deleted at JVM exit
-      val path = ivfIndexCache.computeIfAbsent(d, _ => {
-        val dir = java.nio.file.Files.createTempDirectory("ivfidx")
-        deleteRecursivelyOnExit(dir)
-        Similarity.writeIvfIndex(emb, "embedding", "vec_id",
-          Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8), dir.toString)
-        dir.toString
-      })
-      Similarity.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 10),
+      Similarity.ivfTopKFromIndex(s, ivfIndexPath(s, d), emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
@@ -3819,6 +3890,19 @@ object SparkEntry {
     // two rankers, re-ranked on the exact integer score
     // hybrid fusion: the BM25 CTE + self-free dense CTE + integer RRF
     "s_hybrid_retrieval" ->
+      """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2), lex AS (SELECT query_id, doc_id AS item_id, rank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5), dense AS (SELECT query_id, neighbor_id AS item_id, rank FROM (SELECT e.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings e JOIN embeddings c ON c.vec_id != e.vec_id WHERE e.vec_id < 5) WHERE rank <= 5), u AS (SELECT query_id, item_id, 1000000000 // (60 + rank) AS contrib FROM lex UNION ALL SELECT query_id, item_id, 1000000000 // (60 + rank) FROM dense), f AS (SELECT query_id, item_id, CAST(sum(contrib) AS BIGINT) AS rrf_x1e9 FROM u GROUP BY 1, 2) SELECT query_id, item_id, rrf_x1e9, rank FROM (SELECT query_id, item_id, rrf_x1e9, row_number() OVER (PARTITION BY query_id ORDER BY rrf_x1e9 DESC, item_id ASC) AS rank FROM f) WHERE rank <= 5""",
+    // the persisted-index probe shares the RECOMPUTE face's oracle — the
+    // index is bit-equivalent to re-deriving tf/df/stats from the corpus
+    "s_bm25_indexed" ->
+      """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
+    // frozen-stats semantics restated: tf and doc lengths over ALL docs
+    // (appended postings carry their own dl), df and N/avgdl over the BASE
+    // build only (doc_id % 4 != 3) — terms unseen at base time drop out
+    "s_bm25_appended" ->
+      """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % 4 != 3 GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens WHERE doc_id % 4 != 3), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
+    // indexed hybrid = the recomputed hybrid (BM25 segments ≡ recompute;
+    // IVF at nprobe = #centroids ≡ brute) — one oracle covers both faces
+    "s_hybrid_indexed" ->
       """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2), lex AS (SELECT query_id, doc_id AS item_id, rank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5), dense AS (SELECT query_id, neighbor_id AS item_id, rank FROM (SELECT e.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings e JOIN embeddings c ON c.vec_id != e.vec_id WHERE e.vec_id < 5) WHERE rank <= 5), u AS (SELECT query_id, item_id, 1000000000 // (60 + rank) AS contrib FROM lex UNION ALL SELECT query_id, item_id, 1000000000 // (60 + rank) FROM dense), f AS (SELECT query_id, item_id, CAST(sum(contrib) AS BIGINT) AS rrf_x1e9 FROM u GROUP BY 1, 2) SELECT query_id, item_id, rrf_x1e9, rank FROM (SELECT query_id, item_id, rrf_x1e9, row_number() OVER (PARTITION BY query_id ORDER BY rrf_x1e9 DESC, item_id ASC) AS rank FROM f) WHERE rank <= 5""",
     "s_rrf_fuse" ->
       "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), cosr AS (SELECT query_id, item_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS item_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM q JOIN embeddings c ON c.vec_id != q.vec_id) WHERE rank <= 5), l2r AS (SELECT query_id, item_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS item_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(q.embedding, c.embedding) ASC, c.vec_id ASC) AS rank FROM q JOIN embeddings c ON c.vec_id != q.vec_id) WHERE rank <= 5), u AS (SELECT query_id, item_id, 1000000000 // (60 + rank) AS contrib FROM cosr UNION ALL SELECT query_id, item_id, 1000000000 // (60 + rank) FROM l2r), f AS (SELECT query_id, item_id, CAST(sum(contrib) AS BIGINT) AS rrf_x1e9 FROM u GROUP BY 1, 2) SELECT query_id, item_id, rrf_x1e9, rank FROM (SELECT query_id, item_id, rrf_x1e9, row_number() OVER (PARTITION BY query_id ORDER BY rrf_x1e9 DESC, item_id ASC) AS rank FROM f) WHERE rank <= 5",

@@ -58,6 +58,9 @@ object Stress {
     // instead of a degenerate all-duplicate-ts pile. Built lazily: only
     // stream ops pay for it; the first one run includes the write (noted
     // on stderr).
+    // the persisted-BM25 stress fixture dir: built by bm25_index_build (or
+    // on demand when STRESS_ONLY isolates the probe), probed after
+    var bm25StressIdx: Option[String] = None
     var streamDirHandle: Option[java.nio.file.Path] = None
     lazy val streamEventsDir: String = {
       val dir = java.nio.file.Files.createTempDirectory("stress_events")
@@ -186,6 +189,29 @@ object Stress {
       time(s"bm25_x$mult") {
         operators.SparseSim.bm25TopK(docs, docs.filter(col("doc_id") < 8),
           "text", "doc_id", "text", "doc_id", k = 10,
+          maxDf = docs.count() / 2).count()
+      },
+      // the PERSISTED index: the build pays the corpus-sized tokenize/agg
+      // ONCE (wall comparable to a single recompute); the probe then reads
+      // only the query terms' hash-bucket partitions — its wall AND shuffle
+      // must be a small fraction of bm25_x above and must NOT scale with
+      // corpus re-tokenization (the receipt for "probe cost independent of
+      // the corpus" — compare probe numbers across 20×/50×)
+      time(s"bm25_index_build_x$mult") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_bm25")
+        bm25StressIdx = Some(dir.toString)
+        operators.SparseSim.writeBm25Index(docs, "text", "doc_id", dir.toString)
+        1L
+      },
+      time(s"bm25_index_probe_x$mult") {
+        val idx = bm25StressIdx.getOrElse {
+          val dir = java.nio.file.Files.createTempDirectory("stress_bm25")
+          System.err.println("[stress] bm25_index_probe: building index (untimed op skipped)")
+          operators.SparseSim.writeBm25Index(docs, "text", "doc_id", dir.toString)
+          bm25StressIdx = Some(dir.toString); dir.toString
+        }
+        operators.SparseSim.bm25TopKFromIndex(spark, idx,
+          docs.filter(col("doc_id") < 8), "text", "doc_id", k = 10,
           maxDf = docs.count() / 2).count()
       },
       // prototypicality pruning: k+1 narrow cosines per row, ONE shuffle on

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A local filesystem that REFUSES directory renames outside Spark's own
+  * `_temporary` job-attempt trees — the object-store (S3-like) commit
+  * model, where publishing anything by directory rename is non-atomic and
+  * therefore forbidden. The BM25 index's marker-file commit protocol must
+  * run end-to-end on it; an index that secretly published via directory
+  * rename fails loudly here. (The committer's internal `_temporary`
+  * renames are exempt: they happen pre-commit inside a segment's staging,
+  * need no atomicity for the index's crash story, and real object-store
+  * deployments swap them for direct-write committers.)
+  */
+class NoDirRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "norename"
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean = {
+    val isDir = try getFileStatus(src).isDirectory
+      catch { case _: java.io.IOException => false }
+    val internal = src.toString.contains("/_temporary") ||
+      dst.toString.contains("/_temporary")
+    if (isDir && !internal) {
+      NoDirRenameFileSystem.refused.incrementAndGet()
+      throw new java.io.IOException(
+        s"directory rename refused (object-store semantics): $src -> $dst")
+    }
+    super.rename(src, dst)
+  }
+}
+object NoDirRenameFileSystem {
+  val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** The persisted BM25 text-retrieval index: probe ≡ recompute, frozen-
+  * stats appends, marker-file commits (crash-invisible staging, rename-
+  * free publish), vacuum, and the maintenance-lease fencing.
+  */
+class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  // a small deterministic corpus with shared and rare vocabulary: doc i
+  // repeats token "t<i mod 7>" i mod 3 + 1 times plus common filler, so
+  // tf, df and dl all vary
+  private lazy val corpus: DataFrame = (0 until 60).map { i =>
+    val rare = Seq.fill(i % 3 + 1)(s"t${i % 7}")
+    val filler = Seq("alpha", "beta", "gamma").take(i % 4)
+    (i.toLong, (rare ++ filler ++ Seq("common", "words")).mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private lazy val queries = corpus.filter(col("doc_id") < 4)
+
+  private def asSet(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+      col("score_x1e6"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("indexed probe ≡ recompute, including the exact integer scores") {
+    val idx = tmpDir("bm25")
+    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 8)
+    val want = asSet(SparseSim.bm25TopK(corpus, queries,
+      "text", "doc_id", "text", "doc_id", k = 5))
+    val got = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    assert(got === want)
+    // maxDf applies at probe time against the stored df table
+    val wantCap = asSet(SparseSim.bm25TopK(corpus, queries,
+      "text", "doc_id", "text", "doc_id", k = 5, maxDf = 20L))
+    val gotCap = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5, maxDf = 20L))
+    assert(gotCap === wantCap)
+    assert(gotCap !== got, "the df cap should change results on this corpus")
+  }
+
+  test("probe reads only the query terms' hash buckets (partition pruning)") {
+    val idx = tmpDir("bm25pp")
+    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 32)
+    val oneTermQuery = Seq((0L, "t3")).toDF("doc_id", "text")
+    val plan = SparseSim.bm25TopKFromIndex(spark, idx, oneTermQuery,
+      "text", "doc_id", k = 5).queryExecution.executedPlan.toString
+    // the postings scan must carry a tbucket partition filter
+    assert(plan.contains("tbucket"), s"no tbucket pruning in plan:\n$plan")
+  }
+
+  test("frozen-stats append: new docs retrievable, df/N/avgdl stay the base's") {
+    val base = corpus.filter(col("doc_id") % 4 =!= 3)
+    val extra = corpus.filter(col("doc_id") % 4 === 3)
+    val idx = tmpDir("bm25app")
+    SparseSim.writeBm25Index(base, "text", "doc_id", idx, numBuckets = 8)
+    SparseSim.appendToBm25Index(extra, "text", "doc_id", idx)
+    val got = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    // reference: recompute with tf over ALL docs but df/stats over the base
+    // — i.e. bm25TopK's own pieces re-staged with frozen statistics
+    val allToks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    val baseToks = base.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    val tf = allToks.filter(size(col("tk")) > 0)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = baseToks.filter(size(col("tk")) > 0)
+      .select(col("doc_id"), explode(col("tk")).as("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = baseToks.select(size(col("tk")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val qT = queries.select(col("doc_id").as("query_id"),
+      explode(TextOps.tokens(col("text"))).as("term")).distinct()
+    val cand = tf.join(qT, Seq("term")).join(dfr, Seq("term")).crossJoin(stats)
+      .select(col("query_id"), col("doc_id"),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+    val scored = cand.groupBy(col("query_id"), col("doc_id"))
+      .agg(floor(sum(col("contrib")) * lit(1000000.0)).cast("long").as("score_x1e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score_x1e6").desc, col("doc_id").asc)
+    val want = asSet(scored
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5))
+    assert(got === want)
+    // appended docs actually surface somewhere in the full ranking
+    val gotAll = SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 100)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(extra.select("doc_id").as[Long].collect().toSet
+      .intersect(gotAll).nonEmpty, "appended docs never retrievable")
+  }
+
+  test("a staged segment without its commit marker is invisible; vacuum sweeps it and superseded generations") {
+    val idx = tmpDir("bm25crash")
+    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 8)
+    val before = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    // simulate a crash mid-append: segment data staged, marker never lands
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    corpus.limit(3).select(lit("zzz").as("term"), col("doc_id"),
+        lit(1L).as("tf"), lit(3L).as("dl"), lit(0L).as("tbucket"))
+      .write.partitionBy("tbucket").parquet(s"$idx/segments/99/postings")
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5)) === before, "uncommitted segment leaked into a probe")
+    // a rebuild supersedes the old generation with ONE marker file; the
+    // old segments stay on disk (snapshot isolation) until vacuum
+    SparseSim.writeBm25Index(corpus.filter(col("doc_id") < 30), "text", "doc_id", idx)
+    val rebuilt = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    assert(rebuilt === asSet(SparseSim.bm25TopK(corpus.filter(col("doc_id") < 30),
+      queries, "text", "doc_id", "text", "doc_id", k = 5)))
+    // age the orphan past the lease TTL so vacuum treats it as dead
+    import scala.jdk.CollectionConverters._
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - MaintenanceLock.DefaultTtlMs - 60000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/segments/99"))
+      .iterator().asScala.foreach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+    SparseSim.vacuumBm25Index(spark, idx)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/segments"))
+      .map(_.getPath.getName).toSet
+    assert(!segs.contains("99"), "aged uncommitted orphan survived vacuum")
+    assert(!segs.contains("1"), "superseded base segment survived vacuum")
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5)) === rebuilt, "vacuum changed the visible index")
+  }
+
+  test("the whole lifecycle runs on a filesystem that refuses directory renames (object-store commit model)") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.norename.impl", classOf[NoDirRenameFileSystem].getName)
+    val local = tmpDir("bm25nr")
+    val idx = s"norename://$local"
+    NoDirRenameFileSystem.refused.set(0)
+    SparseSim.writeBm25Index(corpus.filter(col("doc_id") % 4 =!= 3),
+      "text", "doc_id", idx, numBuckets = 8)
+    SparseSim.appendToBm25Index(corpus.filter(col("doc_id") % 4 === 3),
+      "text", "doc_id", idx)
+    val got = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx) // rebuild, too
+    SparseSim.vacuumBm25Index(spark, idx)
+    val rebuilt = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    assert(rebuilt === asSet(SparseSim.bm25TopK(corpus, queries,
+      "text", "doc_id", "text", "doc_id", k = 5)))
+    assert(got.nonEmpty && rebuilt.nonEmpty)
+    assert(NoDirRenameFileSystem.refused.get() === 0,
+      "an index operation attempted to publish via directory rename")
+  }
+
+  test("a held maintenance lease fails writers fast; probes stay lock-free") {
+    val idx = tmpDir("bm25lk")
+    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 8)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx, "_maintenance.lock"), "other-job pid=1")
+    intercept[IllegalStateException](
+      SparseSim.appendToBm25Index(corpus.limit(1), "text", "doc_id", idx))
+    intercept[IllegalStateException](SparseSim.vacuumBm25Index(spark, idx))
+    // probes never take the lock
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5)).nonEmpty)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_maintenance.lock"))
+  }
+}
