@@ -1815,6 +1815,30 @@ object SparkEntry {
     }),
     "t_lm_score" -> ((s, d) =>
       graft.operators.NgramLm.selfScore(tb(s, d, "documents"), "text", "doc_id")),
+    // trigram LM with STUPID BACKOFF (Brants et al. 2007) — the
+    // higher-order option CCNet-style bucketing actually wants. Model
+    // trained on the EVEN half so the odd half genuinely exercises the
+    // backoff ladder (unseen trigram → bigram → add-one unigram floor);
+    // the CASE ladder replays verbatim in the oracle
+    "t_lm_trigram" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      graft.operators.NgramLm.scoreTrigram(docs,
+        graft.operators.NgramLm.trainTrigram(
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id"),
+        "text", "doc_id")
+    }),
+    // CCNet buckets over the TRIGRAM scores — the same distributed exact
+    // ntile (bucketsFromScores), fed by the backoff scorer
+    "t_perplexity_buckets_tri" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      graft.operators.NgramLm.bucketsFromScores(
+        graft.operators.NgramLm.scoreTrigram(docs,
+          graft.operators.NgramLm.trainTrigram(
+            docs.filter(col("doc_id") % 2 === 0), "text", "doc_id"),
+          "text", "doc_id"),
+        "doc_id", "avg_logp", nBuckets = 3)
+        .select(col("doc").as("doc_id"), col("score_x1e6"), col("bucket"))
+    }),
     // inverted index rows; postings rendered "doc:tf doc:tf" (the driver's
     // compare can't hash array columns)
     "t_inverted_index" -> ((s, d) =>
@@ -3630,6 +3654,15 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), bigt AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 2)), bc AS (SELECT w1, w2, count(*) AS c FROM bigt GROUP BY 1, 2), cc AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT t) AS vsz FROM (SELECT unnest(tk) AS t FROM toks)), sc AS (SELECT b.doc_id AS doc, CAST(floor((sum(ln((bc.c + 1.0) / (cc.c1 + v.vsz))) / count(*)) * 1000000.0) AS BIGINT) AS score_x1e6 FROM bigt b JOIN bc USING (w1, w2) JOIN cc USING (w1), v GROUP BY 1), hist AS (SELECT score_x1e6, count(*) AS c FROM sc GROUP BY 1), cum AS (SELECT score_x1e6, coalesce(sum(c) OVER (ORDER BY score_x1e6 DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM hist), tot AS (SELECT count(*) AS n FROM sc), r AS (SELECT doc, score_x1e6, row_number() OVER (PARTITION BY score_x1e6 ORDER BY doc) AS rr FROM sc) SELECT CAST(r.doc AS BIGINT) AS doc_id, r.score_x1e6, CAST((cum.before + rr - 1) * 3 // tot.n + 1 AS BIGINT) AS bucket FROM r JOIN cum USING (score_x1e6) CROSS JOIN tot""",
     "t_lm_score" ->
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), bigt AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 2)), bc AS (SELECT w1, w2, count(*) AS c FROM bigt GROUP BY 1, 2), cc AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT t) AS vsz FROM (SELECT unnest(tk) AS t FROM toks)) SELECT b.doc_id, count(*) AS n_bigrams, sum(ln((bc.c + 1.0) / (cc.c1 + v.vsz))) / count(*) AS avg_logp FROM bigt b JOIN bc USING (w1, w2) JOIN cc USING (w1), v GROUP BY 1""",
+    // stupid backoff restated: seen trigram → relative frequency against
+    // the bigram context; else 0.4 × the bigram relative frequency; else
+    // the 0.16 add-one unigram floor — training counts from the even half
+    "t_lm_trigram" ->
+      """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), tri AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3 FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3)), ttk AS (SELECT tk FROM toks WHERE doc_id % 2 = 0), tg AS (SELECT w1, w2, w3, count(*) AS c FROM tri WHERE doc_id % 2 = 0 GROUP BY 1,2,3), bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM ttk WHERE len(tk) >= 2) GROUP BY 1,2), ug AS (SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM ttk) GROUP BY 1), tot AS (SELECT sum(c) AS ntok, count(*) AS vsz FROM ug) SELECT t.doc_id, count(*) AS n_trigrams, sum(ln(CASE WHEN coalesce(tg.c, 0) > 0 THEN tg.c / b12.c WHEN coalesce(b23.c, 0) > 0 THEN 0.4 * b23.c / u2.c ELSE 0.16 * (coalesce(u3.c, 0) + 1.0) / (tot.ntok + tot.vsz) END)) / count(*) AS avg_logp FROM tri t LEFT JOIN tg ON t.w1 = tg.w1 AND t.w2 = tg.w2 AND t.w3 = tg.w3 LEFT JOIN bg b12 ON t.w1 = b12.w1 AND t.w2 = b12.w2 LEFT JOIN bg b23 ON t.w2 = b23.w1 AND t.w3 = b23.w2 LEFT JOIN ug u2 ON t.w2 = u2.w LEFT JOIN ug u3 ON t.w3 = u3.w CROSS JOIN tot GROUP BY 1""",
+    // the trigram-score CTEs + the same floored-score exact-ntile SQL as
+    // t_perplexity_buckets
+    "t_perplexity_buckets_tri" ->
+      """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), tri AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3 FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3)), ttk AS (SELECT tk FROM toks WHERE doc_id % 2 = 0), tg AS (SELECT w1, w2, w3, count(*) AS c FROM tri WHERE doc_id % 2 = 0 GROUP BY 1,2,3), bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM ttk WHERE len(tk) >= 2) GROUP BY 1,2), ug AS (SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM ttk) GROUP BY 1), tot AS (SELECT sum(c) AS ntok, count(*) AS vsz FROM ug), sc AS (SELECT t.doc_id AS doc, CAST(floor((sum(ln(CASE WHEN coalesce(tg.c, 0) > 0 THEN tg.c / b12.c WHEN coalesce(b23.c, 0) > 0 THEN 0.4 * b23.c / u2.c ELSE 0.16 * (coalesce(u3.c, 0) + 1.0) / (tot.ntok + tot.vsz) END)) / count(*)) * 1000000.0) AS BIGINT) AS score_x1e6 FROM tri t LEFT JOIN tg ON t.w1 = tg.w1 AND t.w2 = tg.w2 AND t.w3 = tg.w3 LEFT JOIN bg b12 ON t.w1 = b12.w1 AND t.w2 = b12.w2 LEFT JOIN bg b23 ON t.w2 = b23.w1 AND t.w3 = b23.w2 LEFT JOIN ug u2 ON t.w2 = u2.w LEFT JOIN ug u3 ON t.w3 = u3.w CROSS JOIN tot GROUP BY 1), hist AS (SELECT score_x1e6, count(*) AS c FROM sc GROUP BY 1), cum AS (SELECT score_x1e6, coalesce(sum(c) OVER (ORDER BY score_x1e6 DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM hist), tot2 AS (SELECT count(*) AS n FROM sc), r AS (SELECT doc, score_x1e6, row_number() OVER (PARTITION BY score_x1e6 ORDER BY doc) AS rr FROM sc) SELECT CAST(r.doc AS BIGINT) AS doc_id, r.score_x1e6, CAST((cum.before + rr - 1) * 3 // tot2.n + 1 AS BIGINT) AS bucket FROM r JOIN cum USING (score_x1e6) CROSS JOIN tot2""",
     "t_span_dedup" ->
       """WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk FROM documents), spans AS (SELECT doc_id, i - 1 AS span_idx, array_to_string(tk[(i-1)*8+1 : least(i*8, len(tk))], ' ') AS span_text FROM (SELECT doc_id, tk, unnest(generate_series(1, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i FROM toks WHERE len(tk) > 0)), kept AS (SELECT doc_id, span_idx, span_text, row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn FROM spans) SELECT d.doc_id, COALESCE(k.t, '') AS text_deduped FROM documents d LEFT JOIN (SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS t FROM kept WHERE rn = 1 GROUP BY 1) k ON d.doc_id = k.doc_id""",
     "t_quota_sample" ->

@@ -301,11 +301,32 @@ object Stress {
         docs, "text", n = 2, k = 50).count()),
       time(s"inverted_index_x$mult")(operators.TextOps.invertedIndex(
         docs, "text", "doc_id").count()),
-      // CCNet buckets: LM-score cost + a histogram-sized ordered window
-      // (the corpus-sized frame shuffles only on the parallel score key)
+      // CCNet buckets: LM-score cost + the two-level block prefix sums —
+      // the only ordered window sees ≤ 4097 block rows, and corpus-sized
+      // frames shuffle only on parallel (score, block) keys
       time(s"perplexity_buckets_x$mult") {
         val m = operators.NgramLm.train(docs, "text", "doc_id")
         operators.NgramLm.perplexityBuckets(docs, m, "text", "doc_id", 3).count()
+      },
+      // the TIE-HEAVY shape (r10 flag): ~30% of the corpus collapses onto
+      // ONE identical text → one score carries a third of all docs. The
+      // within-score rank must spread across doc-blocks instead of
+      // serializing those docs into a single task — wall must stay in
+      // family with the uniform case above
+      time(s"ppl_buckets_lowent_x$mult") {
+        val lowent = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) < 3,
+            lit("the same exact boilerplate body repeated across a third of the corpus"))
+            .otherwise(col("text")))
+        val m = operators.NgramLm.train(lowent, "text", "doc_id")
+        operators.NgramLm.perplexityBuckets(lowent, m, "text", "doc_id", 3).count()
+      },
+      // trigram stupid backoff: three grouped counts + five equi-joins —
+      // shuffle keys are n-grams, never documents
+      time(s"lm_trigram_x$mult") {
+        val m = operators.NgramLm.trainTrigram(
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        operators.NgramLm.scoreTrigram(docs, m, "text", "doc_id").count()
       },
       time(s"lm_score_x$mult")(operators.NgramLm.selfScore(
         docs, "text", "doc_id").count()),

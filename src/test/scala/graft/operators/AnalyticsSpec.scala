@@ -163,6 +163,52 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert((6 until 10).forall(i => got(i.toLong)._2 === 3L || got(i.toLong)._2 === 2L))
   }
 
+  test("perplexity buckets stay exact on a tie-heavy corpus (one score carries most docs)") {
+    // 30 of 40 docs are IDENTICAL → one score owns 75% of the ranking;
+    // the two-level within-score rank must still produce the exact
+    // (score desc, doc asc) ntile
+    val docs = ((0 until 30).map(i => (i.toLong, "a b a b")) ++
+      (30 until 40).map(i => (i.toLong, s"q$i r$i"))).toDF("doc_id", "text")
+    val model = NgramLm.train(docs, "text", "doc_id")
+    val got = NgramLm.perplexityBuckets(docs, model, "text", "doc_id", nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val scores = NgramLm.score(docs, model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> math.floor(r.getDouble(2) * 1e6).toLong).toMap
+    val ranked = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }
+    val want = ranked.zipWithIndex.map { case ((id, sc), r0) =>
+      id -> ((sc, r0.toLong * 4 / ranked.size + 1))
+    }.toMap
+    assert(got === want)
+    // the tied docs really straddle bucket boundaries (the hard case)
+    assert((0 until 30).map(i => got(i.toLong)._2).toSet.size > 1)
+  }
+
+  test("trigram stupid backoff walks the ladder: trigram hit, bigram backoff, unigram floor") {
+    // train: "a b c a b c" → trigrams (a,b,c)=2? no — positions: (a,b,c),
+    // (b,c,a),(c,a,b),(a,b,c) → (a,b,c)=2,(b,c,a)=1,(c,a,b)=1
+    // bigrams: (a,b)=2,(b,c)=2,(c,a)=1; unigrams a=2,b=2,c=2, N=6, V=3
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val model = NgramLm.trainTrigram(train, "text", "doc_id")
+    val got = NgramLm.scoreTrigram(
+      Seq((1L, "a b c"),   // seen trigram: c(abc)/c(ab) = 2/2
+        (2L, "x b c"),     // unseen trigram, seen bigram (b,c): 0.4·2/2
+        (3L, "x y z"))     // nothing seen: 0.16·(0+1)/(6+3)
+        .toDF("doc_id", "text"),
+      model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 1L)
+    assert(math.abs(got(1L)._2 - math.log(2.0 / 2)) < 1e-12)
+    assert(math.abs(got(2L)._2 - math.log(0.4 * 2 / 2)) < 1e-12)
+    assert(math.abs(got(3L)._2 - math.log(0.16 * 1.0 / 9)) < 1e-12)
+    // a known unigram still floors through add-one: "x y c" → 0.16·(2+1)/9
+    val g2 = NgramLm.scoreTrigram(Seq((4L, "x y c")).toDF("doc_id", "text"),
+      model, "text", "doc_id").collect().head.getDouble(2)
+    assert(math.abs(g2 - math.log(0.16 * 3.0 / 9)) < 1e-12)
+    // docs under three tokens are unscorable and omitted
+    assert(NgramLm.scoreTrigram(Seq((5L, "a b")).toDF("doc_id", "text"),
+      model, "text", "doc_id").count() === 0L)
+  }
+
   test("corpus-trained LM scores unseen documents via smoothing") {
     val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     val model = NgramLm.train(train, "text", "doc_id")
