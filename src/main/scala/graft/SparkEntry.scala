@@ -113,6 +113,12 @@ object SparkEntry {
   private val ivfRetrainIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the IVF-PQ retrain fixture (s_knn_ivfpq_retrained): half build,
+  // frozen-quantizer append of the drifting half, then the in-place
+  // three-table (centroids/books/codes) retrain over the float base table
+  private val ivfPqRetrainIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // the composed text→semantic gate fixture (d_composed_gate /
   // d_composed_gate_contract): text signature index + IVF index on the
   // ≡2 mod 4 quarter, 2 batches of the ≡0 mod 4 arrival quarter driven
@@ -2372,6 +2378,36 @@ object SparkEntry {
       extra.union(missing).union(lifecycle)
         .select(col("doc_id").cast("bigint").as("doc"), col("violation"))
     }),
+    // the LSH families' health audit (r10 verdict #5 — ivfAssignmentDrift's
+    // twin): per-band bucket-occupancy stats of the persisted near-dup
+    // index from ONE manifest scan, gated by SCALE-FREE healthy-shape
+    // rules — a band whose biggest bucket holds over ~a tenth of all
+    // signatures, or whose Σ|bucket|² (the gate's self-join mass) exceeds
+    // 4× the signature count, is the degenerate low-entropy shape (the r1
+    // SimHash skew class) that turns gate batches quadratic. Measured
+    // headroom on the harness corpus: max_bucket ≤ 5 of 1250 sigs at
+    // sf0.1 (rule: 125), sumsq/n_sigs ≤ 1.06 (rule: 4). The planted
+    // degenerate corpus in NearDupIndexSpec trips both rules at every band
+    "d_index_health" -> ((s, d) => fixtureSerialized("streamgate", d) {
+      val (idx, _, _, _) =
+        nearDupGateCache.computeIfAbsent(d, _ => buildNearDupGateFixture(s, d))
+      Dedup.nearDupIndexBucketStats(s, idx)
+        .filter(col("max_bucket") * 10 > col("n_sigs") + 50 ||
+          col("sumsq") > col("n_sigs") * 4)
+        .select(col("band"), col("n_sigs"), col("max_bucket"), col("sumsq"))
+    }),
+    // the substring-index twin: cross-batch window-key recurrence (keys
+    // are unique per batch by construction, so max_key > 3 means the same
+    // window content re-recorded by 4+ batches — pure per-probe scan
+    // weight, the consolidation-overdue signal). Harness measurement:
+    // max_key = 1 at every shipped SF
+    "d_substr_index_health" -> ((s, d) => fixtureSerialized("substrgate", d) {
+      val (idx, _, _) =
+        substrGateCache.computeIfAbsent(d, _ => buildSubstringGateFixture(s, d))
+      Dedup.substringIndexKeyStats(s, idx)
+        .filter(col("max_key") > 3)
+        .select(col("n_rows"), col("n_keys"), col("max_key"))
+    }),
     // the streaming SEMANTIC dedup gate — SemDeDup at ingest over the
     // persisted IVF index (embedding twin of d_stream_gate): arrivals with
     // a cosine ≥ τ neighbor among EARLIER batches' vectors are dropped
@@ -3392,6 +3428,32 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 8, rerank = 1000000)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // the IVF-PQ RETRAIN face (r10 verdict #3 — the retrain asymmetry
+    // closed): half build, frozen-QUANTIZER append of the drifted half,
+    // then retrainIvfPqIndex over the float base table — new coarse
+    // centroids + new residual codebooks + full re-encode swapped under
+    // ONE _COMMIT marker naming the three sub-tables. Exhaustive probe +
+    // exhaustive re-rank ≡ brute over the full corpus: a row lost,
+    // duplicated, or mis-encoded by the swap cannot hash-match
+    "s_knn_ivfpq_retrained" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfPqRetrainIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqre")
+        deleteRecursivelyOnExit(dir)
+        val half1 = emb.filter(col("vec_id") % 2 === 0)
+        val cents = Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 8)
+        val books = Similarity.trainIvfPqBooks(half1, "embedding", "vec_id",
+          cents, m = 8, ksub = 32)
+        Similarity.writeIvfPqIndex(half1, "embedding", "vec_id", cents, books, dir.toString)
+        Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 === 1),
+          "embedding", "vec_id", dir.toString)
+        Similarity.retrainIvfPqIndex(s, dir.toString, emb, "embedding", "vec_id")
+        dir.toString
+      })
+      Similarity.ivfPqTopKFromIndex(s, path, emb.filter(col("vec_id") < 10), emb,
+        "embedding", "vec_id", k = 5, nprobe = 8, rerank = 1000000)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     // delete face of the CODES table: same retention contract as
     // s_knn_indexed_deleted, on the PQ index — rewrite touches only the
     // affected clusters' (1+m)-int rows; exact-mode probe ≡ brute over the
@@ -3734,6 +3796,13 @@ object SparkEntry {
     // into one provably-empty violations frame
     "d_stream_gate_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
+    // healthy-shape audits: the violation frames are provably empty on the
+    // harness corpus (headroom documented at the query), and emptiness is
+    // exactly what the oracle states
+    "d_index_health" ->
+      "SELECT CAST(0 AS BIGINT) AS band, CAST(0 AS BIGINT) AS n_sigs, CAST(0 AS BIGINT) AS max_bucket, CAST(0 AS BIGINT) AS sumsq FROM documents WHERE 1 = 0",
+    "d_substr_index_health" ->
+      "SELECT CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_keys, CAST(0 AS BIGINT) AS max_key FROM documents WHERE 1 = 0",
     // semantic-gate lifecycle: stream ≡ sequential in-memory reference,
     // replay identity, tombstone release — one provably-empty frame
     "s_semantic_gate_contract" ->
@@ -4008,6 +4077,10 @@ object SparkEntry {
     // same exactness argument, exercised through the NON-broadcast
     // (sort-merge probe join) plan — the large-query-set path
     "s_knn_ivfpq_indexed" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // the PQ retrain's three-table swap must preserve index membership
+    // exactly (exact probe + exact re-rank ≡ brute for ANY quantizers)
+    "s_knn_ivfpq_retrained" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     "s_knn_shuffled" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",

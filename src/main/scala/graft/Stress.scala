@@ -229,6 +229,25 @@ object Stress {
       time(s"dsir_hashed_x$mult")(operators.Curation.dsirWeights(
         docs, docs.filter(col("lang") === "en"), "text", "doc_id",
         buckets = 1L << 30).count()),
+      // the health audit's degenerate receipt: a planted boilerplate-heavy
+      // corpus (2000 distinct texts) collapses band buckets — the audit
+      // must FLAG it (violations > 0) at one manifest-scan price, before
+      // any gate batch pays the quadratic candidate join. Wall includes
+      // the linear index build; the scan itself is the tail
+      time(s"index_health_lowent_x$mult") {
+        val lowent = docs.withColumn("text",
+          concat(lit("shared boilerplate page body number "),
+            pmod(col("doc_id"), lit(2000))))
+        val idx = java.nio.file.Files.createTempDirectory("stress_hidx").toString
+        operators.Dedup.writeNearDupIndex(lowent, "text", "doc_id", idx,
+          3, 1, 2, 32, 2)
+        val viol = operators.Dedup.nearDupIndexBucketStats(spark, idx)
+          .filter(col("max_bucket") * 10 > col("n_sigs") + 50 ||
+            col("sumsq") > col("n_sigs") * 4)
+          .count()
+        require(viol > 0, "planted degenerate corpus must trip the health audit")
+        viol
+      },
       // the skew killer: thousands of docs per distinct text (boilerplate-
       // heavy corpus) — must stay bounded via the distinct-value collapse
       time(s"simhash_lowent_x$mult")(operators.Dedup.simhashDuplicatePairs(

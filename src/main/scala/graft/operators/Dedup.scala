@@ -1333,6 +1333,54 @@ object Dedup {
     }
   }
 
+  /** Index health audit — the drift analog
+    * ([[graft.operators.Similarity.ivfAssignmentDrift]]) for the persisted
+    * near-dup signature index: per-band bucket-occupancy statistics from
+    * ONE scan of the live manifest view (tombstones applied, every
+    * ingest-batch partition). The gate's candidate generation is a
+    * band-key equi-join, so its cost against an arrival batch is the
+    * arrivals' bucket sizes and its self-join mass is Σ_bucket |bucket|²
+    * per band — a low-entropy corpus (the r1 SimHash skew class: shared
+    * boilerplate, shared filler tokens) concentrates one band key into a
+    * giant bucket and turns the gate quadratic long before a batch pays
+    * it. This prices the check at one manifest scan instead of a slow
+    * batch: all-integer output per band — (band, n_sigs, n_buckets,
+    * max_bucket, sumsq) — so the frame hash-replays, and the committed
+    * d_index_health floors trip on the degenerate shape exactly like the
+    * ANN recall floors trip on a probe regression.
+    */
+  def nearDupIndexBucketStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    nearDupIndexManifest(spark, path)
+      .select(posexplode(col("keys")).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("b"))
+      .groupBy(col("band")).agg(
+        sum(col("b")).cast("long").as("n_sigs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("b")).as("max_bucket"),
+        sum(col("b") * col("b")).cast("long").as("sumsq"))
+      .select(col("band").cast("bigint").as("band"), col("n_sigs"),
+        col("n_buckets"), col("max_bucket"), col("sumsq"))
+
+  /** The substring-index twin: window-key multiplicity stats over the
+    * persisted manifest. Keys are unique within a batch by construction
+    * (the manifest stores distinct window content hashes per batch), so
+    * `max_key > 1` measures CROSS-BATCH recurrence — a hot window key
+    * re-recorded by many batches is pure scan weight the gate pays on
+    * every probe with no new information (the shape
+    * [[compactNearDupIndex]]-style consolidation exists to fold away).
+    * One manifest scan, all-integer output: (n_rows, n_keys, max_key,
+    * sumsq).
+    */
+  def substringIndexKeyStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/manifest")
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("b"))
+      .agg(sum(col("b")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("b")).as("max_key"),
+        sum(col("b") * col("b")).cast("long").as("sumsq"))
+
   /** Reader-side age gate for [[recoverPendingCompact]]: the staging is
     * presumed dead once its newest mtime (top two levels — task files
     * landing in partition dirs bump those dirs' mtimes, so a live writer

@@ -707,8 +707,9 @@ object Similarity {
     *
     * `k` defaults to the stored centroid count; raise it when the corpus
     * has outgrown the original cell count (rule of thumb ~√n cells).
-    * IVF-PQ indexes store codes, not vectors — rebuild those with
-    * [[writeIvfPqIndex]] instead.
+    * IVF-PQ indexes retrain through [[retrainIvfPqIndex]] (same swap
+    * protocol; needs the float-original corpus the probe path re-ranks
+    * against, because the codes table stores no vectors).
     */
   def retrainIvfIndex(
       spark: SparkSession, path: String,
@@ -837,11 +838,22 @@ object Similarity {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__retrain_"))
       .foreach { st =>
         val staging = st.getPath
-        val committed =
-          fs.exists(new org.apache.hadoop.fs.Path(staging, SwapCommitMarker))
+        val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
+        val committed = fs.exists(marker)
         if (asLockHolder || (committed && stagingLooksDead(fs, staging))) {
           if (committed) {
-            Seq("centroids", "corpus").foreach { sub =>
+            // the marker CONTENT is the sub-table list (space-separated):
+            // "centroids corpus" for the IVF retrain, "centroids books
+            // codes" for the IVF-PQ one — one crash protocol, two families
+            val subs =
+              try {
+                val in = fs.open(marker)
+                val txt =
+                  try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+                txt.split("\\s+").filter(_.nonEmpty).toSeq
+              } catch { case _: Exception => Seq("centroids", "corpus") }
+            subs.foreach { sub =>
               val staged = new org.apache.hadoop.fs.Path(staging, sub)
               if (fs.exists(staged)) {
                 val live = new org.apache.hadoop.fs.Path(root, sub)
@@ -1489,6 +1501,7 @@ object Similarity {
     // would land rows in a cluster dir the roll-forward is about to drop —
     // an append IS a mutation: take the lease and recover as its holder
     MaintenanceLock.withLock(spark, path) {
+      recoverPendingRetrain(spark, path, asLockHolder = true)
       recoverPendingSwaps(spark, s"$path/codes", asLockHolder = true)
       ivfPqEncode(batch, vecCol, idCol,
         readIvfCentroids(spark, path), readIvfPqBooks(spark, path))
@@ -1505,8 +1518,95 @@ object Similarity {
   def deleteFromIvfPqIndex(
       spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long =
     MaintenanceLock.withLock(spark, path) {
+      recoverPendingRetrain(spark, path, asLockHolder = true)
       deleteFromIndexTable(spark, s"$path/codes", ids, idCol, Seq("cluster"))
     }
+
+  /** Retrain BOTH quantizer levels of a persisted IVF-PQ index IN PLACE —
+    * the r10 asymmetry closed: IVF had [[retrainIvfIndex]] while IVF-PQ's
+    * documented recourse was a manual [[writeIvfPqIndex]] rebuild. The
+    * index stores (1 + m) small ints per vector and NO floats, so a
+    * retrain needs the float originals: pass the SAME base corpus table
+    * the probe path already re-ranks against ([[ivfPqTopKFromIndex]]'s
+    * `corpus` argument — an IVF-PQ index without it cannot serve queries
+    * at all, so requiring it here adds no new dependency). Corpus rows
+    * not in the codes table are ignored (index membership is the codes
+    * table — deletes stay deleted); a STORED id missing from the corpus
+    * fails fast, because re-encoding would silently drop it.
+    *
+    * New coarse centroids (sampled Lloyd via [[trainIvfCentroids]]), new
+    * residual codebooks ([[trainIvfPqBooks]]), full re-encode — staged
+    * under one `$path/__retrain_*` dir and swapped under one `_COMMIT`
+    * marker naming the three sub-tables; [[recoverPendingRetrain]] reads
+    * the list from the marker, so the IVF and IVF-PQ retrains share one
+    * crash protocol (roll back before the marker, roll forward after,
+    * readers TTL-age-gated). Correctness is invariant by the standing
+    * argument — exact probe (nprobe = k, rerank ≥ corpus) ≡ brute for ANY
+    * quantizer pair, since the re-rank is exact over float originals.
+    * `k`/`m`/`ksub` default to the stored shapes.
+    */
+  def retrainIvfPqIndex(
+      spark: SparkSession, path: String, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      k: Option[Int] = None, m: Option[Int] = None, ksub: Option[Int] = None,
+      iterations: Int = 3, trainSample: Int = 1,
+      checkpointDir: Option[String] = None): Unit = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"retrainIvfPqIndex($path)"))
+    MaintenanceLock.withLock(spark, path) {
+      recoverPendingRetrain(spark, path, asLockHolder = true)
+      recoverPendingSwaps(spark, s"$path/codes", asLockHolder = true)
+      import spark.implicits._
+      val storedIds = spark.read.parquet(s"$path/codes").select(col("vec_id"))
+      val member = graft.CacheScope.localCheckpoint(
+        corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+          .join(storedIds, Seq("vec_id"), "left_semi"))
+      val missing = storedIds
+        .join(member.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+      require(missing == 0L,
+        s"retrainIvfPqIndex($path): $missing stored vector ids are absent " +
+          "from the supplied corpus — re-encoding would silently drop them; " +
+          "pass the same base table the probe path re-ranks against")
+      val oldBooks = readIvfPqBooks(spark, path)
+      val kk = k.getOrElse(readIvfCentroids(spark, path).size)
+      val mm = m.getOrElse(oldBooks.size)
+      val ks = ksub.getOrElse(oldBooks.head.size)
+      val cents = trainIvfCentroids(member, "embedding", "vec_id",
+        kk, iterations, trainSample)
+      val books = trainIvfPqBooks(member, "embedding", "vec_id",
+        cents, mm, ks, iterations, trainSample)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$path/__retrain_${java.util.UUID.randomUUID().toString.take(8)}")
+      cents.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      books.zipWithIndex.flatMap { case (book, sI) =>
+        book.zipWithIndex.map { case (c, code) => (sI, code, c) } }
+        .toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/books")
+      ivfPqEncode(member, "embedding", "vec_id", cents, books)
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("cluster").parquet(s"$staging/codes")
+      // point of no return: marker content = the sub-tables to swap
+      val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
+      val markerTmp = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker + ".tmp")
+      val out = fs.create(markerTmp, false)
+      try out.write("centroids books codes".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(markerTmp, marker)
+      Seq("centroids", "books", "codes").foreach { sub =>
+        val staged = new org.apache.hadoop.fs.Path(staging, sub)
+        if (fs.exists(staged)) {
+          val live = new org.apache.hadoop.fs.Path(root, sub)
+          fs.delete(live, true)
+          fs.rename(staged, live)
+        }
+      }
+      fs.delete(staging, true)
+    }
+  }
 
   def readIvfPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =
     spark.read.parquet(s"$path/books")
@@ -1525,6 +1625,7 @@ object Similarity {
       spark: SparkSession, path: String, queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
       nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    recoverPendingRetrain(spark, path, asLockHolder = false)
     recoverPendingSwaps(spark, s"$path/codes", asLockHolder = false)
     ivfPqProbe(
       spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cluster"), col("codes")),

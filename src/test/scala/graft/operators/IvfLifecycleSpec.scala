@@ -157,6 +157,77 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("vec_id") === 5L).count() === 0)
   }
 
+  test("IVF-PQ retrain: recall recovers on drift, exact probe stays ≡ brute, deletes stay deleted, missing ids fail fast") {
+    val idx = tmpDir("rpqidx")
+    val a = axisCorpus(0L, 80, Seq(0, 1, 2, 3), seed = 21)
+    val b = axisCorpus(1000L, 80, Seq(4, 5, 6, 7), seed = 22)
+    val centsA = Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 4)
+    val booksA = Similarity.trainIvfPqBooks(a, "embedding", "vec_id", centsA,
+      m = 4, ksub = 8)
+    Similarity.writeIvfPqIndex(a, "embedding", "vec_id", centsA, booksA, idx)
+    // drift: a second population encodes against the FROZEN quantizers
+    Similarity.appendToIvfPqIndex(b, "embedding", "vec_id", idx)
+    val full = a.union(b)
+    val queries = b.filter(col("vec_id") < 1008L)
+    def recallAt1(): Double = {
+      val brute = Similarity.bruteForceTopK(queries, full, "embedding", "vec_id", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val approx = Similarity.ivfPqTopKFromIndex(spark, idx, queries, full,
+        "embedding", "vec_id", k = 5, nprobe = 1, rerank = 1000)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      approx.intersect(brute).size.toDouble / brute.size
+    }
+    val before = recallAt1()
+    // a stored id missing from the corpus must fail fast, not drop rows
+    val e = intercept[IllegalArgumentException](
+      Similarity.retrainIvfPqIndex(spark, idx, a, "embedding", "vec_id",
+        k = Some(8)))
+    assert(e.getMessage.contains("absent"))
+    Similarity.retrainIvfPqIndex(spark, idx, full, "embedding", "vec_id",
+      k = Some(8))
+    val after = recallAt1()
+    assert(after > before,
+      s"PQ retrain should lift nprobe=1 recall on the drifted corpus: $before -> $after")
+    assert(after >= 0.9, s"retrained PQ recall@nprobe=1 = $after")
+    // exactness invariant: exhaustive probe + exhaustive re-rank ≡ brute
+    // for ANY quantizer pair — the three-table swap lost nothing
+    val brute = Similarity.bruteForceTopK(queries, full, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.ivfPqTopKFromIndex(spark, idx, queries, full,
+      "embedding", "vec_id", k = 5, nprobe = 8, rerank = 1000000)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(exact === brute)
+    assert(Similarity.readIvfCentroids(spark, idx).size === 8)
+    // membership is the codes table: a deleted id stays deleted through
+    // the retrain even though the corpus argument still carries it
+    assert(Similarity.deleteFromIvfPqIndex(spark, idx,
+      Seq(1005L).toDF("vec_id"), "vec_id") === 1L)
+    Similarity.retrainIvfPqIndex(spark, idx, full, "embedding", "vec_id")
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") === 1005L).count() === 0L)
+  }
+
+  test("PQ retrain crash protocol: the marker's sub-table list drives the roll-forward") {
+    val idx = tmpDir("rpqcr")
+    val a = axisCorpus(0L, 30, Seq(0, 1), seed = 23)
+    val cents = Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 2)
+    val books = Similarity.trainIvfPqBooks(a, "embedding", "vec_id", cents, m = 4, ksub = 8)
+    Similarity.writeIvfPqIndex(a, "embedding", "vec_id", cents, books, idx)
+    val fs = fsOf(idx)
+    // crash AFTER the marker with only `books` left un-swapped (centroids
+    // and codes already renamed in — their staged copies gone): recovery
+    // must read "centroids books codes" from the marker and finish books
+    val staging = s"$idx/__retrain_pqcrash"
+    val stagedBooks = Seq((0, 0, Seq.fill(4)(9.9f))).toDF("subspace", "code", "centroid")
+    stagedBooks.coalesce(1).write.parquet(s"$staging/books")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMIT"), false)
+    out.write("centroids books codes".getBytes("UTF-8")); out.close()
+    Similarity.recoverPendingRetrain(spark, idx, asLockHolder = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+    val gotBooks = Similarity.readIvfPqBooks(spark, idx)
+    assert(gotBooks === Seq(Seq(Seq.fill(4)(9.9f))), "marker-listed books table not swapped in")
+  }
+
   test("interrupted retrain: no marker rolls back, marker rolls forward") {
     val idx = tmpDir("rcidx")
     val a = axisCorpus(0L, 30, Seq(0, 1), seed = 6)

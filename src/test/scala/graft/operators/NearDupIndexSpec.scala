@@ -206,6 +206,59 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
       .select("doc").as[Long].collect().toSet === Set(1L))
   }
 
+  test("bucket-skew audit flags a planted degenerate corpus and clears a diverse one") {
+    // DIVERSE corpus: 40 docs of id-salted tokens — every token unique to
+    // its doc, so no two docs share a shingle and every band bucket is a
+    // singleton (the token-disjoint discipline from the r8 LSH lesson)
+    val diverse = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(j => s"tok${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dIdx = tmpDir("ndhd")
+    writeIndex(diverse, dIdx)
+    val dStats = Dedup.nearDupIndexBucketStats(spark, dIdx).collect()
+    assert(dStats.length === 32) // one row per band
+    assert(dStats.forall(_.getLong(3) === 1L), "diverse corpus: all buckets singletons")
+    assert(dStats.forall(r => r.getLong(1) === r.getLong(4)),
+      "singleton buckets: sumsq == n_sigs")
+
+    // DEGENERATE corpus: the same boilerplate body on every doc — each
+    // band collapses into ONE bucket holding all 40 signatures
+    val degenerate = (100 until 140).map(i => (i.toLong, baseText))
+      .toDF("doc_id", "text")
+    val gIdx = tmpDir("ndhg")
+    writeIndex(degenerate, gIdx)
+    val gStats = Dedup.nearDupIndexBucketStats(spark, gIdx).collect()
+    assert(gStats.forall(_.getLong(3) === 40L),
+      "degenerate corpus: every band has one 40-doc bucket")
+    assert(gStats.forall(_.getLong(4) === 1600L), "sumsq = 40² per band")
+    // the audit is the live view: tombstoning half the docs shrinks it
+    Dedup.deleteFromNearDupIndex(
+      (100 until 120).map(_.toLong).toDF("doc_id"), "doc_id", gIdx)
+    assert(Dedup.nearDupIndexBucketStats(spark, gIdx)
+      .collect().forall(_.getLong(3) === 20L))
+  }
+
+  test("substring-index key stats: unique within a batch, cross-batch recurrence counted") {
+    val idx = tmpDir("sshd")
+    val body = "alpha beta gamma delta epsilon zeta eta theta " * 2
+    Dedup.writeSubstringIndex(Seq((1L, body)).toDF("doc_id", "text"),
+      "text", "doc_id", idx, n = 8)
+    val s1 = Dedup.substringIndexKeyStats(spark, idx).head()
+    assert(s1.getLong(2) === 1L, "base build: every window key once")
+    assert(s1.getLong(0) === s1.getLong(1))
+    // a gate batch with fresh content appends NEW keys only (seen windows
+    // are cut from the batch, not re-recorded) — but a batch whose unseen
+    // windows repeat internally still records one key per distinct window
+    val clean = tmpDir("sshc")
+    Dedup.gateBatchAgainstSubstringIndex(
+      Seq((2L, "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", idx, clean, 0L)
+    val s2 = Dedup.substringIndexKeyStats(spark, idx).head()
+    assert(s2.getLong(0) > s1.getLong(0), "gate batch appended keys")
+    assert(s2.getLong(2) === 1L, "no cross-batch duplicate keys in this flow")
+  }
+
   test("rebuild replaces ALL partitions even under session-global dynamic overwrite") {
     val idx = tmpDir("ndidx")
     val kept = tmpDir("ndkept")
