@@ -99,7 +99,23 @@ object Plans {
     // map-side combined, k-bounded per-query window; hybrid = two
     // answer-sized ranking frames unioned into one integer agg;
     // prototypicality = narrow cosine projection + one cluster-id window
-    "t_bm25_topk", "s_hybrid_retrieval", "s_prototype_prune")
+    "t_bm25_topk", "s_hybrid_retrieval", "s_prototype_prune",
+    // round-10 close (flagged in the r10 verdict as the missing regen):
+    // perplexity buckets — after the r11 two-level rewrite the reviewable
+    // properties are: NO unbounded single-partition window (the one
+    // ordered window runs over ≤ 4097 block rows) and corpus-sized frames
+    // exchanging only on parallel (score, block) keys
+    "t_perplexity_buckets",
+    // round-11 additions: the persisted-BM25 probe (postings/df scans must
+    // show tbucket partition filters; query terms + df broadcast; never a
+    // corpus-sized side), its frozen-stats append face, the indexed hybrid
+    // composition, the trigram backoff scorer (five n-gram equi-joins, no
+    // document-keyed shuffle), CCNet buckets over it, the retrained-PQ
+    // exhaustive probe (cluster pruning must survive the three-table
+    // swap), and the two index health audits (one manifest scan each)
+    "s_bm25_indexed", "s_bm25_appended", "s_bm25_consolidated", "s_hybrid_indexed",
+    "t_lm_trigram", "t_perplexity_buckets_tri", "s_knn_ivfpq_retrained",
+    "d_index_health", "d_substr_index_health")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

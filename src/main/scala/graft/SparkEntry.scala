@@ -178,6 +178,11 @@ object SparkEntry {
   private val bm25AppendIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the consolidation fixture (s_bm25_consolidated): the append fixture's
+  // shape, then the generation merged into one fresh base + vacuumed
+  private val bm25ConsolidatedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // and the range-layout fixture (s17_stats_prune)
   private val rangeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2820,6 +2825,30 @@ object SparkEntry {
         docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
         .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
     }),
+    // CONSOLIDATION — the frozen-stats contract's recourse: the same
+    // base+append fixture shape as s_bm25_appended, then the visible
+    // generation merged into ONE fresh base FROM THE STORED POSTINGS
+    // (df/N/avgdl recomputed; corpus text never read). After the merge the
+    // index must equal a from-scratch full-corpus build — so this face
+    // shares the FULL-recompute oracle (t_bm25_topk's), which is exactly
+    // the staleness-reset claim in hash form
+    "s_bm25_consolidated" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val path = bm25ConsolidatedIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("bm25cons")
+        deleteRecursivelyOnExit(dir)
+        SparseSim.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
+          "text", "doc_id", dir.toString)
+        SparseSim.appendToBm25Index(docs.filter(col("doc_id") % 4 === 3),
+          "text", "doc_id", dir.toString)
+        SparseSim.consolidateBm25Index(s, dir.toString)
+        SparseSim.vacuumBm25Index(s, dir.toString)
+        dir.toString
+      })
+      SparseSim.bm25TopKFromIndex(s, path,
+        docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
+    }),
     // hybrid retrieval COMPOSED FROM THE PERSISTED INDEXES — the
     // production serving shape: BM25 from the posting segments, dense from
     // the IVF index at nprobe = #centroids (provably exact), fused by
@@ -4002,6 +4031,11 @@ object SparkEntry {
     // build only (doc_id % 4 != 3) — terms unseen at base time drop out
     "s_bm25_appended" ->
       """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % 4 != 3 GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens WHERE doc_id % 4 != 3), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
+    // consolidation resets the frozen stats to the full corpus — the
+    // merged index must equal a from-scratch build, so the oracle is the
+    // FULL recompute (t_bm25_topk's SQL verbatim)
+    "s_bm25_consolidated" ->
+      """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
     // indexed hybrid = the recomputed hybrid (BM25 segments ≡ recompute;
     // IVF at nprobe = #centroids ≡ brute) — one oracle covers both faces
     "s_hybrid_indexed" ->

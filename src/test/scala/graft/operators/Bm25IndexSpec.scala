@@ -137,6 +137,33 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       .intersect(gotAll).nonEmpty, "appended docs never retrievable")
   }
 
+  test("consolidation merges the generation into one fresh base ≡ a from-scratch full build") {
+    val base = corpus.filter(col("doc_id") % 4 =!= 3)
+    val extra = corpus.filter(col("doc_id") % 4 === 3)
+    val idx = tmpDir("bm25cons")
+    SparseSim.writeBm25Index(base, "text", "doc_id", idx, numBuckets = 8)
+    SparseSim.appendToBm25Index(extra, "text", "doc_id", idx)
+    val frozen = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    SparseSim.consolidateBm25Index(spark, idx)
+    val got = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    // stats reset: post-merge ≡ building the full corpus from scratch
+    val want = asSet(SparseSim.bm25TopK(corpus, queries,
+      "text", "doc_id", "text", "doc_id", k = 5))
+    assert(got === want)
+    assert(got !== frozen, "consolidation should change frozen-stats scores on this corpus")
+    // vacuum collapses to the single merged segment; probe unchanged
+    SparseSim.vacuumBm25Index(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/segments"))
+      .map(_.getPath.getName).toSet
+    assert(segs.size === 1, s"expected one merged segment, got $segs")
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5)) === want)
+  }
+
   test("a staged segment without its commit marker is invisible; vacuum sweeps it and superseded generations") {
     val idx = tmpDir("bm25crash")
     SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 8)
@@ -184,7 +211,8 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       "text", "doc_id", idx)
     val got = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
       "text", "doc_id", k = 5))
-    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx) // rebuild, too
+    SparseSim.consolidateBm25Index(spark, idx) // segment merge, too
+    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx) // and a rebuild
     SparseSim.vacuumBm25Index(spark, idx)
     val rebuilt = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
       "text", "doc_id", k = 5))
