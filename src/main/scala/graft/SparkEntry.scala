@@ -183,6 +183,12 @@ object SparkEntry {
   private val bm25ConsolidatedIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the STREAM-ingested BM25 index fixture (e_bm25_stream_append): base
+  // on 3/4, the last quarter micro-batch-committed as marker-guarded
+  // segments, batch 1 replayed (must skip via its marker)
+  private val bm25StreamIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // and the range-layout fixture (s17_stats_prune)
   private val rangeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2825,6 +2831,53 @@ object SparkEntry {
         docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
         .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
     }),
+    // the STREAMING-ingest face of the BM25 index: document batches land
+    // as files, each micro-batch commits as its own posting segment whose
+    // marker records the batch id (visibility IS the marker, so the
+    // stage-then-commit protocol doubles as the replay guard — no dynamic
+    // overwrite). Same frozen-stats semantics as the batch append, so the
+    // probe shares s_bm25_appended's oracle: a batch lost, duplicated, or
+    // double-committed by a replay cannot hash-match
+    "e_bm25_stream_append" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val path = bm25StreamIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("bm25str")
+        val landing = java.nio.file.Files.createTempDirectory("bm25land")
+        val ckpt = java.nio.file.Files.createTempDirectory("bm25ck")
+        Seq(dir, landing, ckpt).foreach(deleteRecursivelyOnExit)
+        SparseSim.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
+          "text", "doc_id", dir.toString)
+        val arrivals = docs.filter(col("doc_id") % 4 === 3)
+          .select(col("doc_id"), col("text"))
+        Seq(0, 1).foreach { k =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"bm25b$k")
+          arrivals.filter(pmod(col("doc_id"), lit(8)) === lit(3 + 4 * k))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet")).toSeq.head
+          val dst = landing.resolve(f"batch$k%02d.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+        }
+        SparseSim.streamAppendToBm25Index(
+          s.readStream.schema(arrivals.schema).option("maxFilesPerTrigger", 1)
+            .parquet(landing.toString),
+          "text", "doc_id", dir.toString, ckpt.toString)
+          .awaitTermination()
+        // replay probe: re-running batch 1 must skip via its marker —
+        // the probe below would double-count postings otherwise
+        SparseSim.ingestBatchToBm25Index(
+          arrivals.filter(pmod(col("doc_id"), lit(8)) === 7),
+          "text", "doc_id", dir.toString, 1L)
+        dir.toString
+      })
+      SparseSim.bm25TopKFromIndex(s, path,
+        docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
+    }),
     // CONSOLIDATION — the frozen-stats contract's recourse: the same
     // base+append fixture shape as s_bm25_appended, then the visible
     // generation merged into ONE fresh base FROM THE STORED POSTINGS
@@ -4030,6 +4083,11 @@ object SparkEntry {
     // (appended postings carry their own dl), df and N/avgdl over the BASE
     // build only (doc_id % 4 != 3) — terms unseen at base time drop out
     "s_bm25_appended" ->
+      """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % 4 != 3 GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens WHERE doc_id % 4 != 3), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
+    // the streaming segments reconstruct exactly the batch-append state
+    // (frozen stats + all arrivals' postings incl. the replayed batch
+    // exactly once) — s_bm25_appended's oracle verbatim
+    "e_bm25_stream_append" ->
       """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % 4 != 3 GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens WHERE doc_id % 4 != 3), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
     // consolidation resets the frozen stats to the full corpus — the
     // merged index must equal a from-scratch build, so the oracle is the

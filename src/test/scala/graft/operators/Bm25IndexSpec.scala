@@ -223,6 +223,59 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       "an index operation attempted to publish via directory rename")
   }
 
+  test("streaming ingest: per-batch marker segments, replay skips, commit-log guards maintenance") {
+    val idx = tmpDir("bm25str")
+    SparseSim.writeBm25Index(corpus.filter(col("doc_id") % 4 =!= 3),
+      "text", "doc_id", idx, numBuckets = 8)
+    val b0 = corpus.filter(col("doc_id") % 8 === 3)
+    val b1 = corpus.filter(col("doc_id") % 8 === 7)
+    SparseSim.ingestBatchToBm25Index(b0, "text", "doc_id", idx, 0L)
+    SparseSim.ingestBatchToBm25Index(b1, "text", "doc_id", idx, 1L)
+    def postingsCount(): Long = {
+      import scala.jdk.CollectionConverters._
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/segments"))
+        .map(st => spark.read.parquet(s"${st.getPath}/postings").count()).sum
+    }
+    val want = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    val n = postingsCount()
+    // REPLAY batch 1 (crash between segment commit and checkpoint
+    // commit): the marker makes it a no-op — no new segment, no new rows
+    SparseSim.ingestBatchToBm25Index(b1, "text", "doc_id", idx, 1L)
+    assert(postingsCount() === n, "replayed batch double-appended postings")
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5)) === want)
+    // streamed state ≡ one batch append of the union (frozen stats)
+    val batchIdx = tmpDir("bm25strb")
+    SparseSim.writeBm25Index(corpus.filter(col("doc_id") % 4 =!= 3),
+      "text", "doc_id", batchIdx, numBuckets = 8)
+    SparseSim.appendToBm25Index(corpus.filter(col("doc_id") % 4 === 3),
+      "text", "doc_id", batchIdx)
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, batchIdx, queries,
+      "text", "doc_id", k = 5)) === want)
+    // commit-log guard: an uncommitted stream batch blocks consolidate and
+    // vacuum (they would delete the replay-guard markers); commit permits
+    val ckpt = tmpDir("bm25ck")
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/offsets"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$ckpt/offsets/2"), false).close()
+    intercept[IllegalStateException](
+      SparseSim.consolidateBm25Index(spark, idx, checkpointDir = Some(ckpt)))
+    intercept[IllegalStateException](
+      SparseSim.vacuumBm25Index(spark, idx, checkpointDir = Some(ckpt)))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$ckpt/commits/2"), false).close()
+    SparseSim.consolidateBm25Index(spark, idx, checkpointDir = Some(ckpt))
+    SparseSim.vacuumBm25Index(spark, idx, checkpointDir = Some(ckpt))
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5)) ===
+      asSet(SparseSim.bm25TopK(corpus, queries,
+        "text", "doc_id", "text", "doc_id", k = 5)))
+  }
+
   test("a held maintenance lease fails writers fast; probes stay lock-free") {
     val idx = tmpDir("bm25lk")
     SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 8)
