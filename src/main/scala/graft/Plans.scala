@@ -113,7 +113,10 @@ object Plans {
     // document-keyed shuffle), CCNet buckets over it, the retrained-PQ
     // exhaustive probe (cluster pruning must survive the three-table
     // swap), and the two index health audits (one manifest scan each)
-    "s_bm25_indexed", "s_bm25_appended", "s_bm25_consolidated", "s_hybrid_indexed",
+    "s_bm25_indexed", "s_bm25_appended", "s_bm25_consolidated",
+    // the retention face: the tombstone anti-join must be BROADCAST on the
+    // (tiny) delete set, never a corpus-sized shuffle
+    "s_bm25_deleted", "s_hybrid_indexed",
     "t_lm_trigram", "t_perplexity_buckets_tri", "s_knn_ivfpq_retrained",
     "d_index_health", "d_substr_index_health")
 

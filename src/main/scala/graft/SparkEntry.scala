@@ -189,6 +189,13 @@ object SparkEntry {
   private val bm25StreamIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the retention fixtures: tombstoned (s_bm25_deleted) and tombstoned-
+  // then-consolidated (s_bm25_delete_purged)
+  private val bm25DelIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bm25DelPurgedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // and the range-layout fixture (s17_stats_prune)
   private val rangeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2831,6 +2838,46 @@ object SparkEntry {
         docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
         .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
     }),
+    // the RETENTION-DELETE face of the BM25 index (the near-dup tombstone
+    // contract on text retrieval): full build, doc_id % 7 == 3 tombstoned
+    // — deleted docs stop RETRIEVING immediately while df/N/avgdl stay
+    // frozen (the oracle restates exactly that split), no segment rewrite
+    "s_bm25_deleted" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val path = bm25DelIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("bm25del")
+        deleteRecursivelyOnExit(dir)
+        SparseSim.writeBm25Index(docs, "text", "doc_id", dir.toString)
+        SparseSim.deleteFromBm25Index(
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+          "doc_id", dir.toString)
+        dir.toString
+      })
+      SparseSim.bm25TopKFromIndex(s, path,
+        docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
+    }),
+    // …and the PHYSICAL PURGE: consolidation excludes tombstoned postings,
+    // recomputes df/N/avgdl WITHOUT them and clears the tombstones — the
+    // purged index must equal a from-scratch build on the survivors, so
+    // the oracle is the full recompute restricted to doc_id % 7 != 3
+    "s_bm25_delete_purged" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val path = bm25DelPurgedIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("bm25delp")
+        deleteRecursivelyOnExit(dir)
+        SparseSim.writeBm25Index(docs, "text", "doc_id", dir.toString)
+        SparseSim.deleteFromBm25Index(
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+          "doc_id", dir.toString)
+        SparseSim.consolidateBm25Index(s, dir.toString)
+        SparseSim.vacuumBm25Index(s, dir.toString)
+        dir.toString
+      })
+      SparseSim.bm25TopKFromIndex(s, path,
+        docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
+    }),
     // the STREAMING-ingest face of the BM25 index: document batches land
     // as files, each micro-batch commits as its own posting segment whose
     // marker records the batch id (visibility IS the marker, so the
@@ -4084,6 +4131,14 @@ object SparkEntry {
     // build only (doc_id % 4 != 3) — terms unseen at base time drop out
     "s_bm25_appended" ->
       """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % 4 != 3 GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens WHERE doc_id % 4 != 3), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
+    // tombstones screen results only: df/stats CTEs stay over ALL docs
+    // (frozen), candidates restricted to surviving doc ids
+    "s_bm25_deleted" ->
+      """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s WHERE tf.doc_id % 7 != 3), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
+    // the purge resets everything to the survivors — full recompute over
+    // doc_id % 7 != 3 (df, stats, tf and candidates alike)
+    "s_bm25_delete_purged" ->
+      """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents WHERE doc_id % 7 != 3), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens), q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_transform(regexp_extract_all(text, '\S+'), x -> lower(x))) AS term FROM documents WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
     // the streaming segments reconstruct exactly the batch-append state
     // (frozen stats + all arrivals' postings incl. the replayed batch
     // exactly once) — s_bm25_appended's oracle verbatim

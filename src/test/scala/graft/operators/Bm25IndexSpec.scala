@@ -223,6 +223,44 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       "an index operation attempted to publish via directory rename")
   }
 
+  test("retention deletes: tombstones screen immediately, consolidation purges + resets stats, rebuild clears") {
+    val idx = tmpDir("bm25del")
+    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 8)
+    val gone = corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    SparseSim.deleteFromBm25Index(gone, "doc_id", idx)
+    val goneIds = gone.as[Long].collect().toSet
+    // deleted docs never retrieve, even at k = everything
+    val all = SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 1000)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(all.intersect(goneIds).isEmpty, "tombstoned docs retrieved")
+    // …but the stats stay frozen until consolidation: scores differ from a
+    // from-scratch survivors build
+    val survivors = corpus.filter(col("doc_id") % 7 =!= 3)
+    val fresh = asSet(SparseSim.bm25TopK(survivors, queries,
+      "text", "doc_id", "text", "doc_id", k = 5))
+    val frozen = asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5))
+    assert(frozen !== fresh, "frozen stats should differ pre-purge on this corpus")
+    // consolidation purges physically and resets df/N/avgdl to survivors
+    SparseSim.consolidateBm25Index(spark, idx)
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5)) === fresh)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")),
+      "consolidation must clear applied tombstones")
+    // an all-tombstoned consolidation refuses (unreadable empty table)
+    SparseSim.deleteFromBm25Index(corpus.select(col("doc_id")), "doc_id", idx)
+    val e = intercept[IllegalStateException](SparseSim.consolidateBm25Index(spark, idx))
+    assert(e.getMessage.contains("rebuild"))
+    // a rebuild is a fresh start: stale tombstones must not screen it
+    SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 8)
+    assert(asSet(SparseSim.bm25TopKFromIndex(spark, idx, queries,
+      "text", "doc_id", k = 5)) === asSet(SparseSim.bm25TopK(corpus, queries,
+      "text", "doc_id", "text", "doc_id", k = 5)))
+  }
+
   test("streaming ingest: per-batch marker segments, replay skips, commit-log guards maintenance") {
     val idx = tmpDir("bm25str")
     SparseSim.writeBm25Index(corpus.filter(col("doc_id") % 4 =!= 3),
