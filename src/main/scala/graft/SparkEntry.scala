@@ -770,6 +770,21 @@ object SparkEntry {
       dir.toString
     })
 
+  /** The frozen-stats append fixture: base on doc_id % 4 != 3, the last
+    * quarter appended as a committed segment (s_bm25_appended +
+    * s_bm25_health share it).
+    */
+  private def bm25AppendIndexPath(s: SparkSession, docs: DataFrame, d: String): String =
+    bm25AppendIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("bm25app")
+      deleteRecursivelyOnExit(dir)
+      SparseSim.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
+        "text", "doc_id", dir.toString)
+      SparseSim.appendToBm25Index(docs.filter(col("doc_id") % 4 === 3),
+        "text", "doc_id", dir.toString)
+      dir.toString
+    })
+
   /** The persisted full-corpus BM25 index (base segment only). */
   private def bm25IndexPath(s: SparkSession, d: String): String =
     bm25IndexCache.computeIfAbsent(d, _ => {
@@ -2825,18 +2840,27 @@ object SparkEntry {
     // exactly that split, so staleness semantics are themselves hash-gated
     "s_bm25_appended" -> ((s, d) => {
       val docs = tb(s, d, "documents")
-      val path = bm25AppendIndexCache.computeIfAbsent(d, _ => {
-        val dir = java.nio.file.Files.createTempDirectory("bm25app")
-        deleteRecursivelyOnExit(dir)
-        SparseSim.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
-          "text", "doc_id", dir.toString)
-        SparseSim.appendToBm25Index(docs.filter(col("doc_id") % 4 === 3),
-          "text", "doc_id", dir.toString)
-        dir.toString
-      })
+      val path = bm25AppendIndexPath(s, docs, d)
       SparseSim.bm25TopKFromIndex(s, path,
         docs.filter(col("doc_id") < 5), "text", "doc_id", k = 5)
         .select(col("query_id"), col("doc_id"), col("score_x1e6"), col("rank"))
+    }),
+    // the BM25 staleness audit — third of the health trilogy (IVF drift,
+    // LSH bucket skew, BM25 segment staleness): segment metadata +
+    // footer-only posting counts, gated by scale-free shape rules on the
+    // append fixture — appends past 4× the base's postings mean frozen-df
+    // scores have drifted too far (consolidate), 64+ segments mean probes
+    // pay too many per-segment reads. Fixture shape: 2 segments, appended/
+    // base ≈ 1/3, zero tombstones — ~12× headroom on both rules
+    "s_bm25_health" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val path = bm25AppendIndexPath(s, docs, d)
+      SparseSim.bm25IndexStats(s, path)
+        .filter(col("n_segments") > 64 ||
+          col("appended_rows") > col("base_rows") * 4 ||
+          col("tombstoned_ids") > col("base_rows"))
+        .select(col("n_segments"), col("base_rows"), col("appended_rows"),
+          col("tombstoned_ids"))
     }),
     // the RETENTION-DELETE face of the BM25 index (the near-dup tombstone
     // contract on text retrieval): full build, doc_id % 7 == 3 tombstoned
@@ -4131,6 +4155,8 @@ object SparkEntry {
     // build only (doc_id % 4 != 3) — terms unseen at base time drop out
     "s_bm25_appended" ->
       """WITH t AS (SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)) AS tk FROM documents), lens AS (SELECT doc_id, len(tk) AS dl FROM t WHERE len(tk) > 0), tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1,2), dfr AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % 4 != 3 GROUP BY 1), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens WHERE doc_id % 4 != 3), q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk) AS term FROM t WHERE doc_id < 5), cand AS (SELECT q.query_id, tf.doc_id, ln((s.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0) * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*lens.dl/s.avgdl)) AS contrib FROM tf JOIN q USING (term) JOIN dfr USING (term) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s), sc AS (SELECT query_id, doc_id, CAST(floor(sum(contrib)*1000000.0) AS BIGINT) AS score_x1e6 FROM cand GROUP BY 1,2) SELECT query_id, doc_id, score_x1e6, rank FROM (SELECT query_id, doc_id, score_x1e6, row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 5""",
+    "s_bm25_health" ->
+      "SELECT CAST(0 AS BIGINT) AS n_segments, CAST(0 AS BIGINT) AS base_rows, CAST(0 AS BIGINT) AS appended_rows, CAST(0 AS BIGINT) AS tombstoned_ids FROM documents WHERE 1 = 0",
     // tombstones screen results only: df/stats CTEs stay over ALL docs
     // (frozen), candidates restricted to surviving doc ids
     "s_bm25_deleted" ->

@@ -314,6 +314,31 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
         "text", "doc_id", "text", "doc_id", k = 5)))
   }
 
+  test("staleness audit: healthy shape clears, heavy appends and tombstones are counted") {
+    val idx = tmpDir("bm25h")
+    SparseSim.writeBm25Index(corpus.filter(col("doc_id") < 20), "text", "doc_id", idx,
+      numBuckets = 8)
+    def stats() = SparseSim.bm25IndexStats(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val s0 = stats()
+    assert(s0._1 === 1L && s0._3 === 0L && s0._4 === 0L)
+    // plant the consolidation-overdue shape: 5 appends of 2x the base
+    (1 to 5).foreach(i => SparseSim.appendToBm25Index(
+      corpus.filter(col("doc_id") >= 20).withColumn("doc_id", col("doc_id") + i * 1000),
+      "text", "doc_id", idx))
+    SparseSim.deleteFromBm25Index(corpus.limit(3).select(col("doc_id")), "doc_id", idx)
+    val s1 = stats()
+    assert(s1._1 === 6L, "segment count must track appends")
+    assert(s1._3 > s1._2 * 4, "planted appends must exceed the 4x staleness rule")
+    assert(s1._4 === 3L, "tombstoned ids counted")
+    // consolidation resets the audit: one segment, all rows base, no tombstones
+    SparseSim.consolidateBm25Index(spark, idx)
+    SparseSim.vacuumBm25Index(spark, idx)
+    val s2 = stats()
+    assert(s2._1 === 1L && s2._3 === 0L && s2._4 === 0L)
+    assert(s2._2 > 0L)
+  }
+
   test("a held maintenance lease fails writers fast; probes stay lock-free") {
     val idx = tmpDir("bm25lk")
     SparseSim.writeBm25Index(corpus, "text", "doc_id", idx, numBuckets = 8)
