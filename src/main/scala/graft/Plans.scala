@@ -119,6 +119,12 @@ object Plans {
     "s_bm25_deleted", "s_hybrid_indexed",
     "t_lm_trigram", "t_perplexity_buckets_tri", "s_knn_ivfpq_retrained",
     "d_index_health", "d_substr_index_health")
+    // Deliberately absent (so this list is audited-complete, not lagging):
+    // e_bm25_stream_append builds its fixture by RUNNING the stream (like
+    // every e_stream_* face) and its probe plan is s_bm25_indexed's;
+    // s_bm25_delete_purged's plan is s_bm25_indexed's too (the purge
+    // happens at consolidation time, not probe time); s_bm25_health is
+    // segment metadata + footer-only counts — no reviewable data plan.
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
