@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SpecCatalog
 import graft.cspro.{DatReader, DcfParser}
 import graft.load.JsonPack
-import graft.operators.{Curation, Dedup, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextOps}
+import graft.operators.{Curation, Dedup, GenerationLog, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextOps, VersionedIvf, VersionedNearDup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -111,6 +111,27 @@ object SparkEntry {
   // append of the drifting half, then an in-place centroid retrain —
   // exhaustive probe must still reconstruct the full corpus
   private val ivfRetrainIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // the VERSIONED near-dup gate fixture (d_gate_versioned_contract):
+  // the rename-free gate — same batches/delete point as the in-place gate
+  // fixture, marker-committed signature segments, generation-swap
+  // consolidation — pinned to the same sequential reference
+  private val versionedGateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Boolean, Boolean)]()
+
+  // the VERSIONED (generation-log, object-store-safe) index fixture
+  // (s_knn_versioned): build → append → tombstone delete → consolidate →
+  // retrain → vacuum, every step publishing by marker-file create, never
+  // directory rename — exhaustive probe must equal brute force over the
+  // surviving membership
+  private val ivfVersionedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // the versioned STREAM-ingest fixture (e_versioned_stream_ingest):
+  // base half built, second half micro-batch-ingested as marker-committed
+  // segments — the index must reconstruct the full corpus
+  private val ivfVersionedStreamCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // the IVF-PQ retrain fixture (s_knn_ivfpq_retrained): half build,
@@ -660,6 +681,109 @@ object SparkEntry {
     val compactOk = liveHash() == beforeCompact &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones"))
     (idx.toString, kept.toString, replayOk, compactOk)
+  }
+
+  /** The SEQUENTIAL reference pipeline both gate contracts pin their
+    * streamed kept-sets to: pure batch ops (no index/stream machinery)
+    * applying first-arrival-wins over batches 0-2, with the retention
+    * delete exactly where the fixtures issue it — between batch 1 and 2.
+    */
+  private def sequentialGateReferenceKept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = tb(s, d, "documents")
+    val base = gateIndexBase(docs)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val deleted = gateDeletedIds(docs).select(col("doc_id").as("__t"))
+    def manifestOf(df: DataFrame): DataFrame =
+      Dedup.nearDupManifest(df, "text", "doc_id", GateShingle, GateBands, GateRows)
+    val (_, refKept) = (0 to 2).foldLeft(
+      (graft.CacheScope.localCheckpoint(manifestOf(base)),
+        s.emptyDataset[Long].toDF("doc_id"))) { case ((man, acc), k) =>
+      val manK =
+        if (k == 2) man.join(broadcast(deleted), col("doc") === col("__t"), "left_anti")
+        else man
+      val unseen = Dedup.dropSeenNearDuplicates(
+        gateSubBatch(arrivals, k), manK, "text", "doc_id",
+        GateShingle, GateNumer, GateDenom, GateBands, GateRows)
+      // EAGER lineage truncation each round, not lazy persist: dropSeen
+      // reads the manifest twice and the dedup pipeline reads the batch
+      // four times, so the folded LOGICAL plan otherwise grows
+      // exponentially in k and Catalyst analysis alone dwarfs execution
+      // (measured at sf0.01: 98 s with lazy persist, ~6 s checkpointed)
+      val keptK = graft.CacheScope.localCheckpoint(Dedup.dropNearDuplicates(
+        unseen,
+        Dedup.jaccardDuplicatePairs(unseen, "text", "doc_id",
+          GateShingle, GateNumer, GateDenom, GateBands, GateRows),
+        "doc_id"))
+      (graft.CacheScope.localCheckpoint(man.union(manifestOf(keptK))),
+        acc.union(keptK.select(col("doc_id"))))
+    }
+    refKept
+  }
+
+  /** Build the VERSIONED (generation-log) gate fixture once per sf dir —
+    * the rename-free twin of [[buildNearDupGateFixture]], same batches,
+    * same delete point: versioned index on the ≡2 mod 4 base, batches 0-1
+    * streamed through [[VersionedNearDup.streamGate]], batch 1
+    * replayed (replayOk), retention delete, batch 2 gated after it, then
+    * consolidate (→ next generation) + vacuum with live-view invariance
+    * and generation-count checks (compactOk).
+    */
+  private def buildVersionedGateFixture(
+      s: SparkSession, d: String): (String, String, Boolean, Boolean) = {
+    val docs = tb(s, d, "documents")
+    val base = gateIndexBase(docs)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("vndgidx")
+    val kept = java.nio.file.Files.createTempDirectory("vndgkept")
+    val landing = java.nio.file.Files.createTempDirectory("vndgland")
+    val ckpt = java.nio.file.Files.createTempDirectory("vndgckpt")
+    Seq(root, kept, landing, ckpt).foreach(deleteRecursivelyOnExit)
+    VersionedNearDup.write(base, "text", "doc_id", root.toString,
+      GateShingle, GateNumer, GateDenom, GateBands, GateRows)
+    (0 to 1).foreach { k =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"vndgtmp$k")
+      gateSubBatch(arrivals, k).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dst = landing.resolve(f"batch$k%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+    VersionedNearDup.streamGate(
+      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString),
+      "text", "doc_id", root.toString, kept.toString, ckpt.toString)
+      .awaitTermination()
+    def outputsHash(): ((Long, Long), (Long, Long)) = (
+      contentHash(s.read.parquet(kept.toString),
+        Seq("doc_id", "text", "ingest_batch")),
+      contentHash(VersionedNearDup.liveManifest(s, root.toString),
+        Seq("doc", "keys", "shh")))
+    val beforeReplay = outputsHash()
+    VersionedNearDup.gateBatch(gateSubBatch(arrivals, 1),
+      "text", "doc_id", root.toString, kept.toString, 1L)
+    val replayOk = outputsHash() == beforeReplay
+    VersionedNearDup.delete(gateDeletedIds(docs), "doc_id", root.toString)
+    VersionedNearDup.gateBatch(gateSubBatch(arrivals, 2),
+      "text", "doc_id", root.toString, kept.toString, 2L)
+    def liveHash(): (Long, Long) = contentHash(
+      VersionedNearDup.liveManifest(s, root.toString), Seq("doc", "keys", "shh"))
+    val beforeCompact = liveHash()
+    VersionedNearDup.consolidate(s, root.toString,
+      checkpointDir = Some(ckpt.toString))
+    VersionedNearDup.vacuum(s, root.toString)
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val genDir = GenerationLog.requireCurrentDir(s, root.toString)
+    val compactOk = liveHash() == beforeCompact &&
+      GenerationLog.committedGenerations(s, root.toString).size == 1 &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$genDir/tombstones"))
+    (root.toString, kept.toString, replayOk, compactOk)
   }
 
   /** The retrain fixture (s_knn_retrained / s_knn_drift_contract): half
@@ -2369,36 +2493,7 @@ object SparkEntry {
       import s.implicits._
       val (_, kept, replayOk, compactOk) =
         nearDupGateCache.computeIfAbsent(d, _ => buildNearDupGateFixture(s, d))
-      val docs = tb(s, d, "documents")
-      val base = gateIndexBase(docs)
-      val arrivals = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-      val deleted = gateDeletedIds(docs).select(col("doc_id").as("__t"))
-      def manifestOf(df: DataFrame): DataFrame =
-        Dedup.nearDupManifest(df, "text", "doc_id", GateShingle, GateBands, GateRows)
-      val (_, refKept) = (0 to 2).foldLeft(
-        (graft.CacheScope.localCheckpoint(manifestOf(base)),
-          s.emptyDataset[Long].toDF("doc_id"))) { case ((man, acc), k) =>
-        // the reference applies the retention delete exactly where the
-        // fixture did: between batch 1 and batch 2
-        val manK =
-          if (k == 2) man.join(broadcast(deleted), col("doc") === col("__t"), "left_anti")
-          else man
-        val unseen = Dedup.dropSeenNearDuplicates(
-          gateSubBatch(arrivals, k), manK, "text", "doc_id",
-          GateShingle, GateNumer, GateDenom, GateBands, GateRows)
-        // EAGER lineage truncation each round, not lazy persist: dropSeen
-        // reads the manifest twice and the dedup pipeline reads the batch
-        // four times, so the folded LOGICAL plan otherwise grows
-        // exponentially in k and Catalyst analysis alone dwarfs execution
-        // (measured at sf0.01: 98 s with lazy persist, ~6 s checkpointed)
-        val keptK = graft.CacheScope.localCheckpoint(Dedup.dropNearDuplicates(
-          unseen,
-          Dedup.jaccardDuplicatePairs(unseen, "text", "doc_id",
-            GateShingle, GateNumer, GateDenom, GateBands, GateRows),
-          "doc_id"))
-        (graft.CacheScope.localCheckpoint(man.union(manifestOf(keptK))),
-          acc.union(keptK.select(col("doc_id"))))
-      }
+      val refKept = sequentialGateReferenceKept(s, d)
       val streamKept = s.read.parquet(kept).select(col("doc_id"))
       val extra = streamKept.except(refKept)
         .withColumn("violation", lit("kept by stream, not by reference"))
@@ -2407,6 +2502,29 @@ object SparkEntry {
       val lifecycle = Seq(
         ("replay changed gate outputs", replayOk),
         ("compact changed live manifest or left tombstones", compactOk))
+        .filter(!_._2).map(t => (0L, t._1)).toDF("doc_id", "violation")
+      extra.union(missing).union(lifecycle)
+        .select(col("doc_id").cast("bigint").as("doc"), col("violation"))
+    }),
+    // the VERSIONED gate's lifecycle contract: the rename-free gate
+    // (marker-committed signature segments, generation-swap consolidation,
+    // tombstone deletes — ZERO index-protocol directory renames, see
+    // VersionedIndexSpec/VersionedNearDupSpec) must equal the SAME
+    // sequential reference the in-place gate is pinned to, plus replay
+    // identity and consolidate/vacuum invariance. Provably empty
+    "d_gate_versioned_contract" -> ((s, d) => fixtureSerialized("versionedgate", d) {
+      import s.implicits._
+      val (_, kept, replayOk, compactOk) =
+        versionedGateCache.computeIfAbsent(d, _ => buildVersionedGateFixture(s, d))
+      val refKept = sequentialGateReferenceKept(s, d)
+      val streamKept = s.read.parquet(kept).select(col("doc_id"))
+      val extra = streamKept.except(refKept)
+        .withColumn("violation", lit("kept by versioned gate, not by reference"))
+      val missing = refKept.except(streamKept)
+        .withColumn("violation", lit("kept by reference, not by versioned gate"))
+      val lifecycle = Seq(
+        ("replay changed gate outputs", replayOk),
+        ("consolidate/vacuum changed live manifest, left tombstones, or kept generations", compactOk))
         .filter(!_._2).map(t => (0L, t._1)).toDF("doc_id", "violation")
       extra.union(missing).union(lifecycle)
         .select(col("doc_id").cast("bigint").as("doc"), col("violation"))
@@ -3481,6 +3599,35 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
+    // the versioned index's STREAMING ingest: each micro-batch lands as a
+    // marker-committed SEGMENT (dir-create + file-create only — replay
+    // detected by the `.s<batchId>` marker suffix, so exactly-once without
+    // dynamic partition overwrite, whose job commit renames directories and
+    // is banned on object stores). Exhaustive probe ≡ full-corpus brute
+    "e_versioned_stream_ingest" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfVersionedStreamCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfverstr")
+        val landing = java.nio.file.Files.createTempDirectory("ivfverland")
+        val ckpt = java.nio.file.Files.createTempDirectory("ivfverck")
+        Seq(dir, landing, ckpt).foreach(deleteRecursivelyOnExit)
+        val half1 = emb.filter(col("vec_id") % 2 === 0)
+        val half2 = emb.filter(col("vec_id") % 2 === 1)
+        VersionedIvf.write(half1, "embedding", "vec_id",
+          Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 8),
+          dir.toString)
+        half2.repartition(4).write.mode("overwrite").parquet(landing.toString)
+        VersionedIvf.streamAppend(
+          s.readStream.schema(half2.schema).option("maxFilesPerTrigger", 1)
+            .parquet(landing.toString),
+          "embedding", "vec_id", dir.toString, ckpt.toString)
+          .awaitTermination()
+        dir.toString
+      })
+      VersionedIvf.topKFromIndex(s, path, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     // the DELETE face of the index lifecycle (retention / right-to-be-
     // forgotten): full build, then every vec_id % 7 == 3 deleted IN PLACE —
     // only the affected cluster partitions rewrite (emptied ones drop).
@@ -3545,6 +3692,37 @@ object SparkEntry {
       val path = ivfRetrainIndexCache.computeIfAbsent(d,
         _ => buildRetrainFixture(s, emb))
       Similarity.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    // the VERSIONED (generation-log) index: the whole lifecycle — build on
+    // the %5!=4 subset, marker-committed append of the rest, tombstone
+    // delete of %7==3, consolidate (fold + purge → gen 2), retrain with a
+    // fresh k (→ gen 3), vacuum — publishes by marker-file CREATE only,
+    // never directory rename (object-store commit model; the rename-free
+    // claim is enforced by VersionedIndexSpec's refusing filesystem).
+    // Exhaustive probe ≡ brute force over the surviving membership: every
+    // generation swap must lose/duplicate/resurrect nothing
+    "s_knn_versioned" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfVersionedIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfver")
+        deleteRecursivelyOnExit(dir)
+        val base = emb.filter(col("vec_id") % 5 =!= 4)
+        VersionedIvf.write(base, "embedding", "vec_id",
+          Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 8),
+          dir.toString)
+        VersionedIvf.append(emb.filter(col("vec_id") % 5 === 4),
+          "embedding", "vec_id", dir.toString)
+        VersionedIvf.delete(s, dir.toString,
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+        VersionedIvf.consolidate(s, dir.toString)
+        VersionedIvf.retrain(s, dir.toString, k = Some(8))
+        VersionedIvf.vacuum(s, dir.toString)
+        dir.toString
+      })
+      VersionedIvf.topKFromIndex(s, path,
+        emb.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3),
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
     }),
@@ -3949,6 +4127,10 @@ object SparkEntry {
     // into one provably-empty violations frame
     "d_stream_gate_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
+    // the versioned (rename-free) gate shares the in-place gate's contract
+    // shape: streamed ≡ sequential reference + lifecycle probes, all empty
+    "d_gate_versioned_contract" ->
+      "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
     // healthy-shape audits: the violation frames are provably empty on the
     // harness corpus (headroom documented at the query), and emptiness is
     // exactly what the oracle states
@@ -4239,6 +4421,15 @@ object SparkEntry {
     // every stored row sits in its argmax cluster — provably-empty frame
     "s_knn_drift_contract" ->
       "SELECT CAST(0 AS BIGINT) AS ingest_batch, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS misassigned FROM embeddings WHERE 1 = 0",
+    // the versioned (generation-log) lifecycle: build → append → tombstone
+    // delete → consolidate → retrain → vacuum, all marker-committed —
+    // brute force over the surviving membership (everything minus %7==3)
+    "s_knn_versioned" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id AND c.vec_id % 7 != 3 WHERE q.vec_id < 10 AND q.vec_id % 7 != 3) WHERE rank <= 5",
+    // versioned build + marker-committed stream segments must reconstruct
+    // the FULL corpus, same exactness argument as e_stream_index_append
+    "e_versioned_stream_ingest" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
     // the in-place retrain's full rewrite must preserve corpus content
     // exactly (exhaustive probe ≡ brute holds for ANY centroid set)
     "s_knn_retrained" ->

@@ -256,7 +256,7 @@ object Similarity {
     * oracle-pinned to agree and a tie-break/self-filter fix applied to one
     * but not the other would silently split them.
     */
-  private def probeAssignedCorpus(
+  private[operators] def probeAssignedCorpus(
       c: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
       k: Int, centroids: Seq[Seq[Float]], nprobe: Int,
       broadcastQueries: Boolean): DataFrame = {
@@ -440,7 +440,7 @@ object Similarity {
         "metadata-only) and retry.")
   }
 
-  private def assignToIndex(
+  private[operators] def assignToIndex(
       df: DataFrame, vecCol: String, idCol: String, centroids: Seq[Seq[Float]]): DataFrame =
     df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       nearestCentroid(col(vecCol), centroids).as("cluster"))

@@ -1,0 +1,667 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generation log: the OBJECT-STORE-SAFE commit spine for the versioned
+  * index families. The rename-swap protocols (`deleteFromIndexTable`,
+  * `retrainIvfIndex`, `compactNearDupIndex`) publish by atomic directory
+  * rename — correct on HDFS/POSIX, non-atomic (copy + delete) on S3-like
+  * object stores. This log publishes by POINTER instead, the
+  * [[graft.load.Warehouse.commitSnapshot]] / BM25-segment-log pattern
+  * generalized to a whole index:
+  *
+  * {{{
+  *   root/_generations/<N>/...   one complete, immutable index incarnation
+  *   root/_commits/<N>           marker file: its CREATION commits gen N
+  * }}}
+  *
+  * A mutator stages the next generation as a full directory tree, then
+  * commits it with ONE marker-file create — a single atomic PUT on any
+  * store. Readers resolve max(committed N) and never look inside an
+  * uncommitted staging tree, so a crash anywhere before the marker is
+  * invisible (old generation keeps serving) and a crash after it is
+  * already durable. Superseded generations stay readable for in-flight
+  * queries until [[vacuumGenerations]] — snapshot isolation, where the
+  * in-place swap gives readers a brief fail-loudly window instead.
+  *
+  * The price of rename-freedom is write amplification: a generation swap
+  * rewrites the full payload rather than renaming the affected partitions
+  * in. That is the right trade exactly where this mode is for — object
+  * stores, where the "cheap" rename was a copy anyway — and maintenance
+  * verbs (consolidate/retrain) rewrite the full payload in either mode.
+  */
+object GenerationLog {
+
+  private def fsOf(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def generationDir(root: String, gen: Long): String = s"$root/_generations/$gen"
+
+  private def numericChildren(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+
+  /** Generations with a commit marker, ascending. */
+  def committedGenerations(spark: SparkSession, root: String): Seq[Long] =
+    numericChildren(fsOf(spark, root),
+      new org.apache.hadoop.fs.Path(s"$root/_commits")).sorted
+
+  def currentGeneration(spark: SparkSession, root: String): Option[Long] =
+    committedGenerations(spark, root).lastOption
+
+  def currentDir(spark: SparkSession, root: String): Option[String] =
+    currentGeneration(spark, root).map(generationDir(root, _))
+
+  def requireCurrentDir(spark: SparkSession, root: String): String =
+    currentDir(spark, root).getOrElse(throw new IllegalStateException(
+      s"no committed generation at $root — build the index first"))
+
+  /** Reserve the next generation id: past max over committed markers AND
+    * staged directories, so a crashed stager's debris is never reused (it
+    * ages out via [[vacuumGenerations]]). Mutators run under the index's
+    * [[MaintenanceLock]], which serializes reservation.
+    */
+  private[operators] def stageNext(spark: SparkSession, root: String): (Long, String) = {
+    val fs = fsOf(spark, root)
+    val staged = numericChildren(fs, new org.apache.hadoop.fs.Path(s"$root/_generations"))
+    val gen = (committedGenerations(spark, root) ++ staged ++ Seq(0L)).max + 1
+    val dir = generationDir(root, gen)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    (gen, dir)
+  }
+
+  /** The commit point: one marker-file create, no rename anywhere. */
+  private[operators] def commit(spark: SparkSession, root: String, gen: Long): Unit = {
+    val fs = fsOf(spark, root)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_commits/$gen")
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, false)
+    try out.write(s"generation $gen".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[operators] def newestMtime(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path, depth: Int): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory || depth <= 0) st.getModificationTime
+    else (Seq(st.getModificationTime) ++
+      fs.listStatus(p).map(c => newestMtime(fs, c.getPath, depth - 1))).max
+  }
+
+  /** GC: drop superseded committed generations (current stays) and staged
+    * generation trees that have been quiet past `ttlMs` (a LIVE stager
+    * refreshes mtimes as it writes; only a dead one ages out — the
+    * [[MaintenanceLock]] TTL discipline). Deletes only — safe everywhere.
+    * Returns the ids removed.
+    */
+  def vacuumGenerations(
+      spark: SparkSession, root: String,
+      ttlMs: Long = MaintenanceLock.DefaultTtlMs): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val committed = committedGenerations(spark, root)
+    val current = committed.lastOption
+    val superseded = committed.dropRight(1)
+    superseded.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(generationDir(root, g)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/_commits/$g"), false)
+    }
+    val gensDir = new org.apache.hadoop.fs.Path(s"$root/_generations")
+    val now = System.currentTimeMillis()
+    val deadStaged = numericChildren(fs, gensDir)
+      .filterNot(g => current.contains(g))
+      .filterNot(committed.contains)
+      .filter { g =>
+        val p = new org.apache.hadoop.fs.Path(generationDir(root, g))
+        now - newestMtime(fs, p, 4) > ttlMs
+      }
+    deadStaged.foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(generationDir(root, g)), true))
+    superseded ++ deadStaged
+  }
+}
+
+/** Marker-committed SEGMENTS inside a committed generation: the rename-free
+  * ingest protocol shared by the versioned index families. A segment is a
+  * directory `segments/<prefix>=<segId>/` staged fully, then published by
+  * ONE `_batch_commits/<segId>[.s<streamBatchId>]` file create. Readers
+  * list the marker dir and read exactly the committed segment dirs — an
+  * uncommitted (crashed) segment is invisible and ages out via vacuum. A
+  * stream batch's checkpoint id rides in the marker NAME, so replay
+  * detection is a listing, not a read.
+  */
+private[operators] object SegmentLog {
+
+  private def fsOf(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def segmentsDir(genDir: String) = s"$genDir/segments"
+  def markersDir(genDir: String) = s"$genDir/_batch_commits"
+  def segmentDir(genDir: String, segId: Long) =
+    s"${segmentsDir(genDir)}/ingest_batch=$segId"
+
+  /** (segId, streamBatchId?) per committed marker. */
+  def committed(spark: SparkSession, genDir: String): Seq[(Long, Option[Long])] = {
+    val fs = fsOf(spark, genDir)
+    val dir = new org.apache.hadoop.fs.Path(markersDir(genDir))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).flatMap { n =>
+      n.split("\\.s", 2) match {
+        case Array(seg) => scala.util.Try(seg.toLong).toOption.map((_, None: Option[Long]))
+        case Array(seg, b) => for {
+          s <- scala.util.Try(seg.toLong).toOption
+          bid <- scala.util.Try(b.toLong).toOption
+        } yield (s, Some(bid))
+        case _ => None
+      }
+    }
+  }
+
+  def streamBatchCommitted(spark: SparkSession, genDir: String, batchId: Long): Boolean =
+    committed(spark, genDir).exists(_._2.contains(batchId))
+
+  /** Committed segment dirs that exist, optionally restricted to stream
+    * segments STRICTLY BEFORE `beforeBatch` (non-stream segments — batch
+    * appends and the build base — always qualify, mirroring the in-place
+    * `ingest_batch < b` read where `-1` always qualifies).
+    */
+  def committedDirs(
+      spark: SparkSession, genDir: String,
+      beforeBatch: Option[Long] = None): Seq[String] = {
+    val fs = fsOf(spark, genDir)
+    committed(spark, genDir)
+      .filter { case (_, sbid) =>
+        beforeBatch.forall(b => sbid.forall(_ < b)) }
+      .map(_._1).distinct.sorted
+      .map(segmentDir(genDir, _))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+  }
+
+  /** Next segment id: past max over markers AND staged dirs (crash debris
+    * is never reused; it ages out via vacuum).
+    */
+  def nextSegId(spark: SparkSession, genDir: String): Long = {
+    val fs = fsOf(spark, genDir)
+    val sd = new org.apache.hadoop.fs.Path(segmentsDir(genDir))
+    val staged =
+      if (!fs.exists(sd)) Seq.empty
+      else fs.listStatus(sd).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("ingest_batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("ingest_batch=").toLong).toOption)
+    (committed(spark, genDir).map(_._1) ++ staged ++ Seq(-1L)).max + 1
+  }
+
+  /** Publish a staged segment: one marker-file create. */
+  def commitMarker(spark: SparkSession, genDir: String, markerName: String): Unit = {
+    val fs = fsOf(spark, genDir)
+    val marker = new org.apache.hadoop.fs.Path(markersDir(genDir), markerName)
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, false)
+    try out.write(s"segment $markerName".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Drop uncommitted segment dirs quiet past `ttlMs`. */
+  def vacuumSegments(spark: SparkSession, genDir: String, ttlMs: Long): Unit = {
+    val fs = fsOf(spark, genDir)
+    val sd = new org.apache.hadoop.fs.Path(segmentsDir(genDir))
+    if (!fs.exists(sd)) return
+    val committedIds = committed(spark, genDir).map(_._1).toSet
+    val now = System.currentTimeMillis()
+    fs.listStatus(sd).toSeq
+      .filter(_.getPath.getName.startsWith("ingest_batch="))
+      .filterNot(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("ingest_batch=").toLong).toOption
+        .exists(committedIds.contains))
+      .filter(s => now - GenerationLog.newestMtime(fs, s.getPath, 3) > ttlMs)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+}
+
+/** The IVF ANN index on the generation-log commit model — every verb of
+  * the in-place lifecycle ([[Similarity.writeIvfIndex]] family: build →
+  * append/stream-ingest → delete → consolidate → retrain → probe), with
+  * ZERO index-protocol directory renames, so the whole lifecycle runs on
+  * S3-like object stores where the in-place family's staged-swap renames
+  * are non-atomic ([[VersionedIndexSpec]] drives it end-to-end on a
+  * filesystem that refuses directory renames). Semantics differences from
+  * the in-place family, all consequences of immutable generations:
+  *
+  *  - deletes are tombstone-only (the BM25/near-dup model): the id stops
+  *    retrieving immediately via the probe-side anti-join; the physical
+  *    purge happens at the next [[consolidate]]/[[retrain]], which write
+  *    a tombstone-free generation. Re-adding a deleted id requires a
+  *    consolidation first (in-place: a tombstone purge);
+  *  - appends and stream batches land as marker-committed SEGMENTS
+  *    ([[SegmentLog]]: `segments/ingest_batch=<segId>` +
+  *    `_batch_commits/<segId>`) inside
+  *    the current generation — pure dir-create + file-create, atomic
+  *    everywhere, and snapshot-isolated (a probe never sees a torn
+  *    batch, which the in-place append cannot promise mid-job). A stream
+  *    batch's marker records its checkpoint batch id (`<seg>.s<batch>`),
+  *    so a replay after a crash-before-checkpoint-commit is detected by
+  *    LISTING alone and skipped — exactly-once without dynamic partition
+  *    overwrite, whose job commit renames staging directories and is
+  *    therefore banned here;
+  *  - consolidate/retrain produce the NEXT generation (batches folded to
+  *    the `-1` base, tombstones applied and dropped) and commit it with
+  *    one marker create. Pass the ingest stream's `checkpointDir` to both
+  *    (the [[graft.streaming.CommitLog]] guard): a written-but-uncommitted
+  *    batch must not replay across a generation boundary.
+  *
+  * Probe correctness is the standing argument: exhaustive probe ≡ brute
+  * force for ANY centroid set, over live membership = base ∪ committed
+  * segments − tombstones (hash-gated at `s_knn_versioned` /
+  * `e_versioned_stream_ingest`).
+  */
+object VersionedIvf {
+
+  private def fsOf(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeSegment(
+      spark: SparkSession, genDir: String, segId: Long,
+      rows: DataFrame, markerName: String): Unit = {
+    // overwrite clears a crashed earlier attempt's debris at this id;
+    // visibility comes from the marker, not the write
+    rows.select(col("vec_id"), col("embedding"), col("cluster"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster")
+      .parquet(SegmentLog.segmentDir(genDir, segId))
+    SegmentLog.commitMarker(spark, genDir, markerName)
+  }
+
+  /** Live membership of a generation: the base corpus ∪ committed batch
+    * segments, minus tombstones. Cluster partition pruning flows through
+    * both legs (`cluster=` dirs in base and inside every segment);
+    * uncommitted segment dirs are excluded by construction (explicit
+    * committed-dir list under a basePath), not by filtering.
+    */
+  private def liveCorpus(spark: SparkSession, genDir: String): DataFrame = {
+    val fs = fsOf(spark, genDir)
+    val base = spark.read.parquet(s"$genDir/corpus")
+      .select(col("vec_id"), col("embedding"),
+        col("cluster").cast("int").as("cluster"),
+        col("ingest_batch").cast("long").as("ingest_batch"))
+    val segDirs = SegmentLog.committedDirs(spark, genDir)
+    val all =
+      if (segDirs.isEmpty) base
+      else base.unionByName(
+        spark.read.option("basePath", SegmentLog.segmentsDir(genDir)).parquet(segDirs: _*)
+          .select(col("vec_id"), col("embedding"),
+            col("cluster").cast("int").as("cluster"),
+            col("ingest_batch").cast("long").as("ingest_batch")))
+    val tombDir = new org.apache.hadoop.fs.Path(s"$genDir/tombstones")
+    if (fs.exists(tombDir))
+      all.join(
+        broadcast(spark.read.parquet(tombDir.toString)
+          .select(col("vec_id").as("__tomb_id")).distinct()),
+        col("vec_id") === col("__tomb_id"), "left_anti")
+    else all
+  }
+
+  private def writeGeneration(
+      spark: SparkSession, genDir: String,
+      centroids: Seq[Seq[Float]], assigned: DataFrame): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
+    assigned.select(col("vec_id"), col("embedding"), col("cluster"), col("ingest_batch"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster", "ingest_batch")
+      .parquet(s"$genDir/corpus")
+  }
+
+  /** Build (or rebuild) the index: stage generation N+1, commit by marker.
+    * A rebuild over a live index is automatically a fresh start — the new
+    * generation carries no tombstones or segments, and the old one keeps
+    * serving concurrent probes until the marker lands.
+    */
+  def write(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], root: String): Unit = {
+    val spark = corpus.sparkSession
+    MaintenanceLock.withLock(spark, root) {
+      val (gen, dir) = GenerationLog.stageNext(spark, root)
+      writeGeneration(spark, dir, centroids,
+        Similarity.assignToIndex(corpus, vecCol, idCol, centroids)
+          .withColumn("ingest_batch", lit(-1L)))
+      GenerationLog.commit(spark, root, gen)
+    }
+  }
+
+  /** Probe the current generation — [[Similarity.ivfTopKFromIndex]] shape
+    * over live membership. Read-only: never repairs, never writes.
+    */
+  def topKFromIndex(
+      spark: SparkSession, root: String, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    Similarity.probeAssignedCorpus(
+      liveCorpus(spark, dir).select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("cluster")),
+      queries, vecCol, idCol, k, Similarity.readIvfCentroids(spark, dir),
+      nprobe, broadcastQueries)
+  }
+
+  /** Retention delete: tombstone append only (one small file). The ids
+    * stop retrieving immediately (probe anti-join) and are physically
+    * purged by the next [[consolidate]]/[[retrain]]. Idempotent.
+    */
+  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Unit =
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    }
+
+  /** Batch append against the current generation's FROZEN centroids — a
+    * marker-committed segment, so concurrent probes see it atomically.
+    */
+  def append(batch: DataFrame, vecCol: String, idCol: String, root: String): Unit = {
+    val spark = batch.sparkSession
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      val segId = SegmentLog.nextSegId(spark, dir)
+      writeSegment(spark, dir, segId,
+        Similarity.assignToIndex(batch, vecCol, idCol,
+          Similarity.readIvfCentroids(spark, dir)),
+        segId.toString)
+    }
+  }
+
+  /** One stream micro-batch: skip if a committed segment already records
+    * this checkpoint batch id (replay), else screen tombstones, assign
+    * against the CURRENT generation's centroids (re-resolved per batch, so
+    * ingest follows a mid-stream consolidation/retrain onto the new
+    * generation instead of mis-assigning against stale centroids), write
+    * the segment, commit its marker.
+    */
+  private[operators] def ingestBatch(
+      batch: DataFrame, vecCol: String, idCol: String,
+      root: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    if (SegmentLog.streamBatchCommitted(spark, dir, batchId)) return
+    val assigned = Similarity.assignToIndex(batch, vecCol, idCol,
+      Similarity.readIvfCentroids(spark, dir))
+    val fs = fsOf(spark, dir)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val screened =
+      if (fs.exists(tombDir))
+        assigned.join(
+          broadcast(spark.read.parquet(tombDir.toString)
+            .select(col("vec_id").as("__tomb_id")).distinct()),
+          col("vec_id") === col("__tomb_id"), "left_anti")
+      else assigned
+    val segId = SegmentLog.nextSegId(spark, dir)
+    writeSegment(spark, dir, segId, screened, s"$segId.s$batchId")
+  }
+
+  /** Continuous ingest: one marker-committed segment per micro-batch. */
+  def streamAppend(
+      stream: DataFrame, vecCol: String, idCol: String,
+      root: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), vecCol, idCol, root, batchId))
+      .start()
+
+  /** Fold segments into the base and apply tombstones — as the NEXT
+    * generation (assignments and centroids unchanged). The versioned
+    * analog of [[Similarity.consolidateIvfIndex]] + [[Similarity.purgeIvfTombstones]]
+    * in one verb. Refuses to write an empty generation (an all-tombstoned
+    * index is a rebuild, not a consolidation).
+    */
+  def consolidate(
+      spark: SparkSession, root: String,
+      checkpointDir: Option[String] = None): Unit = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedIvf.consolidate($root)"))
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      val live = liveCorpus(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .withColumn("ingest_batch", lit(-1L))
+      if (live.isEmpty) throw new IllegalStateException(
+        s"consolidating $root would write an empty generation (every doc " +
+          "tombstoned) — rebuild with VersionedIvf.write instead")
+      val (gen, next) = GenerationLog.stageNext(spark, root)
+      writeGeneration(spark, next, Similarity.readIvfCentroids(spark, dir), live)
+      GenerationLog.commit(spark, root, gen)
+    }
+  }
+
+  /** Retrain the coarse quantizer over live membership and publish the
+    * re-assigned index as the next generation — the versioned
+    * [[Similarity.retrainIvfIndex]]. Tombstones are applied (the new
+    * generation starts clean); segments fold into the base.
+    */
+  def retrain(
+      spark: SparkSession, root: String,
+      k: Option[Int] = None, iterations: Int = 3, trainSample: Int = 1,
+      checkpointDir: Option[String] = None): Unit = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedIvf.retrain($root)"))
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      val live = graft.CacheScope.localCheckpoint(
+        liveCorpus(spark, dir).select(col("vec_id"), col("embedding")))
+      try {
+        if (live.isEmpty) throw new IllegalStateException(
+          s"retraining $root over an all-tombstoned corpus — rebuild with " +
+            "VersionedIvf.write instead")
+        val kk = k.getOrElse(Similarity.readIvfCentroids(spark, dir).size)
+        val cents = Similarity.trainIvfCentroids(
+          live, "embedding", "vec_id", kk, iterations, trainSample)
+        val (gen, next) = GenerationLog.stageNext(spark, root)
+        writeGeneration(spark, next, cents,
+          live.select(col("vec_id"), col("embedding"),
+            Similarity.nearestCentroid(col("embedding"), cents).as("cluster"))
+            .withColumn("ingest_batch", lit(-1L)))
+        GenerationLog.commit(spark, root, gen)
+      } finally graft.CacheScope.unpersistCheckpoint(live)
+    }
+  }
+
+  /** GC superseded generations plus aged uncommitted segment debris inside
+    * the current one. Deletes only.
+    */
+  def vacuum(
+      spark: SparkSession, root: String,
+      ttlMs: Long = MaintenanceLock.DefaultTtlMs): Unit = {
+    GenerationLog.vacuumGenerations(spark, root, ttlMs)
+    GenerationLog.currentDir(spark, root)
+      .foreach(SegmentLog.vacuumSegments(spark, _, ttlMs))
+  }
+}
+
+/** The near-dup (MinHash-LSH signature) index on the generation-log commit
+  * model — the rename-free twin of the [[Dedup.writeNearDupIndex]] family,
+  * completing the object-store story for both persisted index families.
+  * The in-place family's delete is already tombstone-only (rename-free);
+  * what this adds is a rename-free COMPACT/CONSOLIDATE (next generation
+  * instead of a staged `_COMMIT` swap) and a rename-free GATE (the
+  * in-place gate appends signatures via dynamic partition overwrite, whose
+  * job commit renames staging directories — here each gate batch lands as
+  * a [[SegmentLog]] marker-committed segment, and its replay is detected
+  * by the `.s<batchId>` marker name).
+  *
+  * Gate semantics are IDENTICAL to [[Dedup.gateBatchAgainstNearDupIndex]]
+  * (same params table, same dropSeen → self-dedup pipeline, same
+  * strictly-earlier manifest view, same kept-partition read-back for the
+  * appended signatures) — `d_gate_versioned_contract` pins the streamed
+  * kept-set to the same sequential reference pipeline the in-place gate
+  * is pinned to.
+  */
+object VersionedNearDup {
+
+  private def fsOf(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Build (or rebuild) the index: params + base manifest as generation
+    * N+1, committed by one marker create.
+    */
+  def write(
+      docs: DataFrame, textCol: String, idCol: String, root: String,
+      shingleSize: Int = 3, numer: Int = 7, denom: Int = 10,
+      bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    MaintenanceLock.withLock(spark, root) {
+      val (gen, dir) = GenerationLog.stageNext(spark, root)
+      Seq((shingleSize, bands, rowsPerBand, numer, denom))
+        .toDF("shingle_size", "bands", "rows_per_band", "numer", "denom")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      Dedup.nearDupManifest(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+        .write.mode("overwrite").parquet(s"$dir/manifest")
+      GenerationLog.commit(spark, root, gen)
+    }
+  }
+
+  /** The live manifest view: base ∪ committed gate segments − tombstones,
+    * optionally restricted (for gate replay safety) to segments from
+    * stream batches STRICTLY BEFORE `beforeBatch` (the base and batch
+    * appends always qualify — the in-place `ingest_batch < b` contract).
+    */
+  def liveManifest(
+      spark: SparkSession, root: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    val base = spark.read.parquet(s"$dir/manifest")
+      .select(col("doc"), col("keys"), col("shh"))
+    val segDirs = SegmentLog.committedDirs(spark, dir, beforeBatch)
+    val all =
+      if (segDirs.isEmpty) base
+      else base.unionByName(
+        spark.read.option("basePath", SegmentLog.segmentsDir(dir)).parquet(segDirs: _*)
+          .select(col("doc"), col("keys"), col("shh")))
+    val tombDir = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (fsOf(spark, dir).exists(tombDir))
+      all.join(
+        broadcast(spark.read.parquet(tombDir.toString)
+          .select(col("doc").as("__tomb")).distinct()),
+        col("doc") === col("__tomb"), "left_anti")
+    else all
+  }
+
+  /** Retention delete: tombstone-only, same semantics as
+    * [[Dedup.deleteFromNearDupIndex]] — screens immediately, purged
+    * physically by the next [[consolidate]].
+    */
+  def delete(ids: DataFrame, idCol: String, root: String): Unit = {
+    val spark = ids.sparkSession
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      ids.select(col(idCol).cast("long").as("doc")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    }
+  }
+
+  /** One gate batch — [[Dedup.gateBatchAgainstNearDupIndex]] semantics,
+    * rename-free mechanics: kept rows land by static overwrite of the
+    * batch's own `$keptDir/ingest_batch=<id>` dir (replay rewrites the
+    * same dir — idempotent without dynamic overwrite), and the appended
+    * signatures land as a marker-committed segment derived from the
+    * WRITTEN kept partition (replay-identical by construction). A replayed
+    * batch recomputes the same kept set (its manifest view excludes
+    * segments with stream ids ≥ its own) and skips the signature append
+    * via the marker.
+    */
+  def gateBatch(
+      batch: DataFrame, textCol: String, idCol: String,
+      root: String, keptDir: String, batchId: Long): Unit =
+   graft.CacheScope.withScope {
+    val spark = batch.sparkSession
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    val (ss, bands, rpb, numer, denom) = Dedup.readNearDupIndexParams(spark, dir)
+    val manifest = liveManifest(spark, root, beforeBatch = Some(batchId))
+    val unseen = Dedup.dropSeenNearDuplicates(
+      batch, manifest, textCol, idCol, ss, numer, denom, bands, rpb)
+    val kept = Dedup.dropNearDuplicates(
+      unseen,
+      Dedup.jaccardDuplicatePairs(unseen, textCol, idCol, ss, numer, denom, bands, rpb,
+        reuseShingles = true),
+      idCol)
+    val batchKeptDir = s"$keptDir/ingest_batch=$batchId"
+    kept.write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .parquet(batchKeptDir)
+    if (!SegmentLog.streamBatchCommitted(spark, dir, batchId)) {
+      // an all-suppressed batch has no signatures to append, but the
+      // marker must still land so a replay is recognized as such. The
+      // file-existence guard keeps the emptiness probe off a dir with no
+      // parquet footers (zero-task writes), which is unreadable
+      val fs = fsOf(spark, keptDir)
+      val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(batchKeptDir))
+        .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
+        !spark.read.parquet(batchKeptDir).limit(1).isEmpty
+      val segId = SegmentLog.nextSegId(spark, dir)
+      if (hasData) {
+        // derive the appended signatures from the WRITTEN kept partition —
+        // replay-identical by construction (the in-place gate's contract)
+        Dedup.nearDupManifest(spark.read.parquet(batchKeptDir), textCol, idCol, ss, bands, rpb)
+          .write.mode("overwrite").option("partitionOverwriteMode", "static")
+          .parquet(SegmentLog.segmentDir(dir, segId))
+      }
+      SegmentLog.commitMarker(spark, dir, s"$segId.s$batchId")
+    }
+   }
+
+  /** Continuous dedup-at-ingest over the versioned index. */
+  def streamGate(
+      stream: DataFrame, textCol: String, idCol: String,
+      root: String, keptDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        gateBatch(batch.toDF(), textCol, idCol, root, keptDir, batchId))
+      .start()
+
+  /** Fold gate segments into the base manifest and apply tombstones — as
+    * the next generation (the versioned [[Dedup.compactNearDupIndex]] with
+    * `consolidate = true` semantics). The live view is invariant; only the
+    * layout and the tombstone set change. Guarded by the stream's
+    * checkpoint commit log when given.
+    */
+  def consolidate(
+      spark: SparkSession, root: String,
+      checkpointDir: Option[String] = None): Unit = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedNearDup.consolidate($root)"))
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      val live = liveManifest(spark, root)
+      if (live.limit(1).isEmpty) throw new IllegalStateException(
+        s"consolidating $root would write an empty generation (every doc " +
+          "tombstoned) — rebuild with VersionedNearDup.write instead")
+      val (gen, next) = GenerationLog.stageNext(spark, root)
+      spark.read.parquet(s"$dir/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$next/params")
+      live.write.mode("overwrite").parquet(s"$next/manifest")
+      GenerationLog.commit(spark, root, gen)
+    }
+  }
+
+  /** GC superseded generations + aged uncommitted segment debris. */
+  def vacuum(
+      spark: SparkSession, root: String,
+      ttlMs: Long = MaintenanceLock.DefaultTtlMs): Unit = {
+    GenerationLog.vacuumGenerations(spark, root, ttlMs)
+    GenerationLog.currentDir(spark, root)
+      .foreach(SegmentLog.vacuumSegments(spark, _, ttlMs))
+  }
+}
