@@ -721,6 +721,29 @@ object SparkEntry {
     refKept
   }
 
+  /** Build the versioned-IVF lifecycle fixture once per sf dir
+    * (s_knn_versioned / s_knn_versioned_drift_contract): build on the
+    * %5!=4 subset, marker-committed append of the rest, tombstone delete
+    * of %7==3, consolidate (fold + purge), retrain, vacuum.
+    */
+  private def buildVersionedIvfFixture(
+      s: SparkSession, emb: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ivfver")
+    deleteRecursivelyOnExit(dir)
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    VersionedIvf.write(base, "embedding", "vec_id",
+      Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 8),
+      dir.toString)
+    VersionedIvf.append(emb.filter(col("vec_id") % 5 === 4),
+      "embedding", "vec_id", dir.toString)
+    VersionedIvf.delete(s, dir.toString,
+      emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+    VersionedIvf.consolidate(s, dir.toString)
+    VersionedIvf.retrain(s, dir.toString, k = Some(8))
+    VersionedIvf.vacuum(s, dir.toString)
+    dir.toString
+  }
+
   /** Build the VERSIONED (generation-log) gate fixture once per sf dir —
     * the rename-free twin of [[buildNearDupGateFixture]], same batches,
     * same delete point: versioned index on the ≡2 mod 4 base, batches 0-1
@@ -3705,26 +3728,24 @@ object SparkEntry {
     // generation swap must lose/duplicate/resurrect nothing
     "s_knn_versioned" -> ((s, d) => {
       val emb = tb(s, d, "embeddings")
-      val path = ivfVersionedIndexCache.computeIfAbsent(d, _ => {
-        val dir = java.nio.file.Files.createTempDirectory("ivfver")
-        deleteRecursivelyOnExit(dir)
-        val base = emb.filter(col("vec_id") % 5 =!= 4)
-        VersionedIvf.write(base, "embedding", "vec_id",
-          Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 8),
-          dir.toString)
-        VersionedIvf.append(emb.filter(col("vec_id") % 5 === 4),
-          "embedding", "vec_id", dir.toString)
-        VersionedIvf.delete(s, dir.toString,
-          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
-        VersionedIvf.consolidate(s, dir.toString)
-        VersionedIvf.retrain(s, dir.toString, k = Some(8))
-        VersionedIvf.vacuum(s, dir.toString)
-        dir.toString
-      })
+      val path = ivfVersionedIndexCache.computeIfAbsent(d,
+        _ => buildVersionedIvfFixture(s, emb))
       VersionedIvf.topKFromIndex(s, path,
         emb.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3),
         "embedding", "vec_id", k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
+    // the versioned index's integrity law, over the same full-lifecycle
+    // fixture: every live row sits in its argmax cluster (all write paths
+    // assign the argmax; retrain reassigns atomically with its generation
+    // commit) — zero misassigned rows, provably empty
+    "s_knn_versioned_drift_contract" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfVersionedIndexCache.computeIfAbsent(d,
+        _ => buildVersionedIvfFixture(s, emb))
+      VersionedIvf.assignmentDrift(s, path)
+        .filter(col("misassigned") > 0L)
+        .select(col("ingest_batch"), col("n"), col("misassigned"))
     }),
     // the drift scan's INTEGRITY law: every stored row of a healthy index
     // sits in its argmax cluster (all write paths assign the argmax;
@@ -4426,6 +4447,10 @@ object SparkEntry {
     // brute force over the surviving membership (everything minus %7==3)
     "s_knn_versioned" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id AND c.vec_id % 7 != 3 WHERE q.vec_id < 10 AND q.vec_id % 7 != 3) WHERE rank <= 5",
+    // every live row of the versioned index sits in its argmax cluster —
+    // provably-empty frame over the full-lifecycle fixture
+    "s_knn_versioned_drift_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS ingest_batch, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS misassigned FROM embeddings WHERE 1 = 0",
     // versioned build + marker-committed stream segments must reconstruct
     // the FULL corpus, same exactness argument as e_stream_index_append
     "e_versioned_stream_ingest" ->

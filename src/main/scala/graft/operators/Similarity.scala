@@ -788,8 +788,16 @@ object Similarity {
     */
   def ivfAssignmentDrift(spark: SparkSession, path: String): DataFrame = {
     recoverIvfIndex(spark, path)
-    val centroids = readIvfCentroids(spark, path)
-    val corpus = spark.read.parquet(s"$path/corpus")
+    assignmentDriftOf(
+      spark.read.parquet(s"$path/corpus"), readIvfCentroids(spark, path))
+  }
+
+  /** The drift/integrity computation shared by the in-place and versioned
+    * ([[VersionedIvf.assignmentDrift]]) health faces: per-`ingest_batch`
+    * mean alignment to the assigned centroid (ppm) + misassigned count.
+    */
+  private[operators] def assignmentDriftOf(
+      corpus: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
     // partition discovery may infer ingest_batch as int from small dir
     // values — pin the column to bigint so the output schema is stable
     val scored = corpus.select(col("ingest_batch").cast("bigint").as("ingest_batch"),

@@ -484,6 +484,19 @@ object VersionedIvf {
     GenerationLog.currentDir(spark, root)
       .foreach(SegmentLog.vacuumSegments(spark, _, ttlMs))
   }
+
+  /** Retrain trigger + integrity scan over live membership — the
+    * [[Similarity.ivfAssignmentDrift]] metric on the versioned index
+    * (same shared computation): per-`ingest_batch` mean alignment to the
+    * assigned centroid and the misassigned count, which is zero by
+    * construction on any healthy index (every write path assigns the
+    * argmax; retrain reassigns atomically with its generation commit).
+    */
+  def assignmentDrift(spark: SparkSession, root: String): DataFrame = {
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    Similarity.assignmentDriftOf(
+      liveCorpus(spark, dir), Similarity.readIvfCentroids(spark, dir))
+  }
 }
 
 /** The near-dup (MinHash-LSH signature) index on the generation-log commit
