@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SpecCatalog
 import graft.cspro.{DatReader, DcfParser}
 import graft.load.JsonPack
-import graft.operators.{Curation, Dedup, GenerationLog, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextOps, VersionedIvf, VersionedNearDup}
+import graft.operators.{Curation, Dedup, GenerationLog, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextClassifier, TextOps, VersionedIvf, VersionedNearDup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1910,6 +1910,32 @@ object SparkEntry {
     // Gopher/C4 repetition filters: top-token share + repeated-bigram share
     "t_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(tb(s, d, "documents"), "text", "doc_id")),
+    // the fastText/CCNet-style QUALITY CLASSIFIER (hashed-ngram logistic
+    // regression, integer-exact training — TextClassifier.scala): trained
+    // on a %3 split of a planted separable corpus (real harness documents
+    // as the reference class vs deterministic junk-token docs — their
+    // vocabularies are disjoint, so a converged linear model classifies
+    // BOTH splits perfectly) and gated on zero misclassified docs over
+    // train ∪ holdout. Provably empty; the learning dynamics, bit-identical
+    // retrains, and bias/feature-less contracts live in TextClassifierSpec
+    "t_quality_classifier_contract" -> ((s, d) => {
+      val docs = tb(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val pos = docs.withColumn("label", lit(1L))
+      val neg = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("jnk"), pmod(col("doc_id"), lit(7))), lit("zzq xxq"),
+          concat(lit("jnk"), pmod(col("doc_id"), lit(5))), lit("qqz jnky zzq"),
+          concat(lit("jnk"), pmod(col("doc_id"), lit(3)))).as("text"),
+        lit(0L).as("label"))
+      val all = pos.unionByName(neg)
+      val model = TextClassifier.train(
+        all.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", "label",
+        numBuckets = 1 << 12, iterations = 10)
+      TextClassifier.misclassified(all, "text", "doc_id", "label",
+        model, numBuckets = 1 << 12)
+        .select(col("doc"), col("y"), col("margin_micro"))
+    }),
     // content-defined chunking: rolling-hash boundaries (window-8 polynomial
     // ≡ 0 mod 61 — prime, so the base-31 polynomial keeps full mixing; a
     // power-of-two divisor degenerates to a parity sum since 31² ≡ 1 mod 64) — chunks survive edits elsewhere in the doc, the property
@@ -4143,6 +4169,10 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS vec_id, 0.0 AS max_err, 0.0 AS bound FROM embeddings WHERE 1 = 0",
     "d_bloom_sound" ->
       "SELECT doc_id FROM documents WHERE 1 = 0",
+    // a converged linear model classifies the planted separable corpus
+    // perfectly on both splits — misclassified frame provably empty
+    "t_quality_classifier_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS doc, CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS margin_micro FROM documents WHERE 1 = 0",
     // streaming near-dup gate lifecycle: stream ≡ sequential reference,
     // replay identity, tombstone release, compact invariance — all folded
     // into one provably-empty violations frame

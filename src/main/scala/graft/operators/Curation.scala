@@ -713,7 +713,7 @@ object Curation {
     * bigrams. Unigram tokens contain no whitespace and bigram strings
     * always do, so the two families can never collide as strings.
     */
-  private def dsirFeatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[operators] def dsirFeatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tk = TextOps.tokens(col(textCol))
     docs.select(col(idCol).cast("long").as("doc"), tk.as("__tk"))
       .select(col("doc"), explode(concat(col("__tk"),
