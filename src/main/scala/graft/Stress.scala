@@ -61,6 +61,8 @@ object Stress {
     // the persisted-BM25 stress fixture dir: built by bm25_index_build (or
     // on demand when STRESS_ONLY isolates the probe), probed after
     var bm25StressIdx: Option[String] = None
+    var versionedStressIdx: Option[String] = None
+    var qualityStressModel: Option[Seq[(Long, Long)]] = None
     var streamDirHandle: Option[java.nio.file.Path] = None
     lazy val streamEventsDir: String = {
       val dir = java.nio.file.Files.createTempDirectory("stress_events")
@@ -213,6 +215,66 @@ object Stress {
         operators.SparseSim.bm25TopKFromIndex(spark, idx,
           docs.filter(col("doc_id") < 8), "text", "doc_id", k = 10,
           maxDf = docs.count() / 2).count()
+      },
+      // the VERSIONED (generation-log) index lifecycle: build + tombstone
+      // delete + consolidate = two full generation writes + one tombstone
+      // append — wall must track corpus size LINEARLY (the documented
+      // object-store trade: a generation swap is a full rewrite, never
+      // quadratic, never rename-dependent)
+      time(s"versioned_ivf_lifecycle_x$mult") {
+        val root = java.nio.file.Files.createTempDirectory("stress_vivf").toString
+        versionedStressIdx = Some(root)
+        val cents = operators.Similarity.trainIvfCentroids(
+          embs, "embedding", "vec_id", k = 16)
+        operators.VersionedIvf.write(embs, "embedding", "vec_id", cents, root)
+        operators.VersionedIvf.delete(spark, root,
+          embs.filter(pmod(col("vec_id"), lit(97)) === 0).select(col("vec_id")),
+          "vec_id")
+        operators.VersionedIvf.consolidate(spark, root)
+        operators.VersionedIvf.vacuum(spark, root)
+        1L
+      },
+      // ...while the probe stays partition-pruned to nprobe clusters of the
+      // CURRENT generation — compare across 20×/50×: probe wall must grow
+      // with cluster size (corpus/16), not with lifecycle history
+      time(s"versioned_ivf_probe_x$mult") {
+        val root = versionedStressIdx.getOrElse {
+          val dir = java.nio.file.Files.createTempDirectory("stress_vivf").toString
+          System.err.println("[stress] versioned_ivf_probe: building index (untimed op skipped)")
+          operators.VersionedIvf.write(embs, "embedding", "vec_id",
+            operators.Similarity.trainIvfCentroids(embs, "embedding", "vec_id", k = 16), dir)
+          versionedStressIdx = Some(dir); dir
+        }
+        operators.VersionedIvf.topKFromIndex(spark, root,
+          embs.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 10, nprobe = 2).count()
+      },
+      // quality classifier: the labeled TRAINING set is fixed-size (quality
+      // filters train on reference samples, not the corpus), so train wall
+      // must stay ~FLAT across mults...
+      time(s"quality_train_x$mult") {
+        val fixed = Tables.balanced(spark, sfDir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val labeled = fixed.withColumn("label", lit(1L)).unionByName(
+          fixed.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat_ws(" ", concat(lit("jnk"), pmod(col("doc_id"), lit(7))),
+              lit("zzq xxq jnky")).as("text"), lit(0L).as("label")))
+        // the model is ≤ numBuckets rows — hold it as driver data so the
+        // per-op cache-emptiness invariant stays intact across ops
+        qualityStressModel = Some(
+          operators.TextClassifier.train(labeled, "text", "doc_id", "label",
+            numBuckets = 1 << 12, iterations = 10)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        1L
+      },
+      // ...while SCORING is the corpus-scale op: broadcast model join + one
+      // map-side-combined doc agg — wall linear in mult, no corpus shuffle
+      time(s"quality_score_x$mult") {
+        val model = qualityStressModel.getOrElse(
+          sys.error("quality_score requires quality_train (run both or neither)"))
+          .toDF("bucket", "w_micro")
+        operators.TextClassifier.scoreDocs(docs, "text", "doc_id", model,
+          numBuckets = 1 << 12).filter(col("quality") === 1L).count()
       },
       // prototypicality pruning: k+1 narrow cosines per row, ONE shuffle on
       // the cluster id for the two windows — wall must track corpus size

@@ -132,16 +132,23 @@ object TextClassifier {
   def scoreDocs(
       docs: DataFrame, textCol: String, idCol: String, model: DataFrame,
       numBuckets: Int = 1 << 15): DataFrame = {
-    val w = model.select(col("bucket").as("b"), col("w_micro").as("w"))
+    val w = model.filter(col("bucket") =!= lit(BiasBucket))
+      .select(col("bucket").as("b"), col("w_micro").as("w"))
     val biasDF = model.filter(col("bucket") === lit(BiasBucket))
       .select(col("w_micro").as("__bias"))
-    val scored = withTotals(hashedCounts(docs, textCol, idCol, numBuckets))
+    // corpus-scale path: stay at occurrence granularity — broadcast-join
+    // the weights onto the exploded features and reduce ONCE per doc with
+    // map-side combine, never materializing (doc, bucket) counts through a
+    // shuffle. `(Σ_occ w + n·bias) DIV n` ≡ the training margin
+    // `(Σ_b x_b·w_b + x_bias·w_bias) DIV n` exactly (x_bias = n)
+    val scored = Curation.dsirFeatures(docs, textCol, idCol)
+      .select(col("doc"), pmod(xxhash64(col("f")), lit(numBuckets.toLong)).as("b"))
       .join(broadcast(w), Seq("b"), "left")
-      .groupBy(col("doc"), col("n"))
-      .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("s"))
-      .select(col("doc"), col("n").as("n_feats"),
-        // the bias pseudo-feature is inside s (x = n), so s DIV n carries it
-        expr("s DIV n_feats").cast("bigint").as("margin_micro"))
+      .groupBy(col("doc"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("s"), count(lit(1)).as("n_feats"))
+      .crossJoin(broadcast(biasDF))
+      .select(col("doc"), col("n_feats"),
+        expr("(s + n_feats * __bias) DIV n_feats").cast("bigint").as("margin_micro"))
     docs.select(col(idCol).cast("long").as("doc"))
       .join(scored, Seq("doc"), "left")
       .crossJoin(broadcast(biasDF))
