@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SpecCatalog
 import graft.cspro.{DatReader, DcfParser}
 import graft.load.JsonPack
-import graft.operators.{Curation, Dedup, GenerationLog, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextClassifier, TextOps, VersionedIvf, VersionedNearDup}
+import graft.operators.{Curation, Dedup, GenerationLog, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextClassifier, TextOps, VersionedIvf, VersionedIvfPq, VersionedNearDup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -111,6 +111,10 @@ object SparkEntry {
   // append of the drifting half, then an in-place centroid retrain —
   // exhaustive probe must still reconstruct the full corpus
   private val ivfRetrainIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // the VERSIONED IVF-PQ lifecycle fixture (s_knn_ivfpq_versioned)
+  private val ivfPqVersionedIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // the VERSIONED near-dup gate fixture (d_gate_versioned_contract):
@@ -3786,6 +3790,38 @@ object SparkEntry {
         .filter(col("misassigned") > 0L)
         .select(col("ingest_batch"), col("n"), col("misassigned"))
     }),
+    // the VERSIONED IVF-PQ lifecycle (object-store symmetry across all
+    // four index families): build → marker-committed code-segment append →
+    // tombstone delete → consolidate → two-level retrain (new quantizers +
+    // full re-encode as the NEXT generation, one marker create, zero
+    // renames) → vacuum. Exact probe + exact re-rank ≡ brute over the
+    // surviving membership
+    "s_knn_ivfpq_versioned" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfPqVersionedIndexCache.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqver")
+        deleteRecursivelyOnExit(dir)
+        val base = emb.filter(col("vec_id") % 5 =!= 4)
+        val cents = Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 8)
+        val books = Similarity.trainIvfPqBooks(base, "embedding", "vec_id",
+          cents, m = 8, ksub = 32)
+        VersionedIvfPq.write(base, "embedding", "vec_id",
+          cents, books, dir.toString)
+        VersionedIvfPq.append(emb.filter(col("vec_id") % 5 === 4),
+          "embedding", "vec_id", dir.toString)
+        VersionedIvfPq.delete(s, dir.toString,
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+        VersionedIvfPq.consolidate(s, dir.toString)
+        VersionedIvfPq.retrain(s, dir.toString, emb,
+          "embedding", "vec_id", k = Some(8))
+        VersionedIvfPq.vacuum(s, dir.toString)
+        dir.toString
+      })
+      VersionedIvfPq.topKFromIndex(s, path,
+        emb.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3), emb,
+        "embedding", "vec_id", k = 5, nprobe = 8, rerank = 1000000)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+    }),
     "s_knn_ivfpq_indexed" -> ((s, d) => {
       // the PERSISTED IVF-PQ index: centroids + residual codebooks +
       // cluster-partitioned CODES on disk ((1+m) ints per vector — the
@@ -4497,6 +4533,10 @@ object SparkEntry {
     // (sort-merge probe join) plan — the large-query-set path
     "s_knn_ivfpq_indexed" ->
       "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+    // the versioned IVF-PQ lifecycle preserves membership exactly: brute
+    // over everything minus the tombstoned %7==3 set
+    "s_knn_ivfpq_versioned" ->
+      "SELECT query_id, neighbor_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id AND c.vec_id % 7 != 3 WHERE q.vec_id < 10 AND q.vec_id % 7 != 3) WHERE rank <= 5",
     // the PQ retrain's three-table swap must preserve index membership
     // exactly (exact probe + exact re-rank ≡ brute for ANY quantizers)
     "s_knn_ivfpq_retrained" ->

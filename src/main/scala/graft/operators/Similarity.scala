@@ -1437,7 +1437,7 @@ object Similarity {
     * [[probeAssignedCorpus]] is: both paths are oracle-pinned to brute
     * force on their exact configurations.
     */
-  private def ivfPqProbe(
+  private[operators] def ivfPqProbe(
       enc: DataFrame, queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
       centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],

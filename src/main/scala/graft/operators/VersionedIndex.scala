@@ -678,3 +678,187 @@ object VersionedNearDup {
       .foreach(SegmentLog.vacuumSegments(spark, _, ttlMs))
   }
 }
+
+/** The IVF-PQ index on the generation-log commit model — completing the
+  * object-store symmetry across all four persisted index families (BM25
+  * segments, IVF, near-dup, and now IVF-PQ). Same [[GenerationLog]] +
+  * [[SegmentLog]] spine as [[VersionedIvf]]; the payload per generation is
+  * the in-place family's three sub-tables (coarse centroids, residual
+  * codebooks, cluster-partitioned CODES — (1+m) small ints per vector, no
+  * floats), so delete is tombstone-only, appends are marker-committed code
+  * segments, and retrain — which needs the float base table the probe
+  * already re-ranks against, exactly like [[Similarity.retrainIvfPqIndex]]
+  * — publishes new quantizers + a full re-encode as the next generation
+  * with ONE marker create instead of a three-table rename swap.
+  */
+object VersionedIvfPq {
+
+  private def fsOf(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeGeneration(
+      spark: SparkSession, genDir: String,
+      centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
+      codes: DataFrame): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
+    books.zipWithIndex.flatMap { case (book, sI) =>
+      book.zipWithIndex.map { case (c, code) => (sI, code, c) } }
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/books")
+    codes.select(col("vec_id"), col("codes"), col("cluster"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster").parquet(s"$genDir/codes")
+  }
+
+  /** Live code rows: base ∪ committed segments − tombstones. */
+  private def liveCodes(spark: SparkSession, genDir: String): DataFrame = {
+    val fs = fsOf(spark, genDir)
+    val base = spark.read.parquet(s"$genDir/codes")
+      .select(col("vec_id"), col("codes"), col("cluster").cast("int").as("cluster"))
+    val segDirs = SegmentLog.committedDirs(spark, genDir)
+    val all =
+      if (segDirs.isEmpty) base
+      else base.unionByName(
+        spark.read.option("basePath", SegmentLog.segmentsDir(genDir)).parquet(segDirs: _*)
+          .select(col("vec_id"), col("codes"), col("cluster").cast("int").as("cluster")))
+    val tombDir = new org.apache.hadoop.fs.Path(s"$genDir/tombstones")
+    if (fs.exists(tombDir))
+      all.join(
+        broadcast(spark.read.parquet(tombDir.toString)
+          .select(col("vec_id").as("__tomb_id")).distinct()),
+        col("vec_id") === col("__tomb_id"), "left_anti")
+    else all
+  }
+
+  def write(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
+      root: String): Unit = {
+    val spark = corpus.sparkSession
+    MaintenanceLock.withLock(spark, root) {
+      val (gen, dir) = GenerationLog.stageNext(spark, root)
+      writeGeneration(spark, dir, centroids, books,
+        Similarity.ivfPqEncode(corpus, vecCol, idCol, centroids, books))
+      GenerationLog.commit(spark, root, gen)
+    }
+  }
+
+  /** Probe: gated ADC over live codes + exact re-rank against the float
+    * base table ([[Similarity.ivfPqTopKFromIndex]] semantics).
+    */
+  def topKFromIndex(
+      spark: SparkSession, root: String, queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    Similarity.ivfPqProbe(
+      liveCodes(spark, dir), queries, corpus, vecCol, idCol, k,
+      Similarity.readIvfCentroids(spark, dir),
+      Similarity.readIvfPqBooks(spark, dir), nprobe, rerank)
+  }
+
+  /** Marker-committed code segment against the FROZEN stored quantizers. */
+  def append(batch: DataFrame, vecCol: String, idCol: String, root: String): Unit = {
+    val spark = batch.sparkSession
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      val segId = SegmentLog.nextSegId(spark, dir)
+      Similarity.ivfPqEncode(batch, vecCol, idCol,
+        Similarity.readIvfCentroids(spark, dir),
+        Similarity.readIvfPqBooks(spark, dir))
+        .select(col("vec_id"), col("codes"), col("cluster"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("cluster")
+        .parquet(SegmentLog.segmentDir(dir, segId))
+      SegmentLog.commitMarker(spark, dir, segId.toString)
+    }
+  }
+
+  /** Tombstone-only retention delete (probe anti-join; physical purge at
+    * the next [[consolidate]]/[[retrain]]).
+    */
+  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Unit =
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    }
+
+  /** Fold segments + apply tombstones → next generation; quantizers and
+    * codes unchanged (no re-encode — the codes ARE the membership).
+    */
+  def consolidate(
+      spark: SparkSession, root: String,
+      checkpointDir: Option[String] = None): Unit = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedIvfPq.consolidate($root)"))
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      val live = liveCodes(spark, dir)
+      if (live.isEmpty) throw new IllegalStateException(
+        s"consolidating $root would write an empty generation (every vector " +
+          "tombstoned) — rebuild with VersionedIvfPq.write instead")
+      val (gen, next) = GenerationLog.stageNext(spark, root)
+      writeGeneration(spark, next,
+        Similarity.readIvfCentroids(spark, dir),
+        Similarity.readIvfPqBooks(spark, dir), live)
+      GenerationLog.commit(spark, root, gen)
+    }
+  }
+
+  /** Retrain BOTH quantizer levels over live membership and publish the
+    * re-encoded index as the next generation. Needs the float base table
+    * (the codes store no vectors — [[Similarity.retrainIvfPqIndex]]'s
+    * contract): corpus rows outside the index are ignored, a live stored
+    * id missing from the corpus fails fast.
+    */
+  def retrain(
+      spark: SparkSession, root: String, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      k: Option[Int] = None, m: Option[Int] = None, ksub: Option[Int] = None,
+      iterations: Int = 3, trainSample: Int = 1,
+      checkpointDir: Option[String] = None): Unit = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedIvfPq.retrain($root)"))
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      val storedIds = liveCodes(spark, dir).select(col("vec_id"))
+      val member = graft.CacheScope.localCheckpoint(
+        corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+          .join(storedIds, Seq("vec_id"), "left_semi"))
+      try {
+        val missing = storedIds
+          .join(member.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+        require(missing == 0L,
+          s"VersionedIvfPq.retrain($root): $missing live stored vector ids " +
+            "are absent from the supplied corpus — re-encoding would " +
+            "silently drop them; pass the same base table the probe path " +
+            "re-ranks against")
+        val oldBooks = Similarity.readIvfPqBooks(spark, dir)
+        val kk = k.getOrElse(Similarity.readIvfCentroids(spark, dir).size)
+        val mm = m.getOrElse(oldBooks.size)
+        val ks = ksub.getOrElse(oldBooks.head.size)
+        val cents = Similarity.trainIvfCentroids(member, "embedding", "vec_id",
+          kk, iterations, trainSample)
+        val books = Similarity.trainIvfPqBooks(member, "embedding", "vec_id",
+          cents, mm, ks, iterations, trainSample)
+        val (gen, next) = GenerationLog.stageNext(spark, root)
+        writeGeneration(spark, next, cents, books,
+          Similarity.ivfPqEncode(member, "embedding", "vec_id", cents, books))
+        GenerationLog.commit(spark, root, gen)
+      } finally graft.CacheScope.unpersistCheckpoint(member)
+    }
+  }
+
+  def vacuum(
+      spark: SparkSession, root: String,
+      ttlMs: Long = MaintenanceLock.DefaultTtlMs): Unit = {
+    GenerationLog.vacuumGenerations(spark, root, ttlMs)
+    GenerationLog.currentDir(spark, root)
+      .foreach(SegmentLog.vacuumSegments(spark, _, ttlMs))
+  }
+}

@@ -106,6 +106,59 @@ class VersionedIndexSpec extends AnyFunSuite with SparkTestBase {
       "a versioned-index operation attempted to publish via directory rename")
   }
 
+  test("IVF-PQ lifecycle on the rename-refusing filesystem: exact probe + re-rank ≡ brute throughout") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.norename.impl", classOf[NoDirRenameFileSystem].getName)
+    val root = s"norename://${tmpDir("vpq")}"
+    NoDirRenameFileSystem.refused.set(0)
+
+    val base = axisCorpus(0L, 40, Seq(0, 1, 2, 3), seed = 11)
+    val extra = axisCorpus(100L, 10, Seq(1, 3), seed = 12)
+    val full = base.unionByName(extra)
+    val queries = base.filter(col("vec_id") < 4)
+    def exact(corpus: DataFrame, k: Int): Set[(Long, Long, Int)] = {
+      val cents = Similarity.readIvfCentroids(spark,
+        GenerationLog.requireCurrentDir(spark, root))
+      asSet(VersionedIvfPq.topKFromIndex(spark, root, queries, corpus,
+        "embedding", "vec_id", k, nprobe = cents.size, rerank = 1000000))
+    }
+
+    val cents = Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 4)
+    val books = Similarity.trainIvfPqBooks(base, "embedding", "vec_id",
+      cents, m = 2, ksub = 4)
+    VersionedIvfPq.write(base, "embedding", "vec_id", cents, books, root)
+    assert(exact(base, 5) === brute(queries, base, 5))
+
+    VersionedIvfPq.append(extra, "embedding", "vec_id", root)
+    assert(exact(full, 5) === brute(queries, full, 5))
+
+    val delIds = Seq(7L, 103L)
+    VersionedIvfPq.delete(spark, root, delIds.toDF("vec_id"), "vec_id")
+    val live = full.filter(!col("vec_id").isin(delIds: _*))
+    assert(exact(full, 5) === brute(queries, live, 5))
+
+    VersionedIvfPq.consolidate(spark, root)
+    assert(exact(full, 5) === brute(queries, live, 5))
+
+    // two-level retrain over live membership from the float base table;
+    // corpus rows outside the index (the deleted ids) are ignored
+    VersionedIvfPq.retrain(spark, root, full, "embedding", "vec_id", k = Some(3))
+    assert(exact(full, 5) === brute(queries, live, 5))
+
+    assert(GenerationLog.committedGenerations(spark, root).size === 3)
+    VersionedIvfPq.vacuum(spark, root)
+    assert(GenerationLog.committedGenerations(spark, root).size === 1)
+    assert(exact(full, 5) === brute(queries, live, 5))
+
+    // a live stored id missing from the retrain corpus fails fast
+    val e = intercept[IllegalArgumentException](VersionedIvfPq.retrain(
+      spark, root, full.filter(col("vec_id") =!= 0L), "embedding", "vec_id"))
+    assert(e.getMessage.contains("absent"))
+
+    assert(NoDirRenameFileSystem.refused.get() === 0,
+      "a versioned IVF-PQ operation attempted to publish via directory rename")
+  }
+
   test("uncommitted staging is invisible to probes and vacuumed once aged past TTL") {
     val root = tmpDir("vcrash")
     val base = axisCorpus(0L, 20, Seq(0, 1), seed = 4)
