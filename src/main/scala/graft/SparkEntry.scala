@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SpecCatalog
 import graft.cspro.{DatReader, DcfParser}
 import graft.load.JsonPack
-import graft.operators.{Curation, Dedup, GenerationLog, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextClassifier, TextOps, VersionedIvf, VersionedIvfPq, VersionedNearDup}
+import graft.operators.{Curation, Dedup, GenerationLog, Linkage, Multimodal, PageRank, Similarity, SparseSim, TextClassifier, TextOps, VersionedIvf, VersionedIvfPq, VersionedNearDup, VersionedSubstring}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -112,6 +112,15 @@ object SparkEntry {
   // exhaustive probe must still reconstruct the full corpus
   private val ivfRetrainIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // the trained unigram tokenizer model per sf dir
+  // (t_unigram_roundtrip_contract): piece -> logp_micro, driver-side
+  private val unigramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  // the VERSIONED substring gate fixture (d_substr_gate_versioned_contract)
+  private val versionedSubstrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Boolean, Boolean)]()
 
   // the VERSIONED IVF-PQ lifecycle fixture (s_knn_ivfpq_versioned)
   private val ivfPqVersionedIndexCache =
@@ -543,6 +552,44 @@ object SparkEntry {
       "text", "doc_id", idx.toString, clean.toString, 1L)
     val replayOk = outputsHash() == beforeReplay
     (idx.toString, clean.toString, replayOk)
+  }
+
+  /** The VERSIONED substring-gate fixture — same base/batch id-ranges and
+    * replay-after-later-batch schedule as [[buildSubstringGateFixture]],
+    * driven through [[operators.VersionedSubstring]] (direct batch calls;
+    * clean content is schedule-equivalent to the streamed fixture by the
+    * strictly-earlier read).
+    */
+  private def buildVersionedSubstrFixture(
+      s: SparkSession, d: String): (String, String, Boolean, Boolean) = {
+    val docs = tb(s, d, "documents")
+    val root = java.nio.file.Files.createTempDirectory("vssgidx")
+    val clean = java.nio.file.Files.createTempDirectory("vssgclean")
+    Seq(root, clean).foreach(deleteRecursivelyOnExit)
+    VersionedSubstring.write(docs.filter(col("doc_id") < 250),
+      "text", "doc_id", root.toString, n = 8)
+    def gate(lo: Long, hi: Long, id: Long): Unit =
+      VersionedSubstring.gateBatch(
+        docs.filter(col("doc_id") >= lo && (if (hi > 0) col("doc_id") < hi else lit(true))),
+        "text", "doc_id", root.toString, clean.toString, id)
+    gate(250L, 333L, 0L)
+    gate(333L, 416L, 1L)
+    gate(416L, -1L, 2L)
+    def snap(): ((Long, Long), (Long, Long)) = (
+      contentHash(s.read.parquet(clean.toString),
+        Seq("doc", "cleaned_text", "ingest_batch")),
+      contentHash(VersionedSubstring.manifest(s, root.toString), Seq("h1", "h2")))
+    val before = snap()
+    gate(333L, 416L, 1L) // replay after a LATER batch already landed
+    val replayOk = snap() == before
+    val liveBefore = contentHash(
+      VersionedSubstring.manifest(s, root.toString), Seq("h1", "h2"))
+    VersionedSubstring.consolidate(s, root.toString)
+    VersionedSubstring.vacuum(s, root.toString)
+    val compactOk = contentHash(
+      VersionedSubstring.manifest(s, root.toString), Seq("h1", "h2")) == liveBefore &&
+      GenerationLog.committedGenerations(s, root.toString).size == 1
+    (root.toString, clean.toString, replayOk, compactOk)
   }
 
   /** Three-stage composed fixture (d_composed3_gate / _contract): substring
@@ -1914,6 +1961,21 @@ object SparkEntry {
     // Gopher/C4 repetition filters: top-token share + repeated-bigram share
     "t_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(tb(s, d, "documents"), "text", "doc_id")),
+    // the UNIGRAM-LM tokenizer (SentencePiece-style, Kudo 2018 — the other
+    // production tokenizer next to BPE): hard-EM over the collapsed
+    // (word, count) table, integer-Viterbi encoding via a native
+    // expression. Coverage is total by construction (unseen code points
+    // segment at a synthetic UNK score), so concat(pieces) must equal
+    // concat(tokens) on EVERY document — the provably-empty round-trip
+    // gate. Training/encoding determinism is spec-pinned (UnigramTrainerSpec)
+    "t_unigram_roundtrip_contract" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      val vocab = unigramModelCache.computeIfAbsent(d, _ =>
+        operators.UnigramTrainer.train(docs, "text", vocabSize = 64)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      operators.UnigramTrainer.roundTripViolations(docs, "text", "doc_id", vocab)
+        .select(col("doc_id"))
+    }),
     // the fastText/CCNet-style QUALITY CLASSIFIER (hashed-ngram logistic
     // regression, integer-exact training — TextClassifier.scala): trained
     // on a %3 split of a planted separable corpus (real harness documents
@@ -2431,6 +2493,37 @@ object SparkEntry {
       if (replayOk) streamed
       else streamed.unionByName(
         Seq((-1L, "REPLAY_CHANGED_OUTPUTS")).toDF("doc_id", "cleaned_text"))
+    }),
+    // the VERSIONED substring gate's contract: the rename-free gate
+    // (marker-committed window segments, static-overwrite clean dirs,
+    // generation-swap consolidation — VersionedSubstringSpec drives it on
+    // the rename-refusing filesystem) must produce EXACTLY the in-place
+    // gate's cleaned rows on the same base/batches/replay schedule, with
+    // replay identity and consolidate/vacuum invariance. Provably empty
+    "d_substr_gate_versioned_contract" -> ((s, d) => fixtureSerialized("substrgate", d) {
+      import s.implicits._
+      val (_, cleanP, _) =
+        substrGateCache.computeIfAbsent(d, _ => buildSubstringGateFixture(s, d))
+      val (_, cleanV, replayOk, compactOk) =
+        versionedSubstrCache.computeIfAbsent(d, _ => buildVersionedSubstrFixture(s, d))
+      // the in-place clean dir carries the replayed batches 0-2 (the
+      // d_substr_gate face re-gates 2; ids and content are identical
+      // either way by replay idempotence)
+      val inPlace = s.read.parquet(cleanP)
+        .select(col("doc"), col("cleaned_text"), col("ingest_batch").cast("long").as("b"))
+      val versioned = s.read.parquet(cleanV)
+        .select(col("doc"), col("cleaned_text"), col("ingest_batch").cast("long").as("b"))
+      val extra = versioned.except(inPlace)
+        .withColumn("violation", lit("cleaned by versioned gate, not by in-place"))
+      val missing = inPlace.except(versioned)
+        .withColumn("violation", lit("cleaned by in-place gate, not by versioned"))
+      val lifecycle = Seq(
+        ("replay changed versioned gate outputs", replayOk),
+        ("consolidate/vacuum changed manifest view or kept generations", compactOk))
+        .filter(!_._2).map(t => (0L, "", -1L, t._1))
+        .toDF("doc", "cleaned_text", "b", "violation")
+      extra.unionByName(missing).unionByName(lifecycle)
+        .select(col("doc"), col("violation"))
     }),
     // THREE-stage composed ingest (substring → near-dup → semantic), the
     // full crawl-pipeline shape in one foreachBatch: timed body = replay
@@ -4205,6 +4298,10 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS vec_id, 0.0 AS max_err, 0.0 AS bound FROM embeddings WHERE 1 = 0",
     "d_bloom_sound" ->
       "SELECT doc_id FROM documents WHERE 1 = 0",
+    // total-coverage round trip: concat(pieces) == concat(tokens) on every
+    // document, for any trained model — provably empty
+    "t_unigram_roundtrip_contract" ->
+      "SELECT doc_id FROM documents WHERE 1 = 0",
     // a converged linear model classifies the planted separable corpus
     // perfectly on both splits — misclassified frame provably empty
     "t_quality_classifier_contract" ->
@@ -4213,6 +4310,10 @@ object SparkEntry {
     // replay identity, tombstone release, compact invariance — all folded
     // into one provably-empty violations frame
     "d_stream_gate_contract" ->
+      "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
+    // the versioned substring gate produces the in-place gate's cleaned
+    // rows exactly, replay- and consolidation-invariant — provably empty
+    "d_substr_gate_versioned_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
     // the versioned (rename-free) gate shares the in-place gate's contract
     // shape: streamed ≡ sequential reference + lifecycle probes, all empty

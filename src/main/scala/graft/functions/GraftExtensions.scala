@@ -56,6 +56,13 @@ object GraftExtensions {
       }
     }
 
+  private def vocabArg(e: Expression): Seq[(String, Long)] =
+    stringArg(e, "vocab").split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val cut = line.lastIndexOf(' ')
+      require(cut > 0, s"vocab line must be 'piece logp_micro', got '$line'")
+      (line.substring(0, cut), line.substring(cut + 1).toLong)
+    }
+
   /** The canonical registry: (name, usage, builder). Order is the doc
     * order; names are the exact SQL identifiers.
     */
@@ -93,6 +100,11 @@ object GraftExtensions {
     ("graft_bpe_encode",
       "graft_bpe_encode(tokens, merges) - BPE symbol sequence of a token array; merges is a literal of newline-separated 'left right' pairs in rank order",
       args => graft.operators.BpeTrainer.BpeEncodeExpr(args(0), mergesArg(args(1)))),
+
+    ("graft_unigram_encode",
+      "graft_unigram_encode(tokens, vocab) - unigram-LM (SentencePiece-style) pieces of a token array; vocab is a literal of newline-separated 'piece logp_micro' lines",
+      args => graft.operators.UnigramTrainer.UnigramEncodeExpr(
+        args(0), vocabArg(args(1)), maxPieceLen = 8)),
 
     ("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",

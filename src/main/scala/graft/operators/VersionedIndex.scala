@@ -862,3 +862,132 @@ object VersionedIvfPq {
       .foreach(SegmentLog.vacuumSegments(spark, _, ttlMs))
   }
 }
+
+/** The substring-window (ExactSubstr) index on the generation-log commit
+  * model — the last of the persisted index families re-expressed
+  * rename-free. Same [[SegmentLog]] gate mechanics as [[VersionedNearDup]]
+  * (the in-place gate's two dynamic-overwrite writes become a static
+  * overwrite of the batch's own clean dir plus one marker-committed window
+  * segment); no tombstone face, deliberately matching
+  * [[Dedup.writeSubstringIndex]] — manifest rows are CONTENT keys, not doc
+  * rows, so retention means rebuilding from the retained corpus.
+  */
+object VersionedSubstring {
+
+  private def fsOf(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def write(
+      docs: DataFrame, textCol: String, idCol: String, root: String,
+      n: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    MaintenanceLock.withLock(spark, root) {
+      val (gen, dir) = GenerationLog.stageNext(spark, root)
+      Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      Dedup.substringWindowManifest(docs, textCol, idCol, n)
+        .write.mode("overwrite").parquet(s"$dir/manifest")
+      GenerationLog.commit(spark, root, gen)
+    }
+  }
+
+  /** Manifest view (h1, h2): base ∪ committed segments, stream segments
+    * restricted to strictly before `beforeBatch`.
+    */
+  def manifest(
+      spark: SparkSession, root: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    val base = spark.read.parquet(s"$dir/manifest").select(col("h1"), col("h2"))
+    val segDirs = SegmentLog.committedDirs(spark, dir, beforeBatch)
+    if (segDirs.isEmpty) base
+    else base.unionByName(
+      spark.read.option("basePath", SegmentLog.segmentsDir(dir)).parquet(segDirs: _*)
+        .select(col("h1"), col("h2")))
+  }
+
+  /** One gate batch — [[Dedup.gateBatchAgainstSubstringIndex]] semantics,
+    * rename-free mechanics. Cleaned text lands by static overwrite of
+    * `$cleanDir/ingest_batch=<id>`; the batch's NEW window keys (from its
+    * original text, keep-first-globally) land as a marker-committed
+    * segment, skipped on replay.
+    */
+  def gateBatch(
+      batch: DataFrame, textCol: String, idCol: String,
+      root: String, cleanDir: String, batchId: Long): Unit =
+   graft.CacheScope.withScope {
+    val spark = batch.sparkSession
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    val n = spark.read.parquet(s"$dir/params").head.getAs[Int]("n")
+    val man = manifest(spark, root, beforeBatch = Some(batchId))
+    val spans = Dedup.substringSpansAgainstManifest(batch, man, textCol, idCol, n)
+    Dedup.applyRemovedSpans(batch, spans, textCol, idCol)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .parquet(s"$cleanDir/ingest_batch=$batchId")
+    if (!SegmentLog.streamBatchCommitted(spark, dir, batchId)) {
+      val newKeys = Dedup.substringWindowManifest(batch, textCol, idCol, n)
+        .join(man, Seq("h1", "h2"), "left_anti")
+      val segId = SegmentLog.nextSegId(spark, dir)
+      newKeys.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .parquet(SegmentLog.segmentDir(dir, segId))
+      // a batch with no new windows still writes its (empty-but-readable)
+      // segment? No: zero-task writes may leave no parquet footers — treat
+      // like VersionedNearDup's all-suppressed case and commit marker-only
+      val hasData = fsOf(spark, dir)
+        .listStatus(new org.apache.hadoop.fs.Path(SegmentLog.segmentDir(dir, segId)))
+        .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
+        !spark.read.parquet(SegmentLog.segmentDir(dir, segId)).limit(1).isEmpty
+      if (!hasData) {
+        val fs = fsOf(spark, dir)
+        fs.delete(new org.apache.hadoop.fs.Path(SegmentLog.segmentDir(dir, segId)), true)
+        val parent = new org.apache.hadoop.fs.Path(SegmentLog.segmentsDir(dir))
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+          fs.delete(parent, false)
+      }
+      SegmentLog.commitMarker(spark, dir, s"$segId.s$batchId")
+    }
+   }
+
+  /** Continuous ExactSubstr-at-ingest over the versioned index. */
+  def streamGate(
+      stream: DataFrame, textCol: String, idCol: String,
+      root: String, cleanDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        gateBatch(batch.toDF(), textCol, idCol, root, cleanDir, batchId))
+      .start()
+
+  /** Fold segments into the base manifest as the next generation (the
+    * partition-count maintenance for a long-running gate). The manifest is
+    * one row per distinct window by construction (gates anti-join before
+    * appending), so the fold is a plain union.
+    */
+  def consolidate(
+      spark: SparkSession, root: String,
+      checkpointDir: Option[String] = None): Unit = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedSubstring.consolidate($root)"))
+    MaintenanceLock.withLock(spark, root) {
+      val dir = GenerationLog.requireCurrentDir(spark, root)
+      val live = manifest(spark, root)
+      val (gen, next) = GenerationLog.stageNext(spark, root)
+      spark.read.parquet(s"$dir/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$next/params")
+      live.write.mode("overwrite").parquet(s"$next/manifest")
+      GenerationLog.commit(spark, root, gen)
+    }
+  }
+
+  def vacuum(
+      spark: SparkSession, root: String,
+      ttlMs: Long = MaintenanceLock.DefaultTtlMs): Unit = {
+    GenerationLog.vacuumGenerations(spark, root, ttlMs)
+    GenerationLog.currentDir(spark, root)
+      .foreach(SegmentLog.vacuumSegments(spark, _, ttlMs))
+  }
+}

@@ -87,6 +87,11 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
         ("SELECT graft_bpe_encode(array('low', 'newest'), '" +
           Seq("e s", "es t", "est </w>", "l o", "lo w").mkString("\n") +
           "') = array('low', '</w>', 'n', 'e', 'w', 'est</w>')"),
+      // Viterbi picks the two trained pieces over six UNK code points
+      "graft_unigram_encode" ->
+        ("SELECT graft_unigram_encode(array('low', 'newest'), '" +
+          Seq("low -1000000", "new -1000000", "est -1000000").mkString("\n") +
+          "') = array('low', 'new', 'est')"),
       "graft_jaro_winkler" ->
         "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') = 0.9611111111111111",
       "graft_jaro" ->
