@@ -118,13 +118,29 @@ object Plans {
     // (tiny) delete set, never a corpus-sized shuffle
     "s_bm25_deleted", "s_hybrid_indexed",
     "t_lm_trigram", "t_perplexity_buckets_tri", "s_knn_ivfpq_retrained",
-    "d_index_health", "d_substr_index_health")
+    "d_index_health", "d_substr_index_health",
+    // round-11 extension: the VERSIONED (generation-log) probes — cluster
+    // partition pruning must flow through BOTH legs of the base ∪ committed-
+    // segments union, and the tombstone screen must be a BROADCAST anti-join
+    // on the (tiny) delete set, never a corpus shuffle; the quality
+    // classifier's scoring plan — broadcast weights into the exploded
+    // features, ONE map-side-combined doc aggregation, corpus text never
+    // shuffled (building this frame runs the driver-side training loop
+    // first, which is the operator's documented shape, not plan noise)
+    "s_knn_versioned", "s_knn_ivfpq_versioned", "t_quality_classifier_contract")
     // Deliberately absent (so this list is audited-complete, not lagging):
     // e_bm25_stream_append builds its fixture by RUNNING the stream (like
     // every e_stream_* face) and its probe plan is s_bm25_indexed's;
     // s_bm25_delete_purged's plan is s_bm25_indexed's too (the purge
     // happens at consolidation time, not probe time); s_bm25_health is
     // segment metadata + footer-only counts — no reviewable data plan.
+    // Round-11 extension: e_versioned_stream_ingest and
+    // s_knn_versioned_drift_contract share s_knn_versioned's probe/scan
+    // shape; the d_gate_versioned / d_substr_gate_versioned contracts are
+    // except-joins over fixture outputs (no production plan);
+    // t_unigram_roundtrip_contract's plan is one CodegenFallback encode
+    // expression inside a filter — the operator's cost model is the
+    // driver-side trainer, receipted in STRESS_RECEIPTS_r11.md instead.
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

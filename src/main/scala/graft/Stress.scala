@@ -276,6 +276,14 @@ object Stress {
         operators.TextClassifier.scoreDocs(docs, "text", "doc_id", model,
           numBuckets = 1 << 12).filter(col("quality") === 1L).count()
       },
+      // unigram tokenizer training: the corpus collapses to the (word,
+      // count) table in one Spark pass; driver-side EM wall tracks the
+      // DISTINCT-WORD count (here grown by the per-replica "variant <id>"
+      // tokens — the worst case for this op), never the corpus row count
+      time(s"unigram_train_x$mult") {
+        operators.UnigramTrainer.train(docs, "text",
+          vocabSize = 256, maxPieceLen = 6).count()
+      },
       // prototypicality pruning: k+1 narrow cosines per row, ONE shuffle on
       // the cluster id for the two windows — wall must track corpus size
       time(s"proto_prune_x$mult") {
