@@ -1962,6 +1962,18 @@ object SparkEntry {
     // Gopher/C4 repetition filters: top-token share + repeated-bigram share
     "t_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(tb(s, d, "documents"), "text", "doc_id")),
+    // span-level eval DECONTAMINATION (Lee et al.): cut from the even-id
+    // corpus half every 8-token window that appears anywhere in the odd-id
+    // "benchmark" half — keep the doc, remove the leaked text (the
+    // doc-level screen is t_contamination). String-semantics oracle
+    "t_decontaminate" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", n = 8)
+        .select(col("doc").as("doc_id"), col("cleaned_text"))
+    }),
     // the UNIGRAM-LM tokenizer (SentencePiece-style, Kudo 2018 — the other
     // production tokenizer next to BPE): hard-EM over the collapsed
     // (word, count) table, integer-Viterbi encoding via a native
@@ -4310,6 +4322,9 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS vec_id, 0.0 AS max_err, 0.0 AS bound FROM embeddings WHERE 1 = 0",
     "d_bloom_sound" ->
       "SELECT doc_id FROM documents WHERE 1 = 0",
+    // benchmark-window cuts restated in SQL over the even/odd split
+    "t_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), c AS (SELECT * FROM t WHERE doc_id % 2 = 0), b AS (SELECT * FROM t WHERE doc_id % 2 = 1), bng AS (SELECT DISTINCT array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM b, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), occ AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(toks[u.i:u.i+7], ' ') AS ng FROM c, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-7,0))) AS i) u), cov AS (SELECT DISTINCT doc_id, pos + g.range AS p FROM occ JOIN bng USING (ng) CROSS JOIN range(0,8) g), alltok AS (SELECT c.doc_id, u.i - 1 AS p, c.toks[u.i] AS tok FROM c, LATERAL (SELECT unnest(generate_series(1, len(c.toks))) AS i) u), kept AS (SELECT a.doc_id, a.p, a.tok FROM alltok a ANTI JOIN cov USING (doc_id, p)) SELECT CAST(doc_id AS BIGINT) AS doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text FROM kept GROUP BY doc_id""",
     // total-coverage round trip: concat(pieces) == concat(tokens) on every
     // document, for any trained model — provably empty
     "t_unigram_roundtrip_contract" ->

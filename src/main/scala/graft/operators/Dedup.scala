@@ -732,6 +732,41 @@ object Dedup {
     mergeCoveredSpans(seenCuts.unionByName(selfCuts), n)
   }
 
+  /** DECONTAMINATION spans (Lee et al. 2022 §5's eval-decontamination,
+    * span-level): cut from `corpus` every occurrence of an n-token window
+    * whose content appears ANYWHERE in `benchmark`. The doc-level screen
+    * ([[graft.operators.Curation.contamination]]) drops whole documents;
+    * this keeps the document and removes the leaked text — the recourse
+    * when a boilerplate-quoted eval question shouldn't cost the page.
+    * No within-corpus dedup: only benchmark matches cut (compose with
+    * [[substringRemovedSpans]] for both).
+    *
+    * Scale shape: the benchmark manifest (16 B per distinct window of the
+    * eval suites — small by construction) BROADCASTS into the corpus's
+    * occurrence scan as a map-side semi-join; the corpus never shuffles,
+    * and everything after [[mergeCoveredSpans]] runs on answer-sized
+    * (leaked-span) frames.
+    */
+  def decontaminationSpans(
+      corpus: DataFrame, benchmark: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    val man = substringWindowManifest(benchmark, textCol, idCol, n)
+    val seen = cutOccurrenceKeys(corpus, textCol, idCol, n)
+      .join(broadcast(man), Seq("h1", "h2"), "left_semi")
+      .select(col("doc"), col("pos"))
+    mergeCoveredSpans(seen, n)
+  }
+
+  /** The production decontamination face: corpus text with every
+    * benchmark-overlapping span cut out ([[applyRemovedSpans]] semantics —
+    * whitespace-normalized output, fully-leaked docs drop).
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame =
+    applyRemovedSpans(corpus,
+      decontaminationSpans(corpus, benchmark, textCol, idCol, n), textCol, idCol)
+
   /** Occurrence frame shared by the one-shot and incremental faces:
     * (doc, pos, h1, h2) for every length-`n` token window.
     */

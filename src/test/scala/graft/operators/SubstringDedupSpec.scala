@@ -221,4 +221,25 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     val fx = spanSet(Dedup.substringRemovedSpans(fixture, "text", "doc_id", n = 4))
     assert(fx === spanSet(Dedup.substringRemovedSpansBrute(fixture, "text", "doc_id", n = 4)))
   }
+
+  test("decontamination cuts benchmark-overlapping spans only — no within-corpus dedup") {
+    import spark.implicits._
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over lazy dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaks the benchmark's full 8-token window, plus a unique tail
+      (1L, "intro words the quick brown fox jumps over lazy dogs ending here now"),
+      // self-duplicate pair: must NOT be cut (decontamination ignores
+      // within-corpus repeats — that's substringRemovedSpans' job)
+      (2L, "aa bb cc dd ee ff gg hh unique2"),
+      (3L, "aa bb cc dd ee ff gg hh unique3")).toDF("doc_id", "text")
+    val cleaned = Dedup.decontaminate(corpus, benchmark, "text", "doc_id", n = 8)
+      .as[(Long, String)].collect().toMap
+    assert(cleaned(1L) === "intro words ending here now")
+    assert(cleaned(2L) === "aa bb cc dd ee ff gg hh unique2")
+    assert(cleaned(3L) === "aa bb cc dd ee ff gg hh unique3")
+    // a fully-leaked doc drops
+    val leaked = Seq((9L, "the quick brown fox jumps over lazy dogs")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(leaked, benchmark, "text", "doc_id", n = 8).isEmpty)
+  }
 }
