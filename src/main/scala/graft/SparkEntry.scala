@@ -586,7 +586,7 @@ object SparkEntry {
     val liveBefore = contentHash(
       VersionedSubstring.manifest(s, root.toString), Seq("h1", "h2"))
     VersionedSubstring.consolidate(s, root.toString)
-    VersionedSubstring.vacuum(s, root.toString)
+    VersionedSubstring.vacuum(s, root.toString, ttlMs = 0L)
     val compactOk = contentHash(
       VersionedSubstring.manifest(s, root.toString), Seq("h1", "h2")) == liveBefore &&
       GenerationLog.committedGenerations(s, root.toString).size == 1
@@ -806,7 +806,7 @@ object SparkEntry {
       emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
     VersionedIvf.consolidate(s, dir.toString)
     VersionedIvf.retrain(s, dir.toString, k = Some(8))
-    VersionedIvf.vacuum(s, dir.toString)
+    VersionedIvf.vacuum(s, dir.toString, ttlMs = 0L)
     dir.toString
   }
 
@@ -851,7 +851,7 @@ object SparkEntry {
       VersionedNearDup.liveManifest(s, root.toString), Seq("doc", "keys", "shh"))
     val beforeCompact = liveHash()
     VersionedNearDup.consolidate(s, root.toString)
-    VersionedNearDup.vacuum(s, root.toString)
+    VersionedNearDup.vacuum(s, root.toString, ttlMs = 0L)
     val fs = new org.apache.hadoop.fs.Path(root.toString)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val genDir = GenerationLog.requireCurrentDir(s, root.toString)
@@ -3931,7 +3931,7 @@ object SparkEntry {
         VersionedIvfPq.consolidate(s, dir.toString)
         VersionedIvfPq.retrain(s, dir.toString, emb,
           "embedding", "vec_id", k = Some(8))
-        VersionedIvfPq.vacuum(s, dir.toString)
+        VersionedIvfPq.vacuum(s, dir.toString, ttlMs = 0L)
         dir.toString
       })
       VersionedIvfPq.topKFromIndex(s, path,

@@ -134,8 +134,15 @@ object TextClassifier {
       numBuckets: Int = 1 << 15): DataFrame = {
     val w = model.filter(col("bucket") =!= lit(BiasBucket))
       .select(col("bucket").as("b"), col("w_micro").as("w"))
-    val biasDF = model.filter(col("bucket") === lit(BiasBucket))
-      .select(col("w_micro").as("__bias"))
+    // fail fast on a biasless model (hand-filtered or externally built):
+    // the old crossJoin-with-empty-frame shape silently scored ZERO rows
+    // for every document instead. One ≤2-row bounded collect
+    val biasRows = model.filter(col("bucket") === lit(BiasBucket))
+      .select(col("w_micro").cast("long")).limit(2).collect()
+    require(biasRows.length == 1,
+      s"model must carry exactly one bias row (bucket = $BiasBucket), " +
+        s"found ${biasRows.length} — pass the frame [[train]] returned, unfiltered")
+    val bias = biasRows.head.getLong(0)
     // corpus-scale path: stay at occurrence granularity — broadcast-join
     // the weights onto the exploded features and reduce ONCE per doc with
     // map-side combine, never materializing (doc, bucket) counts through a
@@ -146,15 +153,13 @@ object TextClassifier {
       .join(broadcast(w), Seq("b"), "left")
       .groupBy(col("doc"))
       .agg(sum(coalesce(col("w"), lit(0L))).as("s"), count(lit(1)).as("n_feats"))
-      .crossJoin(broadcast(biasDF))
       .select(col("doc"), col("n_feats"),
-        expr("(s + n_feats * __bias) DIV n_feats").cast("bigint").as("margin_micro"))
+        expr(s"(s + n_feats * ${bias}L) DIV n_feats").cast("bigint").as("margin_micro"))
     docs.select(col(idCol).cast("long").as("doc"))
       .join(scored, Seq("doc"), "left")
-      .crossJoin(broadcast(biasDF))
       .select(col("doc"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("margin_micro"), col("__bias")).as("margin_micro"))
+        coalesce(col("margin_micro"), lit(bias)).as("margin_micro"))
       .withColumn("quality", when(col("margin_micro") >= 0L, 1L).otherwise(0L))
   }
 

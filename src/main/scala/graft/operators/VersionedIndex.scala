@@ -97,6 +97,15 @@ object GenerationLog {
     * refreshes mtimes as it writes; only a dead one ages out — the
     * [[MaintenanceLock]] TTL discipline). Deletes only — safe everywhere.
     * Returns the ids removed.
+    *
+    * Superseded generations get the SAME `ttlMs` quiescence grace as
+    * staged debris, measured from the moment they were superseded (the
+    * mtime of the earliest commit marker ABOVE them): the snapshot
+    * isolation the log promises means an in-flight probe may have resolved
+    * the previous current dir just before a consolidate/retrain swapped
+    * generations — vacuuming it immediately would turn that probe into
+    * FileNotFound. Pass `ttlMs = 0` only where single-writer/no-reader
+    * quiescence is known (tests, sequential fixtures).
     */
   def vacuumGenerations(
       spark: SparkSession, root: String,
@@ -104,13 +113,21 @@ object GenerationLog {
     val fs = fsOf(spark, root)
     val committed = committedGenerations(spark, root)
     val current = committed.lastOption
-    val superseded = committed.dropRight(1)
+    val now = System.currentTimeMillis()
+    def markerMtime(g: Long): Long =
+      try fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/_commits/$g"))
+        .getModificationTime
+      catch { case _: java.io.IOException => now }
+    val superseded = committed.dropRight(1).filter { g =>
+      // superseded at the instant its successor committed
+      val supersededAt = committed.filter(_ > g).map(markerMtime).min
+      now - supersededAt > ttlMs
+    }
     superseded.foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(generationDir(root, g)), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/_commits/$g"), false)
     }
     val gensDir = new org.apache.hadoop.fs.Path(s"$root/_generations")
-    val now = System.currentTimeMillis()
     val deadStaged = numericChildren(fs, gensDir)
       .filterNot(g => current.contains(g))
       .filterNot(committed.contains)
@@ -383,10 +400,19 @@ object VersionedIvf {
     * ingest follows a mid-stream consolidation/retrain onto the new
     * generation instead of mis-assigning against stale centroids), write
     * the segment, commit its marker.
+    *
+    * Runs under the index [[MaintenanceLock]], like every other mutator:
+    * segment-id reservation is only race-free when reservation + write +
+    * marker commit are serialized against concurrent batch appends (same
+    * segId reserved twice → the later overwrite clobbers the earlier
+    * segment silently), and a consolidate/retrain committing a new
+    * generation mid-batch would strand this batch's segment in the
+    * superseded generation. The lock makes generation resolution and
+    * segment publish one atomic unit.
     */
   private[operators] def ingestBatch(
       batch: DataFrame, vecCol: String, idCol: String,
-      root: String, batchId: Long): Unit = {
+      root: String, batchId: Long): Unit = MaintenanceLock.withLock(batch.sparkSession, root) {
     val spark = batch.sparkSession
     val dir = GenerationLog.requireCurrentDir(spark, root)
     if (SegmentLog.streamBatchCommitted(spark, dir, batchId)) return
@@ -595,7 +621,11 @@ object VersionedNearDup {
   def gateBatch(
       batch: DataFrame, textCol: String, idCol: String,
       root: String, keptDir: String, batchId: Long): Unit =
-   graft.CacheScope.withScope {
+   MaintenanceLock.withLock(batch.sparkSession, root) { graft.CacheScope.withScope {
+    // locked like every other mutator: segId reservation + segment write +
+    // marker commit must not interleave with a concurrent append's
+    // reservation (same id → silent clobber) or a consolidate publishing a
+    // new generation mid-batch (segment stranded in the superseded one)
     val spark = batch.sparkSession
     val dir = GenerationLog.requireCurrentDir(spark, root)
     val (ss, bands, rpb, numer, denom) = Dedup.readNearDupIndexParams(spark, dir)
@@ -629,7 +659,7 @@ object VersionedNearDup {
       }
       SegmentLog.commitMarker(spark, dir, s"$segId.s$batchId")
     }
-   }
+   } }
 
   /** Continuous dedup-at-ingest over the versioned index. */
   def streamGate(
@@ -916,7 +946,9 @@ object VersionedSubstring {
   def gateBatch(
       batch: DataFrame, textCol: String, idCol: String,
       root: String, cleanDir: String, batchId: Long): Unit =
-   graft.CacheScope.withScope {
+   MaintenanceLock.withLock(batch.sparkSession, root) { graft.CacheScope.withScope {
+    // locked: see VersionedNearDup.gateBatch — segId reservation and the
+    // generation resolution must be atomic vs concurrent appends/retrains
     val spark = batch.sparkSession
     val dir = GenerationLog.requireCurrentDir(spark, root)
     val n = spark.read.parquet(s"$dir/params").head.getAs[Int]("n")
@@ -947,7 +979,7 @@ object VersionedSubstring {
       }
       SegmentLog.commitMarker(spark, dir, s"$segId.s$batchId")
     }
-   }
+   } }
 
   /** Continuous ExactSubstr-at-ingest over the versioned index. */
   def streamGate(

@@ -85,6 +85,16 @@ class TextClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(empty === ((0L, bias)))
   }
 
+  test("a biasless model (hand-filtered frame) fails fast instead of scoring nothing") {
+    val data = labeled(goodTexts, junkTexts)
+    val model = TextClassifier.train(data, "text", "doc_id", "label",
+      numBuckets = 1 << 12, iterations = 3)
+    val noBias = model.filter(col("bucket") =!= TextClassifier.BiasBucket)
+    val e = intercept[IllegalArgumentException](TextClassifier.scoreDocs(
+      data, "text", "doc_id", noBias, numBuckets = 1 << 12))
+    assert(e.getMessage.contains("bias"))
+  }
+
   test("all-empty training set fails fast") {
     val e = intercept[IllegalArgumentException](TextClassifier.train(
       Seq((1L, "", 0L)).toDF("doc_id", "text", "label"),

@@ -96,9 +96,14 @@ class VersionedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(centroidCount(root) === 3)
     assert(exhaustive(root, queries, k = 5) === brute(queries, live, k = 5))
 
-    // vacuum: superseded generations GC'd, current untouched
+    // vacuum: default TTL grants superseded generations a quiescence grace
+    // (an in-flight probe may still hold the old dir — snapshot isolation),
+    // ttl 0 GCs them; current untouched either way
     assert(GenerationLog.committedGenerations(spark, root).size === 3)
     VersionedIvf.vacuum(spark, root)
+    assert(GenerationLog.committedGenerations(spark, root).size === 3,
+      "vacuum deleted a freshly-superseded generation out from under readers")
+    VersionedIvf.vacuum(spark, root, ttlMs = 0L)
     assert(GenerationLog.committedGenerations(spark, root).size === 1)
     assert(exhaustive(root, queries, k = 5) === brute(queries, live, k = 5))
 
@@ -147,6 +152,9 @@ class VersionedIndexSpec extends AnyFunSuite with SparkTestBase {
 
     assert(GenerationLog.committedGenerations(spark, root).size === 3)
     VersionedIvfPq.vacuum(spark, root)
+    assert(GenerationLog.committedGenerations(spark, root).size === 3,
+      "vacuum deleted a freshly-superseded generation inside the TTL grace")
+    VersionedIvfPq.vacuum(spark, root, ttlMs = 0L)
     assert(GenerationLog.committedGenerations(spark, root).size === 1)
     assert(exact(full, 5) === brute(queries, live, 5))
 

@@ -79,6 +79,9 @@ class VersionedNearDupSpec extends AnyFunSuite with SparkTestBase {
     val liveBefore = liveHash(root)
     VersionedNearDup.consolidate(spark, root)
     VersionedNearDup.vacuum(spark, root)
+    assert(GenerationLog.committedGenerations(spark, root).size === 2,
+      "vacuum deleted the freshly-superseded generation inside the TTL grace")
+    VersionedNearDup.vacuum(spark, root, ttlMs = 0L)
     assert(liveHash(root) === liveBefore, "consolidation changed the live view")
     assert(GenerationLog.committedGenerations(spark, root).size === 1)
     val genDir = GenerationLog.requireCurrentDir(spark, root)

@@ -72,6 +72,9 @@ class VersionedSubstringSpec extends AnyFunSuite with SparkTestBase {
     val liveBefore = manifestSet(root)
     VersionedSubstring.consolidate(spark, root)
     VersionedSubstring.vacuum(spark, root)
+    assert(GenerationLog.committedGenerations(spark, root).size === 2,
+      "vacuum deleted the freshly-superseded generation inside the TTL grace")
+    VersionedSubstring.vacuum(spark, root, ttlMs = 0L)
     assert(manifestSet(root) === liveBefore)
     assert(GenerationLog.committedGenerations(spark, root).size === 1)
     val genDir = GenerationLog.requireCurrentDir(spark, root)
