@@ -23,6 +23,45 @@ object Bench {
   def benchExcluded(name: String): Boolean =
     ValidationOnly.contains(name) || name.endsWith("_contract")
 
+  /** Self-calibration sentinels (r11 verdict #2): two FIXED-WORK probes —
+    * one CPU-bound (codegen hash-agg over a generated range, no I/O), one
+    * small-I/O (write + read back a fixed 2M-row parquet) — run before the
+    * first timed query and again after the last, with their walls stamped
+    * into the output JSON. Two container-degradation incidents in r11 each
+    * took an out-of-band per-query re-measure to adjudicate; with the
+    * sentinels the artifact itself carries the evidence: a degraded window
+    * inflates the sentinels by the same uniform factor it inflates the
+    * queries (the r11 signature), so `calibration.degraded` separates "box
+    * was slow" from "query regressed" without forensics. Nominal values
+    * are this box's unloaded best-of-2 (see BASELINE.md methodology);
+    * `degraded` trips at 2× nominal on any sample.
+    */
+  val NominalCpuSec = 0.30
+  val NominalIoSec = 1.00
+
+  private def calibrate(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    def best2(body: => Unit): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+    // bit_xor, not sum: ANSI mode is on and 100M hash sums overflow bigint
+    val cpu = best2 {
+      spark.range(0, 100000000L, 1, 32)
+        .select(expr("bit_xor(xxhash64(id))")).collect()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bench_cal").toString
+    val io = best2 {
+      spark.range(0, 2000000L, 1, 32)
+        .select(col("id"), xxhash64(col("id")).as("h"))
+        .write.mode("overwrite").parquet(s"$dir/t")
+      spark.read.parquet(s"$dir/t").select(expr("bit_xor(h)")).collect()
+    }
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    catch { case _: Throwable => () }
+    (cpu, io)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.localFromEnv()
@@ -56,6 +95,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val explain = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")
+    val (cpuStart, ioStart) = calibrate(spark)
+    System.err.println(f"[bench] calibration start: cpu=$cpuStart%.2f s io=$ioStart%.2f s")
     val results = SparkEntry.queries.view.filterKeys(!benchExcluded(_))
       .filterKeys(k => only.forall(_.contains(k))).toMap
       .map { case (name, fn) =>
@@ -106,13 +147,21 @@ object Bench {
     // 44.2 as "44,200" on comma-decimal JVMs — malformed JSON
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val (cpuEnd, ioEnd) = calibrate(spark)
+    System.err.println(f"[bench] calibration end: cpu=$cpuEnd%.2f s io=$ioEnd%.2f s")
+    val degraded = Seq(cpuStart / NominalCpuSec, cpuEnd / NominalCpuSec,
+      ioStart / NominalIoSec, ioEnd / NominalIoSec).max > 2.0
+    val calJson = s""""calibration":{"cpu_start":${fmt(cpuStart)},""" +
+      s""""io_start":${fmt(ioStart)},"cpu_end":${fmt(cpuEnd)},""" +
+      s""""io_end":${fmt(ioEnd)},"cpu_nominal":$NominalCpuSec,""" +
+      s""""io_nominal":$NominalIoSec,"degraded":$degraded}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel per-query; they must not make the
     // headline total FASTER — sum successes only
     val total = results.values.filter(_ >= 0).sum
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$calJson,"sf":"$sfDir"}"""
     println(summary)
     // the harness keeps only a bounded tail of stdout, so the full per-query
     // map can be lost to truncation — ALSO write it to a file (lossless
@@ -128,7 +177,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"queries":$slowest,$calJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
