@@ -472,7 +472,7 @@ object SparkEntry {
       .awaitTermination()
     def outputsHash(): ((Long, Long), (Long, Long)) = (
       contentHash(s.read.parquet(kept.toString), Seq("vec_id", "ingest_batch")),
-      contentHash(s.read.parquet(s"$idx/corpus"),
+      contentHash(VersionedIvf.corpusView(s, idx.toString),
         Seq("vec_id", "cluster", "ingest_batch")))
     val beforeReplay = outputsHash()
     Similarity.semanticGateBatch(semSubBatch(arrivals, 1), "embedding", "vec_id",
@@ -540,8 +540,8 @@ object SparkEntry {
     def outputsHash(): ((Long, Long), (Long, Long)) = (
       contentHash(s.read.parquet(clean.toString),
         Seq("doc", "cleaned_text", "ingest_batch")),
-      contentHash(s.read.parquet(s"$idx/manifest"),
-        Seq("h1", "h2", "ingest_batch")))
+      contentHash(VersionedSubstring.manifest(s, idx.toString),
+        Seq("h1", "h2")))
     // gate batch 2 FIRST, then replay batch 1: the replay probe must hold
     // with a LATER batch's partitions already standing (the real replay
     // shape — a crash-recovered batch re-runs after its successors landed)
@@ -668,15 +668,16 @@ object SparkEntry {
   private def composed3OutputsHash(
       s: SparkSession, substrIdx: String, textIdx: String, annIdx: String,
       cleanDir: String, textKept: String, kept: String): Seq[(Long, Long)] = {
-    // the replay probe dynamic-overwrites partitions BETWEEN two hashes of
-    // the same path — drop the session's cached file listings first, or the
-    // second read can chase the pre-replay part files
-    Seq(cleanDir, s"$substrIdx/manifest", textKept, kept, s"$annIdx/corpus",
-      s"$textIdx/manifest").foreach(s.catalog.refreshByPath)
+    // the replay probe rewrites the batch's own kept/clean partitions
+    // BETWEEN two hashes of the same path — drop the session's cached file
+    // listings first, or the second read can chase the pre-replay part
+    // files. Index state needs no refresh: replays skip index appends via
+    // the segment markers, and the views list committed dirs per call
+    Seq(cleanDir, textKept, kept).foreach(s.catalog.refreshByPath)
     contentHash(s.read.parquet(cleanDir),
       Seq("doc", "cleaned_text", "ingest_batch")) +:
-      contentHash(s.read.parquet(s"$substrIdx/manifest"),
-        Seq("h1", "h2", "ingest_batch")) +:
+      contentHash(VersionedSubstring.manifest(s, substrIdx),
+        Seq("h1", "h2")) +:
       composedOutputsHash(s, textIdx, annIdx, textKept, kept)
   }
 
@@ -715,8 +716,8 @@ object SparkEntry {
     def outputsHash(): ((Long, Long), (Long, Long)) = (
       contentHash(s.read.parquet(kept.toString),
         Seq("doc_id", "text", "ingest_batch")),
-      contentHash(s.read.parquet(s"$idx/manifest"),
-        Seq("doc", "keys", "shh", "ingest_batch")))
+      contentHash(Dedup.nearDupIndexManifest(s, idx.toString),
+        Seq("doc", "keys", "shh")))
     val beforeReplay = outputsHash()
     Dedup.gateBatchAgainstNearDupIndex(gateSubBatch(arrivals, 1),
       "text", "doc_id", idx.toString, kept.toString, 1L)
@@ -731,7 +732,8 @@ object SparkEntry {
     val fs = new org.apache.hadoop.fs.Path(idx.toString)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val compactOk = liveHash() == beforeCompact &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones"))
+      !fs.exists(new org.apache.hadoop.fs.Path(
+        s"${GenerationLog.requireCurrentDir(s, idx.toString)}/tombstones"))
     (idx.toString, kept.toString, replayOk, compactOk)
   }
 
@@ -897,10 +899,10 @@ object SparkEntry {
       textKept: String, kept: String): Seq[(Long, Long)] = Seq(
     contentHash(s.read.parquet(textKept), Seq("doc_id", "text", "ingest_batch")),
     contentHash(s.read.parquet(kept), Seq("doc_id", "ingest_batch")),
-    contentHash(s.read.parquet(s"$annIdx/corpus"),
+    contentHash(VersionedIvf.corpusView(s, annIdx),
       Seq("vec_id", "cluster", "ingest_batch")),
-    contentHash(s.read.parquet(s"$textIdx/manifest"),
-      Seq("doc", "keys", "shh", "ingest_batch")))
+    contentHash(Dedup.nearDupIndexManifest(s, textIdx),
+      Seq("doc", "keys", "shh")))
 
   /** Build the composed text→semantic gate fixture once per sf dir: both
     * indexes on the ≡2 mod 4 quarter, arrival batches 0-1 streamed through

@@ -504,7 +504,7 @@ object Stress {
             f"[stress] ivf_delete_x$mult uniform 1%%: ${(System.nanoTime() - t0) / 1e9}%.2f s, $deleted rows (all clusters affected)")
           // locality case: delete a slice of ONE cluster's members — only
           // that cluster's partition rewrites, cost tracks its volume
-          val corpusIdx = spark.read.parquet(s"${dir.toString}/corpus")
+          val corpusIdx = operators.VersionedIvf.corpusView(spark, dir.toString)
           val busiest = corpusIdx.groupBy(col("cluster")).count()
             .orderBy(col("count").desc).head.getInt(0)
           // deterministic slice: LIMIT without ORDER BY could select a
@@ -1069,7 +1069,7 @@ object Stress {
             .awaitTermination()
           val ingestWall = (System.nanoTime() - t0) / 1e9
           def corpusHash(): (Long, Long) = {
-            val r = spark.read.parquet(s"$dir/corpus")
+            val r = operators.VersionedIvf.corpusView(spark, dir.toString)
               .agg(count(lit(1)), sum(hash(col("vec_id"), col("embedding"),
                 col("cluster"), col("ingest_batch")).cast("long")))
               .head
@@ -1079,11 +1079,11 @@ object Stress {
           // replay batch 3 with its own landed content (what a failure
           // between write and checkpoint commit re-delivers)
           val replay = graft.CacheScope.localCheckpoint(
-            spark.read.parquet(s"$dir/corpus")
+            operators.VersionedIvf.corpusView(spark, dir.toString)
               .filter(col("ingest_batch") === 3L)
               .select(col("vec_id"), col("embedding")))
           try operators.Similarity.ingestBatchToIvfIndex(
-            replay, "embedding", "vec_id", dir.toString, cents, 3L)
+            replay, "embedding", "vec_id", dir.toString, 3L)
           finally graft.CacheScope.unpersistCheckpoint(replay)
           val after = corpusHash()
           require(before == after,
@@ -1177,8 +1177,8 @@ object Stress {
             val kr = spark.read.parquet(kept.toString)
               .agg(count(lit(1)), sum(hash(col("doc_id"), col("ingest_batch"))
                 .cast("long"))).head
-            val mr = spark.read.parquet(s"$idx/manifest")
-              .agg(count(lit(1)), sum(hash(col("doc"), col("ingest_batch"))
+            val mr = operators.Dedup.nearDupIndexManifest(spark, idx.toString)
+              .agg(count(lit(1)), sum(hash(col("doc"), col("keys"))
                 .cast("long"))).head
             ((kr.getLong(0), kr.getLong(1)), (mr.getLong(0), mr.getLong(1)))
           }
@@ -1237,7 +1237,7 @@ object Stress {
             val kr = spark.read.parquet(kept.toString)
               .agg(count(lit(1)), sum(hash(col("vec_id"), col("ingest_batch"))
                 .cast("long"))).head
-            val cr = spark.read.parquet(s"$idx/corpus")
+            val cr = operators.VersionedIvf.corpusView(spark, idx.toString)
               .agg(count(lit(1)), sum(hash(col("vec_id"), col("cluster"),
                 col("ingest_batch")).cast("long"))).head
             ((kr.getLong(0), kr.getLong(1)), (cr.getLong(0), cr.getLong(1)))
@@ -1318,9 +1318,10 @@ object Stress {
           def snap(): Seq[(Long, Long)] = Seq(
             (spark.read.parquet(textKept.toString), Seq("doc_id", "ingest_batch")),
             (spark.read.parquet(kept.toString), Seq("doc_id", "ingest_batch")),
-            (spark.read.parquet(s"$annIdx/corpus"),
+            (operators.VersionedIvf.corpusView(spark, annIdx.toString),
               Seq("vec_id", "cluster", "ingest_batch")),
-            (spark.read.parquet(s"$textIdx/manifest"), Seq("doc", "ingest_batch")))
+            (operators.Dedup.nearDupIndexManifest(spark, textIdx.toString),
+              Seq("doc", "keys")))
             .map { case (df, cols) =>
               val r = df.agg(count(lit(1)),
                 sum(hash(cols.map(col): _*).cast("long"))).head
@@ -1418,7 +1419,7 @@ object Stress {
               .select(col("vec_id"), col("embedding"))
             val t0 = System.nanoTime()
             operators.Similarity.ingestBatchToIvfIndex(
-              b, "embedding", "vec_id", dir.toString, cents, batchId)
+              b, "embedding", "vec_id", dir.toString, batchId)
             (System.nanoTime() - t0) / 1e9
           }
           val withTomb = ingest(1, 0L) // pays the tombstone anti-join
@@ -1429,8 +1430,8 @@ object Stress {
           // deleted ids may re-enter now
           operators.Similarity.ingestBatchToIvfIndex(
             delIds.select(col("vec_id"), col("embedding")),
-            "embedding", "vec_id", dir.toString, cents, 2L)
-          val back = spark.read.parquet(s"$dir/corpus")
+            "embedding", "vec_id", dir.toString, 2L)
+          val back = operators.VersionedIvf.corpusView(spark, dir.toString)
             .join(broadcast(delIds.select(col("vec_id"))), Seq("vec_id")).count()
           require(back == deleted,
             s"re-added $back of $deleted purged ids")
@@ -1457,12 +1458,12 @@ object Stress {
             base, "embedding", "vec_id", k = 16, trainSample = 8)
           operators.Similarity.writeIvfIndex(base, "embedding", "vec_id",
             cents, dir.toString)
-          val rowsBefore = spark.read.parquet(s"$dir/corpus").count()
+          val rowsBefore = operators.VersionedIvf.corpusView(spark, dir.toString).count()
           val t0 = System.nanoTime()
           operators.Similarity.retrainIvfIndex(spark, dir.toString,
             trainSample = 8)
           val wall = (System.nanoTime() - t0) / 1e9
-          val rowsAfter = spark.read.parquet(s"$dir/corpus").count()
+          val rowsAfter = operators.VersionedIvf.corpusView(spark, dir.toString).count()
           require(rowsAfter == rowsBefore,
             s"retrain changed corpus row count: $rowsBefore -> $rowsAfter")
           System.err.println(

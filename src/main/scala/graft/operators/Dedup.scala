@@ -1152,64 +1152,29 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String, path: String,
       shingleSize: Int = 3, numer: Int = 7, denom: Int = 10,
       bands: Int = 16, rowsPerBand: Int = 4): Unit =
-   // a rebuild IS a mutation — same lease as delete/compact (a rebuild
-   // racing a live compact would interleave with its staged swap)
-   MaintenanceLock.withLock(docs.sparkSession, path) {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // rebuilding over an existing index is a fresh start: stale tombstones
-    // or a dead staged swap from the previous incarnation must not leak
-    // into (or roll over) the new manifest
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest__staged"), true)
-    Seq((shingleSize, bands, rowsPerBand, numer, denom))
-      .toDF("shingle_size", "bands", "rows_per_band", "numer", "denom")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    nearDupManifest(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
-      .withColumn("ingest_batch", lit(-1L))
-      // PINNED static overwrite: a rebuild must replace the WHOLE previous
-      // manifest. Under a session-global partitionOverwriteMode=dynamic this
-      // write would otherwise only replace ingest_batch=-1 and leave the
-      // previous incarnation's gate partitions (ids ≥ 0) standing — stale
-      // signatures silently suppressing future arrivals
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("ingest_batch")
-      .parquet(s"$path/manifest")
-   }
+    VersionedNearDup.write(docs, textCol, idCol, path,
+      shingleSize, numer, denom, bands, rowsPerBand)
 
   private[graft] def readNearDupIndexParams(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/params").head
+    // layout-resolving: `path` may be the index root (current generation
+    // resolved via the GenerationLog) or a generation dir (internal callers)
+    val dir = GenerationLog.currentDir(spark, path).getOrElse(path)
+    val r = spark.read.parquet(s"$dir/params").head
     (r.getAs[Int]("shingle_size"), r.getAs[Int]("bands"),
       r.getAs[Int]("rows_per_band"), r.getAs[Int]("numer"), r.getAs[Int]("denom"))
   }
 
-  /** The LIVE manifest view of a persisted index: tombstoned docs removed
-    * (broadcast anti-join — delete sets are small relative to the corpus),
-    * and, for the streaming gate's replay safety, optionally restricted to
-    * batches STRICTLY BEFORE `beforeBatch` (partition-pruned: `-1` batch
-    * builds always qualify). Runs pending-compact recovery first, so a
-    * reader never sees a half-swapped manifest.
+  /** The LIVE manifest view of a persisted index: base ∪ committed gate
+    * segments, tombstoned docs removed (broadcast anti-join — delete sets
+    * are small relative to the corpus), and, for the streaming gate's
+    * replay safety, optionally restricted to stream segments STRICTLY
+    * BEFORE `beforeBatch` ([[VersionedNearDup.liveManifest]]).
     */
   def nearDupIndexManifest(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      beforeBatch: Option[Long] = None): DataFrame = {
-    recoverPendingCompact(spark, path, asLockHolder = false)
-    val m0 = spark.read.parquet(s"$path/manifest")
-    val m1 = beforeBatch.map(b => m0.filter(col("ingest_batch") < lit(b))).getOrElse(m0)
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live =
-      if (fs.exists(tombDir))
-        m1.join(
-          broadcast(spark.read.parquet(tombDir.toString)
-            .select(col("doc").as("__tomb")).distinct()),
-          col("doc") === col("__tomb"), "left_anti")
-      else m1
-    live.select(col("doc"), col("keys"), col("shh"))
-  }
+      beforeBatch: Option[Long] = None): DataFrame =
+    VersionedNearDup.liveManifest(spark, path, beforeBatch)
 
   /** Retention delete ("right to be forgotten" for the dedup corpus): the
     * given doc ids stop suppressing future arrivals IMMEDIATELY — every
@@ -1231,142 +1196,27 @@ object Dedup {
     * deletes and compaction from a single maintenance writer.
     */
   def deleteFromNearDupIndex(ids: DataFrame, idCol: String, path: String): Unit =
-    MaintenanceLock.withLock(ids.sparkSession, path) {
-      recoverPendingCompact(ids.sparkSession, path, asLockHolder = true)
-      ids.select(col(idCol).cast("long").as("doc")).distinct()
-        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-    }
+    VersionedNearDup.delete(ids, idCol, path)
 
-  /** Physically purge tombstoned signatures: rewrite the manifest minus the
-    * tombstone set, then clear the tombstones. Crash-safe via a staged swap:
-    * the replacement is FULLY written (parquet's job-commit `_SUCCESS` is
-    * the commit marker) before the live dir is touched, and
-    * [[recoverPendingCompact]] — run by every reader/writer entry point —
-    * rolls an interrupted swap forward (staged complete) or back (staged
-    * partial). Same object-store caveat as the ANN index swap: directory
-    * rename is not atomic on S3-like stores; run compaction from a
-    * single-writer maintenance job there.
-    *
-    * `consolidate = true` additionally folds every gate batch's partition
-    * into the `-1` base partition — the partition-count maintenance for a
-    * LONG-RUNNING gate, which otherwise accrues one `ingest_batch=<id>`
-    * dir per micro-batch forever (10k batches = 10k dirs for partition
-    * discovery to list). Correctness is unchanged: `-1 < id` for every
-    * batch id, so consolidated signatures still read as "strictly earlier"
-    * for all future batches. Run it only when the ingest stream has no
-    * UNCOMMITTED batches (the same single-writer discipline as deletes):
-    * a batch written-but-not-committed before consolidation replays as a
-    * no-op afterwards (its docs now suppress themselves via `-1`), which
-    * leaves the consolidated state standing — consistent, but the
-    * dependence on that subtlety is not worth inviting. Pass the gate
-    * stream's `checkpointDir` to enforce the discipline mechanically
-    * (refuses while a batch is started-but-uncommitted); concurrent
-    * maintenance writers are fenced by the index's [[MaintenanceLock]].
-    *
-    * Refuses to compact an index whose every doc is tombstoned (an empty
-    * partitioned parquet table is unreadable) — rebuild with
-    * [[writeNearDupIndex]] instead.
+  /** Physically purge tombstoned signatures and fold every gate segment
+    * into the base manifest — published as the NEXT generation with one
+    * marker create ([[VersionedNearDup.consolidate]]); the live view is
+    * invariant, only layout and the tombstone set change. The
+    * partition-count maintenance for a LONG-RUNNING gate, which otherwise
+    * accrues one segment per micro-batch forever. Run it when the gate
+    * stream has no uncommitted batches — pass its `checkpointDir` to
+    * enforce mechanically; concurrent maintenance writers are fenced by
+    * the index's [[MaintenanceLock]]. Refuses to compact an index whose
+    * every doc is tombstoned (rebuild with [[writeNearDupIndex]] instead).
+    * `consolidate` is kept for source compatibility: segment folding and
+    * the tombstone purge are one generation write on this commit model,
+    * so both values behave identically.
     */
   def compactNearDupIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       consolidate: Boolean = false,
-      checkpointDir: Option[String] = None): Unit = {
-    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
-      spark, _, s"compactNearDupIndex($path)"))
-   MaintenanceLock.withLock(spark, path) {
-    recoverPendingCompact(spark, path, asLockHolder = true)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (!fs.exists(tombDir) && !consolidate) return
-    val m = spark.read.parquet(s"$path/manifest")
-    val survivors0 =
-      if (fs.exists(tombDir))
-        m.join(
-          broadcast(spark.read.parquet(tombDir.toString)
-            .select(col("doc").as("__tomb")).distinct()),
-          col("doc") === col("__tomb"), "left_anti")
-      else m
-    val survivors =
-      if (consolidate) survivors0.withColumn("ingest_batch", lit(-1L))
-      else survivors0
-    val staged = new org.apache.hadoop.fs.Path(s"$path/manifest__staged")
-    survivors.write.mode("overwrite")
-      .option("partitionOverwriteMode", "static") // fresh staging dir; pin anyway
-      .partitionBy("ingest_batch")
-      .parquet(staged.toString)
-    // emptiness is validated on the STAGED OUTPUT itself, not with a
-    // separate pre-write count: the survivors plan evaluates exactly once,
-    // and there is no check-then-write gap for the live manifest to drift
-    // in. An all-tombstoned manifest stages zero partitions; committing it
-    // would leave an unreadable empty parquet table — refuse and roll back.
-    // (recoverPendingCompact applies the same no-partitions test, so a
-    // crash landing exactly here also rolls back.)
-    if (!stagedManifestHasData(fs, staged)) {
-      fs.delete(staged, true)
-      throw new IllegalStateException(
-        s"compactNearDupIndex($path): every manifest row is tombstoned; an " +
-          "empty partitioned manifest is unreadable — rebuild the index with " +
-          "writeNearDupIndex instead of compacting it to nothing.")
-    }
-    val live = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    fs.delete(live, true)
-    fs.rename(staged, live)
-    fs.delete(tombDir, true)
-   }
-  }
-
-  /** A staged manifest that holds at least one `ingest_batch=` partition —
-    * the commit eligibility test shared by [[compactNearDupIndex]] and
-    * [[recoverPendingCompact]].
-    */
-  private def stagedManifestHasData(
-      fs: org.apache.hadoop.fs.FileSystem,
-      staged: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(staged) && fs.listStatus(staged).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
-
-  /** Interrupted-compact recovery (see [[compactNearDupIndex]]): a staged
-    * manifest carrying parquet's `_SUCCESS` commit marker is COMPLETE and
-    * already reflects manifest ⊖ tombstones — roll it forward (replace the
-    * live dir, clear tombstones); one without the marker is a dead partial
-    * write — roll it back (delete). Idempotent and cheap (two `exists`
-    * probes) on the no-pending-swap fast path.
-    *
-    * Same reader rules as the ANN index's recovery
-    * ([[graft.operators.Similarity.recoverPendingRetrain]]): an un-locked
-    * caller (every manifest probe) only rolls FORWARD a committed staging
-    * that has been quiet for a full lease TTL — a younger one may belong
-    * to a LIVE compact whose swap a racing reader could tear (reader
-    * deletes the live manifest after the writer's rename lands → manifest
-    * lost) — and never deletes marker-less staging (a live compact's
-    * staged write in progress). Lock holders repair unconditionally.
-    */
-  private[graft] def recoverPendingCompact(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      asLockHolder: Boolean): Unit = {
-    val staged = new org.apache.hadoop.fs.Path(s"$path/manifest__staged")
-    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(staged)) return
-    val committed =
-      try fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
-      catch { case _: Exception => false }
-    if (!asLockHolder && !(committed && compactStagingLooksDead(fs, staged)))
-      return // young or marker-less staging: a reader keeps hands off
-    // _SUCCESS alone is not commit-eligible: an all-tombstoned compact can
-    // complete its (empty) staged write and crash before compactNearDupIndex
-    // rejects it — rolling THAT forward would replace the live manifest with
-    // an unreadable empty table. No partitions staged → dead partial.
-    if (committed && stagedManifestHasData(fs, staged)) {
-      val live = new org.apache.hadoop.fs.Path(s"$path/manifest")
-      fs.delete(live, true)
-      fs.rename(staged, live)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    } else {
-      fs.delete(staged, true) // partial write, no marker: the compact never
-      ()                      // committed — the live manifest stands
-    }
-  }
+      checkpointDir: Option[String] = None): Unit =
+    VersionedNearDup.consolidate(spark, path, checkpointDir)
 
   /** Index health audit — the drift analog
     * ([[graft.operators.Similarity.ivfAssignmentDrift]]) for the persisted
@@ -1409,71 +1259,42 @@ object Dedup {
     */
   def substringIndexKeyStats(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/manifest")
+    VersionedSubstring.manifest(spark, path)
       .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("b"))
       .agg(sum(col("b")).cast("long").as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("b")).as("max_key"),
         sum(col("b") * col("b")).cast("long").as("sumsq"))
 
-  /** Reader-side age gate for [[recoverPendingCompact]]: the staging is
-    * presumed dead once its newest mtime (top two levels — task files
-    * landing in partition dirs bump those dirs' mtimes, so a live writer
-    * keeps it young) is older than one maintenance-lease TTL. Errors
-    * (staging vanished mid-check) read as "not dead".
-    */
-  private def compactStagingLooksDead(
-      fs: org.apache.hadoop.fs.FileSystem,
-      staged: org.apache.hadoop.fs.Path): Boolean = {
-    def newest(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
-      val st = fs.getFileStatus(p)
-      if (depth == 0 || !st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +:
-        fs.listStatus(p).map(c => newest(c.getPath, depth - 1)).toSeq).max
-    }
-    try System.currentTimeMillis() - newest(staged, 2) >
-      MaintenanceLock.DefaultTtlMs
-    catch { case _: Exception => false }
-  }
-
   /** The streaming DEDUP GATE — near-dup-at-ingest against a persisted,
     * self-growing signature index (the shape a continuous crawl needs: the
     * corpus never recomputes, each arriving micro-batch pays batch-sized
-    * work). Per batch ([[gateBatchAgainstNearDupIndex]]):
+    * work). Per batch ([[gateBatchAgainstNearDupIndex]] →
+    * [[VersionedNearDup.gateBatch]]):
     *
     *  1. drop arrivals with a near-dup among STRICTLY EARLIER batches'
-    *     signatures (partition-pruned manifest read through the tombstone
+    *     signatures (segment-pruned manifest read through the tombstone
     *     anti-join — a forgotten doc no longer suppresses);
     *  2. self-dedup the survivors within the batch (LSH candidates + exact
     *     verify + cluster keeper, the [[dropNearDuplicates]] policy);
-    *  3. land kept docs under `$keptDir/ingest_batch=<id>` and their
-    *     signature rows under the index's matching partition — BOTH via
-    *     dynamic partition overwrite, so a replayed batch (written but not
-    *     checkpoint-committed) REPLACES its own output instead of
-    *     double-appending, and — because step 1 never reads batches ≥ its
-    *     own id — a replay cannot be suppressed by its first attempt's own
-    *     signatures.
+    *  3. land kept docs by static overwrite of the batch's own
+    *     `$keptDir/ingest_batch=<id>` dir and the batch's signature rows
+    *     as ONE marker-committed segment derived from the WRITTEN kept
+    *     partition — a replayed batch (written but not checkpoint-
+    *     committed) rewrites its own kept dir byte-identically and skips
+    *     the signature append via the marker.
     *
     * LSH parameters come from the index's pinned params. Batch ordering is
     * the file source's (modification time): the kept-set is order-DEPENDENT
     * by construction (first arrival wins), exactly like the sequential
-    * batch pipeline it replaces. Crash window: kept docs land before
-    * signatures, so a crash between the two writes leaves batch N visible
-    * in `keptDir` but absent from the index until the replay rewrites both
-    * — same single-batch window as the ANN ingest, closed by the replay.
+    * batch pipeline it replaces.
     */
   def streamDedupAgainstNearDupIndex(
       stream: DataFrame, textCol: String, idCol: String,
       indexPath: String, keptDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        gateBatchAgainstNearDupIndex(
-          batch.toDF(), textCol, idCol, indexPath, keptDir, batchId))
-      .start()
+    VersionedNearDup.streamGate(stream, textCol, idCol, indexPath, keptDir,
+      checkpointDir)
 
   /** One gate batch of [[streamDedupAgainstNearDupIndex]], exposed for
     * replay testing and receipts.
@@ -1481,46 +1302,9 @@ object Dedup {
   private[graft] def gateBatchAgainstNearDupIndex(
       batch: DataFrame, textCol: String, idCol: String,
       indexPath: String, keptDir: String, batchId: Long): Unit =
-    // scoped: the gate's internal persistReuse frames (batch manifest,
-    // banded shingles) are freed at batch end — a long-running stream must
-    // not accrue one cache entry per micro-batch
-    graft.CacheScope.withScope {
-    val spark = batch.sparkSession
-    val (ss, bands, rpb, numer, denom) = readNearDupIndexParams(spark, indexPath)
-    val manifest = nearDupIndexManifest(spark, indexPath, beforeBatch = Some(batchId))
-    val unseen = dropSeenNearDuplicates(
-      batch, manifest, textCol, idCol, ss, numer, denom, bands, rpb)
-    val kept = dropNearDuplicates(
-      unseen,
-      jaccardDuplicatePairs(unseen, textCol, idCol, ss, numer, denom, bands, rpb,
-        reuseShingles = true),
-      idCol)
-    kept.withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(keptDir)
-    // derive the appended signatures from the WRITTEN kept partition (one
-    // partition-pruned read-back) instead of re-evaluating the gate plan —
-    // replay-identical by construction and nothing to persist/unpersist.
-    // An all-suppressed batch writes no partition (dynamic overwrite emits
-    // nothing for zero rows) and appends no signatures — correctly so
-    val keptFs = new org.apache.hadoop.fs.Path(keptDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (keptFs.exists(
-        new org.apache.hadoop.fs.Path(s"$keptDir/ingest_batch=$batchId"))) {
-      val keptBack = spark.read.parquet(keptDir)
-        .filter(col("ingest_batch") === lit(batchId))
-      nearDupManifest(keptBack, textCol, idCol, ss, bands, rpb)
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(s"$indexPath/manifest")
-    }
-  }
+    VersionedNearDup.gateBatch(batch, textCol, idCol, indexPath, keptDir, batchId)
 
-  // ------------------------------------------- substring window index + gate
+  // ------------------------------------------- substring window index + gate  // ------------------------------------------- substring window index + gate
 
   /** Persisted SUBSTRING WINDOW INDEX — the on-disk lifecycle face of
     * [[substringWindowManifest]], completing the at-ingest gate family
@@ -1547,59 +1331,41 @@ object Dedup {
   def writeSubstringIndex(
       docs: DataFrame, textCol: String, idCol: String, path: String,
       n: Int = 8): Unit =
-   MaintenanceLock.withLock(docs.sparkSession, path) {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq(n).toDF("n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    substringWindowManifest(docs, textCol, idCol, n)
-      .withColumn("ingest_batch", lit(-1L))
-      // PINNED static overwrite — a rebuild replaces the whole previous
-      // manifest, including any prior incarnation's gate partitions
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("ingest_batch")
-      .parquet(s"$path/manifest")
-   }
+    VersionedSubstring.write(docs, textCol, idCol, path, n)
 
   private[graft] def readSubstringIndexN(
       spark: org.apache.spark.sql.SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/params").head.getAs[Int]("n")
+    spark.read.parquet(
+      s"${GenerationLog.currentDir(spark, path).getOrElse(path)}/params")
+      .head.getAs[Int]("n")
 
   /** The manifest view of a persisted substring index, optionally
-    * restricted to batches STRICTLY BEFORE `beforeBatch` (partition-
-    * pruned; the `-1` base always qualifies) — the streaming gate's
-    * replay-safe read.
+    * restricted to stream segments STRICTLY BEFORE `beforeBatch` (the base
+    * always qualifies) — the streaming gate's replay-safe read.
     */
   def substringIndexManifest(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      beforeBatch: Option[Long] = None): DataFrame = {
-    val m0 = spark.read.parquet(s"$path/manifest")
-    beforeBatch.map(b => m0.filter(col("ingest_batch") < lit(b))).getOrElse(m0)
-      .select(col("h1"), col("h2"))
-  }
+      beforeBatch: Option[Long] = None): DataFrame =
+    VersionedSubstring.manifest(spark, path, beforeBatch)
 
   /** Streaming substring dedup at ingest: each micro-batch is cut against
-    * every strictly-earlier batch's windows ([[substringSpansAgainstManifest]]
-    * — manifest-seen cuts ∪ within-batch keep-first), the cleaned text
-    * lands in `cleanDir`, and the batch's windows join the index. Both
-    * writes are `ingest_batch`-partitioned dynamic overwrites, so a
-    * replayed batch (crash between writes, checkpoint rollback) lands
-    * byte-identically on top of itself. Sequential batch semantics ≡ the
-    * one-shot pipeline over the concatenated corpus when ids order by
-    * arrival — the d_substr_gate_contract gate.
+    * every strictly-earlier batch's windows
+    * ([[substringSpansAgainstManifest]] — manifest-seen cuts ∪ within-batch
+    * keep-first), the cleaned text lands by static overwrite of the
+    * batch's own `$cleanDir/ingest_batch=<id>` dir, and the batch's NEW
+    * window keys join the index as one marker-committed segment
+    * ([[VersionedSubstring.gateBatch]]) — a replayed batch lands
+    * byte-identically on top of itself and skips the key append via the
+    * marker. Sequential batch semantics ≡ the one-shot pipeline over the
+    * concatenated corpus when ids order by arrival — the
+    * d_substr_gate_contract gate.
     */
   def streamSubstringGate(
       stream: DataFrame, textCol: String, idCol: String,
       indexPath: String, cleanDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        gateBatchAgainstSubstringIndex(
-          batch.toDF(), textCol, idCol, indexPath, cleanDir, batchId))
-      .start()
+    VersionedSubstring.streamGate(stream, textCol, idCol, indexPath,
+      cleanDir, checkpointDir)
 
   /** One gate batch of [[streamSubstringGate]], exposed for replay testing
     * and receipts.
@@ -1607,30 +1373,6 @@ object Dedup {
   private[graft] def gateBatchAgainstSubstringIndex(
       batch: DataFrame, textCol: String, idCol: String,
       indexPath: String, cleanDir: String, batchId: Long): Unit =
-    graft.CacheScope.withScope {
-      val spark = batch.sparkSession
-      val n = readSubstringIndexN(spark, indexPath)
-      val manifest = substringIndexManifest(spark, indexPath,
-        beforeBatch = Some(batchId))
-      val spans = substringSpansAgainstManifest(batch, manifest, textCol, idCol, n)
-      applyRemovedSpans(batch, spans, textCol, idCol)
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(cleanDir)
-      // index growth: the batch's windows from its ORIGINAL text — a cut
-      // occurrence still HAPPENED, and a later arrival of the same window
-      // must be cut even if this batch's copy was (keep-first-globally).
-      // Keys already present in strictly-earlier batches are dropped (the
-      // anti-join keeps the manifest one-row-per-distinct-window); the
-      // strictly-earlier read keeps the append deterministic under replay
-      val newKeys = substringWindowManifest(batch, textCol, idCol, n)
-        .join(manifest, Seq("h1", "h2"), "left_anti")
-      newKeys.withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(s"$indexPath/manifest")
-    }
+    VersionedSubstring.gateBatch(batch, textCol, idCol, indexPath, cleanDir,
+      batchId)
 }

@@ -328,439 +328,101 @@ object Similarity {
 
   // ------------------------------------------------------- persisted index
 
-  /** Persist an IVF index: `path/centroids` (cluster → vector) and
-    * `path/corpus` (vec id, embedding, cluster) PARTITIONED BY cluster —
-    * the on-disk layout that makes a probe read only its probed clusters'
-    * files (partition pruning / dynamic pruning under the probe join).
-    * Build once over the standing corpus; extend with [[appendToIvfIndex]];
-    * probe forever with [[ivfTopKFromIndex]] — the corpus is never
-    * re-assigned.
+  /** Persist an IVF index. FORMAT (round 12, unified lifecycle): the
+    * index lives on the [[GenerationLog]] commit model — ONE
+    * implementation per lifecycle verb, shared with the object-store-safe
+    * [[VersionedIvf]] face this delegates to (the r11 in-place/versioned
+    * twin families are retired; every verb now publishes by marker-file
+    * create, never by directory rename). Layout per generation:
+    * `centroids` (cluster → vector) and `corpus` (vec id, embedding,
+    * cluster) PARTITIONED BY (cluster, ingest_batch), so a probe reads
+    * only its probed clusters' files. Pre-r12 rename-swap layouts
+    * (`path/centroids` at the root) are a rebuild: write the index again
+    * from its base corpus.
     */
   def writeIvfIndex(
       corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Float]], path: String): Unit =
-   // a rebuild IS a mutation: it must not interleave with a live delete/
-   // retrain/consolidate on the same index — same lease as maintenance
-   MaintenanceLock.withLock(corpus.sparkSession, path) {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // rebuilding over an existing index is a fresh start (the
-    // writeNearDupIndex contract): the previous incarnation's tombstones
-    // and any dead staged swap must not leak into the new index
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    recoverPendingRetrain(spark, path, asLockHolder = true)
-    recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = true)
-    centroids.zipWithIndex.map { case (v, i) => (i, v) }
-      .toDF("cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // `ingest_batch` is a universal second partition level so batch builds,
-    // batch appends (-1) and streaming appends (batch ids ≥ 0,
-    // [[streamAppendToIvfIndex]]) share ONE consistent directory depth —
-    // parquet partition discovery rejects mixed depths. Cluster stays the
-    // leading level, so probe-side partition pruning is unchanged.
-    // PINNED static overwrite: a rebuild must replace the whole previous
-    // corpus table, not just the partitions this build happens to touch
-    // (a session-global partitionOverwriteMode=dynamic would otherwise
-    // leave the previous incarnation's ingest_batch>=0 partitions in place)
-    assignToIndex(corpus, vecCol, idCol, centroids)
-      .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("cluster", "ingest_batch")
-      .parquet(s"$path/corpus")
-   }
+    VersionedIvf.write(corpus, vecCol, idCol, centroids, path)
 
   /** Append a batch to an existing index WITHOUT retraining: vectors are
-    * assigned against the FROZEN stored centroids and appended to their
-    * cluster partitions — the incremental-ingest shape (drifted corpora
-    * retrain + rewrite on their own cadence).
+    * assigned against the FROZEN stored centroids and land as one
+    * marker-committed segment of the current generation (atomic to
+    * concurrent probes) — the incremental-ingest shape.
     */
-  def appendToIvfIndex(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
-    requireTwoLevelCorpusLayout(batch.sparkSession, path)
-    // an append IS a mutation: appending into a cluster dir that a live
-    // delete/consolidate is mid-swap on would land rows the swap's
-    // roll-forward drops — take the lease like every other mutator (and
-    // recover as its holder: a dead writer's staging must not outlive us)
-    MaintenanceLock.withLock(batch.sparkSession, path) {
-      recoverPendingRetrain(batch.sparkSession, path, asLockHolder = true)
-      recoverPendingSwaps(batch.sparkSession, s"$path/corpus", asLockHolder = true)
-      assignToIndex(batch, vecCol, idCol, readIvfCentroids(batch.sparkSession, path))
-        .withColumn("ingest_batch", lit(-1L))
-        .write.mode("append").partitionBy("cluster", "ingest_batch")
-        .parquet(s"$path/corpus")
-    }
-  }
-
-  /** FORMAT BUMP (round 8): the corpus table gained `ingest_batch` as a
-    * universal second partition level. An index persisted by the earlier
-    * cluster-only layout has data files directly under its `cluster=c`
-    * dirs; parquet partition discovery REJECTS a mix of the two depths, so
-    * append/delete/stream-ingest onto an old index must not silently write
-    * the new shape next to the old. [[requireTwoLevelCorpusLayout]] detects
-    * the old layout on every mutating entry point and fails with a pointer
-    * here; this migration upgrades in place — each cluster's files are
-    * RENAMED into an `ingest_batch=-1` subdir (pure FS metadata, no data
-    * rewrite; -1 is the batch-append sentinel, so migrated rows read
-    * identically to batch-built ones). Idempotent: already-migrated
-    * clusters are left alone.
-    */
-  def migrateIvfIndexLayout(spark: SparkSession, path: String): Unit = {
-    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(corpus).filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("cluster=")).foreach { c =>
-      val loose = fs.listStatus(c.getPath).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      if (loose.nonEmpty) {
-        val sub = new org.apache.hadoop.fs.Path(c.getPath, "ingest_batch=-1")
-        fs.mkdirs(sub)
-        loose.foreach(f =>
-          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(sub, f.getPath.getName)))
-      }
-    }
-  }
-
-  /** Old-layout tripwire (see [[migrateIvfIndexLayout]]): a cluster dir
-    * holding loose data files is the pre-`ingest_batch` format.
-    */
-  private[graft] def requireTwoLevelCorpusLayout(spark: SparkSession, path: String): Unit = {
-    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(corpus)) return
-    val oldStyle = fs.listStatus(corpus).exists(s => s.isDirectory &&
-      s.getPath.getName.startsWith("cluster=") &&
-      fs.listStatus(s.getPath).exists(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
-    if (oldStyle) throw new IllegalStateException(
-      s"IVF index at $path uses the pre-ingest_batch single-level corpus " +
-        "layout; mutating it in the two-level format would leave mixed " +
-        "partition depths that parquet partition discovery rejects. Run " +
-        "Similarity.migrateIvfIndexLayout(spark, path) once (in-place, " +
-        "metadata-only) and retry.")
-  }
+  def appendToIvfIndex(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit =
+    VersionedIvf.append(batch, vecCol, idCol, path)
 
   private[operators] def assignToIndex(
       df: DataFrame, vecCol: String, idCol: String, centroids: Seq[Seq[Float]]): DataFrame =
     df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       nearestCentroid(col(vecCol), centroids).as("cluster"))
 
-  /** Delete vectors from a persisted index IN PLACE — the retention/
-    * right-to-be-forgotten face of the index lifecycle (build → append →
-    * delete → probe). Scale shape: the delete set first identifies the
-    * AFFECTED clusters — a bounded ≤ k-row collect — and only those
-    * clusters' partitions are rewritten; every untouched cluster's files
-    * are never read or written. See [[deleteFromIndexTable]] for the
-    * durability order. Returns the number of rows actually deleted.
+  /** Delete vectors from a persisted index — the retention/
+    * right-to-be-forgotten face of the lifecycle (build → append → delete
+    * → probe). Tombstone-only ([[VersionedIvf.delete]]): the ids stop
+    * retrieving immediately via the probe-side anti-join, and the physical
+    * purge happens at the next [[consolidateIvfIndex]]/[[retrainIvfIndex]]
+    * (which write a tombstone-free generation). Consequences: re-adding a
+    * deleted id requires a consolidation first (tombstones screen stream
+    * ingest AND probes until then), and tombstones accumulate until one
+    * runs. Returns the number of live rows newly suppressed.
     */
   def deleteFromIvfIndex(
       spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long =
-   MaintenanceLock.withLock(spark, path) {
-    requireTwoLevelCorpusLayout(spark, path)
-    recoverPendingRetrain(spark, path, asLockHolder = true)
-    // Tombstone the FULL requested id set (not just ids found) BEFORE
-    // touching data: a streaming ingest batch that was written but not yet
-    // checkpoint-committed, replayed AFTER this delete, would dynamically
-    // overwrite its ingest_batch partitions with pre-delete rows —
-    // silently resurrecting deleted vectors. Every ingest batch
-    // ([[ingestBatchToIvfIndex]]) anti-joins these tombstones, so a replay
-    // re-applies the delete. Recording ids that are not (yet) in the index
-    // is the point: the id may live only in that uncommitted batch.
-    // Consequences of tombstone semantics ("this id must not re-enter via
-    // stream ingest"): re-adding a deleted vector later requires
-    // [[purgeIvfTombstones]] first (or the batch [[appendToIvfIndex]]
-    // path, which does not consult tombstones); tombstones accumulate
-    // until purged, and a delete that subsequently FAILS (e.g. the full-erasure
-    // refusal) leaves its tombstones behind — over-conservative, matching
-    // retry-the-delete semantics, never data loss. The id set is pinned
-    // once so tombstones and the rewrite cannot diverge under a
-    // non-deterministic `ids` plan.
-    val pinned = graft.CacheScope.localCheckpoint(
-      ids.select(col(idCol).cast("long").as(idCol)).distinct())
-    try {
-      pinned.select(col(idCol).as("vec_id"))
-        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-      deleteFromIndexTable(spark, s"$path/corpus", pinned, idCol,
-        Seq("cluster", "ingest_batch"))
-    } finally graft.CacheScope.unpersistCheckpoint(pinned)
-   }
+    VersionedIvf.delete(spark, path, ids, idCol)
 
-  /** Shared delete engine for the two index tables. Durability order:
-    *  1. the delete set is pinned ONCE (eager local checkpoint): a
-    *     non-deterministic `ids` plan (e.g. a LIMIT without ORDER BY — or
-    *     one that READS the index being mutated) must not select different
-    *     rows in the count than in the rewrite;
-    *  2. survivors of the affected clusters are written to a STAGING
-    *     sibling dir while the live table is untouched — a crash here
-    *     loses nothing;
-    *  3. a `_COMMIT` marker (the affected cluster list) is written into
-    *     staging — the swap's point of no return: recovery rolls BACK
-    *     (drops staging, live untouched) before the marker exists and
-    *     rolls FORWARD (finishes the per-cluster swaps) after;
-    *  4. each affected cluster swaps: drop the live `cluster=c` dir,
-    *     rename the staged one in. A crash anywhere in this loop is
-    *     repaired by [[recoverPendingSwaps]], which every probe/mutate
-    *     entry point runs first (one listStatus when nothing is pending) —
-    *     unlike delete-then-rewrite, which would lose every SURVIVOR of
-    *     the affected clusters if the writer died mid-way. NOTE: rename is
-    *     atomic on HDFS/POSIX but copy+delete on object stores (S3A) — on
-    *     those, a crash can additionally leave a cluster half-copied;
-    *     recovery re-runs the rename, and for fully transactional deletes
-    *     version the whole index with the
-    *     [[graft.load.Warehouse.commitSnapshot]] pattern instead;
-    *  5. staging (marker included) is dropped.
-    * Single-writer discipline assumed, as for all table maintenance here:
-    * recovery repairs CRASHED writers; it does not coordinate live ones.
-    * Deleting the ENTIRE table is refused — it would leave a parquet dir
-    * with no files, which subsequent reads cannot even infer a schema
-    * from; drop the index directory instead.
-    */
-  private def deleteFromIndexTable(
-      spark: SparkSession, tableDir: String, ids: DataFrame, idCol: String,
-      partitionCols: Seq[String]): Long = {
-    recoverPendingSwaps(spark, tableDir, asLockHolder = true)
-    val table = spark.read.parquet(tableDir)
-    val del = graft.CacheScope.localCheckpoint(
-      ids.select(col(idCol).cast("long").as("__del_id")).distinct())
-    try {
-      val affected = table.join(broadcast(del), col("vec_id") === col("__del_id"))
-        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)) // bounded: ≤ k rows
-      if (affected.isEmpty) return 0L
-      val clusters = affected.map(_._1)
-      val tablePath = new org.apache.hadoop.fs.Path(tableDir)
-      val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def clusterDirsOf(p: org.apache.hadoop.fs.Path): Set[String] =
-        fs.listStatus(p).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("cluster=")).toSet
-      val liveDirs = clusterDirsOf(tablePath)
-      val staging = new org.apache.hadoop.fs.Path(
-        s"${tableDir}__rewrite_${java.util.UUID.randomUUID().toString.take(8)}")
-      table.filter(col("cluster").isin(clusters: _*))
-        .join(broadcast(del), col("vec_id") === col("__del_id"), "left_anti")
-        .write.mode("overwrite").partitionBy(partitionCols: _*)
-        .parquet(staging.toString)
-      val stagedDirs = clusterDirsOf(staging)
-      if (stagedDirs.isEmpty &&
-        (liveDirs -- clusters.map(c => s"cluster=$c")).isEmpty) {
-        fs.delete(staging, true)
-        throw new IllegalStateException(
-          s"delete would erase the entire index table at $tableDir — " +
-            "drop the index directory instead of deleting every row")
-      }
-      // point of no return: the marker commits the swap — a crash after
-      // this line rolls FORWARD via recoverPendingSwaps. Each line records
-      // the cluster AND whether survivors were staged for it: a cluster
-      // whose rows were ALL deleted has no staged dir, which recovery
-      // could not otherwise tell apart from one already swapped (where
-      // deleting the live dir again would destroy the new data).
-      // the marker itself commits via write-temp-then-rename, so its
-      // EXISTENCE implies complete content — a crash mid-write leaves only
-      // the temp file and recovery correctly rolls back
-      val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
-      val markerTmp = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker + ".tmp")
-      val out = fs.create(markerTmp, false)
-      try out.write(clusters.map { c =>
-        val kind = if (stagedDirs.contains(s"cluster=$c")) "staged" else "empty"
-        s"cluster=$c $kind"
-      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      fs.rename(markerTmp, marker)
-      clusters.foreach { c =>
-        val live = new org.apache.hadoop.fs.Path(s"$tableDir/cluster=$c")
-        fs.delete(live, true)
-        val staged = new org.apache.hadoop.fs.Path(s"$staging/cluster=$c")
-        if (fs.exists(staged)) fs.rename(staged, live)
-      }
-      fs.delete(staging, true)
-      affected.map(_._2).sum
-    } finally graft.CacheScope.unpersistCheckpoint(del)
-  }
-
-  /** Fold every per-batch ingest partition into the `-1` base partition —
-    * partition-count maintenance for a long-running ingest stream or gate,
-    * which otherwise accrues one `ingest_batch=<id>` dir per micro-batch
-    * per cluster forever. Correctness is unchanged for every consumer:
-    * probes read all batches regardless, and the gates' strictly-earlier
-    * filter treats `-1` as earlier than every batch id. Runs under the
-    * SAME staged `_COMMIT` swap protocol as deletes ([[recoverPendingSwaps]]
-    * repairs a crash at any point), rewrites ONLY clusters that actually
-    * hold batch partitions, and obeys the same single-writer discipline:
-    * run it when the ingest stream has no uncommitted batches (a batch
-    * consolidated out from under its pending checkpoint replays as a
-    * dynamic-overwrite re-append of rows that now also exist in `-1` —
-    * duplicating them). Pass the ingest stream's `checkpointDir` to turn
-    * that discipline into a MECHANICAL invariant: the call refuses while
-    * the checkpoint's commit log shows a started-but-uncommitted batch
-    * ([[graft.streaming.CommitLog.requireAllCommitted]]). Concurrent
+  /** Fold every ingest segment into the base and physically purge
+    * tombstones — as the NEXT generation ([[VersionedIvf.consolidate]]):
+    * partition-count maintenance for a long-running ingest stream or gate
+    * plus the tombstone purge, one verb. Correctness is unchanged for
+    * every consumer (probes read live membership regardless; the gates'
+    * strictly-earlier reads ride the segment markers). Run it when the
+    * ingest stream has no uncommitted batches — pass the stream's
+    * `checkpointDir` to enforce that mechanically
+    * ([[graft.streaming.CommitLog.requireAllCommitted]]); concurrent
     * maintenance writers are fenced by the index's [[MaintenanceLock]].
     */
   def consolidateIvfIndex(
       spark: SparkSession, path: String,
-      checkpointDir: Option[String] = None): Unit = {
-    requireTwoLevelCorpusLayout(spark, path)
-    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
-      spark, _, s"consolidateIvfIndex($path)"))
-   MaintenanceLock.withLock(spark, path) {
-    recoverPendingRetrain(spark, path, asLockHolder = true)
-    val tableDir = s"$path/corpus"
-    recoverPendingSwaps(spark, tableDir, asLockHolder = true)
-    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val clusters = fs.listStatus(tablePath).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith("cluster="))
-      .filter { c =>
-        val subs = fs.listStatus(c).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("ingest_batch="))
-        subs.exists(_ != "ingest_batch=-1")
-      }
-      .map(_.getName.stripPrefix("cluster=").toInt)
-    if (clusters.isEmpty) return
-    val staging = new org.apache.hadoop.fs.Path(
-      s"${tableDir}__rewrite_${java.util.UUID.randomUUID().toString.take(8)}")
-    spark.read.parquet(tableDir)
-      .filter(col("cluster").isin(clusters.toSeq: _*))
-      .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch")
-      .parquet(staging.toString)
-    // same commit-marker protocol as deleteFromIndexTable; consolidation
-    // never empties a cluster, so every line is `staged`
-    val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
-    val markerTmp = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker + ".tmp")
-    val out = fs.create(markerTmp, false)
-    try out.write(clusters.map(c => s"cluster=$c staged").mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.rename(markerTmp, marker)
-    clusters.foreach { c =>
-      val live = new org.apache.hadoop.fs.Path(s"$tableDir/cluster=$c")
-      fs.delete(live, true)
-      val staged = new org.apache.hadoop.fs.Path(s"$staging/cluster=$c")
-      if (fs.exists(staged)) fs.rename(staged, live)
-    }
-    fs.delete(staging, true)
-   }
-  }
+      checkpointDir: Option[String] = None): Unit =
+    VersionedIvf.consolidate(spark, path, checkpointDir)
 
-  /** Purge the ANN index's delete tombstones — the lifecycle symmetry
-    * partner of [[Dedup.compactNearDupIndex]]'s tombstone clear (the r9
-    * VERDICT's one remaining asymmetry). Tombstones exist to make a
-    * written-but-uncommitted ingest batch's REPLAY re-apply deletes
-    * ([[ingestBatchToIvfIndex]]); once every batch that could replay them
-    * is committed they are pure cost: each gate/ingest batch pays an
-    * anti-join against an ever-growing set, and a purged id can never
-    * re-enter via stream ingest. Pass the ingest stream's `checkpointDir`
-    * to enforce that precondition mechanically (refuses while a batch is
-    * started-but-uncommitted); after the purge, gate batches skip the
-    * anti-join entirely (`fs.exists` gate) and deleted ids may be
-    * re-added through any ingest path.
-    *
-    * The tombstoned ids are defensively re-applied to the corpus table
-    * first (normally a no-op: [[deleteFromIvfIndex]] already rewrote the
-    * affected clusters and every ingest batch screens its rows) so
-    * dropping the tombstone dir can never resurrect a vector that slipped
-    * in through a replay raced between delete and purge.
+  /** Purge the ANN index's delete tombstones so deleted ids may re-enter
+    * through any ingest path. On the generation-log model a purge IS a
+    * consolidation ([[VersionedIvf.consolidate]] applies tombstones to the
+    * next generation and drops them) — kept as its own verb because the
+    * lifecycle intent ("stop paying the anti-join; allow re-adds") is
+    * distinct from partition maintenance, and because the checkpoint guard
+    * contract is the same: pass the ingest stream's `checkpointDir` so a
+    * written-but-uncommitted batch cannot replay across the purge.
     */
   def purgeIvfTombstones(
       spark: SparkSession, path: String,
-      checkpointDir: Option[String] = None): Unit = {
-    requireTwoLevelCorpusLayout(spark, path)
-    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
-      spark, _, s"purgeIvfTombstones($path)"))
-    MaintenanceLock.withLock(spark, path) {
-      recoverPendingRetrain(spark, path, asLockHolder = true)
-      recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = true)
-      val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-      val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(tombDir)) {
-        deleteFromIndexTable(spark, s"$path/corpus",
-          spark.read.parquet(tombDir.toString).select(col("vec_id")),
-          "vec_id", Seq("cluster", "ingest_batch"))
-        fs.delete(tombDir, true)
-      }
-    }
-  }
+      checkpointDir: Option[String] = None): Unit =
+    VersionedIvf.consolidate(spark, path, checkpointDir)
 
-  /** Retrain the coarse quantizer IN PLACE for a drifted corpus — the
-    * missing third verb of the index lifecycle (build → append/ingest →
-    * RETRAIN). Every append and gate assigns against FROZEN centroids; a
-    * corpus that drifts away from them degrades recall-at-fixed-nprobe
-    * with no recourse short of a manual rebuild (the FAISS posture: coarse
-    * quantizers are retrained on the operator's cadence, not per insert).
-    * This retrains on the STORED vectors (sampled via `trainSample`, the
-    * [[trainIvfCentroids]] contract), reassigns every row, and swaps
-    * centroids + corpus in under one `_COMMIT` marker in a
-    * `$path/__retrain_*` staging dir — [[recoverPendingRetrain]] (run by
-    * every probe/mutate entry point) rolls a crash forward after the
-    * marker and back before it, so readers never see new centroids with
-    * old assignments or vice versa.
-    *
-    * Preserved across the retrain: `ingest_batch` partition values (the
-    * gates' strictly-earlier reads are unaffected) and the tombstone set
-    * (id-based, orthogonal to clustering). Correctness is invariant by
-    * the standing argument — exhaustive probe ≡ brute force for ANY
-    * centroid set — so retraining moves only recall/efficiency, never
-    * results at nprobe = k. Run it only when the ingest stream is
-    * quiescent (pass `checkpointDir` to enforce; a stream that already
-    * read the OLD centroids at start would otherwise keep assigning new
-    * arrivals against them — consistent reads, stale placement).
-    *
-    * `k` defaults to the stored centroid count; raise it when the corpus
-    * has outgrown the original cell count (rule of thumb ~√n cells).
-    * IVF-PQ indexes retrain through [[retrainIvfPqIndex]] (same swap
-    * protocol; needs the float-original corpus the probe path re-ranks
-    * against, because the codes table stores no vectors).
+  /** Retrain the coarse quantizer for a drifted corpus — the third verb
+    * of the index lifecycle (build → append/ingest → RETRAIN). Every
+    * append and gate assigns against FROZEN centroids; a corpus that
+    * drifts away from them degrades recall-at-fixed-nprobe with no
+    * recourse short of a manual rebuild (the FAISS posture: coarse
+    * quantizers retrain on the operator's cadence, not per insert). This
+    * retrains on the STORED vectors (sampled via `trainSample`), reassigns
+    * every live row, and publishes the result as the NEXT generation with
+    * one marker create ([[VersionedIvf.retrain]]) — readers never see new
+    * centroids with old assignments. Tombstones are applied (the new
+    * generation starts clean) and segments fold into the base; run it only
+    * when the ingest stream is quiescent (pass `checkpointDir` to
+    * enforce). Correctness is invariant by the standing argument —
+    * exhaustive probe ≡ brute force for ANY centroid set. `k` defaults to
+    * the stored centroid count.
     */
   def retrainIvfIndex(
       spark: SparkSession, path: String,
       k: Option[Int] = None, iterations: Int = 3, trainSample: Int = 1,
-      checkpointDir: Option[String] = None): Unit = {
-    requireTwoLevelCorpusLayout(spark, path)
-    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
-      spark, _, s"retrainIvfIndex($path)"))
-    MaintenanceLock.withLock(spark, path) {
-      recoverPendingRetrain(spark, path, asLockHolder = true)
-      recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = true)
-      import spark.implicits._
-      val corpus = spark.read.parquet(s"$path/corpus")
-      val kk = k.getOrElse(readIvfCentroids(spark, path).size)
-      val cents = trainIvfCentroids(
-        corpus.select(col("vec_id"), col("embedding")),
-        "embedding", "vec_id", kk, iterations, trainSample)
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(
-        s"$path/__retrain_${java.util.UUID.randomUUID().toString.take(8)}")
-      cents.zipWithIndex.map { case (v, i) => (i, v) }
-        .toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      // full reassignment against the NEW centroids; ingest_batch rides
-      // along unchanged so gate replay semantics survive the retrain
-      corpus.select(col("vec_id"), col("embedding"),
-          nearestCentroid(col("embedding"), cents).as("cluster"),
-          col("ingest_batch"))
-        .write.mode("overwrite").option("partitionOverwriteMode", "static")
-        .partitionBy("cluster", "ingest_batch")
-        .parquet(s"$staging/corpus")
-      // point of no return — same write-temp-then-rename marker protocol
-      // as the delete swap: marker EXISTENCE implies complete content
-      val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
-      val markerTmp = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker + ".tmp")
-      val out = fs.create(markerTmp, false)
-      try out.write("centroids corpus".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      fs.rename(markerTmp, marker)
-      Seq("centroids", "corpus").foreach { sub =>
-        val staged = new org.apache.hadoop.fs.Path(staging, sub)
-        if (fs.exists(staged)) {
-          val live = new org.apache.hadoop.fs.Path(root, sub)
-          fs.delete(live, true)
-          fs.rename(staged, live)
-        }
-      }
-      fs.delete(staging, true)
-    }
-  }
+      checkpointDir: Option[String] = None): Unit =
+    VersionedIvf.retrain(spark, path, k, iterations, trainSample, checkpointDir)
 
   /** The retrain TRIGGER metric + an index integrity invariant, one narrow
     * pass over the corpus (k native cosines per row against broadcast
@@ -786,11 +448,8 @@ object Similarity {
     *
     * All outputs integer, so the frame hash-replays across engines.
     */
-  def ivfAssignmentDrift(spark: SparkSession, path: String): DataFrame = {
-    recoverIvfIndex(spark, path)
-    assignmentDriftOf(
-      spark.read.parquet(s"$path/corpus"), readIvfCentroids(spark, path))
-  }
+  def ivfAssignmentDrift(spark: SparkSession, path: String): DataFrame =
+    VersionedIvf.assignmentDrift(spark, path)
 
   /** The drift/integrity computation shared by the in-place and versioned
     * ([[VersionedIvf.assignmentDrift]]) health faces: per-`ingest_batch`
@@ -814,227 +473,29 @@ object Similarity {
         .as("misassigned"))
   }
 
-  /** Crash repair for [[retrainIvfIndex]]'s whole-index staged swap, run
-    * (with [[recoverPendingSwaps]]) by every probe/mutate entry point. No
-    * `_COMMIT` marker → the writer died staging (training or the rewrite)
-    * and the live index was never touched → roll BACK. Marker present →
-    * roll FORWARD: each sub-table whose staged copy still exists swaps in
-    * (already-swapped ones are skipped — their staged dir is gone), then
-    * staging drops. Idempotent under repeated crashes.
-    *
-    * `asLockHolder` scopes WHO may repair WHAT: a caller inside the
-    * [[MaintenanceLock]] lease repairs unconditionally (no live writer can
-    * hold the same lease). An UN-LOCKED caller (probes, stream starts) may
-    * only roll FORWARD a marker-committed swap whose staging has gone
-    * quiet for a full lease TTL — a younger staging may belong to a LIVE
-    * retrain, and racing its swap can tear centroids from assignments (a
-    * reader's delete(live) landing after the writer's rename leaves the
-    * index missing a sub-table). Marker-LESS staging is never a reader's
-    * business: the live index is untouched by construction, so skipping
-    * it costs nothing, and deleting it could yank a live writer's staging
-    * out from under the marker it is about to write. A post-marker crash
-    * therefore leaves probes reading-or-failing against whatever swap
-    * state stands for up to one TTL, after which any entry point heals
-    * the index — fail-loud-then-self-heal, never silently torn.
-    */
-  private[graft] def recoverPendingRetrain(
-      spark: SparkSession, path: String, asLockHolder: Boolean): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__retrain_"))
-      .foreach { st =>
-        val staging = st.getPath
-        val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
-        val committed = fs.exists(marker)
-        if (asLockHolder || (committed && stagingLooksDead(fs, staging))) {
-          if (committed) {
-            // the marker CONTENT is the sub-table list (space-separated):
-            // "centroids corpus" for the IVF retrain, "centroids books
-            // codes" for the IVF-PQ one — one crash protocol, two families
-            val subs =
-              try {
-                val in = fs.open(marker)
-                val txt =
-                  try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                  finally in.close()
-                txt.split("\\s+").filter(_.nonEmpty).toSeq
-              } catch { case _: Exception => Seq("centroids", "corpus") }
-            subs.foreach { sub =>
-              val staged = new org.apache.hadoop.fs.Path(staging, sub)
-              if (fs.exists(staged)) {
-                val live = new org.apache.hadoop.fs.Path(root, sub)
-                fs.delete(live, true)
-                fs.rename(staged, live)
-              }
-            }
-          }
-          fs.delete(staging, true)
-        }
-      }
-  }
-
-  /** The full reader-side repair for a persisted IVF index: finish a
-    * long-dead committed retrain swap, then a long-dead committed
-    * delete/consolidate swap (forward-only, TTL-aged — see
-    * [[recoverPendingRetrain]]'s reader rules). One listStatus each when
-    * nothing is pending.
-    */
-  private def recoverIvfIndex(spark: SparkSession, path: String): Unit = {
-    recoverPendingRetrain(spark, path, asLockHolder = false)
-    recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = false)
-  }
-
-  /** Readers must not repair staging younger than one lease TTL: it may
-    * belong to a live writer. Staleness = the newest mtime across the
-    * staging tree's top two levels (task files landing in cluster dirs
-    * bump those dirs' mtimes, so a live writer keeps its staging young
-    * even during a long rewrite). Errors (staging vanished mid-check —
-    * someone else repaired it) read as "not dead": hands off.
-    */
-  private def stagingLooksDead(
-      fs: org.apache.hadoop.fs.FileSystem,
-      staging: org.apache.hadoop.fs.Path): Boolean = {
-    def newest(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
-      val st = fs.getFileStatus(p)
-      if (depth == 0 || !st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +:
-        fs.listStatus(p).map(c => newest(c.getPath, depth - 1)).toSeq).max
-    }
-    try System.currentTimeMillis() - newest(staging, 2) >
-      MaintenanceLock.DefaultTtlMs
-    catch { case _: Exception => false }
-  }
-
-  private val SwapCommitMarker = "_COMMIT"
-
-  /** Crash repair for [[deleteFromIndexTable]]'s staged swap, run by every
-    * probe and mutate entry point before reading the table. Cost when
-    * nothing is pending: one `listStatus` of the index directory. For each
-    * orphaned `<table>__rewrite_*` staging dir found:
-    *  - no `_COMMIT` marker → the writer died while staging survivors; the
-    *    live table was never touched → roll BACK (drop staging);
-    *  - marker present → the writer died mid-swap; some clusters may
-    *    already hold staged data, others still the pre-delete live dir,
-    *    and a cluster may be caught BETWEEN its delete and rename (live
-    *    dir absent, staged copy intact) → roll FORWARD per marker line:
-    *    a `staged` cluster whose staged dir still exists gets the live dir
-    *    dropped and the staged one renamed in (staged dir gone = already
-    *    swapped, skipped); an `empty` cluster (every row deleted — nothing
-    *    was staged) gets its live dir dropped, idempotently. Then staging
-    *    is dropped.
-    * Idempotent: replaying recovery after its own crash re-enters the same
-    * roll-forward.
-    *
-    * Same reader rules as [[recoverPendingRetrain]]: un-locked callers
-    * only roll FORWARD committed swaps whose staging has been quiet for a
-    * full lease TTL, and never touch marker-less staging.
-    */
-  private[graft] def recoverPendingSwaps(
-      spark: SparkSession, tableDir: String, asLockHolder: Boolean): Unit = {
-    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parent = tablePath.getParent
-    if (parent == null || !fs.exists(parent)) return
-    val prefix = tablePath.getName + "__rewrite_"
-    fs.listStatus(parent)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .filter(st => asLockHolder ||
-        (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, SwapCommitMarker)) &&
-          stagingLooksDead(fs, st.getPath)))
-      .foreach { st =>
-        val staging = st.getPath
-        val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
-        if (fs.exists(marker)) {
-          val in = fs.open(marker)
-          val committed =
-            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-              .filter(_.nonEmpty).map(_.split(' ')).toList
-            finally in.close()
-          committed.collect { case Array(clusterDir, kind) =>
-            val live = new org.apache.hadoop.fs.Path(tablePath, clusterDir)
-            if (kind == "empty") fs.delete(live, true)
-            else {
-              val staged = new org.apache.hadoop.fs.Path(staging, clusterDir)
-              if (fs.exists(staged)) {
-                fs.delete(live, true)
-                fs.rename(staged, live)
-              }
-            }
-          }
-        }
-        fs.delete(staging, true)
-      }
-  }
-
   /** Streaming face of [[appendToIvfIndex]]: a stream of embeddings (e.g. a
     * parquet landing dir of daily arrivals) is assigned per micro-batch
-    * against the FROZEN stored centroids and appended to the index —
-    * continuous ingest with no retrain, no rewrite of standing data.
-    *
-    * Exactly-once under replay: each batch writes its rows into their own
-    * `ingest_batch=<id>` sub-partition via dynamic partition overwrite, so
-    * a batch replayed after a failure between write and checkpoint commit
-    * REPLACES its own partitions instead of double-appending (the
-    * EventStream.foreachBatchIngest contract) — and the batch write
-    * re-applies the index's delete tombstones first, so a replay cannot
-    * resurrect vectors [[deleteFromIvfIndex]] removed in the meantime
-    * (see [[ingestBatchToIvfIndex]]). The probe path is unchanged:
-    * partition discovery surfaces `ingest_batch` as an extra column the
-    * probe projection ignores, and cluster pruning still holds —
-    * `cluster` remains the leading partition level.
+    * against the stored centroids and lands as one marker-committed
+    * segment per batch ([[VersionedIvf.streamAppend]]) — continuous ingest
+    * with no retrain, no rewrite of standing data, exactly-once under
+    * replay (the checkpoint batch id rides in the segment marker's name,
+    * so a replay is detected by listing alone and skipped).
     */
   def streamAppendToIvfIndex(
       stream: DataFrame, vecCol: String, idCol: String,
-      path: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    requireTwoLevelCorpusLayout(stream.sparkSession, path)
-    recoverIvfIndex(stream.sparkSession, path)
-    // frozen quantizer: read ONCE at stream start — later arrivals never
-    // influence it (the appendToIvfIndex contract)
-    val centroids = readIvfCentroids(stream.sparkSession, path)
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        ingestBatchToIvfIndex(batch.toDF(), vecCol, idCol, path, centroids, batchId))
-      .start()
-  }
+      path: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    VersionedIvf.streamAppend(stream, vecCol, idCol, path, checkpointDir)
 
   /** One ingest batch of [[streamAppendToIvfIndex]], exposed for replay
-    * testing and receipts. Replay-idempotent twice over: the dynamic
-    * partition overwrite makes a re-run REPLACE the batch's own
-    * `ingest_batch=<id>` partitions (never double-append), and the
-    * anti-join against `$path/tombstones` re-applies every delete issued
-    * since the batch first ran — without it, a batch written but not yet
-    * checkpoint-committed, replayed after a [[deleteFromIvfIndex]], would
-    * silently resurrect the deleted vectors from its pre-delete input.
-    * The tombstone scan is a broadcast-sized read per batch (delete sets;
-    * prune the dir once the stream has committed past the affected
-    * batches).
+    * testing and receipts. Replay-idempotent (marker-detected skip) and
+    * tombstone-screened: a batch written but not checkpoint-committed,
+    * replayed after a [[deleteFromIvfIndex]], cannot resurrect the deleted
+    * vectors.
     */
   private[graft] def ingestBatchToIvfIndex(
       batch: DataFrame, vecCol: String, idCol: String,
-      path: String, centroids: Seq[Seq[Float]], batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val assigned = assignToIndex(batch, vecCol, idCol, centroids)
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val screened =
-      if (fs.exists(tombDir))
-        assigned.join(
-          broadcast(spark.read.parquet(tombDir.toString)
-            .select(col("vec_id").as("__tomb_id")).distinct()),
-          col("vec_id") === col("__tomb_id"), "left_anti")
-      else assigned
-    screened
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cluster", "ingest_batch")
-      .parquet(s"$path/corpus")
-  }
+      path: String, batchId: Long): Unit =
+    VersionedIvf.ingestBatch(batch, vecCol, idCol, path, batchId)
 
   /** Streaming SEMANTIC dedup gate — SemDeDup at ingest over a persisted
     * IVF index, the embedding twin of
@@ -1066,8 +527,7 @@ object Similarity {
       indexPath: String, keptDir: String, checkpointDir: String,
       threshold: Double, nprobe: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    requireTwoLevelCorpusLayout(stream.sparkSession, indexPath)
-    recoverIvfIndex(stream.sparkSession, indexPath)
+    GenerationLog.requireCurrentDir(stream.sparkSession, indexPath)
     val centroids = readIvfCentroids(stream.sparkSession, indexPath)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1088,20 +548,14 @@ object Similarity {
       batchId: Long, threshold: Double, nprobe: Int): Unit =
     graft.CacheScope.withScope {
       val spark = batch.sparkSession
-      recoverIvfIndex(spark, indexPath)
-      val c0 = spark.read.parquet(s"$indexPath/corpus")
-        .filter(col("ingest_batch") < lit(batchId))
+      val dir = GenerationLog.requireCurrentDir(spark, indexPath)
+      // strictly-earlier live membership: base ∪ committed segments with
+      // stream ids < this batch, minus tombstones — a replay cannot be
+      // suppressed by its first attempt's own vectors, and a forgotten
+      // vector no longer suppresses
+      val corpus = VersionedIvf.liveCorpus(spark, dir, beforeBatch = Some(batchId))
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
           col("cluster"))
-      val tombDir = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-      val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val corpus =
-        if (fs.exists(tombDir))
-          c0.join(
-            broadcast(spark.read.parquet(tombDir.toString)
-              .select(col("vec_id").as("__tomb")).distinct()),
-            col("neighbor_id") === col("__tomb"), "left_anti")
-        else c0
       val suppressed = probeAssignedCorpus(corpus, batch, vecCol, idCol,
           k = 1, centroids, nprobe, broadcastQueries = true)
         .filter(col("cos") >= threshold)
@@ -1109,43 +563,45 @@ object Similarity {
       val unseen = batch.join(suppressed,
         batch(idCol) === suppressed("query_id"), "left_anti")
       val kept = Dedup.semanticKeepers(unseen, vecCol, idCol, threshold)
-      kept.withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(keptDir)
-      // append from the WRITTEN kept partition (replay-identical read-back,
-      // same rationale as the text gate); an all-suppressed batch writes no
-      // partition and appends nothing
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$keptDir/ingest_batch=$batchId"))) {
-        val keptBack = spark.read.parquet(keptDir)
-          .filter(col("ingest_batch") === lit(batchId))
-        ingestBatchToIvfIndex(keptBack, vecCol, idCol, indexPath, centroids, batchId)
-      }
+      // kept rows land by static overwrite of the batch's OWN partition dir
+      // (replay rewrites the same dir — idempotent), then the index append
+      // derives from the WRITTEN partition (replay-identical read-back) as
+      // a marker-committed segment that a replay skips by marker name
+      val batchKeptDir = s"$keptDir/ingest_batch=$batchId"
+      kept.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .parquet(batchKeptDir)
+      val fs = new org.apache.hadoop.fs.Path(keptDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(batchKeptDir))
+        .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
+        !spark.read.parquet(batchKeptDir).limit(1).isEmpty
+      if (hasData)
+        VersionedIvf.ingestBatch(
+          spark.read.parquet(batchKeptDir), vecCol, idCol, indexPath, batchId)
     }
 
-  def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] =
-    spark.read.parquet(s"$path/centroids").orderBy(col("cluster"))
+  /** Read the coarse centroids of an index. Layout-resolving: `path` may
+    * be the index ROOT (the current committed generation is resolved via
+    * the [[GenerationLog]]) or a generation dir itself (the internal
+    * callers' shape).
+    */
+  def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] = {
+    val dir = GenerationLog.currentDir(spark, path).getOrElse(path)
+    spark.read.parquet(s"$dir/centroids").orderBy(col("cluster"))
       .select(col("centroid")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+  }
 
   /** Probe a persisted index: same shape as [[ivfTopK]], but the corpus
-    * side is the stored cluster-partitioned table — no re-assignment, and
-    * only the probed clusters' files are read.
+    * side is the stored cluster-partitioned live membership — no
+    * re-assignment, and only the probed clusters' files are read. Pure
+    * read ([[VersionedIvf.topKFromIndex]]): never repairs, never writes.
     */
   def ivfTopKFromIndex(
       spark: SparkSession, path: String, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nprobe: Int,
-      broadcastQueries: Boolean = true): DataFrame = {
-    // reader-side crash repair: a writer that died mid-retrain or
-    // mid-delete-swap leaves a committed staging dir; finish (or discard)
-    // it before probing
-    recoverIvfIndex(spark, path)
-    val centroids = readIvfCentroids(spark, path)
-    probeAssignedCorpus(
-      spark.read.parquet(s"$path/corpus")
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cluster")),
-      queries, vecCol, idCol, k, centroids, nprobe, broadcastQueries)
-  }
+      broadcastQueries: Boolean = true): DataFrame =
+    VersionedIvf.topKFromIndex(spark, path, queries, vecCol, idCol, k,
+      nprobe, broadcastQueries)
 
   /** Zero-violation recall contract for an ANN path (VERDICT r4 #2): the
     * approximate result must recover at least `floorX1000`/1000 of the brute-
@@ -1476,170 +932,88 @@ object Similarity {
     * cluster-PARTITIONED code rows — (1 + m) small ints per vector, the
     * whole point of PQ at rest. The float originals are NOT duplicated into
     * the index: they stay in the base corpus table, which the probe touches
-    * only for the short re-rank candidate list (an id equi-join).
+    * only for the short re-rank candidate list (an id equi-join). Same
+    * round-12 unified lifecycle as the IVF family: one implementation per
+    * verb, on the [[GenerationLog]] commit model ([[VersionedIvfPq]]).
     */
   def writeIvfPqIndex(
       corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
       path: String): Unit =
-   MaintenanceLock.withLock(corpus.sparkSession, path) { // see writeIvfIndex
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    centroids.zipWithIndex.map { case (v, i) => (i, v) }
-      .toDF("cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    books.zipWithIndex.flatMap { case (book, sI) =>
-      book.zipWithIndex.map { case (c, code) => (sI, code, c) } }
-      .toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
-    ivfPqEncode(corpus, vecCol, idCol, centroids, books)
-      // same static-overwrite pin as writeIvfIndex: a rebuild replaces the
-      // WHOLE codes table even under a globally-dynamic session
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("cluster").parquet(s"$path/codes")
-   }
+    VersionedIvfPq.write(corpus, vecCol, idCol, centroids, books, path)
 
   /** Append a batch against the FROZEN stored quantizers (no retrain) —
-    * same incremental-ingest contract as [[appendToIvfIndex]].
+    * a marker-committed code segment, same incremental-ingest contract as
+    * [[appendToIvfIndex]].
     */
   def appendToIvfPqIndex(
-      batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
-    val spark = batch.sparkSession
-    // appending into a half-swapped codes table (a writer died mid-delete)
-    // would land rows in a cluster dir the roll-forward is about to drop —
-    // an append IS a mutation: take the lease and recover as its holder
-    MaintenanceLock.withLock(spark, path) {
-      recoverPendingRetrain(spark, path, asLockHolder = true)
-      recoverPendingSwaps(spark, s"$path/codes", asLockHolder = true)
-      ivfPqEncode(batch, vecCol, idCol,
-        readIvfCentroids(spark, path), readIvfPqBooks(spark, path))
-        .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
-    }
-  }
+      batch: DataFrame, vecCol: String, idCol: String, path: String): Unit =
+    VersionedIvfPq.append(batch, vecCol, idCol, path)
 
-  /** Delete vectors from a persisted IVF-PQ index in place — the codes-
-    * table twin of [[deleteFromIvfIndex]] (same [[deleteFromIndexTable]]
-    * engine): only the affected clusters' partitions are touched, and the
-    * rewrite volume is (1+m) ints per surviving row of those clusters,
-    * never the index. Returns rows deleted.
+  /** Delete vectors from a persisted IVF-PQ index — tombstone-only, the
+    * [[deleteFromIvfIndex]] contract on the codes table: suppression is
+    * immediate (probe anti-join), the physical purge lands with the next
+    * [[consolidateIvfPqIndex]]/[[retrainIvfPqIndex]] generation. Returns
+    * the live code rows newly suppressed.
     */
   def deleteFromIvfPqIndex(
       spark: SparkSession, path: String, ids: DataFrame, idCol: String): Long =
-    MaintenanceLock.withLock(spark, path) {
-      recoverPendingRetrain(spark, path, asLockHolder = true)
-      deleteFromIndexTable(spark, s"$path/codes", ids, idCol, Seq("cluster"))
-    }
+    VersionedIvfPq.delete(spark, path, ids, idCol)
 
-  /** Retrain BOTH quantizer levels of a persisted IVF-PQ index IN PLACE —
-    * the r10 asymmetry closed: IVF had [[retrainIvfIndex]] while IVF-PQ's
-    * documented recourse was a manual [[writeIvfPqIndex]] rebuild. The
-    * index stores (1 + m) small ints per vector and NO floats, so a
-    * retrain needs the float originals: pass the SAME base corpus table
-    * the probe path already re-ranks against ([[ivfPqTopKFromIndex]]'s
-    * `corpus` argument — an IVF-PQ index without it cannot serve queries
-    * at all, so requiring it here adds no new dependency). Corpus rows
-    * not in the codes table are ignored (index membership is the codes
-    * table — deletes stay deleted); a STORED id missing from the corpus
-    * fails fast, because re-encoding would silently drop it.
-    *
-    * New coarse centroids (sampled Lloyd via [[trainIvfCentroids]]), new
-    * residual codebooks ([[trainIvfPqBooks]]), full re-encode — staged
-    * under one `$path/__retrain_*` dir and swapped under one `_COMMIT`
-    * marker naming the three sub-tables; [[recoverPendingRetrain]] reads
-    * the list from the marker, so the IVF and IVF-PQ retrains share one
-    * crash protocol (roll back before the marker, roll forward after,
-    * readers TTL-age-gated). Correctness is invariant by the standing
-    * argument — exact probe (nprobe = k, rerank ≥ corpus) ≡ brute for ANY
-    * quantizer pair, since the re-rank is exact over float originals.
-    * `k`/`m`/`ksub` default to the stored shapes.
+  /** Fold code segments and physically purge tombstones as the next
+    * generation — the IVF-PQ face of [[consolidateIvfIndex]] (quantizers
+    * and codes unchanged; the codes ARE the membership).
+    */
+  def consolidateIvfPqIndex(
+      spark: SparkSession, path: String,
+      checkpointDir: Option[String] = None): Unit =
+    VersionedIvfPq.consolidate(spark, path, checkpointDir)
+
+  /** Retrain BOTH quantizer levels of a persisted IVF-PQ index. The index
+    * stores (1 + m) small ints per vector and NO floats, so a retrain
+    * needs the float originals: pass the SAME base corpus table the probe
+    * path already re-ranks against ([[ivfPqTopKFromIndex]]'s `corpus`
+    * argument). Corpus rows not live in the codes table are ignored
+    * (membership is the codes table — deletes stay deleted); a LIVE stored
+    * id missing from the corpus fails fast, because re-encoding would
+    * silently drop it. New coarse centroids, new residual codebooks, full
+    * re-encode — published as the next generation with one marker create
+    * ([[VersionedIvfPq.retrain]]). Correctness is invariant by the
+    * standing argument — exact probe (nprobe = k, rerank ≥ corpus) ≡ brute
+    * for ANY quantizer pair. `k`/`m`/`ksub` default to the stored shapes.
     */
   def retrainIvfPqIndex(
       spark: SparkSession, path: String, corpus: DataFrame,
       vecCol: String, idCol: String,
       k: Option[Int] = None, m: Option[Int] = None, ksub: Option[Int] = None,
       iterations: Int = 3, trainSample: Int = 1,
-      checkpointDir: Option[String] = None): Unit = {
-    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
-      spark, _, s"retrainIvfPqIndex($path)"))
-    MaintenanceLock.withLock(spark, path) {
-      recoverPendingRetrain(spark, path, asLockHolder = true)
-      recoverPendingSwaps(spark, s"$path/codes", asLockHolder = true)
-      import spark.implicits._
-      val storedIds = spark.read.parquet(s"$path/codes").select(col("vec_id"))
-      val member = graft.CacheScope.localCheckpoint(
-        corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
-          .join(storedIds, Seq("vec_id"), "left_semi"))
-      val missing = storedIds
-        .join(member.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
-      require(missing == 0L,
-        s"retrainIvfPqIndex($path): $missing stored vector ids are absent " +
-          "from the supplied corpus — re-encoding would silently drop them; " +
-          "pass the same base table the probe path re-ranks against")
-      val oldBooks = readIvfPqBooks(spark, path)
-      val kk = k.getOrElse(readIvfCentroids(spark, path).size)
-      val mm = m.getOrElse(oldBooks.size)
-      val ks = ksub.getOrElse(oldBooks.head.size)
-      val cents = trainIvfCentroids(member, "embedding", "vec_id",
-        kk, iterations, trainSample)
-      val books = trainIvfPqBooks(member, "embedding", "vec_id",
-        cents, mm, ks, iterations, trainSample)
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(
-        s"$path/__retrain_${java.util.UUID.randomUUID().toString.take(8)}")
-      cents.zipWithIndex.map { case (v, i) => (i, v) }
-        .toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      books.zipWithIndex.flatMap { case (book, sI) =>
-        book.zipWithIndex.map { case (c, code) => (sI, code, c) } }
-        .toDF("subspace", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/books")
-      ivfPqEncode(member, "embedding", "vec_id", cents, books)
-        .write.mode("overwrite").option("partitionOverwriteMode", "static")
-        .partitionBy("cluster").parquet(s"$staging/codes")
-      // point of no return: marker content = the sub-tables to swap
-      val marker = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker)
-      val markerTmp = new org.apache.hadoop.fs.Path(staging, SwapCommitMarker + ".tmp")
-      val out = fs.create(markerTmp, false)
-      try out.write("centroids books codes".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      fs.rename(markerTmp, marker)
-      Seq("centroids", "books", "codes").foreach { sub =>
-        val staged = new org.apache.hadoop.fs.Path(staging, sub)
-        if (fs.exists(staged)) {
-          val live = new org.apache.hadoop.fs.Path(root, sub)
-          fs.delete(live, true)
-          fs.rename(staged, live)
-        }
-      }
-      fs.delete(staging, true)
-    }
-  }
+      checkpointDir: Option[String] = None): Unit =
+    VersionedIvfPq.retrain(spark, path, corpus, vecCol, idCol,
+      k, m, ksub, iterations, trainSample, checkpointDir)
 
+  /** Read the residual codebooks. Layout-resolving like
+    * [[readIvfCentroids]]: `path` may be the index root or a generation
+    * dir.
+    */
   def readIvfPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =
-    spark.read.parquet(s"$path/books")
+    spark.read.parquet(s"${GenerationLog.currentDir(spark, path).getOrElse(path)}/books")
       .orderBy(col("subspace"), col("code"))
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toSeq).toSeq)
 
   /** Probe a persisted IVF-PQ index: codes come from the stored
-    * cluster-partitioned table (only probed clusters' files are read —
-    * partition pruning on the probe join's cluster keys), quantizers from
-    * their stored frames, float originals from the caller's `corpus` for
-    * the re-rank join only.
+    * cluster-partitioned live membership (only probed clusters' files are
+    * read — partition pruning on the probe join's cluster keys),
+    * quantizers from their stored frames, float originals from the
+    * caller's `corpus` for the re-rank join only.
     */
   def ivfPqTopKFromIndex(
       spark: SparkSession, path: String, queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
-    recoverPendingRetrain(spark, path, asLockHolder = false)
-    recoverPendingSwaps(spark, s"$path/codes", asLockHolder = false)
-    ivfPqProbe(
-      spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cluster"), col("codes")),
-      queries, corpus, vecCol, idCol, k,
-      readIvfCentroids(spark, path), readIvfPqBooks(spark, path), nprobe, rerank)
-  }
+      nprobe: Int = 2, rerank: Int = 4): DataFrame =
+    VersionedIvfPq.topKFromIndex(spark, path, queries, corpus,
+      vecCol, idCol, k, nprobe, rerank)
 
   /** Zero-violation contract for the quantize→dequantize round trip: every
     * element must reconstruct within half a bucket width (+1 ulp slack for

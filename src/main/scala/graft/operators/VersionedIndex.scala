@@ -286,10 +286,20 @@ object VersionedIvf {
       rows: DataFrame, markerName: String): Unit = {
     // overwrite clears a crashed earlier attempt's debris at this id;
     // visibility comes from the marker, not the write
+    val segDir = SegmentLog.segmentDir(genDir, segId)
     rows.select(col("vec_id"), col("embedding"), col("cluster"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("cluster")
-      .parquet(SegmentLog.segmentDir(genDir, segId))
+      .parquet(segDir)
+    // an ALL-SCREENED batch (every row tombstoned) stages zero partitions —
+    // a dir with no parquet footers, which schema inference on the segment
+    // union cannot read. Drop it and commit marker-only: the marker must
+    // still land so a stream replay is recognized as such (the
+    // VersionedNearDup.gateBatch all-suppressed contract)
+    val fs = fsOf(spark, genDir)
+    val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(segDir))
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cluster="))
+    if (!hasData) fs.delete(new org.apache.hadoop.fs.Path(segDir), true)
     SegmentLog.commitMarker(spark, genDir, markerName)
   }
 
@@ -297,15 +307,19 @@ object VersionedIvf {
     * segments, minus tombstones. Cluster partition pruning flows through
     * both legs (`cluster=` dirs in base and inside every segment);
     * uncommitted segment dirs are excluded by construction (explicit
-    * committed-dir list under a basePath), not by filtering.
+    * committed-dir list under a basePath), not by filtering. Stream
+    * segments can be restricted to STRICTLY BEFORE `beforeBatch` (base and
+    * batch appends always qualify) — the gates' replay-safe read.
     */
-  private def liveCorpus(spark: SparkSession, genDir: String): DataFrame = {
+  private[operators] def liveCorpus(
+      spark: SparkSession, genDir: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
     val fs = fsOf(spark, genDir)
     val base = spark.read.parquet(s"$genDir/corpus")
       .select(col("vec_id"), col("embedding"),
         col("cluster").cast("int").as("cluster"),
         col("ingest_batch").cast("long").as("ingest_batch"))
-    val segDirs = SegmentLog.committedDirs(spark, genDir)
+    val segDirs = SegmentLog.committedDirs(spark, genDir, beforeBatch)
     val all =
       if (segDirs.isEmpty) base
       else base.unionByName(
@@ -321,6 +335,14 @@ object VersionedIvf {
         col("vec_id") === col("__tomb_id"), "left_anti")
     else all
   }
+
+  /** The live corpus of the CURRENT generation, as a reader view —
+    * (vec_id, embedding, cluster, ingest_batch), where `ingest_batch` is
+    * the segment id (-1 = base build/consolidated). The audit/receipt
+    * face the in-place family's raw `$path/corpus` read used to serve.
+    */
+  def corpusView(spark: SparkSession, root: String): DataFrame =
+    liveCorpus(spark, GenerationLog.requireCurrentDir(spark, root))
 
   private def writeGeneration(
       spark: SparkSession, genDir: String,
@@ -370,13 +392,23 @@ object VersionedIvf {
 
   /** Retention delete: tombstone append only (one small file). The ids
     * stop retrieving immediately (probe anti-join) and are physically
-    * purged by the next [[consolidate]]/[[retrain]]. Idempotent.
+    * purged by the next [[consolidate]]/[[retrain]]. Idempotent. Returns
+    * the number of LIVE rows the tombstones newly suppress (the in-place
+    * family's "rows actually deleted" face); the id set is pinned once so
+    * the count and the tombstone write cannot diverge under a
+    * non-deterministic `ids` plan.
     */
-  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Unit =
+  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Long =
     MaintenanceLock.withLock(spark, root) {
       val dir = GenerationLog.requireCurrentDir(spark, root)
-      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-        .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+      val pinned = graft.CacheScope.localCheckpoint(
+        ids.select(col(idCol).cast("long").as("vec_id")).distinct())
+      try {
+        val n = liveCorpus(spark, dir)
+          .join(broadcast(pinned), Seq("vec_id"), "left_semi").count()
+        pinned.coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+        n
+      } finally graft.CacheScope.unpersistCheckpoint(pinned)
     }
 
   /** Batch append against the current generation's FROZEN centroids — a
@@ -764,6 +796,12 @@ object VersionedIvfPq {
     else all
   }
 
+  /** The live codes of the CURRENT generation, as a reader view —
+    * (vec_id, codes, cluster). The audit face of the stored membership.
+    */
+  def codesView(spark: SparkSession, root: String): DataFrame =
+    liveCodes(spark, GenerationLog.requireCurrentDir(spark, root))
+
   def write(
       corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Float]], books: Seq[Seq[Seq[Float]]],
@@ -797,25 +835,38 @@ object VersionedIvfPq {
     MaintenanceLock.withLock(spark, root) {
       val dir = GenerationLog.requireCurrentDir(spark, root)
       val segId = SegmentLog.nextSegId(spark, dir)
+      val segDir = SegmentLog.segmentDir(dir, segId)
       Similarity.ivfPqEncode(batch, vecCol, idCol,
         Similarity.readIvfCentroids(spark, dir),
         Similarity.readIvfPqBooks(spark, dir))
         .select(col("vec_id"), col("codes"), col("cluster"))
         .write.mode("overwrite").option("partitionOverwriteMode", "static")
         .partitionBy("cluster")
-        .parquet(SegmentLog.segmentDir(dir, segId))
+        .parquet(segDir)
+      // empty append: drop the footerless dir, marker-only (see VersionedIvf)
+      val fs = fsOf(spark, dir)
+      val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(segDir))
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("cluster="))
+      if (!hasData) fs.delete(new org.apache.hadoop.fs.Path(segDir), true)
       SegmentLog.commitMarker(spark, dir, segId.toString)
     }
   }
 
   /** Tombstone-only retention delete (probe anti-join; physical purge at
-    * the next [[consolidate]]/[[retrain]]).
+    * the next [[consolidate]]/[[retrain]]). Returns the live rows newly
+    * suppressed — the [[VersionedIvf.delete]] contract.
     */
-  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Unit =
+  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Long =
     MaintenanceLock.withLock(spark, root) {
       val dir = GenerationLog.requireCurrentDir(spark, root)
-      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-        .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+      val pinned = graft.CacheScope.localCheckpoint(
+        ids.select(col(idCol).cast("long").as("vec_id")).distinct())
+      try {
+        val n = liveCodes(spark, dir)
+          .join(broadcast(pinned), Seq("vec_id"), "left_semi").count()
+        pinned.coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+        n
+      } finally graft.CacheScope.unpersistCheckpoint(pinned)
     }
 
   /** Fold segments + apply tombstones → next generation; quantizers and

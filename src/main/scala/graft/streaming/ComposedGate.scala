@@ -104,7 +104,7 @@ object ComposedGate {
       cleanDir: String, textKeptDir: String, keptDir: String,
       checkpointDir: String, threshold: Double, nprobe: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    Similarity.requireTwoLevelCorpusLayout(stream.sparkSession, annIndexPath)
+    graft.operators.GenerationLog.requireCurrentDir(stream.sparkSession, annIndexPath)
     val centroids = Similarity.readIvfCentroids(stream.sparkSession, annIndexPath)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -132,7 +132,7 @@ object ComposedGate {
       textKeptDir: String, keptDir: String, checkpointDir: String,
       threshold: Double, nprobe: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    Similarity.requireTwoLevelCorpusLayout(stream.sparkSession, annIndexPath)
+    graft.operators.GenerationLog.requireCurrentDir(stream.sparkSession, annIndexPath)
     val centroids = Similarity.readIvfCentroids(stream.sparkSession, annIndexPath)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -5,10 +5,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-10 lifecycle closures for the persisted IVF index: tombstone
-  * purge (symmetric with compactNearDupIndex), in-place centroid retrain
-  * under the staged `_COMMIT` swap, the streaming-checkpoint commit-log
-  * guard, and the single-writer maintenance lease.
+/** Lifecycle closures for the persisted IVF index on the unified
+  * generation-log commit model: tombstone purge (= consolidation),
+  * centroid retrain as a marker-committed next generation, the
+  * streaming-checkpoint commit-log guard, and the single-writer
+  * maintenance lease.
   */
 class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -45,7 +46,6 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
     val corpus = axisCorpus(0L, 60, Seq(0, 1, 2, 3), seed = 1)
     Similarity.writeIvfIndex(corpus, "embedding", "vec_id",
       Similarity.trainIvfCentroids(corpus, "embedding", "vec_id", k = 4), idx)
-    val cents = Similarity.readIvfCentroids(spark, idx)
     val delIds = Seq(7L, 11L)
     Similarity.deleteFromIvfIndex(spark, idx, delIds.toDF("vec_id"), "vec_id")
     val q = corpus.filter(col("vec_id") === 0L)
@@ -53,14 +53,15 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
     // BEFORE purge: a stream-ingest re-add of a tombstoned id is screened
     Similarity.ingestBatchToIvfIndex(
       corpus.filter(col("vec_id").isin(delIds: _*)), "embedding", "vec_id",
-      idx, cents, batchId = 0L)
+      idx, batchId = 0L)
     assert(!probeIds(idx, q, nprobe = 4).exists(delIds.contains))
     Similarity.purgeIvfTombstones(spark, idx)
-    assert(!fsOf(idx).exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fsOf(idx).exists(new org.apache.hadoop.fs.Path(
+      s"${GenerationLog.requireCurrentDir(spark, idx)}/tombstones")))
     // AFTER purge: the same ingest lands and the vectors are probe-visible
     Similarity.ingestBatchToIvfIndex(
       corpus.filter(col("vec_id").isin(delIds: _*)), "embedding", "vec_id",
-      idx, cents, batchId = 1L)
+      idx, batchId = 1L)
     val after = probeIds(idx, corpus.filter(col("vec_id") === 7L), nprobe = 4)
     assert(after.nonEmpty)
     assert(Similarity.ivfTopKFromIndex(spark, idx, q, "embedding", "vec_id",
@@ -106,55 +107,60 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.readIvfCentroids(spark, idx).size === 8)
   }
 
-  test("ivfAssignmentDrift: drifted batches score low alignment, retrain restores it, misassigned stays 0") {
+  test("ivfAssignmentDrift: drifted segments score low alignment, retrain restores it, misassigned stays 0") {
     val idx = tmpDir("didx")
     val a = axisCorpus(0L, 60, Seq(0, 1, 2, 3), seed = 11)
     Similarity.writeIvfIndex(a, "embedding", "vec_id",
       Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 4), idx)
     // a drifted population ingests against the FROZEN centroids: assigned
     // to its argmax (so never "misassigned") but FITTING poorly — the
-    // per-batch alignment mean is the retrain trigger
-    val cents = Similarity.readIvfCentroids(spark, idx)
+    // per-segment alignment mean is the retrain trigger. The drift frame's
+    // `ingest_batch` is the SEGMENT id (first stream segment = 0)
     Similarity.ingestBatchToIvfIndex(
       axisCorpus(1000L, 60, Seq(4, 5, 6, 7), seed = 12),
-      "embedding", "vec_id", idx, cents, batchId = 5L)
+      "embedding", "vec_id", idx, batchId = 5L)
     def drift(): Map[Long, (Long, Long, Long)] =
       Similarity.ivfAssignmentDrift(spark, idx).collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val before = drift()
-    assert(before.keySet === Set(-1L, 5L))
+    assert(before.keySet === Set(-1L, 0L))
     assert(before.values.forall(_._3 === 0L), s"healthy index must have 0 misassigned: $before")
     def meanPpm(t: (Long, Long, Long)): Double = t._2.toDouble / t._1
     // base population is well-quantized (~aligned to its own centroids);
-    // the drifted batch's vectors are near-orthogonal to every centroid
+    // the drifted segment's vectors are near-orthogonal to every centroid
     assert(meanPpm(before(-1L)) > 900000.0, s"base alignment: $before")
-    assert(meanPpm(before(5L)) < 500000.0,
-      s"drifted batch should fit poorly against frozen centroids: $before")
+    assert(meanPpm(before(0L)) < 500000.0,
+      s"drifted segment should fit poorly against frozen centroids: $before")
+    // retrain folds segments into the next generation's base and reassigns
+    // against fresh centroids: one -1 group, alignment restored
     Similarity.retrainIvfIndex(spark, idx, k = Some(8))
     val after = drift()
-    assert(after.keySet === Set(-1L, 5L)) // batch partitions preserved
+    assert(after.keySet === Set(-1L))
     assert(after.values.forall(_._3 === 0L))
-    assert(meanPpm(after(5L)) > 900000.0,
-      s"retrain should restore the drifted batch's alignment: $after")
+    assert(meanPpm(after(-1L)) > 900000.0,
+      s"retrain should restore alignment over the folded membership: $after")
   }
 
-  test("retrain preserves ingest_batch partitions and the tombstone set") {
+  test("retrain folds segments, applies tombstones, and starts the next generation clean") {
     val idx = tmpDir("rpidx")
     val a = axisCorpus(0L, 40, Seq(0, 1), seed = 4)
     Similarity.writeIvfIndex(a, "embedding", "vec_id",
       Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 2), idx)
-    val cents = Similarity.readIvfCentroids(spark, idx)
     Similarity.ingestBatchToIvfIndex(axisCorpus(500L, 10, Seq(0, 1), seed = 5),
-      "embedding", "vec_id", idx, cents, batchId = 3L)
-    Similarity.deleteFromIvfIndex(spark, idx, Seq(5L).toDF("vec_id"), "vec_id")
+      "embedding", "vec_id", idx, batchId = 3L)
+    assert(Similarity.deleteFromIvfIndex(spark, idx, Seq(5L).toDF("vec_id"), "vec_id") === 1L)
     Similarity.retrainIvfIndex(spark, idx)
-    val batches = spark.read.parquet(s"$idx/corpus")
-      .select("ingest_batch").distinct().as[Long].collect().toSet
-    assert(batches === Set(-1L, 3L))
-    assert(fsOf(idx).exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
-    // the tombstoned id is still gone after the full rewrite
-    assert(spark.read.parquet(s"$idx/corpus")
-      .filter(col("vec_id") === 5L).count() === 0)
+    val genDir = GenerationLog.requireCurrentDir(spark, idx)
+    val corpus = VersionedIvf.corpusView(spark, idx)
+    // segments folded to the base, tombstones applied and dropped
+    assert(corpus.select("ingest_batch").distinct().as[Long].collect().toSet === Set(-1L))
+    assert(!fsOf(idx).exists(new org.apache.hadoop.fs.Path(s"$genDir/tombstones")))
+    assert(corpus.filter(col("vec_id") === 5L).count() === 0)
+    // the new generation starts clean: the purged id may re-enter
+    Similarity.ingestBatchToIvfIndex(a.filter(col("vec_id") === 5L),
+      "embedding", "vec_id", idx, batchId = 0L)
+    assert(VersionedIvf.corpusView(spark, idx)
+      .filter(col("vec_id") === 5L).count() === 1)
   }
 
   test("IVF-PQ retrain: recall recovers on drift, exact probe stays ≡ brute, deletes stay deleted, missing ids fail fast") {
@@ -203,58 +209,8 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.deleteFromIvfPqIndex(spark, idx,
       Seq(1005L).toDF("vec_id"), "vec_id") === 1L)
     Similarity.retrainIvfPqIndex(spark, idx, full, "embedding", "vec_id")
-    assert(spark.read.parquet(s"$idx/codes")
+    assert(VersionedIvfPq.codesView(spark, idx)
       .filter(col("vec_id") === 1005L).count() === 0L)
-  }
-
-  test("PQ retrain crash protocol: the marker's sub-table list drives the roll-forward") {
-    val idx = tmpDir("rpqcr")
-    val a = axisCorpus(0L, 30, Seq(0, 1), seed = 23)
-    val cents = Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 2)
-    val books = Similarity.trainIvfPqBooks(a, "embedding", "vec_id", cents, m = 4, ksub = 8)
-    Similarity.writeIvfPqIndex(a, "embedding", "vec_id", cents, books, idx)
-    val fs = fsOf(idx)
-    // crash AFTER the marker with only `books` left un-swapped (centroids
-    // and codes already renamed in — their staged copies gone): recovery
-    // must read "centroids books codes" from the marker and finish books
-    val staging = s"$idx/__retrain_pqcrash"
-    val stagedBooks = Seq((0, 0, Seq.fill(4)(9.9f))).toDF("subspace", "code", "centroid")
-    stagedBooks.coalesce(1).write.parquet(s"$staging/books")
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMIT"), false)
-    out.write("centroids books codes".getBytes("UTF-8")); out.close()
-    Similarity.recoverPendingRetrain(spark, idx, asLockHolder = true)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
-    val gotBooks = Similarity.readIvfPqBooks(spark, idx)
-    assert(gotBooks === Seq(Seq(Seq.fill(4)(9.9f))), "marker-listed books table not swapped in")
-  }
-
-  test("interrupted retrain: no marker rolls back, marker rolls forward") {
-    val idx = tmpDir("rcidx")
-    val a = axisCorpus(0L, 30, Seq(0, 1), seed = 6)
-    Similarity.writeIvfIndex(a, "embedding", "vec_id",
-      Similarity.trainIvfCentroids(a, "embedding", "vec_id", k = 2), idx)
-    val fs = fsOf(idx)
-    val beforeCents = Similarity.readIvfCentroids(spark, idx)
-    // crash BEFORE the marker: dead staging must roll back untouched
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/__retrain_dead/centroids"))
-    Similarity.recoverPendingRetrain(spark, idx, asLockHolder = true)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/__retrain_dead")))
-    assert(Similarity.readIvfCentroids(spark, idx) === beforeCents)
-    // crash AFTER the marker, mid-swap (centroids already swapped in — no
-    // staged copy left — the staged corpus still waiting): recovery must
-    // finish the swap. Stage a corpus whose rows are a recognizable subset
-    // (vec_id < 10)
-    val staging = s"$idx/__retrain_crash"
-    spark.read.parquet(s"$idx/corpus").filter(col("vec_id") < 10)
-      .write.partitionBy("cluster", "ingest_batch").parquet(s"$staging/corpus")
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMIT"), false)
-    out.write("centroids corpus".getBytes("UTF-8")); out.close()
-    Similarity.recoverPendingRetrain(spark, idx, asLockHolder = true)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
-    assert(spark.read.parquet(s"$idx/corpus")
-      .agg(max(col("vec_id"))).head.getLong(0) < 10)
-    // idempotent: nothing pending, second run is a no-op
-    Similarity.recoverPendingRetrain(spark, idx, asLockHolder = true)
   }
 
   // ------------------------------------------------- commit-log guard
@@ -288,7 +244,7 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
     // batch commits → maintenance permitted
     fs.create(new org.apache.hadoop.fs.Path(s"$ckpt/commits/$next"), false).close()
     Similarity.consolidateIvfIndex(spark, idx, checkpointDir = Some(ckpt))
-    val parts = spark.read.parquet(s"$idx/corpus")
+    val parts = VersionedIvf.corpusView(spark, idx)
       .select("ingest_batch").distinct().as[Long].collect().toSet
     assert(parts === Set(-1L))
   }
@@ -349,7 +305,8 @@ class IvfLifecycleSpec extends AnyFunSuite with SparkTestBase {
       Similarity.deleteFromIvfIndex(spark, idx, Seq(1L).toDF("vec_id"), "vec_id"))
     assert(e.getMessage.contains("held by"))
     // nothing was mutated behind the held lease
-    assert(!fsOf(idx).exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fsOf(idx).exists(new org.apache.hadoop.fs.Path(
+      s"${GenerationLog.requireCurrentDir(spark, idx)}/tombstones")))
     // expire the lease: mutators may break it and proceed
     java.nio.file.Files.setLastModifiedTime(lock,
       java.nio.file.attribute.FileTime.fromMillis(

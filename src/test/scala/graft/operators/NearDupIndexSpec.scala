@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Lifecycle tests for the persisted near-dup signature index and its
   * streaming dedup gate (Dedup.writeNearDupIndex / deleteFromNearDupIndex /
-  * compactNearDupIndex / streamDedupAgainstNearDupIndex).
+  * compactNearDupIndex / streamDedupAgainstNearDupIndex) on the unified
+  * generation-log commit model.
   */
 class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -62,8 +63,8 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
     gate(b0, idx, kept, 0L)
     gate(b1, idx, kept, 1L)
     def snap(): (Set[Long], Long) = {
-      val m = spark.read.parquet(s"$idx/manifest")
-        .agg(sum(hash(col("doc"), col("keys"), col("shh"), col("ingest_batch"))
+      val m = Dedup.nearDupIndexManifest(spark, idx)
+        .agg(sum(hash(col("doc"), col("keys"), col("shh"))
           .cast("long"))).head.getLong(0)
       (keptIds(kept), m)
     }
@@ -87,65 +88,20 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
     Dedup.compactNearDupIndex(spark, idx)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    val genDir = GenerationLog.requireCurrentDir(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$genDir/tombstones")))
     // live view unchanged; the raw manifest no longer holds doc 1 at all
     assert(Dedup.nearDupIndexManifest(spark, idx)
       .select("doc").as[Long].collect().toSet === liveBefore)
-    assert(spark.read.parquet(s"$idx/manifest")
+    assert(spark.read.parquet(s"$genDir/manifest")
       .filter(col("doc") === 1L).count() === 0)
   }
 
-  test("interrupted compact: committed staged manifest rolls forward, partial rolls back") {
-    val idx = tmpDir("ndidx")
-    writeIndex(Seq((1L, baseText), (2L, otherText)).toDF("doc_id", "text"), idx)
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // committed staged copy (has _SUCCESS) + stale live + stale tombstones:
-    // a crash after the staged write, before the swap — must roll FORWARD
-    Dedup.deleteFromNearDupIndex(Seq(2L).toDF("doc_id"), "doc_id", idx)
-    spark.read.parquet(s"$idx/manifest").filter(col("doc") =!= 2L)
-      .write.partitionBy("ingest_batch").parquet(s"$idx/manifest__staged")
-    Dedup.recoverPendingCompact(spark, idx, asLockHolder = true)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
-    assert(spark.read.parquet(s"$idx/manifest")
-      .select("doc").as[Long].collect().toSet === Set(1L))
-    // partial staged copy (no _SUCCESS): a crash mid-write — must roll BACK
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged/ingest_batch=-1"))
-    Dedup.recoverPendingCompact(spark, idx, asLockHolder = true)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
-    assert(spark.read.parquet(s"$idx/manifest")
-      .select("doc").as[Long].collect().toSet === Set(1L))
-  }
-
-  test("a delete issued after a crashed compact survives the roll-forward") {
-    val idx = tmpDir("ndidx")
-    writeIndex(Seq((1L, baseText), (2L, otherText)).toDF("doc_id", "text"), idx)
-    // crash scenario: doc 2's compact staged fully (committed, live not yet
-    // swapped) — then a NEW delete (doc 1) arrives before any reader ran
-    Dedup.deleteFromNearDupIndex(Seq(2L).toDF("doc_id"), "doc_id", idx)
-    spark.read.parquet(s"$idx/manifest").filter(col("doc") =!= 2L)
-      .write.partitionBy("ingest_batch").parquet(s"$idx/manifest__staged")
-    Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
-    // the recovery inside the delete rolled doc 2's compact forward (and
-    // cleared ITS tombstones) BEFORE appending doc 1's — doc 1 stays
-    // forgotten instead of being swept away with the stale tombstone dir
-    assert(spark.read.parquet(s"$idx/tombstones")
-      .select("doc").as[Long].collect().toSet === Set(1L))
-    assert(Dedup.nearDupIndexManifest(spark, idx)
-      .select("doc").as[Long].collect().toSet === Set.empty[Long])
-  }
-
-  test("rebuilding an index clears stale tombstones and dead staged swaps") {
+  test("rebuilding an index is a fresh start: old tombstones never shadow the new incarnation") {
     val idx = tmpDir("ndidx")
     writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
     Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged/ingest_batch=-1"))
     writeIndex(Seq((1L, baseText), (2L, otherText)).toDF("doc_id", "text"), idx)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
     // doc 1's old tombstone must NOT shadow the rebuilt index's doc 1
     assert(Dedup.nearDupIndexManifest(spark, idx)
       .select("doc").as[Long].collect().toSet === Set(1L, 2L))
@@ -162,10 +118,10 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
     Dedup.compactNearDupIndex(spark, idx, consolidate = true)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // one partition left; live view identical
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/manifest"))
-      .filter(_.isDirectory).map(_.getPath.getName).toSet
-    assert(parts === Set("ingest_batch=-1"))
+    // gate segments folded into the next generation's base; live view identical
+    val genDir = GenerationLog.requireCurrentDir(spark, idx)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$genDir/manifest")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$genDir/segments")))
     assert(Dedup.nearDupIndexManifest(spark, idx)
       .select("doc").as[Long].collect().toSet === liveBefore)
     // consolidated signatures still suppress future batches
@@ -180,30 +136,14 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
     Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
     val e = intercept[IllegalStateException](Dedup.compactNearDupIndex(spark, idx))
     assert(e.getMessage.contains("rebuild"))
-    // the refusal rolled the empty staged write back: live manifest and
-    // tombstones both still standing (retry-the-delete semantics)
+    // the refusal left the current generation standing: base manifest and
+    // tombstones both intact (retry-the-delete semantics)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
-    assert(spark.read.parquet(s"$idx/manifest")
+    val genDir = GenerationLog.requireCurrentDir(spark, idx)
+    assert(spark.read.parquet(s"$genDir/manifest")
       .select("doc").as[Long].collect().toSet === Set(1L))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
-  }
-
-  test("an empty committed staged manifest rolls BACK, never over the live one") {
-    // the crash window between an all-tombstoned compact's staged write
-    // (complete, _SUCCESS present, zero partitions) and its rejection:
-    // recovery must treat it as dead, not install an unreadable manifest
-    val idx = tmpDir("ndidx")
-    writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged/_SUCCESS"), true).close()
-    Dedup.recoverPendingCompact(spark, idx, asLockHolder = true)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/manifest__staged")))
-    assert(spark.read.parquet(s"$idx/manifest")
-      .select("doc").as[Long].collect().toSet === Set(1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$genDir/tombstones")))
   }
 
   test("bucket-skew audit flags a planted degenerate corpus and clears a diverse one") {
@@ -265,7 +205,7 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
     writeIndex(Seq((1L, baseText)).toDF("doc_id", "text"), idx)
     // a gate batch lands signatures under ingest_batch=0
     gate(Seq((10L, otherText)).toDF("doc_id", "text"), idx, kept, 0L)
-    assert(spark.read.parquet(s"$idx/manifest")
+    assert(Dedup.nearDupIndexManifest(spark, idx)
       .select("doc").as[Long].collect().toSet === Set(1L, 10L))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -274,9 +214,9 @@ class NearDupIndexSpec extends AnyFunSuite with SparkTestBase {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // the old incarnation's gate partition must be gone, not lingering to
+    // the old incarnation's gate segments must be gone, not lingering to
     // suppress future arrivals
-    assert(spark.read.parquet(s"$idx/manifest")
+    assert(Dedup.nearDupIndexManifest(spark, idx)
       .select("doc").as[Long].collect().toSet === Set(2L))
   }
 

@@ -773,7 +773,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.readIvfCentroids(spark, path) == centroids)
     // append the second half against the FROZEN centroids — no retrain
     Similarity.appendToIvfIndex(half2, "embedding", "vec_id", path)
-    assert(spark.read.parquet(s"$path/corpus").count() == 40L)
+    assert(VersionedIvf.corpusView(spark, path).count() == 40L)
     // exhaustive probe over the persisted index == brute force on the union
     val queries = all.filter(col("vec_id") < 5)
     val viaIndex = Similarity.ivfTopKFromIndex(spark, path, queries,
@@ -786,7 +786,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaIndex == brute)
   }
 
-  test("IVF index delete: in-place partition rewrite, untouched clusters' files intact, probe == brute on survivors") {
+  test("IVF index delete: tombstone-only suppression, standing data files untouched, probe == brute on survivors") {
     import spark.implicits._
     def vec(seed: Int) = Array.tabulate(8)(j =>
       (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
@@ -794,13 +794,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val path = java.nio.file.Files.createTempDirectory("ivfdel").toString
     val centroids = Similarity.trainIvfCentroids(all, "embedding", "vec_id", k = 4)
     Similarity.writeIvfIndex(all, "embedding", "vec_id", centroids, path)
-    val beforeFiles = spark.read.parquet(s"$path/corpus")
-      .select(col("cluster"), org.apache.spark.sql.functions.input_file_name().as("f"))
-      .distinct().collect().map(r => r.getInt(0) -> r.getString(1)).groupBy(_._1)
+    def corpusFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(
+        s"${GenerationLog.requireCurrentDir(spark, path)}/corpus")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).filter(_.contains("part-")).toSet
+    }
+    val beforeFiles = corpusFiles()
 
-    // delete set: every member of ONE whole cluster (it must vanish from
-    // disk), a few rows of another, plus ids not in the index (no-ops)
-    val assigned = spark.read.parquet(s"$path/corpus")
+    // delete set: every member of ONE whole cluster, a few rows of another,
+    // plus ids not in the index (no-ops — they don't count)
+    val assigned = VersionedIvf.corpusView(spark, path)
       .select(col("vec_id"), col("cluster"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val clusterOf = assigned.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
@@ -811,22 +817,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       delIds.toDF("vec_id"), "vec_id")
     assert(deleted == wholeCluster._2.size + 2) // not-found ids don't count
 
-    // emptied cluster's partition directory is gone; untouched clusters'
-    // files are byte-identical (same file paths — never rewritten)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/corpus/cluster=${wholeCluster._1}")))
-    val afterFiles = spark.read.parquet(s"$path/corpus")
-      .select(col("cluster"), org.apache.spark.sql.functions.input_file_name().as("f"))
-      .distinct().collect().map(r => r.getInt(0) -> r.getString(1)).groupBy(_._1)
-    clusterOf.keys.filter(c => c != wholeCluster._1 && c != partialCluster._1)
-      .foreach { c =>
-        assert(afterFiles(c).map(_._2).toSet == beforeFiles(c).map(_._2).toSet,
-          s"untouched cluster $c was rewritten")
-      }
-    assert(afterFiles(partialCluster._1).map(_._2).toSet !=
-      beforeFiles(partialCluster._1).map(_._2).toSet)
+    // tombstone-only: NO standing data file is rewritten or removed — the
+    // suppression is entirely probe-side until a consolidate/retrain
+    assert(corpusFiles() === beforeFiles, "delete rewrote standing data files")
 
-    // probe over the pruned index == brute force over the surviving corpus
+    // probe over the suppressed index == brute force over the survivors
     val survivors = all.filter(!col("vec_id").isin(delIds: _*))
     val queries = survivors.filter(col("vec_id") < 12)
     val viaIndex = Similarity.ivfTopKFromIndex(spark, path, queries,
@@ -836,20 +831,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(viaIndex == brute)
-    // idempotence: deleting the same set again is a no-op
+    // idempotence: re-deleting the same set newly suppresses nothing
     assert(Similarity.deleteFromIvfIndex(spark, path,
       delIds.toDF("vec_id"), "vec_id") == 0L)
-    // full erasure is refused (it would leave an unreadable empty parquet
-    // dir) — the caller should drop the index directory instead
-    val e = intercept[IllegalStateException] {
-      Similarity.deleteFromIvfIndex(spark, path,
-        survivors.select(col("vec_id")), "vec_id")
-    }
-    assert(e.getMessage.contains("erase the entire index"))
-    // …and the refused delete left the index fully intact
+    // consolidation purges physically: segments folded, tombstones gone,
+    // the emptied cluster's partition no longer materializes
+    Similarity.consolidateIvfIndex(spark, path)
+    val genDir = GenerationLog.requireCurrentDir(spark, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$genDir/tombstones")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$genDir/corpus/cluster=${wholeCluster._1}")))
     assert(Similarity.ivfTopKFromIndex(spark, path, queries,
       "embedding", "vec_id", k = 3, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == brute)
+    // tombstoning EVERY live row is legal (logical delete)… but the
+    // consolidation that would materialize the empty index refuses
+    Similarity.deleteFromIvfIndex(spark, path, survivors.select(col("vec_id")), "vec_id")
+    assert(Similarity.ivfTopKFromIndex(spark, path, queries,
+      "embedding", "vec_id", k = 3, nprobe = 4).count() == 0L)
+    val e = intercept[IllegalStateException] {
+      Similarity.consolidateIvfIndex(spark, path)
+    }
+    assert(e.getMessage.contains("rebuild"))
   }
 
   test("IVF-PQ index delete: affected code partitions only, exact probe == brute on survivors") {
@@ -865,7 +869,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val deleted = Similarity.deleteFromIvfPqIndex(spark, path,
       delIds.toDF("vec_id"), "vec_id")
     assert(deleted == 3L)
-    assert(spark.read.parquet(s"$path/codes").count() == 37L)
+    assert(VersionedIvfPq.codesView(spark, path).count() == 37L)
     // exact-mode probe (all clusters, rerank >= corpus) == brute over survivors
     val survivors = all.filter(!col("vec_id").isin(delIds: _*))
     val queries = survivors.filter(col("vec_id") < 10)
@@ -899,7 +903,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val q = Similarity.streamAppendToIvfIndex(stream, "embedding", "vec_id", path, ckpt)
     q.awaitTermination()
     // several distinct ingest_batch partitions actually materialized
-    val batches = spark.read.parquet(s"$path/corpus")
+    val batches = VersionedIvf.corpusView(spark, path)
       .select(col("ingest_batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(batches.size >= 3 && batches.contains(-1L))
@@ -918,127 +922,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       spark.readStream.schema(half2.schema).option("maxFilesPerTrigger", 1).parquet(landing),
       "embedding", "vec_id", path, ckpt)
     q2.awaitTermination()
-    assert(spark.read.parquet(s"$path/corpus").count() == 40L)
-  }
-
-  /** Age every node of a staging tree past the maintenance-lease TTL —
-    * the reader-side recovery's "writer presumed dead" precondition.
-    */
-  private def ageStagingTree(root: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - MaintenanceLock.DefaultTtlMs - 120000L)
-    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
-      .foreach(p => java.nio.file.Files.setLastModifiedTime(p, old))
-  }
-
-  test("IVF delete swap is crash-safe: probe-path recovery rolls committed swaps forward, uncommitted back") {
-    import spark.implicits._
-    def vec(seed: Int) = Array.tabulate(8)(j =>
-      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
-    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
-    val path = java.nio.file.Files.createTempDirectory("ivfcrash").toString
-    val centroids = Similarity.trainIvfCentroids(all, "embedding", "vec_id", k = 4)
-    Similarity.writeIvfIndex(all, "embedding", "vec_id", centroids, path)
-    val corpus = spark.read.parquet(s"$path/corpus")
-    val assigned = corpus.select(col("vec_id"), col("cluster"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val clusterOf = assigned.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
-    val (cStaged, stagedIds) = clusterOf.maxBy(_._2.size)
-    val (cEmpty, emptyIds) = clusterOf.filter(_._1 != cStaged).minBy(_._2.size)
-    val delIds = stagedIds.take(2) ++ emptyIds
-
-    // CRASH STATE 1 (uncommitted): a staging dir with survivors but NO
-    // _COMMIT marker — the writer died before the point of no return.
-    // A PROBE must keep hands off (marker-less staging could be a LIVE
-    // delete mid-write; the live table is untouched either way); the next
-    // LOCK-HOLDING mutator's recovery rolls it back.
-    val stagingA = s"$path/corpus__rewrite_crasha"
-    corpus.filter(col("cluster") === cStaged &&
-        !col("vec_id").isin(stagedIds.take(2): _*))
-      .write.partitionBy("cluster", "ingest_batch").parquet(stagingA)
-    val queries = all.filter(col("vec_id") < 5)
-    def probe() = Similarity.ivfTopKFromIndex(spark, path, queries,
-      "embedding", "vec_id", k = 3, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    def bruteOn(c: org.apache.spark.sql.DataFrame) =
-      Similarity.bruteForceTopK(queries, c, "embedding", "vec_id", k = 3)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(probe() == bruteOn(all)) // pre-delete data intact
-    // the reader did NOT delete the (possibly live) marker-less staging
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stagingA)))
-    Similarity.recoverPendingSwaps(spark, s"$path/corpus", asLockHolder = true)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingA)))
-    assert(probe() == bruteOn(all)) // rollback left the live table standing
-
-    // CRASH STATE 2 (committed): staging with survivors for cStaged, a
-    // marker naming a `staged` cluster and an `empty` (fully-deleted) one,
-    // writer died BEFORE any swap — live dirs still hold pre-delete data.
-    // A probe leaves a YOUNG committed staging alone (it may be a live
-    // writer between marker and swap — racing it can tear the table); once
-    // the staging has been quiet past the lease TTL, the probe itself
-    // rolls it FORWARD: staged survivors in, empty cluster gone.
-    val stagingB = s"$path/corpus__rewrite_crashb"
-    corpus.filter(col("cluster") === cStaged &&
-        !col("vec_id").isin(stagedIds.take(2): _*))
-      .write.partitionBy("cluster", "ingest_batch").parquet(stagingB)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(stagingB, "_COMMIT"),
-      s"cluster=$cStaged staged\ncluster=$cEmpty empty"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val survivors = all.filter(!col("vec_id").isin(delIds: _*))
-    assert(probe() == bruteOn(all)) // young staging: reader reads pre-swap state
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stagingB)))
-    ageStagingTree(stagingB)
-    assert(probe() == bruteOn(survivors)) // TTL-aged: recovery finished the delete
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingB)))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/corpus/cluster=$cEmpty")))
-    // recovery is idempotent / a no-op when nothing is pending
-    assert(probe() == bruteOn(survivors))
-  }
-
-  test("pre-ingest_batch index layout: mutations fail with a migration pointer; migration is in-place and metadata-only") {
-    import spark.implicits._
-    def vec(seed: Int) = Array.tabulate(8)(j =>
-      (math.sin(seed * 7.0 + j) * 0.5 + (seed % 4) * 2.0).toFloat)
-    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
-    val half1 = all.filter(col("vec_id") < 20)
-    val half2 = all.filter(col("vec_id") >= 20)
-    val path = java.nio.file.Files.createTempDirectory("ivfold").toString
-    val centroids = Similarity.trainIvfCentroids(half1, "embedding", "vec_id", k = 4)
-    Similarity.writeIvfIndex(half1, "embedding", "vec_id", centroids, path)
-    // rewrite the corpus in the r7 single-level layout (cluster only)
-    val oldRows = spark.read.parquet(s"$path/corpus")
-      .select(col("vec_id"), col("embedding"), col("cluster")).collect()
-    val fs = new org.apache.hadoop.fs.Path(s"$path/corpus")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/corpus"), true)
-    val typed = oldRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-      .toSeq.toDF("vec_id", "embedding", "cluster")
-    typed.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
-    // every mutating entry point refuses with the migration pointer
-    val e = intercept[IllegalStateException] {
-      Similarity.appendToIvfIndex(half2, "embedding", "vec_id", path)
-    }
-    assert(e.getMessage.contains("migrateIvfIndexLayout"))
-    assert(intercept[IllegalStateException] {
-      Similarity.deleteFromIvfIndex(spark, path, Seq(1L).toDF("vec_id"), "vec_id")
-    }.getMessage.contains("migrateIvfIndexLayout"))
-    // migrate: pure renames into ingest_batch=-1; then the append works
-    // and the probe sees the union
-    Similarity.migrateIvfIndexLayout(spark, path)
-    Similarity.migrateIvfIndexLayout(spark, path) // idempotent
-    Similarity.appendToIvfIndex(half2, "embedding", "vec_id", path)
-    val queries = all.filter(col("vec_id") < 5)
-    val viaIndex = Similarity.ivfTopKFromIndex(spark, path, queries,
-      "embedding", "vec_id", k = 3, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val brute = Similarity.bruteForceTopK(queries, all, "embedding", "vec_id", k = 3)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(viaIndex == brute)
+    assert(VersionedIvf.corpusView(spark, path).count() == 40L)
   }
 
   test("delete tombstones: a replayed pre-delete ingest batch cannot resurrect deleted vectors") {
@@ -1052,8 +936,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val centroids = Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 4)
     Similarity.writeIvfIndex(base, "embedding", "vec_id", centroids, path)
     // batch 0 ingested (written AND committed in the happy path)
-    Similarity.ingestBatchToIvfIndex(batch, "embedding", "vec_id", path, centroids, 0L)
-    assert(spark.read.parquet(s"$path/corpus").count() == 40L)
+    Similarity.ingestBatchToIvfIndex(batch, "embedding", "vec_id", path, 0L)
+    assert(VersionedIvf.corpusView(spark, path).count() == 40L)
     // retention delete hits ids from the ingested batch AND the base
     val delIds = Seq(25L, 30L, 3L)
     assert(Similarity.deleteFromIvfIndex(spark, path,
@@ -1062,14 +946,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // its checkpoint commit didn't land — the stream replays it with
     // PRE-DELETE content. Without tombstones this dynamic overwrite would
     // resurrect 25 and 30.
-    Similarity.ingestBatchToIvfIndex(batch, "embedding", "vec_id", path, centroids, 0L)
-    val after = spark.read.parquet(s"$path/corpus")
+    Similarity.ingestBatchToIvfIndex(batch, "embedding", "vec_id", path, 0L)
+    val after = VersionedIvf.corpusView(spark, path)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(after == (0L until 40L).toSet -- delIds)
     // a NEW batch of genuinely new ids is unaffected by the tombstones
     val fresh = Seq((100L, vec(100))).toDF("vec_id", "embedding")
-    Similarity.ingestBatchToIvfIndex(fresh, "embedding", "vec_id", path, centroids, 1L)
-    assert(spark.read.parquet(s"$path/corpus")
+    Similarity.ingestBatchToIvfIndex(fresh, "embedding", "vec_id", path, 1L)
+    assert(VersionedIvf.corpusView(spark, path)
       .filter(col("vec_id") === 100L).count() == 1L)
   }
 
@@ -1090,9 +974,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.readIvfPqBooks(spark, path) == books)
     // append against the FROZEN quantizers — no retrain, codes only
     Similarity.appendToIvfPqIndex(half2, "embedding", "vec_id", path)
-    assert(spark.read.parquet(s"$path/codes").count() == 40L)
+    assert(VersionedIvfPq.codesView(spark, path).count() == 40L)
     // ...and appended codes equal a fresh in-memory encode of the same rows
-    val stored = spark.read.parquet(s"$path/codes")
+    val stored = VersionedIvfPq.codesView(spark, path)
       .collect().map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Int]("cluster"), r.getSeq[Int](r.fieldIndex("codes")))).toMap
     val fresh = Similarity.ivfPqEncode(all, "embedding", "vec_id", centroids, books)

@@ -61,7 +61,7 @@ class SemanticGateSpec extends AnyFunSuite with SparkTestBase {
     gate(b0, idx, kept, cents, 0L)
     gate(b1, idx, kept, cents, 1L)
     def snap(): (Set[Long], Long) = {
-      val m = spark.read.parquet(s"$idx/corpus")
+      val m = VersionedIvf.corpusView(spark, idx)
         .agg(sum(hash(col("vec_id"), col("cluster"), col("ingest_batch"))
           .cast("long"))).head.getLong(0)
       (keptIds(kept), m)
@@ -75,7 +75,7 @@ class SemanticGateSpec extends AnyFunSuite with SparkTestBase {
     val idx = tmp("sgidx"); val kept = tmp("sgkept")
     val cents = buildIndex(idx)
     gate(vecs(10L -> v(0.999f, 0.01f, 0, 0)), idx, kept, cents, 0L)
-    assert(!new java.io.File(s"$kept/ingest_batch=0").exists()) // all suppressed
+    assert(keptIds(kept).isEmpty) // all suppressed
     Similarity.deleteFromIvfIndex(spark, idx, Seq(1L).toDF("vec_id"), "vec_id")
     gate(vecs(20L -> v(0.999f, 0.01f, 0, 0)), idx, kept, cents, 1L)
     assert(keptIds(kept) === Set(20L)) // vec 1 forgotten: no longer suppresses
@@ -86,18 +86,17 @@ class SemanticGateSpec extends AnyFunSuite with SparkTestBase {
     val cents = buildIndex(idx)
     gate(vecs(10L -> v(0, 0, 1, 0)), idx, kept, cents, 0L)
     gate(vecs(20L -> v(0, 0, 0, 1)), idx, kept, cents, 1L)
-    def corpusIds() = spark.read.parquet(s"$idx/corpus")
+    def corpusIds() = VersionedIvf.corpusView(spark, idx)
       .select("vec_id").as[Long].collect().toSet
     val before = corpusIds()
     Similarity.consolidateIvfIndex(spark, idx)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // every cluster dir now holds exactly the -1 base partition
-    import scala.jdk.CollectionConverters._
-    val subs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/corpus"))
-      .filter(_.isDirectory).flatMap(c => fs.listStatus(c.getPath))
-      .filter(_.isDirectory).map(_.getPath.getName).toSet
-    assert(subs === Set("ingest_batch=-1"))
+    // segments folded into the next generation's base; no tombstones left
+    val genDir = GenerationLog.requireCurrentDir(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$genDir/segments")))
+    assert(VersionedIvf.corpusView(spark, idx)
+      .select("ingest_batch").distinct().as[Long].collect().toSet === Set(-1L))
     assert(corpusIds() === before)
     // consolidated vectors still suppress (read as strictly-earlier)
     gate(vecs(30L -> v(0, 0, 0.01f, 0.999f), 31L -> v(0.5f, 0.5f, 0.5f, 0.5f)),

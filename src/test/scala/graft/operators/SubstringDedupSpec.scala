@@ -158,9 +158,9 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     val b0 = Seq((20L, toks(0 until 10, "k"))).toDF("doc_id", "text")
     gate(b0, idx, clean, 0L)
     def snap(): (Map[Long, String], Long, Long) = {
-      val m = spark.read.parquet(s"$idx/manifest")
+      val m = Dedup.substringIndexManifest(spark, idx)
       (cleanedMap(clean), m.count(),
-        m.agg(sum(hash(col("h1"), col("h2"), col("ingest_batch")).cast("long")))
+        m.agg(sum(hash(col("h1"), col("h2")).cast("long")))
           .head.getLong(0))
     }
     // an ALL-DUPLICATE batch: every window already seen → no cleaned rows
