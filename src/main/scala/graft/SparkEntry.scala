@@ -366,7 +366,7 @@ object SparkEntry {
     "m_media_features", "m_image_neardup",
     "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_knn_ivfpq",
     "d_stream_gate", "s_semantic_gate", "d_composed_gate", "d_composed3_gate",
-    "d_gate_versioned")
+    "d_composed4_gate", "d_gate_versioned")
 
   /** Shared LSH shape for the streaming-gate fixture: the recall-1.0 design
     * point (J ≥ 1/2 at 32×2 banding — the d_jaccard_lsh ≡ brute argument),
@@ -660,6 +660,184 @@ object SparkEntry {
       .awaitTermination()
     (substrIdx.toString, textIdx.toString, annIdx.toString,
       cleanDir.toString, textKept.toString, kept.toString, cents)
+  }
+
+  /** The stacked THREE-stage sequential reference (substring manifest fold
+    * → exact-Jaccard text fold → in-memory semantic fold) — pure batch
+    * ops, no index/stream machinery, base state from the ≡2 mod 4 corpus.
+    * Shared by d_composed3_gate_contract and the 4-stage contract (which
+    * feeds it quality-filtered batches).
+    */
+  private def composed3ReferenceKept(
+      s: SparkSession, d: String, batches: Seq[DataFrame],
+      cents: Seq[Seq[Float]]): DataFrame = {
+    import s.implicits._
+    val docs = tb(s, d, "documents")
+    val embs = tb(s, d, "embeddings")
+    val baseDocs = gateIndexBase(docs)
+    def manifestOf(df: DataFrame): DataFrame =
+      Dedup.nearDupManifest(df, "text", "doc_id", GateShingle, GateBands, GateRows)
+    val subMan0 = graft.CacheScope.localCheckpoint(
+      Dedup.substringWindowManifest(baseDocs, "text", "doc_id", SubstrGateN))
+    val man0 = graft.CacheScope.localCheckpoint(manifestOf(baseDocs))
+    val corpus0 = graft.CacheScope.localCheckpoint(
+      embs.filter(pmod(col("vec_id"), lit(4)) === 2)
+        .select(col("vec_id").as("doc_id"), col("embedding")))
+    val (_, _, _, refKept) = batches.foldLeft(
+      (subMan0, man0, corpus0, s.emptyDataset[Long].toDF("doc_id"))) {
+      case ((subMan, man, corpusRef, acc), bk) =>
+        // stage 0 reference: the batch-incremental substring face (pure
+        // batch ops) — cleaned text, fully-duplicated docs dropped,
+        // manifest grown by the batch's ORIGINAL windows
+        val spans = Dedup.substringSpansAgainstManifest(
+          bk, subMan, "text", "doc_id", SubstrGateN)
+        val cleanedK = graft.CacheScope.localCheckpoint(
+          Dedup.applyRemovedSpans(bk, spans, "text", "doc_id")
+            .select(col("doc").as("doc_id"), col("cleaned_text").as("text"))
+            .join(bk.select(col("doc_id"), col("embedding")), Seq("doc_id")))
+        // stage 1 reference: the text gate's exact-Jaccard pipeline
+        val unseenT = Dedup.dropSeenNearDuplicates(
+          cleanedK, man, "text", "doc_id",
+          GateShingle, GateNumer, GateDenom, GateBands, GateRows)
+        val keptT = graft.CacheScope.localCheckpoint(Dedup.dropNearDuplicates(
+          unseenT,
+          Dedup.jaccardDuplicatePairs(unseenT, "text", "doc_id",
+            GateShingle, GateNumer, GateDenom, GateBands, GateRows),
+          "doc_id"))
+        // stage 2 reference: semantic suppression + in-batch keepers
+        val bkE = keptT.select(col("doc_id"), col("embedding"))
+        val sup = Similarity.ivfTopK(bkE, corpusRef, "embedding", "doc_id",
+            k = 1, cents, SemGateNprobe)
+          .filter(col("cos") >= SemGateTau).select(col("query_id"))
+        val unseenS = bkE.join(sup, bkE("doc_id") === sup("query_id"), "left_anti")
+        val keptS = graft.CacheScope.localCheckpoint(
+          Dedup.semanticKeepers(unseenS, "embedding", "doc_id", SemGateTau))
+        (graft.CacheScope.localCheckpoint(subMan.unionByName(
+          Dedup.substringWindowManifest(bk, "text", "doc_id", SubstrGateN))
+          .distinct()),
+          graft.CacheScope.localCheckpoint(
+            man.union(manifestOf(keptT.select(col("doc_id"), col("text"))))),
+          graft.CacheScope.localCheckpoint(corpusRef.union(keptS)),
+          acc.union(keptS.select(col("doc_id"))))
+    }
+    refKept
+  }
+
+  /** Planted low-quality text in the classifier's junk vocabulary —
+    * deterministic per id; disjoint from the harness corpus vocabulary, so
+    * a converged linear model separates the classes exactly.
+    */
+  private def junkText(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ",
+      concat(lit("jnk"), pmod(id, lit(7))), lit("zzq xxq"),
+      concat(lit("jnk"), pmod(id, lit(5))), lit("qqz jnky zzq"),
+      concat(lit("jnk"), pmod(id, lit(3))))
+
+  private val ClsGateBuckets = 1 << 12
+
+  /** Arrivals for the FOUR-stage gate: [[composedArrivals]] with a planted
+    * low-quality slice — every ≡4 mod 16 doc's text replaced by junk
+    * vocabulary the classifier was trained to reject (stage -1 must drop
+    * exactly these before the text/semantic stages ever see them).
+    */
+  private def composed4Arrivals(s: SparkSession, d: String): DataFrame =
+    composedArrivals(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(16)) === 4, junkText(col("doc_id")))
+        .otherwise(col("text")))
+
+  /** Train the gate's quality classifier once per sf dir: base-corpus text
+    * as the reference class vs junk-vocabulary docs, integer-exact LR.
+    */
+  private val composed4ModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+  private def composed4Model(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    composed4ModelCache.computeIfAbsent(d, _ => {
+      val base = gateIndexBase(tb(s, d, "documents"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val labeled = base.withColumn("label", lit(1L)).unionByName(
+        base.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          junkText(col("doc_id")).as("text"), lit(0L).as("label")))
+      TextClassifier.train(labeled, "text", "doc_id", "label",
+        numBuckets = ClsGateBuckets, iterations = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }).toDF("bucket", "w_micro")
+  }
+
+  private val composed4GateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String, String, String, String, String, Seq[Seq[Float]])]()
+
+  /** Build the FOUR-stage gate fixture once per sf dir: the composed3
+    * indexes plus the trained classifier, batch 0 of the junk-planted
+    * arrivals driven through [[streaming.ComposedGate.stream4]] (ONE
+    * foreachBatch, one checkpoint, quality ledger + the six downstream
+    * tables).
+    */
+  private def buildComposed4GateFixture(
+      s: SparkSession, d: String)
+      : (String, String, String, String, String, String, String, Seq[Seq[Float]]) = {
+    val docs = tb(s, d, "documents")
+    val embs = tb(s, d, "embeddings")
+    val baseDocs = gateIndexBase(docs)
+    val baseEmb = embs.filter(pmod(col("vec_id"), lit(4)) === 2)
+      .select(col("vec_id"), col("embedding"))
+    val arrivals = composed4Arrivals(s, d)
+    val dirs = Seq("c4s", "c4t", "c4a", "c4q", "c4cl", "c4tk", "c4k", "c4l", "c4c")
+      .map(p => java.nio.file.Files.createTempDirectory(p))
+    dirs.foreach(deleteRecursivelyOnExit)
+    val Seq(substrIdx, textIdx, annIdx, qualityKept, cleanDir, textKept,
+      kept, landing, ckpt) = dirs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fSub = Future(Dedup.writeSubstringIndex(
+      baseDocs, "text", "doc_id", substrIdx.toString, n = SubstrGateN))
+    val fText = Future(Dedup.writeNearDupIndex(baseDocs, "text", "doc_id",
+      textIdx.toString, GateShingle, GateNumer, GateDenom, GateBands, GateRows))
+    val fAnn = Future {
+      val c = Similarity.trainIvfCentroids(baseEmb, "embedding", "vec_id",
+        k = 8, iterations = 1)
+      Similarity.writeIvfIndex(baseEmb, "embedding", "vec_id", c, annIdx.toString)
+      c
+    }
+    val model = composed4Model(s, d)
+    Await.result(fSub, Duration.Inf)
+    Await.result(fText, Duration.Inf)
+    val cents = Await.result(fAnn, Duration.Inf)
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("c4b0")
+      gateSubBatch(arrivals, 0).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.move(part, landing.resolve("batch00.parquet"))
+    }
+    graft.streaming.ComposedGate.stream4(
+      s.readStream.schema(arrivals.schema).option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString),
+      "text", "embedding", "doc_id", model, ClsGateBuckets,
+      substrIdx.toString, textIdx.toString, annIdx.toString,
+      qualityKept.toString, cleanDir.toString, textKept.toString,
+      kept.toString, ckpt.toString, SemGateTau, SemGateNprobe)
+      .awaitTermination()
+    (substrIdx.toString, textIdx.toString, annIdx.toString,
+      qualityKept.toString, cleanDir.toString, textKept.toString,
+      kept.toString, cents)
+  }
+
+  /** Content hashes of the four-stage composition's SEVEN output tables —
+    * the replay-identity currency of d_composed4_gate_contract.
+    */
+  private def composed4OutputsHash(
+      s: SparkSession, substrIdx: String, textIdx: String, annIdx: String,
+      qualityKept: String, cleanDir: String, textKept: String,
+      kept: String): Seq[(Long, Long)] = {
+    Seq(qualityKept).foreach(s.catalog.refreshByPath)
+    contentHash(s.read.parquet(qualityKept),
+      Seq("doc_id", "ingest_batch")) +:
+      composed3OutputsHash(s, substrIdx, textIdx, annIdx, cleanDir, textKept, kept)
   }
 
   /** Content hashes of the three-stage composition's six output tables —
@@ -2017,6 +2195,67 @@ object SparkEntry {
         model, numBuckets = 1 << 12)
         .select(col("doc"), col("y"), col("margin_micro"))
     }),
+    // the classifier's CALIBRATION face (r11 verdict #7): same planted
+    // text classes, but a deterministic ~1/7 of TRAINING labels flipped —
+    // the separable-corpus gate above can't see the probability face, so
+    // this one pins it on a corpus the model CANNOT fit. Margin deciles
+    // (sigmoid-ppm replayed in SQL from the stored integer margins, the
+    // exact scoring formula) must satisfy three laws or emit violations:
+    //  (a) argmax consistency: quality = 1 iff sigmoid_ppm >= 500000 —
+    //      the probability face and the decision face agree on every doc;
+    //  (b) monotone probability: a higher margin decile never has a lower
+    //      mean sigmoid (deciles partition the margin order);
+    //  (c) ranking survives label noise: the top-3 deciles' TRUE noisy-
+    //      label rate beats the bottom-3 by >= 400000 ppm (planted signal
+    //      ~714286 — wide headroom). Provably empty
+    "t_classifier_calibration_contract" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = tb(s, d, "documents").filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val pos = docs.withColumn("label", lit(1L))
+      val neg = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("jnk"), pmod(col("doc_id"), lit(7))), lit("zzq xxq"),
+          concat(lit("jnk"), pmod(col("doc_id"), lit(5))), lit("qqz jnky zzq"),
+          concat(lit("jnk"), pmod(col("doc_id"), lit(3)))).as("text"),
+        lit(0L).as("label"))
+      val noisy = pos.unionByName(neg).withColumn("y",
+        when(pmod(xxhash64(col("doc_id"), lit(12L)), lit(7L)) === 0L,
+          lit(1L) - col("label")).otherwise(col("label")))
+      val model = TextClassifier.train(noisy, "text", "doc_id", "y",
+        numBuckets = 1 << 12, iterations = 10)
+      val scored = TextClassifier.scoreDocs(noisy, "text", "doc_id", model,
+        numBuckets = 1 << 12)
+        .join(noisy.select(col("doc_id").as("doc"), col("y")), Seq("doc"))
+        .withColumn("sig_ppm",
+          floor(lit(1000000.0) / (lit(1.0) +
+            exp(-col("margin_micro").cast("double") / lit(1000000.0))))
+            .cast("bigint"))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("margin_micro"), col("doc"))))
+      val argmaxViol = scored
+        .filter((col("quality") === 1L) =!= (col("sig_ppm") >= 500000L))
+        .select(col("decile").cast("long").as("decile"),
+          lit("quality bit disagrees with sigmoid >= 500000").as("violation"))
+      val deciles = scored.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+          floor(avg(col("sig_ppm"))).cast("bigint").as("mean_sig"))
+      val monoViol = deciles.as("lo").join(deciles.as("hi"),
+          col("lo.decile") < col("hi.decile") &&
+            col("lo.mean_sig") > col("hi.mean_sig"))
+        .select(col("lo.decile").cast("long").as("decile"),
+          lit("mean sigmoid not monotone in margin decile").as("violation"))
+      val bands = deciles.agg(
+        (sum(when(col("decile") >= 8, col("pos")).otherwise(0L)) * lit(1000000L) /
+          sum(when(col("decile") >= 8, col("n")).otherwise(0L))).as("top_rate"),
+        (sum(when(col("decile") <= 3, col("pos")).otherwise(0L)) * lit(1000000L) /
+          sum(when(col("decile") <= 3, col("n")).otherwise(0L))).as("bot_rate"))
+      val signalViol = bands
+        .filter(col("top_rate") - col("bot_rate") < 400000L)
+        .select(lit(0L).as("decile"),
+          lit("top-band label rate does not beat bottom band").as("violation"))
+      argmaxViol.unionByName(monoViol).unionByName(signalViol)
+    }),
     // content-defined chunking: rolling-hash boundaries (window-8 polynomial
     // ≡ 0 mod 61 — prime, so the base-31 polynomial keeps full mixing; a
     // power-of-two divisor degenerates to a parity sum since 31² ≡ 1 mod 64) — chunks survive edits elsewhere in the doc, the property
@@ -2540,6 +2779,16 @@ object SparkEntry {
       extra.unionByName(missing).unionByName(lifecycle)
         .select(col("doc"), col("violation"))
     }),
+    // ...and for the versioned substring-window root (same fixture tail)
+    "d_substr_versioned_health_contract" -> ((s, d) => fixtureSerialized("substrgate", d) {
+      val (root, _, _, _) =
+        versionedSubstrCache.computeIfAbsent(d, _ => buildVersionedSubstrFixture(s, d))
+      GenerationLog.indexHealth(s, root)
+        .filter(col("n_generations") =!= 1L || col("n_staged_debris") =!= 0L ||
+          col("n_segments") =!= 0L || col("n_stream_segments") =!= 0L ||
+          col("n_tombstones") =!= 0L)
+        .select(col("n_generations"), col("n_segments"), col("n_tombstones"))
+    }),
     // THREE-stage composed ingest (substring → near-dup → semantic), the
     // full crawl-pipeline shape in one foreachBatch: timed body = replay
     // of batch 0 through all three stages
@@ -2573,56 +2822,8 @@ object SparkEntry {
         SemGateTau, SemGateNprobe)
       val replayOk = composed3OutputsHash(
         s, substrIdx, textIdx, annIdx, cleanDir, textKept, kept) == beforeReplay
-      val docs = tb(s, d, "documents")
-      val embs = tb(s, d, "embeddings")
-      val arrivals = composedArrivals(s, d)
-      val baseDocs = gateIndexBase(docs)
-      def manifestOf(df: DataFrame): DataFrame =
-        Dedup.nearDupManifest(df, "text", "doc_id", GateShingle, GateBands, GateRows)
-      val subMan0 = graft.CacheScope.localCheckpoint(
-        Dedup.substringWindowManifest(baseDocs, "text", "doc_id", SubstrGateN))
-      val man0 = graft.CacheScope.localCheckpoint(manifestOf(baseDocs))
-      val corpus0 = graft.CacheScope.localCheckpoint(
-        embs.filter(pmod(col("vec_id"), lit(4)) === 2)
-          .select(col("vec_id").as("doc_id"), col("embedding")))
-      val (_, _, _, refKept) = (0 to 0).foldLeft(
-        (subMan0, man0, corpus0, s.emptyDataset[Long].toDF("doc_id"))) {
-        case ((subMan, man, corpusRef, acc), k) =>
-          val bk = gateSubBatch(arrivals, k)
-          // stage 0 reference: the batch-incremental substring face (pure
-          // batch ops) — cleaned text, fully-duplicated docs dropped,
-          // manifest grown by the batch's ORIGINAL windows
-          val spans = Dedup.substringSpansAgainstManifest(
-            bk, subMan, "text", "doc_id", SubstrGateN)
-          val cleanedK = graft.CacheScope.localCheckpoint(
-            Dedup.applyRemovedSpans(bk, spans, "text", "doc_id")
-              .select(col("doc").as("doc_id"), col("cleaned_text").as("text"))
-              .join(bk.select(col("doc_id"), col("embedding")), Seq("doc_id")))
-          // stage 1 reference: the text gate's exact-Jaccard pipeline
-          val unseenT = Dedup.dropSeenNearDuplicates(
-            cleanedK, man, "text", "doc_id",
-            GateShingle, GateNumer, GateDenom, GateBands, GateRows)
-          val keptT = graft.CacheScope.localCheckpoint(Dedup.dropNearDuplicates(
-            unseenT,
-            Dedup.jaccardDuplicatePairs(unseenT, "text", "doc_id",
-              GateShingle, GateNumer, GateDenom, GateBands, GateRows),
-            "doc_id"))
-          // stage 2 reference: semantic suppression + in-batch keepers
-          val bkE = keptT.select(col("doc_id"), col("embedding"))
-          val sup = Similarity.ivfTopK(bkE, corpusRef, "embedding", "doc_id",
-              k = 1, cents, SemGateNprobe)
-            .filter(col("cos") >= SemGateTau).select(col("query_id"))
-          val unseenS = bkE.join(sup, bkE("doc_id") === sup("query_id"), "left_anti")
-          val keptS = graft.CacheScope.localCheckpoint(
-            Dedup.semanticKeepers(unseenS, "embedding", "doc_id", SemGateTau))
-          (graft.CacheScope.localCheckpoint(subMan.unionByName(
-            Dedup.substringWindowManifest(bk, "text", "doc_id", SubstrGateN))
-            .distinct()),
-            graft.CacheScope.localCheckpoint(
-              man.union(manifestOf(keptT.select(col("doc_id"), col("text"))))),
-            graft.CacheScope.localCheckpoint(corpusRef.union(keptS)),
-            acc.union(keptS.select(col("doc_id"))))
-      }
+      val refKept = composed3ReferenceKept(s, d,
+        Seq(gateSubBatch(composedArrivals(s, d), 0)), cents)
       val streamKept = s.read.parquet(kept).select(col("doc_id"))
       val extra = streamKept.except(refKept)
         .withColumn("violation", lit("kept by composition, not by reference"))
@@ -2631,6 +2832,68 @@ object SparkEntry {
       val lifecycle = Seq(("replay changed composed outputs", replayOk))
         .filter(!_._2).map(t => (0L, t._1)).toDF("doc_id", "violation")
       extra.union(missing).union(lifecycle)
+        .select(col("doc_id").cast("bigint").as("doc"), col("violation"))
+    }),
+    // FOUR-stage composed ingest (classifier score gate → substring →
+    // near-dup → semantic) — the full CCNet-style production crawl
+    // pipeline in one foreachBatch: timed body = replay of batch 0 through
+    // all four stages (stateless stage -1 re-scores identically; the
+    // stateful stages rewrite their own partitions / skip their markers)
+    "d_composed4_gate" -> ((s, d) => fixtureSerialized("composed4", d) {
+      val (substrIdx, textIdx, annIdx, qualityKept, cleanDir, textKept, kept, cents) =
+        composed4GateCache.computeIfAbsent(d, _ => buildComposed4GateFixture(s, d))
+      graft.streaming.ComposedGate.ingestBatch4(
+        gateSubBatch(composed4Arrivals(s, d), 0), "text", "embedding", "doc_id",
+        composed4Model(s, d), ClsGateBuckets,
+        substrIdx, textIdx, annIdx, cents, qualityKept, cleanDir, textKept,
+        kept, 0L, SemGateTau, SemGateNprobe)
+      s.catalog.refreshByPath(kept)
+      s.read.parquet(kept).filter(col("ingest_batch") === 0L)
+        .select(col("doc_id"))
+    }),
+    // four-stage composition contract: streamed final kept-set ≡ the
+    // quality filter (scored with the SAME frozen model — stateless)
+    // stacked on the THREE sequential reference pipelines, plus replay
+    // identity across all SEVEN output tables, plus non-vacuity (the
+    // planted junk docs must actually have been dropped at stage -1).
+    // Violations frame provably empty
+    "d_composed4_gate_contract" -> ((s, d) => fixtureSerialized("composed4", d) {
+      import s.implicits._
+      val (substrIdx, textIdx, annIdx, qualityKept, cleanDir, textKept, kept, cents) =
+        composed4GateCache.computeIfAbsent(d, _ => buildComposed4GateFixture(s, d))
+      val model = composed4Model(s, d)
+      val beforeReplay = composed4OutputsHash(
+        s, substrIdx, textIdx, annIdx, qualityKept, cleanDir, textKept, kept)
+      graft.streaming.ComposedGate.ingestBatch4(
+        gateSubBatch(composed4Arrivals(s, d), 0), "text", "embedding", "doc_id",
+        model, ClsGateBuckets,
+        substrIdx, textIdx, annIdx, cents, qualityKept, cleanDir, textKept,
+        kept, 0L, SemGateTau, SemGateNprobe)
+      val replayOk = composed4OutputsHash(
+        s, substrIdx, textIdx, annIdx, qualityKept, cleanDir, textKept,
+        kept) == beforeReplay
+      val b0 = gateSubBatch(composed4Arrivals(s, d), 0)
+      val qualityRef = graft.CacheScope.localCheckpoint(b0.join(
+        TextClassifier.scoreDocs(b0, "text", "doc_id", model, ClsGateBuckets)
+          .filter(col("quality") === 1L).select(col("doc").as("doc_id")),
+        Seq("doc_id")))
+      val refKept = composed3ReferenceKept(s, d, Seq(qualityRef), cents)
+      val streamKept = s.read.parquet(kept).select(col("doc_id"))
+      val extra = streamKept.except(refKept)
+        .withColumn("violation", lit("kept by composition, not by reference"))
+      val missing = refKept.except(streamKept)
+        .withColumn("violation", lit("kept by reference, not by composition"))
+      // non-vacuity: every planted junk arrival of batch 0 must be absent
+      // from the quality ledger (stage -1 dropped it) — otherwise the
+      // classifier stage silently passed everything
+      val planted = gateSubBatch(composed4Arrivals(s, d), 0)
+        .filter(pmod(col("doc_id"), lit(16)) === 4).select(col("doc_id"))
+      val leaked = s.read.parquet(qualityKept).select(col("doc_id"))
+        .join(planted, Seq("doc_id"), "left_semi")
+        .withColumn("violation", lit("planted junk doc survived the quality gate"))
+      val lifecycle = Seq(("replay changed composed4 outputs", replayOk))
+        .filter(!_._2).map(t => (0L, t._1)).toDF("doc_id", "violation")
+      extra.union(missing).union(leaked).union(lifecycle)
         .select(col("doc_id").cast("bigint").as("doc"), col("violation"))
     }),
     "d_stream_gate" -> ((s, d) => fixtureSerialized("streamgate", d) {
@@ -2700,6 +2963,17 @@ object SparkEntry {
         .filter(!_._2).map(t => (0L, t._1)).toDF("doc_id", "violation")
       extra.union(missing).union(lifecycle)
         .select(col("doc_id").cast("bigint").as("doc"), col("violation"))
+    }),
+    // same settled-shape audit for the versioned near-dup gate root (its
+    // fixture ends consolidate + ttl-0 vacuum)
+    "d_gate_versioned_health_contract" -> ((s, d) => fixtureSerialized("versionedgate", d) {
+      val (root, _, _, _) =
+        versionedGateCache.computeIfAbsent(d, _ => buildVersionedGateFixture(s, d))
+      GenerationLog.indexHealth(s, root)
+        .filter(col("n_generations") =!= 1L || col("n_staged_debris") =!= 0L ||
+          col("n_segments") =!= 0L || col("n_stream_segments") =!= 0L ||
+          col("n_tombstones") =!= 0L)
+        .select(col("n_generations"), col("n_segments"), col("n_tombstones"))
     }),
     // the LSH families' health audit (r10 verdict #5 — ivfAssignmentDrift's
     // twin): per-band bucket-occupancy stats of the persisted near-dup
@@ -3896,6 +4170,22 @@ object SparkEntry {
         .filter(col("misassigned") > 0L)
         .select(col("ingest_batch"), col("n"), col("misassigned"))
     }),
+    // the generation-log lifecycle telemetry (r11 verdict #5 symmetry: the
+    // BM25 segment-health shape for every family on the GenerationLog
+    // spine): after the fixture's consolidate + retrain + ttl-0 vacuum the
+    // index must read fully settled — ONE committed generation, zero
+    // staged debris, zero segments, zero tombstones. Violations provably
+    // empty; a vacuum regression, crash loop, or tombstone leak trips it
+    "s_knn_versioned_health_contract" -> ((s, d) => {
+      val emb = tb(s, d, "embeddings")
+      val path = ivfVersionedIndexCache.computeIfAbsent(d,
+        _ => buildVersionedIvfFixture(s, emb))
+      GenerationLog.indexHealth(s, path)
+        .filter(col("n_generations") =!= 1L || col("n_staged_debris") =!= 0L ||
+          col("n_segments") =!= 0L || col("n_stream_segments") =!= 0L ||
+          col("n_tombstones") =!= 0L)
+        .select(col("n_generations"), col("n_segments"), col("n_tombstones"))
+    }),
     // the drift scan's INTEGRITY law: every stored row of a healthy index
     // sits in its argmax cluster (all write paths assign the argmax;
     // retrain reassigns atomically with the centroid swap) — zero
@@ -4335,6 +4625,10 @@ object SparkEntry {
     // perfectly on both splits — misclassified frame provably empty
     "t_quality_classifier_contract" ->
       "SELECT CAST(0 AS BIGINT) AS doc, CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS margin_micro FROM documents WHERE 1 = 0",
+    // calibration laws (argmax/probability agreement, monotone sigmoid by
+    // margin decile, noise-surviving ranking) — violations provably empty
+    "t_classifier_calibration_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS decile, '' AS violation FROM documents WHERE 1 = 0",
     // streaming near-dup gate lifecycle: stream ≡ sequential reference,
     // replay identity, tombstone release, compact invariance — all folded
     // into one provably-empty violations frame
@@ -4364,6 +4658,11 @@ object SparkEntry {
     "d_composed_gate_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
     "d_composed3_gate_contract" ->
+      "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
+    // four-stage (classifier → substring → near-dup → semantic): streamed
+    // ≡ quality-filtered stacked references + replay identity + the
+    // planted junk docs dropped at stage -1 — all provably empty
+    "d_composed4_gate_contract" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc, '' AS violation FROM documents WHERE 1 = 0",
     // Contract siblings of the 9 production rows-only queries (VERDICT r5
     // #4: bench the operator under its original name; verify the contract
@@ -4647,6 +4946,14 @@ object SparkEntry {
     // provably-empty frame over the full-lifecycle fixture
     "s_knn_versioned_drift_contract" ->
       "SELECT CAST(0 AS BIGINT) AS ingest_batch, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS misassigned FROM embeddings WHERE 1 = 0",
+    // generation-log lifecycle telemetry: the settled-shape violation
+    // frames are provably empty on every consolidated + vacuumed fixture
+    "s_knn_versioned_health_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS n_generations, CAST(0 AS BIGINT) AS n_segments, CAST(0 AS BIGINT) AS n_tombstones FROM embeddings WHERE 1 = 0",
+    "d_gate_versioned_health_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS n_generations, CAST(0 AS BIGINT) AS n_segments, CAST(0 AS BIGINT) AS n_tombstones FROM documents WHERE 1 = 0",
+    "d_substr_versioned_health_contract" ->
+      "SELECT CAST(0 AS BIGINT) AS n_generations, CAST(0 AS BIGINT) AS n_segments, CAST(0 AS BIGINT) AS n_tombstones FROM documents WHERE 1 = 0",
     // versioned build + marker-committed stream segments must reconstruct
     // the FULL corpus, same exactness argument as e_stream_index_append
     "e_versioned_stream_ingest" ->

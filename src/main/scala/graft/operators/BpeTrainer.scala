@@ -162,17 +162,30 @@ object BpeTrainer {
 
   def trainFast(
       docs: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 1L, maxWords: Long = 5000000L): DataFrame = {
+      minCount: Long = 1L, maxWords: Long = 5000000L,
+      wordSample: Int = 1): DataFrame = {
     require(numMerges >= 1)
+    require(wordSample >= 1, s"wordSample must be >= 1, got $wordSample")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = wordCounts(docs, textCol).filter(col("n") >= minCount)
+    // wordSample = n: deterministic 1/n id-hash sample of the word table —
+    // the [[UnigramTrainer.train]] sampling contract (seeded,
+    // partitioning-independent, bit-identical retrains). BPE coverage is
+    // merge-based: unmerged characters pass through the encoder untouched,
+    // so a model trained on any word subset still encodes every input
+    val wc0 = wordCounts(docs, textCol).filter(col("n") >= minCount)
+    val wc =
+      if (wordSample <= 1) wc0
+      else wc0.filter(
+        pmod(xxhash64(col("word"), lit(77L)), lit(wordSample.toLong)) === 0L)
     val nDistinct = wc.count() // job 1: fail BEFORE collecting anything big
     require(nDistinct <= maxWords,
       s"trainFast collects the (word, count) table driver-side: $nDistinct " +
-        s"distinct words exceed maxWords=$maxWords. Raise minCount " +
-        s"(currently $minCount) to prune the Zipf tail, raise maxWords if " +
-        "driver heap allows, or fall back to the distributed train().")
+        s"distinct words exceed maxWords=$maxWords. Set wordSample " +
+        s"(currently $wordSample) for a deterministic 1/n word sample, " +
+        s"raise minCount (currently $minCount) to prune the Zipf tail, " +
+        "raise maxWords if driver heap allows, or fall back to the " +
+        "distributed train().")
     val table = wc.as[(String, Long)].collect() // job 2: the only transfer
 
     // per-word state: symbol arrays + weights

@@ -117,21 +117,41 @@ object UnigramTrainer {
     * point always retained (coverage). Deterministic: all accumulated
     * counts are exact integers, pruning ties break on the piece string.
     */
+  /** The SAMPLING CONTRACT for corpora whose distinct-word table exceeds
+    * any driver heap (a 100 TB web crawl's typo/URL tail): `wordSample = n`
+    * trains on a deterministic 1/n ID-HASH sample of the (word, count)
+    * table — seeded, partitioning-independent, so the trained model is
+    * still a pure function of (corpus, params), bit-identical across
+    * retrains (spec-pinned). SentencePiece itself trains on a bounded
+    * sample for the same reason. COVERAGE IS UNAFFECTED: the Viterbi
+    * encoder segments any unseen single code point at the synthetic UNK
+    * score, so the round-trip law `concat(pieces) == concat(tokens)` holds
+    * for a model trained on ANY subset of the words. What sampling trades
+    * is piece-inventory quality on the dropped tail — exactly the
+    * SentencePiece trade, now pinned instead of "raise minCount and hope".
+    */
   def train(
       docs: DataFrame, textCol: String, vocabSize: Int,
       maxWords: Long = 5000000L, minCount: Long = 1L,
       maxPieceLen: Int = 8, emRounds: Int = 2,
-      seedMultiple: Int = 4): DataFrame = {
+      seedMultiple: Int = 4, wordSample: Int = 1): DataFrame = {
     require(vocabSize > 0 && maxPieceLen >= 1 && emRounds >= 1 && seedMultiple >= 1)
+    require(wordSample >= 1, s"wordSample must be >= 1, got $wordSample")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = BpeTrainer.wordCounts(docs, textCol).filter(col("n") >= minCount)
+    val wc0 = BpeTrainer.wordCounts(docs, textCol).filter(col("n") >= minCount)
+    val wc =
+      if (wordSample <= 1) wc0
+      else wc0.filter(
+        pmod(xxhash64(col("word"), lit(77L)), lit(wordSample.toLong)) === 0L)
     val nDistinct = wc.count()
     require(nDistinct <= maxWords,
       s"UnigramTrainer.train collects the (word, count) table driver-side: " +
-        s"$nDistinct distinct words exceed maxWords=$maxWords. Raise " +
-        s"minCount (currently $minCount), raise maxWords if driver heap " +
-        "allows, or pre-truncate the corpus.")
+        s"$nDistinct distinct words exceed maxWords=$maxWords. Set " +
+        s"wordSample (currently $wordSample) to train on a deterministic " +
+        s"1/n word sample (coverage unaffected — see the sampling " +
+        s"contract), raise minCount (currently $minCount), or raise " +
+        "maxWords if driver heap allows.")
     val table = wc.as[(String, Long)].collect()
     require(table.nonEmpty, "no trainable words (empty corpus after tokenization)")
 

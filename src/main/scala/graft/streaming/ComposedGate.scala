@@ -93,6 +93,80 @@ object ComposedGate {
     }
   }
 
+  /** The FULL CCNet-style production crawl pipeline as ONE checkpointed
+    * composition: quality-classifier score gate → substring cut → near-dup
+    * gate → semantic gate. Stage -1 (the classifier) is STATELESS — a pure
+    * function of (batch, model) — so replay identity composes for free:
+    * a replayed batch re-scores identically and the stateful stages keep
+    * their own replay contracts. Kept-quality rows land by static
+    * overwrite of the batch's own `$qualityKeptDir/ingest_batch=<id>` dir
+    * (the audit ledger of what the score gate passed — replay rewrites it
+    * byte-identically); survivors are read back from the WRITTEN partition
+    * (the standing read-back-what-you-wrote rationale) and flow through
+    * [[ingestBatch3]] unchanged. Scale shape: scoring is one broadcast
+    * model join + a map-side-combined per-doc agg — the batch text never
+    * shuffles — and the composition strictly SHRINKS every downstream
+    * stage's input (cheap stateless filter first, expensive embedding
+    * probes last).
+    */
+  def ingestBatch4(
+      batch: DataFrame, textCol: String, vecCol: String, idCol: String,
+      model: DataFrame, numBuckets: Int,
+      substrIndexPath: String, textIndexPath: String, annIndexPath: String,
+      centroids: Seq[Seq[Float]],
+      qualityKeptDir: String, cleanDir: String, textKeptDir: String,
+      keptDir: String, batchId: Long,
+      threshold: Double, nprobe: Int): Unit = {
+    val spark = batch.sparkSession
+    val keptQ = batch.join(
+      graft.operators.TextClassifier
+        .scoreDocs(batch, textCol, idCol, model, numBuckets)
+        .filter(col("quality") === 1L)
+        .select(col("doc").as(idCol)),
+      Seq(idCol))
+    val batchQDir = s"$qualityKeptDir/ingest_batch=$batchId"
+    keptQ.write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .parquet(batchQDir)
+    val fs = new org.apache.hadoop.fs.Path(qualityKeptDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(batchQDir))
+      .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
+      !spark.read.parquet(batchQDir).limit(1).isEmpty
+    if (hasData)
+      ingestBatch3(
+        spark.read.parquet(batchQDir)
+          .select(col(idCol), col(textCol), col(vecCol)),
+        textCol, vecCol, idCol,
+        substrIndexPath, textIndexPath, annIndexPath, centroids,
+        cleanDir, textKeptDir, keptDir, batchId, threshold, nprobe)
+  }
+
+  /** [[ingestBatch4]] as a Structured Streaming query — one checkpoint for
+    * the whole four-stage composition. The classifier model is FROZEN at
+    * stream start (same posture as the centroids).
+    */
+  def stream4(
+      stream: DataFrame, textCol: String, vecCol: String, idCol: String,
+      model: DataFrame, numBuckets: Int,
+      substrIndexPath: String, textIndexPath: String, annIndexPath: String,
+      qualityKeptDir: String, cleanDir: String, textKeptDir: String,
+      keptDir: String, checkpointDir: String,
+      threshold: Double, nprobe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenerationLog.requireCurrentDir(stream.sparkSession, annIndexPath)
+    val centroids = Similarity.readIvfCentroids(stream.sparkSession, annIndexPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch4(batch.toDF(), textCol, vecCol, idCol, model, numBuckets,
+          substrIndexPath, textIndexPath, annIndexPath, centroids,
+          qualityKeptDir, cleanDir, textKeptDir, keptDir, batchId,
+          threshold, nprobe))
+      .start()
+  }
+
   /** [[ingestBatch3]] as a Structured Streaming query — one checkpoint for
     * the whole three-stage composition. The near-dup index should be built
     * over substring-CLEANED base text (the same normalization arrivals get

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.{col, concat_ws}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -153,6 +154,31 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     // without "lower", (e,s)/(es,t)/(est,</w>) still lead at count 9
     assert(merges.toList == List(
       ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L)))
+  }
+
+  test("trainFast sampling contract: trains past maxWords on a 1/n word sample, " +
+      "bit-identical across partitionings, encode still total") {
+    val wide = corpus.unionByName(
+      (0 until 200).map(i => (100L + i, s"w${i}a w${i}b uniq$i")).toDF("doc_id", "text"))
+    intercept[IllegalArgumentException](
+      BpeTrainer.trainFast(wide, "text", numMerges = 3, maxWords = 150L))
+    def mergesOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, String, Long)] =
+      BpeTrainer.trainFast(df, "text", numMerges = 3, maxWords = 150L,
+        wordSample = 8)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val m1 = mergesOf(wide)
+    val m2 = mergesOf(wide.repartition(7))
+    assert(m1 === m2, "sampled training is not partitioning-independent")
+    assert(m1.nonEmpty)
+    // BPE coverage is merge-based — unmerged characters pass through, so a
+    // sampled model still encodes EVERY word losslessly
+    val got = BpeTrainer.encode(wide, "text", "doc_id", m1.map(t => (t._2, t._3)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString("")
+        .split("</w>", -1).dropRight(1).mkString(" ")).toMap
+    val want = wide.select(col("doc_id"),
+        concat_ws(" ", TextOps.tokens(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want, "sampled BPE model lost content on encode")
   }
 
   test("encode fails fast when a token contains the literal '</w>' marker") {

@@ -73,4 +73,26 @@ class UnigramTrainerSpec extends AnyFunSuite with SparkTestBase {
       UnigramTrainer.train(corpus, "text", vocabSize = 40, maxWords = 3L))
     assert(e.getMessage.contains("maxWords"))
   }
+
+  test("sampling contract: trains past maxWords on a 1/n word sample, " +
+      "bit-identical across partitionings, round-trip intact") {
+    // a corpus whose DISTINCT-word table exceeds maxWords: 200 synthetic
+    // words + the base corpus. Without sampling the guard fires; with
+    // wordSample = 4 the deterministic id-hash sample fits and trains
+    val wide = corpus.unionByName(
+      (0 until 200).map(i => (100L + i, s"w${i}a w${i}b uniq$i")).toDF("doc_id", "text"))
+    intercept[IllegalArgumentException](
+      UnigramTrainer.train(wide, "text", vocabSize = 80, maxWords = 150L))
+    def modelOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      UnigramTrainer.train(df, "text", vocabSize = 80, maxWords = 150L,
+        wordSample = 8)
+        .orderBy("piece").as[(String, Long)].collect().toSeq
+    val m1 = modelOf(wide)
+    val m2 = modelOf(wide.repartition(7))
+    assert(m1 === m2, "sampled training is not partitioning-independent")
+    assert(m1.nonEmpty)
+    // coverage is untouched by sampling: every doc — including ones whose
+    // words were sampled OUT — still round-trips exactly
+    assert(UnigramTrainer.roundTripViolations(wide, "text", "doc_id", m1).isEmpty)
+  }
 }
