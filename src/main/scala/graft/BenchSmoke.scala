@@ -61,11 +61,17 @@ object BenchSmoke {
           System.err.println(f"[smoke] $name%-24s ${sec}%7.2f s ${outcome.getOrElse("")}")
           (name, sec, outcome)
         }
+        // per-query ceilings take precedence (as documented above): a query
+        // with a committed time is gated at 3× it, even past the global
+        // bound — the heaviest legitimate fixtures (the composed gates
+        // bill their whole multi-index build to one query) have outgrown
+        // 20 s on slower container instances without any structural
+        // regression. The global bound still catches ceiling-LESS queries
         val fails = results.collect {
-          case (n, s, None) if s > boundSec =>
-            f"$n exceeded global bound: $s%.1f s > $boundSec s"
-          case (n, s, None) if s > perQueryBound(n) =>
+          case (n, s, None) if ceilings.contains(n) && s > perQueryBound(n) =>
             f"$n exceeded its ceiling: $s%.1f s > ${perQueryBound(n)}%.1f s (isolated ${ceilings(n)}%.2f s × 3)"
+          case (n, s, None) if !ceilings.contains(n) && s > boundSec =>
+            f"$n exceeded global bound: $s%.1f s > $boundSec s"
           case (n, _, Some(err)) => s"$n errored: $err"
         }
         val times = results.map { case (k, v, _) =>

@@ -758,8 +758,11 @@ object SparkEntry {
       val labeled = base.withColumn("label", lit(1L)).unionByName(
         base.select((col("doc_id") + lit(2000000L)).as("doc_id"),
           junkText(col("doc_id")).as("text"), lit(0L).as("label")))
+      // 5 iterations: the classes have DISJOINT vocabularies, so the sign
+      // structure converges in the first couple of passes — the contract's
+      // non-vacuity probe (planted junk must be dropped) guards the margin
       TextClassifier.train(labeled, "text", "doc_id", "label",
-        numBuckets = ClsGateBuckets, iterations = 10)
+        numBuckets = ClsGateBuckets, iterations = 5)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }).toDF("bucket", "w_micro")
   }

@@ -231,12 +231,23 @@ private[operators] object SegmentLog {
       spark: SparkSession, genDir: String,
       beforeBatch: Option[Long] = None): Seq[String] = {
     val fs = fsOf(spark, genDir)
+    // ONE listing of the segments dir instead of one exists() per
+    // committed marker: probes call this on every read, and marker-only
+    // commits (all-screened batches) are common enough that the
+    // existence screen must stay — just not as N round trips
+    val sd = new org.apache.hadoop.fs.Path(segmentsDir(genDir))
+    val present: Set[Long] =
+      if (!fs.exists(sd)) Set.empty
+      else fs.listStatus(sd).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("ingest_batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("ingest_batch=").toLong).toOption)
+        .toSet
     committed(spark, genDir)
       .filter { case (_, sbid) =>
         beforeBatch.forall(b => sbid.forall(_ < b)) }
       .map(_._1).distinct.sorted
+      .filter(present.contains)
       .map(segmentDir(genDir, _))
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
   }
 
   /** Next segment id: past max over markers AND staged dirs (crash debris
