@@ -256,6 +256,23 @@ object Similarity {
     * oracle-pinned to agree and a tie-break/self-filter fix applied to one
     * but not the other would silently split them.
     */
+  /** The UNION of all queries' probed cluster ids — one tiny job over the
+    * (small, broadcast-contract) query side. Used to push a STATIC
+    * partition filter into a probe's corpus legs: the versioned live
+    * corpus is a Union of the base scan and committed segment scans, and
+    * dynamic partition pruning does not reach through a Union — without
+    * the static filter every probe reads every cluster of every leg (the
+    * r12 semantic-gate stress regression: 428 s at 20× vs 81 s at 50×).
+    * A superset read per query is harmless — the probe join still matches
+    * each query only to its own probed clusters.
+    */
+  private[operators] def probedClusters(
+      queries: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Float]], nprobe: Int): Seq[Int] =
+    queries
+      .select(explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
   private[operators] def probeAssignedCorpus(
       c: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
       k: Int, centroids: Seq[Seq[Float]], nprobe: Int,
@@ -554,6 +571,12 @@ object Similarity {
       // suppressed by its first attempt's own vectors, and a forgotten
       // vector no longer suppresses
       val corpus = VersionedIvf.liveCorpus(spark, dir, beforeBatch = Some(batchId))
+        // static probed-cluster filter: the base ∪ segments Union blocks
+        // dynamic partition pruning (see probedClusters) — and a GATE's
+        // index accrues one segment per batch, so the unpruned read grows
+        // with stream age, not batch size
+        .filter(col("cluster").isin(
+          probedClusters(batch, vecCol, centroids, nprobe): _*))
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
           col("cluster"))
       val suppressed = probeAssignedCorpus(corpus, batch, vecCol, idCol,
@@ -577,7 +600,8 @@ object Similarity {
         !spark.read.parquet(batchKeptDir).limit(1).isEmpty
       if (hasData)
         VersionedIvf.ingestBatch(
-          spark.read.parquet(batchKeptDir), vecCol, idCol, indexPath, batchId)
+          spark.read.parquet(batchKeptDir), vecCol, idCol, indexPath, batchId,
+          frozenCentroids = Some(centroids))
     }
 
   /** Read the coarse centroids of an index. Layout-resolving: `path` may

@@ -435,11 +435,21 @@ object VersionedIvf {
       vecCol: String, idCol: String, k: Int, nprobe: Int,
       broadcastQueries: Boolean = true): DataFrame = {
     val dir = GenerationLog.requireCurrentDir(spark, root)
+    val centroids = Similarity.readIvfCentroids(spark, dir)
+    val live = liveCorpus(spark, dir)
+    // static partition filter on the probed clusters: DPP cannot reach
+    // through the base ∪ segments Union, so without it an nprobe-pruned
+    // probe reads EVERY cluster of every leg (see Similarity.probedClusters).
+    // Corpus-scale query sides (broadcastQueries = false) probe everything
+    // anyway — skip the extra job there
+    val pruned =
+      if (broadcastQueries) live.filter(col("cluster").isin(
+        Similarity.probedClusters(queries, vecCol, centroids, nprobe): _*))
+      else live
     Similarity.probeAssignedCorpus(
-      liveCorpus(spark, dir).select(col("vec_id").as("neighbor_id"),
+      pruned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cv"), col("cluster")),
-      queries, vecCol, idCol, k, Similarity.readIvfCentroids(spark, dir),
-      nprobe, broadcastQueries)
+      queries, vecCol, idCol, k, centroids, nprobe, broadcastQueries)
   }
 
   /** Retention delete: tombstone append only (one small file). The ids
@@ -496,12 +506,18 @@ object VersionedIvf {
     */
   private[operators] def ingestBatch(
       batch: DataFrame, vecCol: String, idCol: String,
-      root: String, batchId: Long): Unit = MaintenanceLock.withLock(batch.sparkSession, root) {
+      root: String, batchId: Long,
+      frozenCentroids: Option[Seq[Seq[Float]]] = None): Unit =
+   MaintenanceLock.withLock(batch.sparkSession, root) {
     val spark = batch.sparkSession
     val dir = GenerationLog.requireCurrentDir(spark, root)
     if (SegmentLog.streamBatchCommitted(spark, dir, batchId)) return
+    // callers that already hold the stream's frozen centroids (the
+    // semantic gate probes with them) pass them through — saves one
+    // centroid read + collect per micro-batch; the plain ingest stream
+    // re-resolves so it follows a mid-stream consolidation/retrain
     val assigned = Similarity.assignToIndex(batch, vecCol, idCol,
-      Similarity.readIvfCentroids(spark, dir))
+      frozenCentroids.getOrElse(Similarity.readIvfCentroids(spark, dir)))
     val fs = fsOf(spark, dir)
     val tombDir = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val screened =
@@ -875,10 +891,14 @@ object VersionedIvfPq {
       vecCol: String, idCol: String, k: Int,
       nprobe: Int = 2, rerank: Int = 4): DataFrame = {
     val dir = GenerationLog.requireCurrentDir(spark, root)
+    val centroids = Similarity.readIvfCentroids(spark, dir)
+    // same static probed-cluster filter as VersionedIvf.topKFromIndex:
+    // the codes Union blocks dynamic partition pruning
+    val codes = liveCodes(spark, dir).filter(col("cluster").isin(
+      Similarity.probedClusters(queries, vecCol, centroids, nprobe): _*))
     Similarity.ivfPqProbe(
-      liveCodes(spark, dir), queries, corpus, vecCol, idCol, k,
-      Similarity.readIvfCentroids(spark, dir),
-      Similarity.readIvfPqBooks(spark, dir), nprobe, rerank)
+      codes, queries, corpus, vecCol, idCol, k,
+      centroids, Similarity.readIvfPqBooks(spark, dir), nprobe, rerank)
   }
 
   /** Marker-committed code segment against the FROZEN stored quantizers. */
