@@ -440,11 +440,14 @@ object VersionedIvf {
     // static partition filter on the probed clusters: DPP cannot reach
     // through the base ∪ segments Union, so without it an nprobe-pruned
     // probe reads EVERY cluster of every leg (see Similarity.probedClusters).
-    // Corpus-scale query sides (broadcastQueries = false) probe everything
-    // anyway — skip the extra job there
+    // Applied only when segments EXIST — a consolidated index is a single
+    // scan where DPP already prunes, and the filter's one small query-side
+    // job would be pure overhead. Corpus-scale query sides
+    // (broadcastQueries = false) probe everything anyway — skipped there
     val pruned =
-      if (broadcastQueries) live.filter(col("cluster").isin(
-        Similarity.probedClusters(queries, vecCol, centroids, nprobe): _*))
+      if (broadcastQueries && SegmentLog.committedDirs(spark, dir).nonEmpty)
+        live.filter(col("cluster").isin(
+          Similarity.probedClusters(queries, vecCol, centroids, nprobe): _*))
       else live
     Similarity.probeAssignedCorpus(
       pruned.select(col("vec_id").as("neighbor_id"),
@@ -892,10 +895,15 @@ object VersionedIvfPq {
       nprobe: Int = 2, rerank: Int = 4): DataFrame = {
     val dir = GenerationLog.requireCurrentDir(spark, root)
     val centroids = Similarity.readIvfCentroids(spark, dir)
-    // same static probed-cluster filter as VersionedIvf.topKFromIndex:
-    // the codes Union blocks dynamic partition pruning
-    val codes = liveCodes(spark, dir).filter(col("cluster").isin(
-      Similarity.probedClusters(queries, vecCol, centroids, nprobe): _*))
+    // same conditional static probed-cluster filter as
+    // VersionedIvf.topKFromIndex: the codes Union blocks dynamic partition
+    // pruning; a consolidated (single-scan) index needs no help
+    val live = liveCodes(spark, dir)
+    val codes =
+      if (SegmentLog.committedDirs(spark, dir).nonEmpty)
+        live.filter(col("cluster").isin(
+          Similarity.probedClusters(queries, vecCol, centroids, nprobe): _*))
+      else live
     Similarity.ivfPqProbe(
       codes, queries, corpus, vecCol, idCol, k,
       centroids, Similarity.readIvfPqBooks(spark, dir), nprobe, rerank)
