@@ -39,17 +39,26 @@ object Bench {
   val NominalCpuSec = 0.30
   val NominalIoSec = 1.00
 
+  /** One CPU-bound probe shot (no best-of-N): the PERIODIC sentinel wants
+    * to see the window as-is, noise included — a mid-run I/O burp or noisy
+    * neighbor should trip its window, not be min'd away.
+    */
+  private def cpuProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: ANSI mode is on and 100M hash sums overflow bigint
+    spark.range(0, 100000000L, 1, 32)
+      .select(expr("bit_xor(xxhash64(id))")).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def calibrate(spark: SparkSession): (Double, Double) = {
     import org.apache.spark.sql.functions._
     def best2(body: => Unit): Double =
       (1 to 2).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.min
-    // bit_xor, not sum: ANSI mode is on and 100M hash sums overflow bigint
-    val cpu = best2 {
-      spark.range(0, 100000000L, 1, 32)
-        .select(expr("bit_xor(xxhash64(id))")).collect()
-    }
+    val cpu = (1 to 2).map(_ => cpuProbe(spark)).min
     val dir = java.nio.file.Files.createTempDirectory("bench_cal").toString
     val io = best2 {
       spark.range(0, 2000000L, 1, 32)
@@ -97,6 +106,14 @@ object Bench {
     val explain = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")
     val (cpuStart, ioStart) = calibrate(spark)
     System.err.println(f"[bench] calibration start: cpu=$cpuStart%.2f s io=$ioStart%.2f s")
+    // PERIODIC sentinel (r12 verdict #4: the endpoint-only samples can
+    // bracket a degraded mid-run window without seeing it): one single-shot
+    // CPU probe every `sentinelEvery` completed queries, the series stamped
+    // into the artifact so degradation is localizable per-WINDOW.
+    val sentinelEvery = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "25").toInt).getOrElse(25)
+    val sentinelSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var queriesDone = 0
     val results = SparkEntry.queries.view.filterKeys(!benchExcluded(_))
       .filterKeys(k => only.forall(_.contains(k))).toMap
       .map { case (name, fn) =>
@@ -138,6 +155,12 @@ object Bench {
         val good = samples.filter(_._2).map(_._1)
         val sec = if (good.nonEmpty) good.min else -1.0
         System.err.println(f"[bench] $name%-24s ${sec}%8.2f s")
+        queriesDone += 1
+        if (sentinelEvery > 0 && queriesDone % sentinelEvery == 0) {
+          val probe = cpuProbe(spark)
+          sentinelSeries += ((queriesDone, probe))
+          System.err.println(f"[bench] sentinel @$queriesDone: cpu=$probe%.2f s")
+        }
         name -> sec
       }
     // 3-decimal rendering: sub-millisecond digits are pure noise on this box
@@ -149,12 +172,25 @@ object Bench {
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val (cpuEnd, ioEnd) = calibrate(spark)
     System.err.println(f"[bench] calibration end: cpu=$cpuEnd%.2f s io=$ioEnd%.2f s")
+    // the endpoints trip `degraded` at 2× nominal (best-of-2 probes); the
+    // single-shot mid-run windows get a 3× threshold — one shot carries
+    // ordinary scheduler jitter the endpoint min() filters out, and the
+    // window flag exists to catch sustained mid-run degradation, not one
+    // noisy probe
+    val degradedWindows = sentinelSeries.collect {
+      case (i, s) if s / NominalCpuSec > 3.0 => i
+    }.toSeq
     val degraded = Seq(cpuStart / NominalCpuSec, cpuEnd / NominalCpuSec,
-      ioStart / NominalIoSec, ioEnd / NominalIoSec).max > 2.0
+      ioStart / NominalIoSec, ioEnd / NominalIoSec).max > 2.0 ||
+      degradedWindows.nonEmpty
+    val seriesJson = sentinelSeries
+      .map { case (i, s) => s"[$i,${fmt(s)}]" }.mkString("[", ",", "]")
     val calJson = s""""calibration":{"cpu_start":${fmt(cpuStart)},""" +
       s""""io_start":${fmt(ioStart)},"cpu_end":${fmt(cpuEnd)},""" +
       s""""io_end":${fmt(ioEnd)},"cpu_nominal":$NominalCpuSec,""" +
-      s""""io_nominal":$NominalIoSec,"degraded":$degraded}"""
+      s""""io_nominal":$NominalIoSec,"cpu_series":$seriesJson,""" +
+      s""""degraded_windows":${degradedWindows.mkString("[", ",", "]")},""" +
+      s""""degraded":$degraded}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel per-query; they must not make the

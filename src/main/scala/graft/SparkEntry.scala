@@ -608,6 +608,7 @@ object SparkEntry {
   private def buildComposed3GateFixture(
       s: SparkSession, d: String)
       : (String, String, String, String, String, String, Seq[Seq[Float]]) = {
+    val fixtureT0 = System.nanoTime()
     val docs = tb(s, d, "documents")
     val embs = tb(s, d, "embeddings")
     val baseDocs = gateIndexBase(docs)
@@ -658,6 +659,7 @@ object SparkEntry {
       cleanDir.toString, textKept.toString, kept.toString, ckpt.toString,
       SemGateTau, SemGateNprobe)
       .awaitTermination()
+    System.err.println(f"[fixture] composed3 build+stream: ${(System.nanoTime() - fixtureT0) / 1e9}%.2f s (billed to the first composed3 query run)")
     (substrIdx.toString, textIdx.toString, annIdx.toString,
       cleanDir.toString, textKept.toString, kept.toString, cents)
   }
@@ -779,6 +781,7 @@ object SparkEntry {
   private def buildComposed4GateFixture(
       s: SparkSession, d: String)
       : (String, String, String, String, String, String, String, Seq[Seq[Float]]) = {
+    val fixtureT0 = System.nanoTime()
     val docs = tb(s, d, "documents")
     val embs = tb(s, d, "embeddings")
     val baseDocs = gateIndexBase(docs)
@@ -825,6 +828,12 @@ object SparkEntry {
       qualityKept.toString, cleanDir.toString, textKept.toString,
       kept.toString, ckpt.toString, SemGateTau, SemGateNprobe)
       .awaitTermination()
+    // fixture/gate cost split (r12 verdict #2): the bench face bills this
+    // whole build (3 index builds + classifier train + one streamed batch)
+    // to the FIRST run of whichever composed4 query touches the cache; the
+    // best-of-2 second run times the replay alone. This line makes the
+    // split visible in the bench stderr without a second timing face.
+    System.err.println(f"[fixture] composed4 build+stream: ${(System.nanoTime() - fixtureT0) / 1e9}%.2f s (billed to the first composed4 query run)")
     (substrIdx.toString, textIdx.toString, annIdx.toString,
       qualityKept.toString, cleanDir.toString, textKept.toString,
       kept.toString, cents)

@@ -40,10 +40,12 @@ import org.apache.spark.sql.SparkSession
   *    rename (S3 pre-conditional-write APIs) reduce it to advisory-with-
   *    races — run maintenance from a single scheduler there (same caveat
   *    as the swap protocol's rename; see USAGE.md's object-store section);
-  *  - the streaming ingest gates do NOT take the lock per micro-batch (a
-  *    lock per batch would serialize ingest against its own maintenance
-  *    windows); stream-vs-maintenance safety is the checkpoint commit-log
-  *    guard's job ([[graft.streaming.CommitLog.requireAllCommitted]]).
+  *  - the streaming ingest gates take the lock per micro-batch (segment-id
+  *    reservation + marker commit must not interleave with a concurrent
+  *    mutator), but through [[withLockRetry]]: transient contention with a
+  *    routine delete/consolidate degrades to batch LATENCY instead of
+  *    killing the whole streaming query with the fail-fast
+  *    IllegalStateException the one-shot maintenance verbs want.
   */
 object MaintenanceLock {
 
@@ -130,5 +132,43 @@ object MaintenanceLock {
       if (stillOurs)
         try fs.delete(lock, false) catch { case _: Exception => () }
     }
+  }
+
+  /** [[withLock]] with bounded retry/backoff on contention — the streaming
+    * gates' acquisition mode. A gate micro-batch racing a routine
+    * delete/consolidate must not terminate the whole streaming query with
+    * the fail-fast IllegalStateException the one-shot maintenance verbs
+    * want; it should wait the seconds the maintenance verb actually takes
+    * and then run. Retries only the CONTENTION failure (lock held /
+    * lost-the-race); anything thrown by `body` propagates immediately.
+    * After `maxWaitMs` of total backoff the last contention error
+    * propagates — a wedged maintenance job (or a crashed holder inside its
+    * TTL) still surfaces as a stream failure rather than an unbounded
+    * silent stall, with checkpoint replay making the batch safe to re-run.
+    */
+  def withLockRetry[T](
+      spark: SparkSession, indexPath: String,
+      ttlMs: Long = DefaultTtlMs,
+      maxWaitMs: Long = 2 * 60 * 1000L)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var backoffMs = 500L
+    while (true) {
+      val attempt =
+        try Right(withLock(spark, indexPath, ttlMs)(body))
+        catch {
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                e.getMessage.startsWith("maintenance lock on") =>
+            Left(e)
+        }
+      attempt match {
+        case Right(v) => return v
+        case Left(e) =>
+          if (System.currentTimeMillis() + backoffMs > deadline) throw e
+          Thread.sleep(backoffMs)
+          backoffMs = math.min(backoffMs * 2, 8000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

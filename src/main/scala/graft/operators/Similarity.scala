@@ -544,28 +544,47 @@ object Similarity {
       indexPath: String, keptDir: String, checkpointDir: String,
       threshold: Double, nprobe: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    GenerationLog.requireCurrentDir(stream.sparkSession, indexPath)
-    val centroids = readIvfCentroids(stream.sparkSession, indexPath)
+    val spark = stream.sparkSession
+    GenerationLog.requireCurrentDir(spark, indexPath)
+    // GENERATION-TAGGED freeze: the tag lets each batch cheaply validate
+    // that the index is still on the generation these centroids came
+    // from — a mid-stream consolidate keeps them valid, a retrain does not
+    val frozenGen = GenerationLog.currentGeneration(spark, indexPath).get
+    val centroids = readIvfCentroids(spark, indexPath)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         semanticGateBatch(batch.toDF(), vecCol, idCol, indexPath, keptDir,
-          centroids, batchId, threshold, nprobe))
+          centroids, batchId, threshold, nprobe, frozenGen = Some(frozenGen)))
       .start()
   }
 
   /** One gate batch of [[streamSemanticGate]], exposed for replay testing
-    * and receipts.
+    * and receipts. `frozenGen` tags the generation `centroids` were read
+    * from: when the index has moved past it (a mid-stream retrain
+    * committed a new generation with re-trained centroids), the batch
+    * re-reads the CURRENT centroids instead of pruning clusters and
+    * assigning its segment with stale ones — which would break both the
+    * suppression probe's partition pruning and the misassigned==0 drift
+    * invariant of the new generation. `frozenGen = None` (the direct-call
+    * test shape) always re-validates by re-reading.
     */
   private[graft] def semanticGateBatch(
       batch: DataFrame, vecCol: String, idCol: String,
-      indexPath: String, keptDir: String, centroids: Seq[Seq[Float]],
-      batchId: Long, threshold: Double, nprobe: Int): Unit =
+      indexPath: String, keptDir: String, frozenCentroids: Seq[Seq[Float]],
+      batchId: Long, threshold: Double, nprobe: Int,
+      frozenGen: Option[Long] = None): Unit =
     graft.CacheScope.withScope {
       val spark = batch.sparkSession
-      val dir = GenerationLog.requireCurrentDir(spark, indexPath)
+      val gen = GenerationLog.currentGeneration(spark, indexPath).getOrElse(
+        throw new IllegalStateException(
+          s"no committed generation at $indexPath — build the index first"))
+      val dir = GenerationLog.generationDir(indexPath, gen)
+      val centroids =
+        if (frozenGen.contains(gen)) frozenCentroids
+        else readIvfCentroids(spark, dir)
       // strictly-earlier live membership: base ∪ committed segments with
       // stream ids < this batch, minus tombstones — a replay cannot be
       // suppressed by its first attempt's own vectors, and a forgotten
@@ -601,7 +620,10 @@ object Similarity {
       if (hasData)
         VersionedIvf.ingestBatch(
           spark.read.parquet(batchKeptDir), vecCol, idCol, indexPath, batchId,
-          frozenCentroids = Some(centroids))
+          // gen-tagged: ingestBatch re-validates UNDER its lock, so a
+          // retrain committing between this batch's probe and its append
+          // still cannot assign stale clusters into the new generation
+          frozenCentroids = Some((gen, centroids)))
     }
 
   /** Read the coarse centroids of an index. Layout-resolving: `path` may

@@ -118,7 +118,11 @@ object GenerationLog {
       .filterNot(committed.contains)
     val (nSegs, nStreamSegs, nTombs) = committed.lastOption.map { g =>
       val dir = generationDir(root, g)
-      val segs = SegmentLog.committed(spark, dir)
+      // present-filtered, same screen committedDirs applies: marker-only
+      // commits (all-screened batches whose data dir was dropped) are NOT
+      // probe-side read fan-out, and counting them would let the
+      // "time to consolidate" trigger fire on segments that don't exist
+      val segs = SegmentLog.committedPresent(spark, dir)
       val tombDir = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       val tombs =
         if (fs.exists(tombDir))
@@ -227,14 +231,18 @@ private[operators] object SegmentLog {
     * appends and the build base — always qualify, mirroring the in-place
     * `ingest_batch < b` read where `-1` always qualifies).
     */
-  def committedDirs(
-      spark: SparkSession, genDir: String,
-      beforeBatch: Option[Long] = None): Seq[String] = {
+  /** Committed (segId, streamBatchId?) pairs whose data dir exists — the
+    * marker-only commits (all-screened/all-suppressed batches) filtered
+    * out with ONE listing of the segments dir instead of one exists() per
+    * marker. Markers are listed FIRST, data dirs second: the commit
+    * protocol writes the dir before its marker, so a listed marker implies
+    * the dir exists — the reverse order could observe a marker whose dir
+    * was absent from an EARLIER listing and silently drop a
+    * freshly committed segment from the live view for that read.
+    */
+  def committedPresent(spark: SparkSession, genDir: String): Seq[(Long, Option[Long])] = {
     val fs = fsOf(spark, genDir)
-    // ONE listing of the segments dir instead of one exists() per
-    // committed marker: probes call this on every read, and marker-only
-    // commits (all-screened batches) are common enough that the
-    // existence screen must stay — just not as N round trips
+    val marked = committed(spark, genDir)
     val sd = new org.apache.hadoop.fs.Path(segmentsDir(genDir))
     val present: Set[Long] =
       if (!fs.exists(sd)) Set.empty
@@ -242,13 +250,17 @@ private[operators] object SegmentLog {
         .filter(_.startsWith("ingest_batch="))
         .flatMap(n => scala.util.Try(n.stripPrefix("ingest_batch=").toLong).toOption)
         .toSet
-    committed(spark, genDir)
+    marked.filter(s => present.contains(s._1))
+  }
+
+  def committedDirs(
+      spark: SparkSession, genDir: String,
+      beforeBatch: Option[Long] = None): Seq[String] =
+    committedPresent(spark, genDir)
       .filter { case (_, sbid) =>
         beforeBatch.forall(b => sbid.forall(_ < b)) }
       .map(_._1).distinct.sorted
-      .filter(present.contains)
       .map(segmentDir(genDir, _))
-  }
 
   /** Next segment id: past max over markers AND staged dirs (crash debris
     * is never reused; it ages out via vacuum).
@@ -462,8 +474,20 @@ object VersionedIvf {
     * family's "rows actually deleted" face); the id set is pinned once so
     * the count and the tombstone write cannot diverge under a
     * non-deterministic `ids` plan.
+    *
+    * `checkpointDir`: pass the ingest/gate stream's checkpoint dir when
+    * deleting from an index a stream is actively gating against — the
+    * [[graft.streaming.CommitLog]] guard refuses to tombstone while a
+    * written-but-uncommitted batch is in flight, whose replay would
+    * otherwise recompute its kept set against a shrunken suppression view
+    * (the replay-heal in [[ingestBatch]] bounds the damage, but bitwise
+    * replay determinism needs quiescence, same as [[consolidate]]).
     */
-  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Long =
+  def delete(
+      spark: SparkSession, root: String, ids: DataFrame, idCol: String,
+      checkpointDir: Option[String] = None): Long = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedIvf.delete($root)"))
     MaintenanceLock.withLock(spark, root) {
       val dir = GenerationLog.requireCurrentDir(spark, root)
       val pinned = graft.CacheScope.localCheckpoint(
@@ -475,6 +499,7 @@ object VersionedIvf {
         n
       } finally graft.CacheScope.unpersistCheckpoint(pinned)
     }
+  }
 
   /** Batch append against the current generation's FROZEN centroids — a
     * marker-committed segment, so concurrent probes see it atomically.
@@ -505,31 +530,74 @@ object VersionedIvf {
     * segment silently), and a consolidate/retrain committing a new
     * generation mid-batch would strand this batch's segment in the
     * superseded generation. The lock makes generation resolution and
-    * segment publish one atomic unit.
+    * segment publish one atomic unit — acquired with RETRY
+    * ([[MaintenanceLock.withLockRetry]]): a gate batch racing a routine
+    * delete/consolidate waits it out instead of killing the stream.
+    *
+    * `frozenCentroids` is GENERATION-TAGGED `(gen, centroids)`: callers
+    * that hold the stream's frozen centroids (the semantic gate probes
+    * with them) pass them through to save one centroid read + collect per
+    * micro-batch, but they are used only while the index is still on the
+    * generation they came from — after a mid-stream consolidate/retrain
+    * commits a new generation, the batch re-reads the current centroids
+    * (validated here, UNDER the lock, so the check and the segment publish
+    * are one atomic unit) instead of assigning stale clusters into the new
+    * generation and violating the misassigned==0 drift invariant.
     */
   private[operators] def ingestBatch(
       batch: DataFrame, vecCol: String, idCol: String,
       root: String, batchId: Long,
-      frozenCentroids: Option[Seq[Seq[Float]]] = None): Unit =
-   MaintenanceLock.withLock(batch.sparkSession, root) {
+      frozenCentroids: Option[(Long, Seq[Seq[Float]])] = None): Unit =
+   MaintenanceLock.withLockRetry(batch.sparkSession, root) {
     val spark = batch.sparkSession
-    val dir = GenerationLog.requireCurrentDir(spark, root)
-    if (SegmentLog.streamBatchCommitted(spark, dir, batchId)) return
-    // callers that already hold the stream's frozen centroids (the
-    // semantic gate probes with them) pass them through — saves one
-    // centroid read + collect per micro-batch; the plain ingest stream
-    // re-resolves so it follows a mid-stream consolidation/retrain
-    val assigned = Similarity.assignToIndex(batch, vecCol, idCol,
-      frozenCentroids.getOrElse(Similarity.readIvfCentroids(spark, dir)))
+    val gen = GenerationLog.currentGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed generation at $root — build the index first"))
+    val dir = GenerationLog.generationDir(root, gen)
+    val centroids = frozenCentroids match {
+      case Some((g, c)) if g == gen => c
+      case _ => Similarity.readIvfCentroids(spark, dir)
+    }
     val fs = fsOf(spark, dir)
     val tombDir = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val screened =
+    def screen(df: DataFrame): DataFrame =
       if (fs.exists(tombDir))
-        assigned.join(
+        df.join(
           broadcast(spark.read.parquet(tombDir.toString)
             .select(col("vec_id").as("__tomb_id")).distinct()),
           col("vec_id") === col("__tomb_id"), "left_anti")
-      else assigned
+      else df
+    if (SegmentLog.streamBatchCommitted(spark, dir, batchId)) {
+      // REPLAY HEAL: the batch content a gate hands in can legitimately
+      // differ from the first attempt's (a tombstone delete between the
+      // attempts shrinks the gate's suppression set, so the replayed kept
+      // set grows). The committed segment is frozen — so verify coverage
+      // and stage a SUPPLEMENTAL segment (new segId, same .s<batchId>
+      // marker suffix, which future batches read and this batch's own
+      // replays exclude) for any live batch row missing from this batch's
+      // committed segments. Idempotent: once covered, the diff is empty
+      // and nothing is written. For the plain ingest stream the diff is
+      // provably empty (tombstones only grow until consolidate, which
+      // requires stream quiescence), costing one anti-join on replay only.
+      val segDirs = SegmentLog.committedPresent(spark, dir)
+        .filter(_._2.contains(batchId))
+        .map(s => SegmentLog.segmentDir(dir, s._1))
+      val assigned = screen(
+        Similarity.assignToIndex(batch, vecCol, idCol, centroids))
+      val missing =
+        if (segDirs.isEmpty) assigned
+        else assigned.join(
+          spark.read.option("basePath", SegmentLog.segmentsDir(dir))
+            .parquet(segDirs: _*).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      if (!missing.limit(1).isEmpty) {
+        val segId = SegmentLog.nextSegId(spark, dir)
+        writeSegment(spark, dir, segId, missing, s"$segId.s$batchId")
+      }
+      return
+    }
+    val screened = screen(
+      Similarity.assignToIndex(batch, vecCol, idCol, centroids))
     val segId = SegmentLog.nextSegId(spark, dir)
     writeSegment(spark, dir, segId, screened, s"$segId.s$batchId")
   }
@@ -700,10 +768,19 @@ object VersionedNearDup {
 
   /** Retention delete: tombstone-only, same semantics as
     * [[Dedup.deleteFromNearDupIndex]] — screens immediately, purged
-    * physically by the next [[consolidate]].
+    * physically by the next [[consolidate]]. Pass the gate stream's
+    * `checkpointDir` when a stream is actively gating against this index:
+    * the guard refuses to tombstone while a written-but-uncommitted batch
+    * is in flight (its replay would recompute the kept set against a
+    * shrunken suppression view — [[gateBatch]]'s replay-heal bounds the
+    * damage; quiescence removes it).
     */
-  def delete(ids: DataFrame, idCol: String, root: String): Unit = {
+  def delete(
+      ids: DataFrame, idCol: String, root: String,
+      checkpointDir: Option[String] = None): Unit = {
     val spark = ids.sparkSession
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedNearDup.delete($root)"))
     MaintenanceLock.withLock(spark, root) {
       val dir = GenerationLog.requireCurrentDir(spark, root)
       ids.select(col(idCol).cast("long").as("doc")).distinct()
@@ -716,19 +793,34 @@ object VersionedNearDup {
     * batch's own `$keptDir/ingest_batch=<id>` dir (replay rewrites the
     * same dir — idempotent without dynamic overwrite), and the appended
     * signatures land as a marker-committed segment derived from the
-    * WRITTEN kept partition (replay-identical by construction). A replayed
-    * batch recomputes the same kept set (its manifest view excludes
-    * segments with stream ids ≥ its own) and skips the signature append
-    * via the marker.
+    * WRITTEN kept partition (replay-identical by construction).
+    *
+    * Replay consistency: a replayed batch recomputes its kept set against
+    * the same strictly-earlier manifest view, so absent concurrent
+    * mutation it rewrites the identical kept partition and skips the
+    * signature append via the marker. If a tombstone [[delete]] landed
+    * BETWEEN the first attempt and the replay, the replayed kept set can
+    * grow (fewer suppressors) — so on replay the written kept partition's
+    * signatures are VERIFIED against this batch's committed segments and
+    * any missing docs' signatures are staged as a supplemental segment
+    * (idempotent: covered ⇒ empty diff ⇒ no write). The reverse
+    * divergence — a first-attempt keeper displaced by a replay keeper,
+    * leaving its frozen signatures in the index — is conservative
+    * (over-suppression of future near-dups of a dropped doc) and
+    * deliberately tolerated; full bitwise replay determinism under
+    * concurrent deletes requires stream quiescence (pass the stream's
+    * `checkpointDir` to [[delete]], the consolidate guard).
     */
   def gateBatch(
       batch: DataFrame, textCol: String, idCol: String,
       root: String, keptDir: String, batchId: Long): Unit =
-   MaintenanceLock.withLock(batch.sparkSession, root) { graft.CacheScope.withScope {
-    // locked like every other mutator: segId reservation + segment write +
-    // marker commit must not interleave with a concurrent append's
-    // reservation (same id → silent clobber) or a consolidate publishing a
-    // new generation mid-batch (segment stranded in the superseded one)
+   MaintenanceLock.withLockRetry(batch.sparkSession, root) { graft.CacheScope.withScope {
+    // locked like every other mutator (with gate-mode RETRY: transient
+    // maintenance contention degrades to batch latency, not stream
+    // failure): segId reservation + segment write + marker commit must not
+    // interleave with a concurrent append's reservation (same id → silent
+    // clobber) or a consolidate publishing a new generation mid-batch
+    // (segment stranded in the superseded one)
     val spark = batch.sparkSession
     val dir = GenerationLog.requireCurrentDir(spark, root)
     val (ss, bands, rpb, numer, denom) = Dedup.readNearDupIndexParams(spark, dir)
@@ -743,15 +835,15 @@ object VersionedNearDup {
     val batchKeptDir = s"$keptDir/ingest_batch=$batchId"
     kept.write.mode("overwrite").option("partitionOverwriteMode", "static")
       .parquet(batchKeptDir)
+    // the file-existence guard keeps the emptiness probe off a dir with no
+    // parquet footers (zero-task writes), which is unreadable
+    val fs = fsOf(spark, keptDir)
+    val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(batchKeptDir))
+      .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
+      !spark.read.parquet(batchKeptDir).limit(1).isEmpty
     if (!SegmentLog.streamBatchCommitted(spark, dir, batchId)) {
       // an all-suppressed batch has no signatures to append, but the
-      // marker must still land so a replay is recognized as such. The
-      // file-existence guard keeps the emptiness probe off a dir with no
-      // parquet footers (zero-task writes), which is unreadable
-      val fs = fsOf(spark, keptDir)
-      val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(batchKeptDir))
-        .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
-        !spark.read.parquet(batchKeptDir).limit(1).isEmpty
+      // marker must still land so a replay is recognized as such
       val segId = SegmentLog.nextSegId(spark, dir)
       if (hasData) {
         // derive the appended signatures from the WRITTEN kept partition —
@@ -761,6 +853,28 @@ object VersionedNearDup {
           .parquet(SegmentLog.segmentDir(dir, segId))
       }
       SegmentLog.commitMarker(spark, dir, s"$segId.s$batchId")
+    } else if (hasData) {
+      // REPLAY HEAL (see scaladoc): kept docs whose signatures are absent
+      // from this batch's committed segments get a supplemental segment —
+      // same .s<batchId> marker suffix, so future batches read it and this
+      // batch's own replays exclude it
+      val segDirs = SegmentLog.committedPresent(spark, dir)
+        .filter(_._2.contains(batchId))
+        .map(s => SegmentLog.segmentDir(dir, s._1))
+      val sigs = Dedup.nearDupManifest(
+        spark.read.parquet(batchKeptDir), textCol, idCol, ss, bands, rpb)
+      val missing =
+        if (segDirs.isEmpty) sigs
+        else sigs.join(
+          spark.read.option("basePath", SegmentLog.segmentsDir(dir))
+            .parquet(segDirs: _*).select(col("doc")).distinct(),
+          Seq("doc"), "left_anti")
+      if (!missing.limit(1).isEmpty) {
+        val segId = SegmentLog.nextSegId(spark, dir)
+        missing.write.mode("overwrite").option("partitionOverwriteMode", "static")
+          .parquet(SegmentLog.segmentDir(dir, segId))
+        SegmentLog.commitMarker(spark, dir, s"$segId.s$batchId")
+      }
     }
    } }
 
@@ -934,9 +1048,14 @@ object VersionedIvfPq {
 
   /** Tombstone-only retention delete (probe anti-join; physical purge at
     * the next [[consolidate]]/[[retrain]]). Returns the live rows newly
-    * suppressed — the [[VersionedIvf.delete]] contract.
+    * suppressed — the [[VersionedIvf.delete]] contract, including its
+    * optional `checkpointDir` stream-quiescence guard.
     */
-  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Long =
+  def delete(
+      spark: SparkSession, root: String, ids: DataFrame, idCol: String,
+      checkpointDir: Option[String] = None): Long = {
+    checkpointDir.foreach(graft.streaming.CommitLog.requireAllCommitted(
+      spark, _, s"VersionedIvfPq.delete($root)"))
     MaintenanceLock.withLock(spark, root) {
       val dir = GenerationLog.requireCurrentDir(spark, root)
       val pinned = graft.CacheScope.localCheckpoint(
@@ -948,6 +1067,7 @@ object VersionedIvfPq {
         n
       } finally graft.CacheScope.unpersistCheckpoint(pinned)
     }
+  }
 
   /** Fold segments + apply tombstones → next generation; quantizers and
     * codes unchanged (no re-encode — the codes ARE the membership).
@@ -1077,9 +1197,15 @@ object VersionedSubstring {
   def gateBatch(
       batch: DataFrame, textCol: String, idCol: String,
       root: String, cleanDir: String, batchId: Long): Unit =
-   MaintenanceLock.withLock(batch.sparkSession, root) { graft.CacheScope.withScope {
-    // locked: see VersionedNearDup.gateBatch — segId reservation and the
-    // generation resolution must be atomic vs concurrent appends/retrains
+   MaintenanceLock.withLockRetry(batch.sparkSession, root) { graft.CacheScope.withScope {
+    // locked with gate-mode RETRY: see VersionedNearDup.gateBatch — segId
+    // reservation and the generation resolution must be atomic vs
+    // concurrent appends/retrains, and transient maintenance contention
+    // must degrade to batch latency, not stream failure. No replay-heal
+    // needed here: this family has no tombstone face (manifest rows are
+    // content keys), so the strictly-earlier manifest view a replay
+    // recomputes against cannot have shrunk — the replayed clean output
+    // and new-window set are identical to the first attempt's
     val spark = batch.sparkSession
     val dir = GenerationLog.requireCurrentDir(spark, root)
     val n = spark.read.parquet(s"$dir/params").head.getAs[Int]("n")
