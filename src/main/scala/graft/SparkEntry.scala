@@ -2181,6 +2181,18 @@ object SparkEntry {
       operators.UnigramTrainer.roundTripViolations(docs, "text", "doc_id", vocab)
         .select(col("doc_id"))
     }),
+    // trainer-equivalence contract (r12 verdict #5 — distributed EM): the
+    // FULLY-distributed unigram trainer (word table never collected, no
+    // maxWords bound; seed explode + broadcast-scores Viterbi EM as native
+    // expressions, every driver structure vocab-bounded) must learn a
+    // model ROW-IDENTICAL to the driver trainer's — symmetric difference
+    // provably empty. The no-bound Done criterion (distinct words >
+    // maxWords, wordSample = 1) is spec-pinned in UnigramTrainerSpec
+    "t_unigram_distributed_contract" -> ((s, d) => {
+      val docs = tb(s, d, "documents")
+      operators.UnigramTrainer.distributedTrainViolations(
+        docs, "text", vocabSize = 64)
+    }),
     // the fastText/CCNet-style QUALITY CLASSIFIER (hashed-ngram logistic
     // regression, integer-exact training — TextClassifier.scala): trained
     // on a %3 split of a planted separable corpus (real harness documents
@@ -4633,6 +4645,10 @@ object SparkEntry {
     // document, for any trained model — provably empty
     "t_unigram_roundtrip_contract" ->
       "SELECT doc_id FROM documents WHERE 1 = 0",
+    // driver trainer ≡ fully-distributed trainer, row-identical models —
+    // symmetric difference provably empty
+    "t_unigram_distributed_contract" ->
+      "SELECT '' AS src, '' AS piece, CAST(0 AS BIGINT) AS logp_micro FROM documents WHERE 1 = 0",
     // a converged linear model classifies the planted separable corpus
     // perfectly on both splits — misclassified frame provably empty
     "t_quality_classifier_contract" ->

@@ -249,6 +249,43 @@ object Stress {
           embs.filter(col("vec_id") < 8), "embedding", "vec_id",
           k = 10, nprobe = 2).count()
       },
+      // SEGMENT-COUNT fan-out receipt (r12 verdict #4): committedDirs lists
+      // per read and the probe unions base ∪ N segment dirs — a gate that
+      // runs many batches between consolidations pays O(segments) listing +
+      // scan fan-out per probe. Fabricate the read-side state of a
+      // 500-batch gate (one partitioned write + marker creates; the
+      // per-batch WRITE cost is receipted by the gate ops), then measure
+      // the SAME probe at rising committed counts. The receipt is the
+      // per-count walls on stderr: the growth bound documents the
+      // consolidation cadence contract (indexHealth.n_stream_segments is
+      // the trigger).
+      time(s"segment_fanout_x$mult") {
+        val root = java.nio.file.Files.createTempDirectory("stress_segfan").toString
+        val base = embs.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val cents = operators.Similarity.trainIvfCentroids(
+          base, "embedding", "vec_id", k = 16, iterations = 1)
+        operators.VersionedIvf.write(base, "embedding", "vec_id", cents, root)
+        val genDir = operators.GenerationLog.requireCurrentDir(spark, root)
+        val maxSegs = 500
+        operators.Similarity.assignToIndex(
+            embs.filter(pmod(col("vec_id"), lit(50)) === 1),
+            "embedding", "vec_id", cents)
+          .withColumn("ingest_batch", pmod(col("vec_id"), lit(maxSegs)))
+          .write.mode("append").partitionBy("ingest_batch", "cluster")
+          .parquet(s"$genDir/segments")
+        val queries = embs.filter(col("vec_id") < 8)
+        var rows = 0L
+        Seq(0, 100, 250, maxSegs).foldLeft(0) { (done, target) =>
+          operators.VersionedIvf.commitFabricatedSegments(
+            spark, root, (done until target).map(_.toLong))
+          val t0 = System.nanoTime()
+          rows = operators.VersionedIvf.topKFromIndex(spark, root, queries,
+            "embedding", "vec_id", k = 10, nprobe = 2).count()
+          System.err.println(f"[stress] segment_fanout probe @ $target%4d committed segments: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          target
+        }
+        rows
+      },
       // quality classifier: the labeled TRAINING set is fixed-size (quality
       // filters train on reference samples, not the corpus), so train wall
       // must stay ~FLAT across mults...

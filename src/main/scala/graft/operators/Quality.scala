@@ -163,21 +163,48 @@ object Quality {
     * uniform-margin feature map, EXACT integer arithmetic end to end
     * (rank ties share a value, single-row groups map to 0), so the output
     * hash-reproduces across engines where float percent_rank can differ in
-    * the last ulp. One key-shuffle window per group.
+    * the last ulp.
+    *
+    * SCALE SHAPE (rewritten after the round-13 sf1 anchor caught the old
+    * plan 14.8× slower at 10× rows): `rank()` depends only on the VALUE,
+    * never the row, so ranks are computed on the (group, value) DISTINCT
+    * table — `rank(v) = 1 + Σ count(values < v)` via one cumulative sum —
+    * and joined back to the rows. The row-level window this replaces
+    * partitioned by the group columns alone; with few groups (the common
+    * shape: 3 return flags, a handful of languages) that plan sort-spills
+    * every row of a group through ONE task, which is exactly the
+    * single-partition-window failure mode at 100 TB. Here the per-task
+    * window input is the group's distinct values (bounded by value
+    * cardinality, not corpus rows) and the corpus-sized work is a
+    * map-side-combined groupBy + a key-shuffle join.
     */
   def rankNormalize(
       df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("__rk", rank().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val ranked = df
+      .groupBy(gcols :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w)) // inclusive cumsum
+      .withColumn("__rk", col("__cum") - col("__c") + 1L) // 1 + strictly-smaller
+      .withColumn("__n", sum(col("__c")).over(wAll))
       .withColumn("pr_x1e9",
         when(col("__n") === 1L, 0L)
           .otherwise(expr(
-            // rank() is INT — widen before the 1e9 scale or ANSI overflows
-            "CAST((CAST(__rk AS BIGINT) - 1) * 1000000000 DIV (__n - 1) AS BIGINT)")))
-      .drop("__rk", "__n")
+            "CAST((__rk - 1) * 1000000000 DIV (__n - 1) AS BIGINT)")))
+      // renamed join keys: `ranked` derives from `df`, so joining on the
+      // original attribute names would be an ambiguous self-join
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("__v"), col("pr_x1e9")): _*)
+    // null-safe equi-join: a NULL value is a rankable group of its own
+    // (ordered first, matching the old window's null-first order)
+    val cond = groupCols.foldLeft(df(valueCol) <=> ranked("__v")) {
+      (acc, c) => acc && (df(c) <=> ranked(s"__g_$c"))
+    }
+    df.join(ranked, cond, "inner")
+      .select(df.columns.map(df(_)) :+ ranked("pr_x1e9"): _*)
   }
 
   /** Fixed-bin histogram per group over `[lo, hi)` with `nBins` equal

@@ -370,7 +370,7 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit =
     VersionedIvf.append(batch, vecCol, idCol, path)
 
-  private[operators] def assignToIndex(
+  private[graft] def assignToIndex(
       df: DataFrame, vecCol: String, idCol: String, centroids: Seq[Seq[Float]]): DataFrame =
     df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       nearestCentroid(col(vecCol), centroids).as("cluster"))

@@ -230,6 +230,132 @@ object UnigramTrainer {
       .toDF("piece", "logp_micro")
   }
 
+  /** FULLY-DISTRIBUTED trainer: same algorithm, same integer statistics,
+    * same tie-breaks as [[train]] — the (word, count) table never reaches
+    * the driver, so there is no `maxWords` bound at all. Every driver-side
+    * structure is VOCABULARY-bounded:
+    *
+    *  - the substring seed is a distributed explode ([[UnigramSubstringsExpr]],
+    *    native expression — every occurrence position counts, matching the
+    *    driver loop's multiplicity) + groupBy-sum; only the top
+    *    `targetMulti × seedMultiple` multi-char pieces (count desc, piece
+    *    asc — the same total order) and the observed code points (alphabet-
+    *    bounded) are collected;
+    *  - each hard-EM pass ships the current vocab's scores to executors as
+    *    an expression literal (vocab-bounded, the [[encode]] shape), runs
+    *    the SAME integer Viterbi per word ([[UnigramWordPiecesExpr]]), and
+    *    collects only the per-piece usage sums — ≤ vocab rows, since the
+    *    vocab always contains every observed code point (total coverage ⇒
+    *    every emitted piece is a vocab member);
+    *  - pruning is driver-side over those vocab-bounded maps, unchanged.
+    *
+    * Exact integer counts summed distributively + identical tie-breaks ⇒
+    * the returned model is ROW-IDENTICAL to [[train]]'s on any corpus both
+    * can run ([[UnigramTrainerSpec]] pins the equality; the
+    * t_unigram_distributed_contract gate hash-checks it per round). Cost:
+    * `emRounds × pruneRounds + 2` Spark jobs over the word table instead
+    * of one collect — the right trade exactly when the distinct-word table
+    * (a 100 TB crawl's typo/URL tail) exceeds driver heap; below that,
+    * [[train]]'s single transfer is cheaper (SentencePiece's own posture).
+    */
+  def trainDistributed(
+      docs: DataFrame, textCol: String, vocabSize: Int,
+      minCount: Long = 1L, maxPieceLen: Int = 8, emRounds: Int = 2,
+      seedMultiple: Int = 4): DataFrame = {
+    require(vocabSize > 0 && maxPieceLen >= 1 && emRounds >= 1 && seedMultiple >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import scala.collection.mutable
+    val wc = graft.CacheScope.localCheckpoint(
+      BpeTrainer.wordCounts(docs, textCol).filter(col("n") >= minCount)
+        .select(col("word"), col("n")))
+    try {
+      val sub = graft.CacheScope.localCheckpoint(
+        wc.select(col("n"),
+            explode(Bridge.column(UnigramSubstringsExpr(
+              Bridge.expression(col("word")), maxPieceLen))).as("s"))
+          .groupBy(col("s.piece").as("piece"), col("s.cp_len").as("cp_len"))
+          .agg(sum(col("n")).as("c")))
+      try {
+        val chars: Vector[(String, Long)] = sub.filter(col("cp_len") === 1)
+          .select(col("piece"), col("c")).as[(String, Long)]
+          .collect().sortBy(_._1).toVector
+        require(vocabSize > chars.size,
+          s"vocabSize=$vocabSize must exceed the ${chars.size} distinct code " +
+            "points (single characters are always retained for coverage)")
+        val targetMulti = vocabSize - chars.size
+        val seedMulti: Vector[(String, Long)] = sub.filter(col("cp_len") >= 2)
+          .orderBy(col("c").desc, col("piece").asc)
+          .limit(targetMulti * seedMultiple)
+          .select(col("piece"), col("c")).as[(String, Long)]
+          .collect().toVector
+        var multi: Vector[String] = seedMulti.map(_._1)
+        var counts: mutable.HashMap[String, Long] =
+          mutable.HashMap((chars ++ seedMulti): _*)
+        val charPieces = chars.map(_._1)
+
+        def emPass(vocabPieces: Vector[String]): mutable.HashMap[String, Long] = {
+          val total = math.max(1L,
+            vocabPieces.iterator.map(counts.getOrElse(_, 0L)).sum)
+          val scored = vocabPieces.map(p =>
+            (p, logpMicro(counts.getOrElse(p, 0L), total, vocabPieces.size)))
+          val unk = logpMicro(0L, total, vocabPieces.size) - 10000000L
+          val used = wc.select(col("n"),
+              explode(Bridge.column(UnigramWordPiecesExpr(
+                Bridge.expression(col("word")), scored, maxPieceLen, unk))).as("piece"))
+            .groupBy(col("piece")).agg(sum(col("n")).as("u"))
+            .as[(String, Long)].collect() // ≤ vocab rows (coverage)
+          mutable.HashMap(used: _*)
+        }
+
+        var done = false
+        while (!done) {
+          var r = 0
+          while (r < emRounds) {
+            counts = emPass(charPieces ++ multi)
+            r += 1
+          }
+          if (multi.size <= targetMulti) done = true
+          else {
+            val keep = math.max(targetMulti, multi.size * 3 / 4)
+            val ranked = multi.map(p => (p, counts.getOrElse(p, 0L)))
+              .filter(_._2 > 0L)
+              .sortBy { case (p, c) => (-c, p) }
+            multi = ranked.take(keep).map(_._1)
+          }
+        }
+        val finalPieces = charPieces ++ multi
+        val total = math.max(1L,
+          finalPieces.iterator.map(counts.getOrElse(_, 0L)).sum)
+        finalPieces.map(p =>
+          (p, logpMicro(counts.getOrElse(p, 0L), total, finalPieces.size)))
+          .toDF("piece", "logp_micro")
+      } finally graft.CacheScope.unpersistCheckpoint(sub)
+    } finally graft.CacheScope.unpersistCheckpoint(wc)
+  }
+
+  /** Model symmetric difference — the trainer-equivalence contract face:
+    * rows learned by exactly one of [[train]] / [[trainDistributed]],
+    * tagged by source; provably empty whenever both can run.
+    */
+  def distributedTrainViolations(
+      docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 8, emRounds: Int = 2,
+      seedMultiple: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def rows(df: DataFrame): Set[(String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet // ≤ vocab rows
+    val drv = rows(train(docs, textCol, vocabSize,
+      maxPieceLen = maxPieceLen, emRounds = emRounds, seedMultiple = seedMultiple))
+    val dst = rows(trainDistributed(docs, textCol, vocabSize,
+      maxPieceLen = maxPieceLen, emRounds = emRounds, seedMultiple = seedMultiple))
+    val diff =
+      (drv -- dst).toSeq.map(t => ("train", t._1, t._2)) ++
+        (dst -- drv).toSeq.map(t => ("trainDistributed", t._1, t._2))
+    diff.sortBy(t => (t._1, t._2)).toDF("src", "piece", "logp_micro")
+  }
+
   def writeModel(model: DataFrame, path: String): Unit =
     model.coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -256,6 +382,78 @@ object UnigramTrainer {
       .withColumn("__enc", concat_ws("", encode(col("__tk"), vocab, maxPieceLen)))
       .filter(col("__enc") =!= col("__joined"))
       .select(col(idCol))
+  }
+
+  /** All substrings of a word up to `maxPieceLen` code points, one element
+    * PER OCCURRENCE POSITION (matching the driver trainer's seed loop
+    * multiplicity), with the code-point length alongside so the seed can
+    * split chars from multi-char candidates without re-parsing. Native
+    * expression — the seed explode is the hottest distributed stage of
+    * [[trainDistributed]].
+    */
+  case class UnigramSubstringsExpr(child: Expression, maxPieceLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cp_len",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_unigram_substrings"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val word = input.asInstanceOf[UTF8String].toString
+      val cps = codePoints(word)
+      val n = cps.length
+      val prefix = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { prefix(i + 1) = prefix(i) + cps(i).length; i += 1 }
+      val out = new java.util.ArrayList[Any]()
+      var s = 0
+      while (s < n) {
+        var e = s + 1
+        while (e <= math.min(n, s + maxPieceLen)) {
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(word.substring(prefix(s), prefix(e))),
+              e - s)))
+          e += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): UnigramSubstringsExpr =
+      copy(child = c)
+  }
+
+  /** Viterbi pieces of ONE word under an explicit (vocab, unk) scoring —
+    * the distributed EM pass's per-word kernel, sharing [[viterbi]] with
+    * the driver trainer so the two trainers cannot disagree on
+    * segmentation. Differs from [[UnigramEncodeExpr]] in taking the word
+    * directly (not a token array) and the EM pass's exact unk score.
+    */
+  case class UnigramWordPiecesExpr(
+      child: Expression, vocab: Seq[(String, Long)], maxPieceLen: Int,
+      unkMicro: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_unigram_word_pieces"
+
+    @transient private lazy val scores: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+      vocab.foreach { case (p, lp) => m.put(p, java.lang.Long.valueOf(lp)) }
+      m
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val pieces = viterbi(input.asInstanceOf[UTF8String].toString,
+        scores, maxPieceLen, unkMicro)
+      new GenericArrayData(pieces.map(p => UTF8String.fromString(p): Any))
+    }
+
+    override protected def withNewChildInternal(c: Expression): UnigramWordPiecesExpr =
+      copy(child = c)
   }
 
   case class UnigramEncodeExpr(

@@ -682,6 +682,21 @@ object VersionedIvf {
       .foreach(SegmentLog.vacuumSegments(spark, _, ttlMs))
   }
 
+  /** RECEIPT/STRESS hook: publish already-staged fabricated segment dirs
+    * (written directly under `segments/ingest_batch=<id>` of the current
+    * generation) by creating their commit markers — reproducing the
+    * read-side state of a gate that ran N batches between consolidations
+    * without paying N sequential micro-batch writes. The per-batch WRITE
+    * cost is receipted elsewhere; this exists to measure probe wall vs
+    * committed-segment count. Production writers go through
+    * [[append]]/[[ingestBatch]].
+    */
+  private[graft] def commitFabricatedSegments(
+      spark: SparkSession, root: String, segIds: Seq[Long]): Unit = {
+    val dir = GenerationLog.requireCurrentDir(spark, root)
+    segIds.foreach(id => SegmentLog.commitMarker(spark, dir, id.toString))
+  }
+
   /** Retrain trigger + integrity scan over live membership — the
     * [[Similarity.ivfAssignmentDrift]] metric on the versioned index
     * (same shared computation): per-`ingest_batch` mean alignment to the

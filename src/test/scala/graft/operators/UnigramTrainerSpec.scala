@@ -74,6 +74,34 @@ class UnigramTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("maxWords"))
   }
 
+  test("distributed trainer is row-identical to the driver trainer and has no word-table bound") {
+    // equality on the base corpus (both trainers run)
+    assert(UnigramTrainer.distributedTrainViolations(
+      corpus, "text", vocabSize = 40).isEmpty,
+      "trainDistributed diverged from train on the same corpus")
+    // ... and on a partitioning-shuffled copy (distributed sums + top-k
+    // must be partitioning-independent)
+    assert(UnigramTrainer.distributedTrainViolations(
+      corpus.repartition(7), "text", vocabSize = 40).isEmpty)
+    // the verdict's Done criterion: a corpus whose DISTINCT-word table
+    // exceeds maxWords trains with NO sampling at all — the driver trainer
+    // fail-fasts, the distributed one neither bounds nor samples
+    val wide = corpus.unionByName(
+      (0 until 200).map(i => (100L + i, s"w${i}a w${i}b uniq$i")).toDF("doc_id", "text"))
+    intercept[IllegalArgumentException](
+      UnigramTrainer.train(wide, "text", vocabSize = 80, maxWords = 150L))
+    val model = UnigramTrainer.trainDistributed(wide, "text", vocabSize = 80)
+      .as[(String, Long)].collect().toSeq
+    assert(model.nonEmpty && model.size <= 80)
+    // full-fidelity: the distributed model equals the UNSAMPLED driver
+    // model (maxWords raised), not the sampled recourse
+    val full = UnigramTrainer.train(wide, "text", vocabSize = 80)
+      .as[(String, Long)].collect().toSeq
+    assert(model.sortBy(_._1) === full.sortBy(_._1))
+    assert(UnigramTrainer.roundTripViolations(
+      wide, "text", "doc_id", model).isEmpty)
+  }
+
   test("sampling contract: trains past maxWords on a 1/n word sample, " +
       "bit-identical across partitionings, round-trip intact") {
     // a corpus whose DISTINCT-word table exceeds maxWords: 200 synthetic
