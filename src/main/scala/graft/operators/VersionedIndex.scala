@@ -226,6 +226,35 @@ private[operators] object SegmentLog {
   def streamBatchCommitted(spark: SparkSession, genDir: String, batchId: Long): Boolean =
     committed(spark, genDir).exists(_._2.contains(batchId))
 
+  /** Was any tombstone written AT or AFTER this batch's earliest marker?
+    * The replay-heal trigger: a replayed batch can only diverge from its
+    * frozen committed segment if a delete landed BETWEEN the first attempt
+    * and the replay — when every tombstone file predates the marker (or
+    * none exist), the replay is provably consistent and the heal's
+    * verification job is skipped. `>=` on millisecond mtimes: an
+    * equal-timestamp tombstone triggers a (harmless, idempotent) heal
+    * rather than ever skipping a needed one.
+    */
+  def tombstonesSinceMarker(
+      spark: SparkSession, genDir: String, batchId: Long): Boolean = {
+    val fs = fsOf(spark, genDir)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$genDir/tombstones")
+    if (!fs.exists(tombDir)) return false
+    val tombNewest = fs.listStatus(tombDir).map(_.getModificationTime)
+      .foldLeft(0L)(math.max)
+    val markerOldest = {
+      val md = new org.apache.hadoop.fs.Path(markersDir(genDir))
+      if (!fs.exists(md)) Long.MaxValue
+      else {
+        val mine = fs.listStatus(md)
+          .filter(_.getPath.getName.endsWith(s".s$batchId"))
+          .map(_.getModificationTime)
+        if (mine.isEmpty) Long.MaxValue else mine.min
+      }
+    }
+    tombNewest >= markerOldest
+  }
+
   /** Committed segment dirs that exist, optionally restricted to stream
     * segments STRICTLY BEFORE `beforeBatch` (non-stream segments — batch
     * appends and the build base — always qualify, mirroring the in-place
@@ -576,9 +605,10 @@ object VersionedIvf {
       // marker suffix, which future batches read and this batch's own
       // replays exclude) for any live batch row missing from this batch's
       // committed segments. Idempotent: once covered, the diff is empty
-      // and nothing is written. For the plain ingest stream the diff is
-      // provably empty (tombstones only grow until consolidate, which
-      // requires stream quiescence), costing one anti-join on replay only.
+      // and nothing is written. Triggered ONLY when a tombstone landed at
+      // or after this batch's marker (one mtime listing) — the no-delete
+      // replay, the overwhelmingly common case, stays a pure no-op.
+      if (!SegmentLog.tombstonesSinceMarker(spark, dir, batchId)) return
       val segDirs = SegmentLog.committedPresent(spark, dir)
         .filter(_._2.contains(batchId))
         .map(s => SegmentLog.segmentDir(dir, s._1))
@@ -868,11 +898,13 @@ object VersionedNearDup {
           .parquet(SegmentLog.segmentDir(dir, segId))
       }
       SegmentLog.commitMarker(spark, dir, s"$segId.s$batchId")
-    } else if (hasData) {
+    } else if (hasData && SegmentLog.tombstonesSinceMarker(spark, dir, batchId)) {
       // REPLAY HEAL (see scaladoc): kept docs whose signatures are absent
       // from this batch's committed segments get a supplemental segment —
       // same .s<batchId> marker suffix, so future batches read it and this
-      // batch's own replays exclude it
+      // batch's own replays exclude it. Gated on a tombstone having landed
+      // at/after this batch's marker (one mtime listing) — a no-delete
+      // replay skips the verification job entirely
       val segDirs = SegmentLog.committedPresent(spark, dir)
         .filter(_._2.contains(batchId))
         .map(s => SegmentLog.segmentDir(dir, s._1))
