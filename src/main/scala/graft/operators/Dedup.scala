@@ -666,20 +666,35 @@ object Dedup {
       .select(col("doc"), col("pos"))
   }
 
-  /** Union the cut windows' token ranges into maximal per-doc spans
-    * (classic gaps-and-islands: consecutive covered positions share
-    * `p - row_number()`). Output: (doc, span_start, span_len), token units.
+  /** Union the cut windows' token ranges into maximal per-doc spans.
+    * Output: (doc, span_start, span_len), token units.
+    *
+    * ONE shuffle (the per-doc position aggregation, map-side combined on
+    * raw `pos` values — n× fewer bytes than shuffling the exploded
+    * coverage); the window expansion, distinct, sort, and island split all
+    * run as codegen array expressions on the per-doc position set. The
+    * previous explode → distinct → per-doc window → group-by shape paid
+    * three exchanges and shuffled every covered position. Per-doc state is
+    * O(doc tokens) either way (the old per-doc window partition held the
+    * same positions).
     */
   private def mergeCoveredSpans(cut: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cov = cut
-      .select(col("doc"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
-      .distinct()
-    val w = Window.partitionBy(col("doc")).orderBy(col("p"))
-    cov.withColumn("grp", col("p") - row_number().over(w))
-      .groupBy(col("doc"), col("grp"))
-      .agg(min(col("p")).cast("bigint").as("span_start"), count(lit(1)).as("span_len"))
-      .select(col("doc"), col("span_start"), col("span_len"))
+    val cov = array_sort(array_distinct(flatten(
+      transform(col("ps"), p => sequence(p, p + (n - 1))))))
+    // island starts: elements whose predecessor isn't p-1; island ends:
+    // elements whose successor isn't p+1. `get` is 0-based and yields NULL
+    // out of bounds (no ANSI index error at the array edges); the
+    // null-safe <=> makes the edge elements start/end their islands.
+    val starts = filter(col("cov"), (x, i) =>
+      !(get(col("cov"), i - 1) <=> x - 1))
+    val ends = filter(col("cov"), (x, i) =>
+      !(get(col("cov"), i + 1) <=> x + 1))
+    cut.groupBy(col("doc")).agg(collect_set(col("pos")).as("ps"))
+      .select(col("doc"), cov.as("cov"))
+      .select(col("doc"), explode(zip_with(starts, ends, (s, e) =>
+        struct(s.cast("bigint").as("span_start"),
+          (e - s + 1).cast("long").as("span_len")))).as("sp"))
+      .select(col("doc"), col("sp.span_start"), col("sp.span_len"))
   }
 
   /** Window manifest — the INCREMENTAL face's state: one (h1, h2) row per
@@ -713,8 +728,14 @@ object Dedup {
     val occ = persistReuse(cutOccurrenceKeys(batch, textCol, idCol, n))
     val batchKeys = occ.select(col("h1"), col("h2")).distinct()
     // manifest-side semi-join with the batch keys broadcast: emits only
-    // the (tiny) already-seen subset of the batch's keys
-    val seen = manifest.join(broadcast(batchKeys), Seq("h1", "h2"), "left_semi")
+    // the (tiny) already-seen subset of the batch's keys. `seen` is then
+    // itself BROADCAST into both occ splits below — bounded by the batch
+    // keys that were just broadcast the other way, and the shared broadcast
+    // exchange is planned once (ReuseExchange), so the manifest — the
+    // corpus-sized side — is scanned ONCE per batch instead of once per
+    // split, and neither occ split shuffles
+    val seen = broadcast(
+      manifest.join(broadcast(batchKeys), Seq("h1", "h2"), "left_semi"))
     val seenCuts = occ.join(seen, Seq("h1", "h2"), "left_semi")
       .select(col("doc"), col("pos"))
     // within-batch keep-first applies only to windows with NO history
@@ -726,7 +747,9 @@ object Dedup {
       .agg(count(lit(1)).as("c"), min(struct(col("doc"), col("pos"))).as("first"))
       .filter(col("c") >= 2)
       .select(col("h1"), col("h2"), col("first"))
-    val selfCuts = unseenOcc.join(selfFirsts, Seq("h1", "h2"))
+    // batch-bounded (duplicated keys within one micro-batch) — broadcast,
+    // so the occurrence side never shuffles on its way to the cut set
+    val selfCuts = unseenOcc.join(broadcast(selfFirsts), Seq("h1", "h2"))
       .filter(!(col("doc") === col("first.doc") && col("pos") === col("first.pos")))
       .select(col("doc"), col("pos"))
     mergeCoveredSpans(seenCuts.unionByName(selfCuts), n)
@@ -849,14 +872,17 @@ object Dedup {
     // measured ~200 s per extra execution at 100× stress (60M verified
     // pairs). The pair frame itself is two longs per row; checkpointing it
     // first makes each extra reference a ~1 GB scan instead of a re-run.
-    val p0 = graft.CacheScope.localCheckpoint(
-      pairs.select(col("doc_a"), col("doc_b")))
+    // BOTH directions in one projection (explode of a 2-struct array), so
+    // the edge set materializes in ONE checkpoint job and the (possibly
+    // expensive — LSH+verify) pair pipeline executes exactly once; the old
+    // two-step (checkpoint pairs, then checkpoint the union of two
+    // projections of it) paid an extra materialization job per call
     val edges = graft.CacheScope.localCheckpoint(
-      p0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
-    // edges is materialized; the raw pair checkpoint has no consumer left
-    graft.CacheScope.unpersistCheckpoint(p0)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .persist()
@@ -930,19 +956,23 @@ object Dedup {
     // full executions of an LSH+verify pipeline at ~200 s each at 100×
     // stress if the checkpoint comes after the multi-reference instead of
     // before (same lesson as duplicateClusters' input truncation)
-    val p0 = graft.CacheScope.localCheckpoint(
-      pairs.select(col("doc_a"), col("doc_b")))
-    val verts = graft.CacheScope.localCheckpoint(
-      p0.select(col("doc_a").as("doc"))
-        .union(p0.select(col("doc_b").as("doc"))).distinct())
+    // one checkpoint materializes BOTH the vertex set and the canonical
+    // edge set (vertices ride along as self-loops u == v, which the edge
+    // view filters back out): the (possibly expensive — LSH+verify) pair
+    // pipeline executes exactly once in one job, where the old three-step
+    // (checkpoint pairs, checkpoint verts, checkpoint edges) paid three
+    val ve = graft.CacheScope.localCheckpoint(
+      pairs.select(explode(array(
+          struct(greatest(col("doc_a"), col("doc_b")).as("u"),
+            least(col("doc_a"), col("doc_b")).as("v")),
+          struct(col("doc_a").as("u"), col("doc_a").as("v")),
+          struct(col("doc_b").as("u"), col("doc_b").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .distinct())
+    val verts = ve.select(col("u").as("doc")).distinct()
     // canonical directed form: u > v, edges point from the larger id down
     var edges = graft.CacheScope.localCheckpoint(
-      p0
-        .select(greatest(col("doc_a"), col("doc_b")).as("u"),
-          least(col("doc_a"), col("doc_b")).as("v"))
-        .filter(col("u") =!= col("v")).distinct())
-    // both derivations are materialized; the raw pair checkpoint is dead
-    graft.CacheScope.unpersistCheckpoint(p0)
+      ve.filter(col("u") =!= col("v")))
     var converged = false
     var iter = 0
     var edgeCount = edges.count()
@@ -1160,9 +1190,13 @@ object Dedup {
     // layout-resolving: `path` may be the index root (current generation
     // resolved via the GenerationLog) or a generation dir (internal callers)
     val dir = GenerationLog.currentDir(spark, path).getOrElse(path)
-    val r = spark.read.parquet(s"$dir/params").head
-    (r.getAs[Int]("shingle_size"), r.getAs[Int]("bands"),
-      r.getAs[Int]("rows_per_band"), r.getAs[Int]("numer"), r.getAs[Int]("denom"))
+    // params are immutable per committed generation — memoized so a
+    // streaming gate doesn't pay a one-row Spark job per micro-batch
+    IndexMeta.cachedParams("neardup-params", dir) {
+      val r = spark.read.parquet(s"$dir/params").head
+      (r.getAs[Int]("shingle_size"), r.getAs[Int]("bands"),
+        r.getAs[Int]("rows_per_band"), r.getAs[Int]("numer"), r.getAs[Int]("denom"))
+    }
   }
 
   /** The LIVE manifest view of a persisted index: base ∪ committed gate
@@ -1334,10 +1368,11 @@ object Dedup {
     VersionedSubstring.write(docs, textCol, idCol, path, n)
 
   private[graft] def readSubstringIndexN(
-      spark: org.apache.spark.sql.SparkSession, path: String): Int =
-    spark.read.parquet(
-      s"${GenerationLog.currentDir(spark, path).getOrElse(path)}/params")
-      .head.getAs[Int]("n")
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val dir = GenerationLog.currentDir(spark, path).getOrElse(path)
+    IndexMeta.cachedParams("substr-n", dir)(Integer.valueOf(
+      spark.read.parquet(s"$dir/params").head.getAs[Int]("n"))).intValue
+  }
 
   /** The manifest view of a persisted substring index, optionally
     * restricted to stream segments STRICTLY BEFORE `beforeBatch` (the base

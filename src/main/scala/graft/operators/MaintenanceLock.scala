@@ -49,6 +49,15 @@ import org.apache.spark.sql.SparkSession
   */
 object MaintenanceLock {
 
+  /** The contention failure (lock held / lost an acquisition race) as a
+    * TYPE, so [[withLockRetry]] classifies retryable failures by class
+    * instead of string-matching message prefixes (a reworded message — or
+    * a body exception that happened to match — would silently change
+    * retry behavior). Still an IllegalStateException, so existing callers
+    * and tests that catch/match the broad type keep working.
+    */
+  final class LockContentionException(msg: String) extends IllegalStateException(msg)
+
   private val LockName = "_maintenance.lock"
   val DefaultTtlMs: Long = 15 * 60 * 1000L
 
@@ -107,11 +116,11 @@ object MaintenanceLock {
             try fs.rename(lock, tombstone)
             catch { case _: java.io.IOException => false }
           if (won) fs.delete(tombstone, false)
-          if (!tryCreate()) throw new IllegalStateException(
+          if (!tryCreate()) throw new LockContentionException(
             s"maintenance lock on $indexPath: lost the race re-acquiring an " +
               s"expired lease (was held by $holder) — another maintenance " +
               "job is active; retry later")
-        case Some((age, holder)) => throw new IllegalStateException(
+        case Some((age, holder)) => throw new LockContentionException(
           s"maintenance lock on $indexPath is held by $holder " +
             s"(age ${age / 1000}s, ttl ${ttlMs / 1000}s) — a concurrent " +
             "maintenance job is running; wait for it or, if it crashed, " +
@@ -119,7 +128,7 @@ object MaintenanceLock {
         case None =>
           // the holder released between our failed create and the read —
           // one immediate retry, then defer to whoever beat us
-          if (!tryCreate()) throw new IllegalStateException(
+          if (!tryCreate()) throw new LockContentionException(
             s"maintenance lock on $indexPath was released and immediately " +
               "re-acquired by another maintenance job; retry later")
       }
@@ -156,10 +165,9 @@ object MaintenanceLock {
       val attempt =
         try Right(withLock(spark, indexPath, ttlMs)(body))
         catch {
-          case e: IllegalStateException
-              if e.getMessage != null &&
-                e.getMessage.startsWith("maintenance lock on") =>
-            Left(e)
+          // typed classification (ADVICE r13): only the lock's own
+          // contention failures retry; everything from `body` propagates
+          case e: LockContentionException => Left(e)
         }
       attempt match {
         case Right(v) => return v

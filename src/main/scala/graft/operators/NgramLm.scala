@@ -42,8 +42,12 @@ object NgramLm {
     * the model composes with the rest of the text stack.
     */
   def train(docs: DataFrame, textCol: String, idCol: String): BigramModel = {
-    val bg = docBigrams(docs, textCol, idCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    // the bigram table is answer-sized (distinct n-grams, never documents)
+    // and read twice (as the model AND as the context totals' input) plus
+    // once per scoring join — persist it for the pass (scope-reclaimed)
+    // so the corpus-sized tokenize+explode+agg runs once
+    val bg = graft.CacheScope.persistIfScoped(docBigrams(docs, textCol, idCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
     val vocab = docs.select(explode(TextOps.tokens(col(textCol))).as("t"))
       .agg(count_distinct(col("t")).as("vsz"))
@@ -194,13 +198,28 @@ object NgramLm {
     * never on documents).
     */
   def trainTrigram(docs: DataFrame, textCol: String, idCol: String): TrigramModel = {
-    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
-    val tg = docTrigrams(docs, textCol, idCol)
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3g"))
-    val bg = docBigrams(docs, textCol, idCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2g"))
-    val ug = toks.select(explode(col("tk")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1g"))
+    // ONE tokenization pass feeds all three count tables (the regexp
+    // tokenize over full text is the dominant narrow-stage cost; unshared,
+    // it ran three times), and each count table is persisted for the pass:
+    // they are answer-sized (distinct n-grams) and the scorer joins the
+    // bigram table twice (c12/c23) and the unigram table twice (c2/c3) —
+    // un-persisted, each join side re-ran its full training aggregation
+    val toks = graft.CacheScope.persistIfScoped(
+      docs.select(col(idCol), TextOps.tokens(col(textCol)).as("tk")))
+    def p(df: DataFrame) = graft.CacheScope.persistIfScoped(df)
+    val tg = p(toks.filter(size(col("tk")) >= 3)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2"),
+          element_at(col("tk"), i + 2).as("w3")))).as("tg"))
+      .groupBy(col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .agg(count(lit(1)).as("c3g")))
+    val bg = p(toks.filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(bigramPairs(col("tk"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2g")))
+    val ug = p(toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1g")))
     val totals = ug.agg(sum(col("c1g")).as("ntok"),
       count(lit(1)).as("vsz"))
     TrigramModel(tg, bg, ug, totals)

@@ -192,8 +192,13 @@ object Quality {
       .withColumn("__n", sum(col("__c")).over(wAll))
       .withColumn("pr_x1e9",
         when(col("__n") === 1L, 0L)
+          // staged in DECIMAL(38,0): (rk-1)·1e9 overflows BIGINT under
+          // ANSI once a group exceeds ~9.2e9 rows — exactly the 100 TB
+          // single-group scale this rewrite exists for (ADVICE r13).
+          // Result is identical below that bound (integral division,
+          // quotient < 1e9 always fits)
           .otherwise(expr(
-            "CAST((__rk - 1) * 1000000000 DIV (__n - 1) AS BIGINT)")))
+            "CAST(CAST(__rk - 1 AS DECIMAL(38,0)) * 1000000000 DIV (__n - 1) AS BIGINT)")))
       // renamed join keys: `ranked` derives from `df`, so joining on the
       // original attribute names would be an ambiguous self-join
       .select(groupCols.map(c => col(c).as(s"__g_$c")) ++

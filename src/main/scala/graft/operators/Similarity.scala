@@ -584,7 +584,7 @@ object Similarity {
       val dir = GenerationLog.generationDir(indexPath, gen)
       val centroids =
         if (frozenGen.contains(gen)) frozenCentroids
-        else readIvfCentroids(spark, dir)
+        else graft.Trace.t("semgate.centroids")(readIvfCentroids(spark, dir))
       // strictly-earlier live membership: base ∪ committed segments with
       // stream ids < this batch, minus tombstones — a replay cannot be
       // suppressed by its first attempt's own vectors, and a forgotten
@@ -595,7 +595,8 @@ object Similarity {
         // index accrues one segment per batch, so the unpruned read grows
         // with stream age, not batch size
         .filter(col("cluster").isin(
-          probedClusters(batch, vecCol, centroids, nprobe): _*))
+          graft.Trace.t("semgate.probed-clusters")(
+            probedClusters(batch, vecCol, centroids, nprobe)): _*))
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
           col("cluster"))
       val suppressed = probeAssignedCorpus(corpus, batch, vecCol, idCol,
@@ -604,26 +605,26 @@ object Similarity {
         .select(col("query_id"))
       val unseen = batch.join(suppressed,
         batch(idCol) === suppressed("query_id"), "left_anti")
-      val kept = Dedup.semanticKeepers(unseen, vecCol, idCol, threshold)
+      val kept = graft.Trace.t("semgate.keepers-plan")(
+        Dedup.semanticKeepers(unseen, vecCol, idCol, threshold))
       // kept rows land by static overwrite of the batch's OWN partition dir
       // (replay rewrites the same dir — idempotent), then the index append
       // derives from the WRITTEN partition (replay-identical read-back) as
       // a marker-committed segment that a replay skips by marker name
       val batchKeptDir = s"$keptDir/ingest_batch=$batchId"
-      kept.write.mode("overwrite").option("partitionOverwriteMode", "static")
-        .parquet(batchKeptDir)
-      val fs = new org.apache.hadoop.fs.Path(keptDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(batchKeptDir))
-        .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
-        !spark.read.parquet(batchKeptDir).limit(1).isEmpty
+      graft.Trace.t("semgate.kept-write")(
+        kept.write.mode("overwrite").option("partitionOverwriteMode", "static")
+          .parquet(batchKeptDir))
+      // emptiness from the written part-files' footers — no Spark job
+      val hasData = graft.Trace.t("semgate.empty-probe")(
+        graft.operators.IndexMeta.dirHasRows(spark, batchKeptDir))
       if (hasData)
-        VersionedIvf.ingestBatch(
+        graft.Trace.t("semgate.index-append")(VersionedIvf.ingestBatch(
           spark.read.parquet(batchKeptDir), vecCol, idCol, indexPath, batchId,
           // gen-tagged: ingestBatch re-validates UNDER its lock, so a
           // retrain committing between this batch's probe and its append
           // still cannot assign stale clusters into the new generation
-          frozenCentroids = Some((gen, centroids)))
+          frozenCentroids = Some((gen, centroids))))
     }
 
   /** Read the coarse centroids of an index. Layout-resolving: `path` may
@@ -633,8 +634,14 @@ object Similarity {
     */
   def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] = {
     val dir = GenerationLog.currentDir(spark, path).getOrElse(path)
-    spark.read.parquet(s"$dir/centroids").orderBy(col("cluster"))
+    def load = spark.read.parquet(s"$dir/centroids").orderBy(col("cluster"))
       .select(col("centroid")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    // centroids are immutable per committed generation (every retrain/
+    // consolidate stages a NEW `_generations/<N>` dir) — memoized so gate
+    // batches and repeated probes don't pay a collect job per call. Paths
+    // outside the generation log (no immutability contract) read directly.
+    if (dir.contains("/_generations/")) IndexMeta.cachedParams("ivf-centroids", dir)(load)
+    else load
   }
 
   /** Probe a persisted index: same shape as [[ivfTopK]], but the corpus
@@ -1041,12 +1048,17 @@ object Similarity {
     * [[readIvfCentroids]]: `path` may be the index root or a generation
     * dir.
     */
-  def readIvfPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =
-    spark.read.parquet(s"${GenerationLog.currentDir(spark, path).getOrElse(path)}/books")
+  def readIvfPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] = {
+    val dir = GenerationLog.currentDir(spark, path).getOrElse(path)
+    def load = spark.read.parquet(s"$dir/books")
       .orderBy(col("subspace"), col("code"))
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toSeq).toSeq)
+    // immutable per committed generation — memoized like readIvfCentroids
+    if (dir.contains("/_generations/")) IndexMeta.cachedParams("ivfpq-books", dir)(load)
+    else load
+  }
 
   /** Probe a persisted IVF-PQ index: codes come from the stored
     * cluster-partitioned live membership (only probed clusters' files are

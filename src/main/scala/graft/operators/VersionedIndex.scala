@@ -868,24 +868,24 @@ object VersionedNearDup {
     // (segment stranded in the superseded one)
     val spark = batch.sparkSession
     val dir = GenerationLog.requireCurrentDir(spark, root)
-    val (ss, bands, rpb, numer, denom) = Dedup.readNearDupIndexParams(spark, dir)
+    val (ss, bands, rpb, numer, denom) =
+      graft.Trace.t("neardup.params")(Dedup.readNearDupIndexParams(spark, dir))
     val manifest = liveManifest(spark, root, beforeBatch = Some(batchId))
     val unseen = Dedup.dropSeenNearDuplicates(
       batch, manifest, textCol, idCol, ss, numer, denom, bands, rpb)
-    val kept = Dedup.dropNearDuplicates(
+    val kept = graft.Trace.t("neardup.gate-plan")(Dedup.dropNearDuplicates(
       unseen,
       Dedup.jaccardDuplicatePairs(unseen, textCol, idCol, ss, numer, denom, bands, rpb,
         reuseShingles = true),
-      idCol)
+      idCol))
     val batchKeptDir = s"$keptDir/ingest_batch=$batchId"
-    kept.write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .parquet(batchKeptDir)
-    // the file-existence guard keeps the emptiness probe off a dir with no
-    // parquet footers (zero-task writes), which is unreadable
-    val fs = fsOf(spark, keptDir)
-    val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(batchKeptDir))
-      .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
-      !spark.read.parquet(batchKeptDir).limit(1).isEmpty
+    graft.Trace.t("neardup.kept-write")(
+      kept.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .parquet(batchKeptDir))
+    // emptiness from the written part-files' FOOTERS — driver-side metadata,
+    // no Spark job; also covers the zero-task write (no part files at all)
+    val hasData = graft.Trace.t("neardup.empty-probe")(
+      IndexMeta.dirHasRows(spark, batchKeptDir))
     if (!SegmentLog.streamBatchCommitted(spark, dir, batchId)) {
       // an all-suppressed batch has no signatures to append, but the
       // marker must still land so a replay is recognized as such
@@ -893,9 +893,10 @@ object VersionedNearDup {
       if (hasData) {
         // derive the appended signatures from the WRITTEN kept partition —
         // replay-identical by construction (the in-place gate's contract)
-        Dedup.nearDupManifest(spark.read.parquet(batchKeptDir), textCol, idCol, ss, bands, rpb)
-          .write.mode("overwrite").option("partitionOverwriteMode", "static")
-          .parquet(SegmentLog.segmentDir(dir, segId))
+        graft.Trace.t("neardup.sig-append")(
+          Dedup.nearDupManifest(spark.read.parquet(batchKeptDir), textCol, idCol, ss, bands, rpb)
+            .write.mode("overwrite").option("partitionOverwriteMode", "static")
+            .parquet(SegmentLog.segmentDir(dir, segId)))
       }
       SegmentLog.commitMarker(spark, dir, s"$segId.s$batchId")
     } else if (hasData && SegmentLog.tombstonesSinceMarker(spark, dir, batchId)) {
@@ -1255,25 +1256,29 @@ object VersionedSubstring {
     // and new-window set are identical to the first attempt's
     val spark = batch.sparkSession
     val dir = GenerationLog.requireCurrentDir(spark, root)
-    val n = spark.read.parquet(s"$dir/params").head.getAs[Int]("n")
+    // immutable per committed generation — memoized (one-row read must not
+    // cost a Spark job per micro-batch)
+    val n = graft.Trace.t("substr.params")(
+      IndexMeta.cachedParams("substr-n", dir)(
+        Integer.valueOf(spark.read.parquet(s"$dir/params").head.getAs[Int]("n"))).intValue)
     val man = manifest(spark, root, beforeBatch = Some(batchId))
     val spans = Dedup.substringSpansAgainstManifest(batch, man, textCol, idCol, n)
-    Dedup.applyRemovedSpans(batch, spans, textCol, idCol)
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .parquet(s"$cleanDir/ingest_batch=$batchId")
+    graft.Trace.t("substr.clean-write")(
+      Dedup.applyRemovedSpans(batch, spans, textCol, idCol)
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .parquet(s"$cleanDir/ingest_batch=$batchId"))
     if (!SegmentLog.streamBatchCommitted(spark, dir, batchId)) {
       val newKeys = Dedup.substringWindowManifest(batch, textCol, idCol, n)
         .join(man, Seq("h1", "h2"), "left_anti")
       val segId = SegmentLog.nextSegId(spark, dir)
-      newKeys.write.mode("overwrite").option("partitionOverwriteMode", "static")
-        .parquet(SegmentLog.segmentDir(dir, segId))
+      graft.Trace.t("substr.keys-write")(
+        newKeys.write.mode("overwrite").option("partitionOverwriteMode", "static")
+          .parquet(SegmentLog.segmentDir(dir, segId)))
       // a batch with no new windows still writes its (empty-but-readable)
       // segment? No: zero-task writes may leave no parquet footers — treat
       // like VersionedNearDup's all-suppressed case and commit marker-only
-      val hasData = fsOf(spark, dir)
-        .listStatus(new org.apache.hadoop.fs.Path(SegmentLog.segmentDir(dir, segId)))
-        .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
-        !spark.read.parquet(SegmentLog.segmentDir(dir, segId)).limit(1).isEmpty
+      val hasData = graft.Trace.t("substr.empty-probe")(
+        IndexMeta.dirHasRows(spark, SegmentLog.segmentDir(dir, segId)))
       if (!hasData) {
         val fs = fsOf(spark, dir)
         fs.delete(new org.apache.hadoop.fs.Path(SegmentLog.segmentDir(dir, segId)), true)

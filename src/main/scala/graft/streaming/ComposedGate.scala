@@ -30,30 +30,40 @@ import graft.operators.{Dedup, Similarity}
   */
 object ComposedGate {
 
-  /** One composed micro-batch, exposed for replay testing and receipts. */
+  /** One composed micro-batch, exposed for replay testing and receipts.
+    * `frozenGen` tags the generation `centroids` were read from (see
+    * [[graft.operators.Similarity.semanticGateBatch]]): the stream entry
+    * points pass it so each batch skips the centroid re-read; `None` (the
+    * direct-call test shape) re-validates by re-reading — cheap, since
+    * centroids are memoized per committed generation.
+    */
   def ingestBatch(
       batch: DataFrame, textCol: String, vecCol: String, idCol: String,
       textIndexPath: String, annIndexPath: String,
       centroids: Seq[Seq[Float]],
       textKeptDir: String, keptDir: String, batchId: Long,
-      threshold: Double, nprobe: Int): Unit = {
+      threshold: Double, nprobe: Int,
+      frozenGen: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     // stage 1: text near-dup gate. The embedding column rides along into
     // the kept partition (the gate keeps every batch column), so stage 2
     // needs no join back to the arrival source.
-    Dedup.gateBatchAgainstNearDupIndex(
-      batch, textCol, idCol, textIndexPath, textKeptDir, batchId)
+    graft.Trace.t("composed.stage-text")(Dedup.gateBatchAgainstNearDupIndex(
+      batch, textCol, idCol, textIndexPath, textKeptDir, batchId))
     // stage 2: semantic gate over stage 1's survivors, read back from the
     // written partition. An all-suppressed batch wrote no partition and
     // has nothing to gate semantically.
-    val part = new org.apache.hadoop.fs.Path(s"$textKeptDir/ingest_batch=$batchId")
-    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(part)) {
-      val survivors = spark.read.parquet(textKeptDir)
-        .filter(col("ingest_batch") === lit(batchId))
+    // read the batch's own partition dir directly: listing the whole kept
+    // table to prune back to one partition costs a full dir listing that
+    // grows with stream age (one subdir per batch ever gated)
+    val part = s"$textKeptDir/ingest_batch=$batchId"
+    if (graft.operators.IndexMeta.dirHasRows(spark, part)) {
+      val survivors = spark.read.parquet(part)
         .select(col(idCol), col(vecCol))
-      Similarity.semanticGateBatch(survivors, vecCol, idCol,
-        annIndexPath, keptDir, centroids, batchId, threshold, nprobe)
+      graft.Trace.t("composed.stage-sem")(
+        Similarity.semanticGateBatch(survivors, vecCol, idCol,
+          annIndexPath, keptDir, centroids, batchId, threshold, nprobe,
+          frozenGen = frozenGen))
     }
   }
 
@@ -75,21 +85,21 @@ object ComposedGate {
       substrIndexPath: String, textIndexPath: String, annIndexPath: String,
       centroids: Seq[Seq[Float]],
       cleanDir: String, textKeptDir: String, keptDir: String, batchId: Long,
-      threshold: Double, nprobe: Int): Unit = {
+      threshold: Double, nprobe: Int,
+      frozenGen: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    Dedup.gateBatchAgainstSubstringIndex(
-      batch, textCol, idCol, substrIndexPath, cleanDir, batchId)
-    // an all-duplicate batch wrote no partition — nothing survives stage 0
-    val part = new org.apache.hadoop.fs.Path(s"$cleanDir/ingest_batch=$batchId")
-    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(part)) {
-      val cleaned = spark.read.parquet(cleanDir)
-        .filter(col("ingest_batch") === lit(batchId))
+    graft.Trace.t("composed.stage-substr")(Dedup.gateBatchAgainstSubstringIndex(
+      batch, textCol, idCol, substrIndexPath, cleanDir, batchId))
+    // an all-duplicate batch wrote no partition — nothing survives stage 0.
+    // Direct-partition read, same rationale as ingestBatch's survivors read
+    val part = s"$cleanDir/ingest_batch=$batchId"
+    if (graft.operators.IndexMeta.dirHasRows(spark, part)) {
+      val cleaned = spark.read.parquet(part)
         .select(col("doc").as(idCol), col("cleaned_text").as(textCol))
       val withVec = cleaned.join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
       ingestBatch(withVec, textCol, vecCol, idCol,
         textIndexPath, annIndexPath, centroids,
-        textKeptDir, keptDir, batchId, threshold, nprobe)
+        textKeptDir, keptDir, batchId, threshold, nprobe, frozenGen)
     }
   }
 
@@ -116,7 +126,8 @@ object ComposedGate {
       centroids: Seq[Seq[Float]],
       qualityKeptDir: String, cleanDir: String, textKeptDir: String,
       keptDir: String, batchId: Long,
-      threshold: Double, nprobe: Int): Unit = {
+      threshold: Double, nprobe: Int,
+      frozenGen: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val keptQ = batch.join(
       graft.operators.TextClassifier
@@ -125,20 +136,18 @@ object ComposedGate {
         .select(col("doc").as(idCol)),
       Seq(idCol))
     val batchQDir = s"$qualityKeptDir/ingest_batch=$batchId"
-    keptQ.write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .parquet(batchQDir)
-    val fs = new org.apache.hadoop.fs.Path(qualityKeptDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(batchQDir))
-      .exists(f => f.isFile && f.getPath.getName.startsWith("part-")) &&
-      !spark.read.parquet(batchQDir).limit(1).isEmpty
+    graft.Trace.t("composed.stage-quality")(
+      keptQ.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .parquet(batchQDir))
+    // emptiness from the written part-files' footers — no Spark job
+    val hasData = graft.operators.IndexMeta.dirHasRows(spark, batchQDir)
     if (hasData)
       ingestBatch3(
         spark.read.parquet(batchQDir)
           .select(col(idCol), col(textCol), col(vecCol)),
         textCol, vecCol, idCol,
         substrIndexPath, textIndexPath, annIndexPath, centroids,
-        cleanDir, textKeptDir, keptDir, batchId, threshold, nprobe)
+        cleanDir, textKeptDir, keptDir, batchId, threshold, nprobe, frozenGen)
   }
 
   /** [[ingestBatch4]] as a Structured Streaming query — one checkpoint for
@@ -154,6 +163,8 @@ object ComposedGate {
       threshold: Double, nprobe: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.operators.GenerationLog.requireCurrentDir(stream.sparkSession, annIndexPath)
+    val gen = graft.operators.GenerationLog
+      .currentGeneration(stream.sparkSession, annIndexPath)
     val centroids = Similarity.readIvfCentroids(stream.sparkSession, annIndexPath)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -163,7 +174,7 @@ object ComposedGate {
         ingestBatch4(batch.toDF(), textCol, vecCol, idCol, model, numBuckets,
           substrIndexPath, textIndexPath, annIndexPath, centroids,
           qualityKeptDir, cleanDir, textKeptDir, keptDir, batchId,
-          threshold, nprobe))
+          threshold, nprobe, frozenGen = gen))
       .start()
   }
 
@@ -179,6 +190,8 @@ object ComposedGate {
       checkpointDir: String, threshold: Double, nprobe: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.operators.GenerationLog.requireCurrentDir(stream.sparkSession, annIndexPath)
+    val gen = graft.operators.GenerationLog
+      .currentGeneration(stream.sparkSession, annIndexPath)
     val centroids = Similarity.readIvfCentroids(stream.sparkSession, annIndexPath)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -187,7 +200,8 @@ object ComposedGate {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch3(batch.toDF(), textCol, vecCol, idCol,
           substrIndexPath, textIndexPath, annIndexPath, centroids,
-          cleanDir, textKeptDir, keptDir, batchId, threshold, nprobe))
+          cleanDir, textKeptDir, keptDir, batchId, threshold, nprobe,
+          frozenGen = gen))
       .start()
   }
 
@@ -207,6 +221,8 @@ object ComposedGate {
       threshold: Double, nprobe: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.operators.GenerationLog.requireCurrentDir(stream.sparkSession, annIndexPath)
+    val gen = graft.operators.GenerationLog
+      .currentGeneration(stream.sparkSession, annIndexPath)
     val centroids = Similarity.readIvfCentroids(stream.sparkSession, annIndexPath)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -215,7 +231,7 @@ object ComposedGate {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch(batch.toDF(), textCol, vecCol, idCol,
           textIndexPath, annIndexPath, centroids,
-          textKeptDir, keptDir, batchId, threshold, nprobe))
+          textKeptDir, keptDir, batchId, threshold, nprobe, frozenGen = gen))
       .start()
   }
 }
