@@ -224,6 +224,19 @@ object Dedup {
     // in-flight computed one should be persisted by the caller.
     val bm = persistReuse(
       nearDupManifest(batch, textCol, idCol, shingleSize, bands, rowsPerBand))
+    val seen = seenDocsAgainstManifest(bm, manifest, numer, denom)
+    batch.join(seen, batch(idCol) === seen("b_doc"), "left_anti")
+  }
+
+  /** The seen-screen of [[dropSeenNearDuplicates]] over a PRE-BUILT (and
+    * ideally persisted) batch manifest: batch doc ids (`b_doc`, distinct)
+    * with a verified near-duplicate in `manifest`. Exposed so the gate
+    * shares ONE tokenize+shingle+minhash pass between its seen-screen and
+    * its in-batch self-dedup (which runs over the same manifest rows via
+    * [[nearDupPairsFromManifest]]).
+    */
+  private[operators] def seenDocsAgainstManifest(
+      bm: DataFrame, manifest: DataFrame, numer: Int, denom: Int): DataFrame = {
     val bBand = bm.select(col("doc").as("b_doc"),
       posexplode(col("keys")).as(Seq("band", "key")))
     val cBand = manifest.select(col("doc").as("c_doc"),
@@ -231,12 +244,11 @@ object Dedup {
     val cands = bBand.join(cBand, Seq("band", "key"))
       .select(col("b_doc"), col("c_doc")).distinct()
     val (inter, union) = setOverlap(col("bb.shh"), col("cc.shh"))
-    val seen = cands
+    cands
       .join(bm.select(col("doc"), col("shh")).alias("bb"), col("b_doc") === col("bb.doc"))
       .join(manifest.select(col("doc"), col("shh")).alias("cc"), col("c_doc") === col("cc.doc"))
       .filter(inter * denom >= union * numer)
       .select(col("b_doc")).distinct()
-    batch.join(seen, batch(idCol) === seen("b_doc"), "left_anti")
   }
 
   // ---------------------------------------------------------------- minhash
@@ -724,8 +736,17 @@ object Dedup {
     */
   def substringSpansAgainstManifest(
       batch: DataFrame, manifest: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
-    val occ = persistReuse(cutOccurrenceKeys(batch, textCol, idCol, n))
+      n: Int): DataFrame =
+    substringSpansFromOccurrences(
+      persistReuse(cutOccurrenceKeys(batch, textCol, idCol, n)), manifest, n)
+
+  /** [[substringSpansAgainstManifest]] over a PRE-BUILT (and ideally
+    * persisted) occurrence frame — the gate shares one tokenize+shingle
+    * pass between its span computation and its new-window-key append
+    * instead of re-deriving the batch occurrences per consumer.
+    */
+  private[operators] def substringSpansFromOccurrences(
+      occ: DataFrame, manifest: DataFrame, n: Int): DataFrame = {
     val batchKeys = occ.select(col("h1"), col("h2")).distinct()
     // manifest-side semi-join with the batch keys broadcast: emits only
     // the (tiny) already-seen subset of the batch's keys. `seen` is then
@@ -793,7 +814,7 @@ object Dedup {
   /** Occurrence frame shared by the one-shot and incremental faces:
     * (doc, pos, h1, h2) for every length-`n` token window.
     */
-  private def cutOccurrenceKeys(
+  private[operators] def cutOccurrenceKeys(
       docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 2, s"window must span at least 2 tokens, got $n")
     val toks = docs.select(col(idCol).cast("long").as("doc"),

@@ -603,8 +603,11 @@ object Similarity {
           k = 1, centroids, nprobe, broadcastQueries = true)
         .filter(col("cos") >= threshold)
         .select(col("query_id"))
-      val unseen = batch.join(suppressed,
-        batch(idCol) === suppressed("query_id"), "left_anti")
+      // batch-bounded, two consumers (the semantic-keeper pair pipeline and
+      // the final anti-join in the kept write) — persist for the scope or
+      // the suppression probe executes twice per batch
+      val unseen = graft.CacheScope.persistIfScoped(batch.join(suppressed,
+        batch(idCol) === suppressed("query_id"), "left_anti"))
       val kept = graft.Trace.t("semgate.keepers-plan")(
         Dedup.semanticKeepers(unseen, vecCol, idCol, threshold))
       // kept rows land by static overwrite of the batch's OWN partition dir

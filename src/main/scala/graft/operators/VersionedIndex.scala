@@ -871,12 +871,28 @@ object VersionedNearDup {
     val (ss, bands, rpb, numer, denom) =
       graft.Trace.t("neardup.params")(Dedup.readNearDupIndexParams(spark, dir))
     val manifest = liveManifest(spark, root, beforeBatch = Some(batchId))
-    val unseen = Dedup.dropSeenNearDuplicates(
-      batch, manifest, textCol, idCol, ss, numer, denom, bands, rpb)
+    // ONE tokenize+shingle+minhash pass over the batch (the dominant
+    // narrow-stage cost): the batch manifest feeds the seen-screen AND the
+    // in-batch self-dedup pair generation (nearDupPairsFromManifest over
+    // the unseen docs' manifest rows — identical pair set to re-deriving
+    // jaccardDuplicatePairs from text: same band keys, same hashed-shingle
+    // verify, same integer threshold). All intermediates are batch-bounded
+    // and scope-persisted: seen/unseen each have two consumers.
+    val bm = graft.CacheScope.persistIfScoped(
+      Dedup.nearDupManifest(batch, textCol, idCol, ss, bands, rpb))
+    val seen = Dedup.seenDocsAgainstManifest(bm, manifest, numer, denom)
+    val unseen = graft.CacheScope.persistIfScoped(
+      batch.join(seen, batch(idCol) === seen("b_doc"), "left_anti"))
+    // unseen docs' manifest rows from the persisted frames (bm semi
+    // unseen-ids) — `seen` stays single-consumer, so the corpus-manifest
+    // verify runs exactly once per batch
+    val unseenMan = bm.join(
+      unseen.select(col(idCol).as("__u")),
+      bm("doc") === col("__u"), "left_semi")
     val kept = graft.Trace.t("neardup.gate-plan")(Dedup.dropNearDuplicates(
       unseen,
-      Dedup.jaccardDuplicatePairs(unseen, textCol, idCol, ss, numer, denom, bands, rpb,
-        reuseShingles = true),
+      Dedup.nearDupPairsFromManifest(unseenMan, numer, denom)
+        .select(col("doc_a"), col("doc_b")),
       idCol))
     val batchKeptDir = s"$keptDir/ingest_batch=$batchId"
     graft.Trace.t("neardup.kept-write")(
@@ -1262,13 +1278,18 @@ object VersionedSubstring {
       IndexMeta.cachedParams("substr-n", dir)(
         Integer.valueOf(spark.read.parquet(s"$dir/params").head.getAs[Int]("n"))).intValue)
     val man = manifest(spark, root, beforeBatch = Some(batchId))
-    val spans = Dedup.substringSpansAgainstManifest(batch, man, textCol, idCol, n)
+    // ONE tokenize+shingle pass over the batch text, shared (persisted for
+    // the scope) by the span computation AND the new-window-key append —
+    // previously each re-derived its own occurrence frame
+    val occ = graft.CacheScope.persistIfScoped(
+      Dedup.cutOccurrenceKeys(batch, textCol, idCol, n))
+    val spans = Dedup.substringSpansFromOccurrences(occ, man, n)
     graft.Trace.t("substr.clean-write")(
       Dedup.applyRemovedSpans(batch, spans, textCol, idCol)
         .write.mode("overwrite").option("partitionOverwriteMode", "static")
         .parquet(s"$cleanDir/ingest_batch=$batchId"))
     if (!SegmentLog.streamBatchCommitted(spark, dir, batchId)) {
-      val newKeys = Dedup.substringWindowManifest(batch, textCol, idCol, n)
+      val newKeys = occ.select(col("h1"), col("h2")).distinct()
         .join(man, Seq("h1", "h2"), "left_anti")
       val segId = SegmentLog.nextSegId(spark, dir)
       graft.Trace.t("substr.keys-write")(
