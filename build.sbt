@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw pass-through for forked run output: sbt's default LoggedOutput
+// prefixes every program line with "[info] "/"[error] ", which makes the
+// bench's machine-readable stdout JSON line unparseable to the driver
+// (BENCH_r*.json `parsed: null` every round). StdoutOutput forwards the
+// forked JVM's stdout/stderr verbatim; JVM options are unaffected.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

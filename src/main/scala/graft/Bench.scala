@@ -196,24 +196,29 @@ object Bench {
     // failed queries carry the -1 sentinel per-query; they must not make the
     // headline total FASTER — sum successes only
     val total = results.values.filter(_ >= 0).sum
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // ONE machine-readable stdout line (the driver contract) — r14 VERDICT
+    // item 2: printing a second `{"metric":"total",...}` slowest-10 line made
+    // stdout ambiguous to parse, so that summary now goes to stderr with the
+    // rest of the human output. The single JSON object carries everything:
+    // the canonical contract keys first, then (because the harness keeps only
+    // a bounded TAIL of the output, which truncates the line's HEAD once the
+    // per-query map outgrows the window) a duplicate of the headline fields
+    // at the END of the same object — "slowest"/"nqueries"/"total_sec" stay
+    // visible in any tail window without a second JSON line.
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$calJson,"sf":"$sfDir"}"""
-    println(summary)
-    // the harness keeps only a bounded tail of stdout, so the full per-query
-    // map can be lost to truncation — ALSO write it to a file (lossless
-    // artifact; path overridable for multi-run comparisons)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$calJson,"sf":"$sfDir","nqueries":${results.size},"slowest":$slowest,"total_sec":${fmt(total)}}"""
+    // lossless artifact regardless of stdout truncation (path overridable
+    // for multi-run comparisons)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
-    // The harness captures a fixed-size tail of this process's output. As the
-    // query set grows, the full per-query map can push the headline total out
-    // of that window — so re-print a compact, contract-shaped summary LAST
-    // (total + the slowest queries), guaranteed to survive truncation.
-    val slowest = results.toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"queries":$slowest,$calJson,"sf":"$sfDir"}""")
+    System.err.println(
+      s"""[bench] slowest10 {"metric":"total","value":${fmt(total)},"nqueries":${results.size},"queries":$slowest}""")
+    println(summary)
     spark.stop()
   }
 }

@@ -73,10 +73,20 @@ object CacheScope {
   /** Register an already-persisted Dataset for unpersist at scope close.
     * `unpersist` removes the CacheManager ENTRY (not just the blocks), so a
     * closed scope leaves no per-query growth in cache-lookup state.
+    *
+    * BLOCKING unpersist (r15): scope close runs BETWEEN units of work (the
+    * bench's inter-query gap, a service's per-request boundary). A
+    * non-blocking close queues async RemoveRdd/RemoveBlock messages on the
+    * driver's BlockManagerMaster endpoint — a single-threaded inbox — and
+    * that backlog drains INTO the next unit's block operations, taxing
+    * whichever query runs next (the r14 "composed-gate full-set elevation"
+    * mechanism: each gate query's run 2 executed while run 1's fixture
+    * debris was still being reclaimed). Blocking pins the reclamation to
+    * the scope that created the state, where it belongs.
     */
   def track[T](ds: Dataset[T]): Dataset[T] = {
     scopes.get match {
-      case s :: _ => s.add(() => { ds.unpersist(blocking = false); () })
+      case s :: _ => s.add(() => { ds.unpersist(blocking = true); () })
       case Nil    => ()
     }
     ds
@@ -120,7 +130,10 @@ object CacheScope {
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     scopes.get match {
       case s :: _ =>
-        checkpointRdd(cp).foreach(r => s.add(() => { r.unpersist(blocking = false); () }))
+        // blocking at scope close, same rationale as [[track]]; the EAGER
+        // mid-computation frees ([[unpersistCheckpoint]]) stay async — they
+        // run inside an iteration loop where waiting would serialize rounds
+        checkpointRdd(cp).foreach(r => s.add(() => { r.unpersist(blocking = true); () }))
       case Nil => ()
     }
     cp

@@ -30,8 +30,13 @@ object Trace {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // callSite.short is absent on SQL-execution jobs; the final stage's
+        // NAME (e.g. "parquet at Dedup.scala:913") attributes the action
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(js.stageInfos.lastOption.map(si =>
+            s"${si.name} [${js.stageInfos.length}st/${js.stageInfos.map(_.numTasks).sum}tk]"))
+          .getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

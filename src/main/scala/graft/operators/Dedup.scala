@@ -1212,8 +1212,10 @@ object Dedup {
     // resolved via the GenerationLog) or a generation dir (internal callers)
     val dir = GenerationLog.currentDir(spark, path).getOrElse(path)
     // params are immutable per committed generation — memoized so a
-    // streaming gate doesn't pay a one-row Spark job per micro-batch
-    IndexMeta.cachedParams("neardup-params", dir) {
+    // streaming gate doesn't pay a one-row Spark job per micro-batch; the
+    // raw-path fallback (no generation log) is NOT memoized (no
+    // immutability contract — r14 ADVICE)
+    IndexMeta.cachedParamsIfGeneration(spark, "neardup-params", dir) {
       val r = spark.read.parquet(s"$dir/params").head
       (r.getAs[Int]("shingle_size"), r.getAs[Int]("bands"),
         r.getAs[Int]("rows_per_band"), r.getAs[Int]("numer"), r.getAs[Int]("denom"))
@@ -1391,7 +1393,7 @@ object Dedup {
   private[graft] def readSubstringIndexN(
       spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val dir = GenerationLog.currentDir(spark, path).getOrElse(path)
-    IndexMeta.cachedParams("substr-n", dir)(Integer.valueOf(
+    IndexMeta.cachedParamsIfGeneration(spark, "substr-n", dir)(Integer.valueOf(
       spark.read.parquet(s"$dir/params").head.getAs[Int]("n"))).intValue
   }
 

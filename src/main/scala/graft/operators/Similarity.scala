@@ -642,9 +642,10 @@ object Similarity {
     // centroids are immutable per committed generation (every retrain/
     // consolidate stages a NEW `_generations/<N>` dir) — memoized so gate
     // batches and repeated probes don't pay a collect job per call. Paths
-    // outside the generation log (no immutability contract) read directly.
-    if (dir.contains("/_generations/")) IndexMeta.cachedParams("ivf-centroids", dir)(load)
-    else load
+    // outside the generation log (no immutability contract) read directly,
+    // and the memo is keyed on the commit marker's identity (r14 ADVICE:
+    // a wiped-and-rebuilt root reuses generation numbers).
+    IndexMeta.cachedParamsIfGeneration(spark, "ivf-centroids", dir)(load)
   }
 
   /** Probe a persisted index: same shape as [[ivfTopK]], but the corpus
@@ -1059,8 +1060,7 @@ object Similarity {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toSeq).toSeq)
     // immutable per committed generation — memoized like readIvfCentroids
-    if (dir.contains("/_generations/")) IndexMeta.cachedParams("ivfpq-books", dir)(load)
-    else load
+    IndexMeta.cachedParamsIfGeneration(spark, "ivfpq-books", dir)(load)
   }
 
   /** Probe a persisted IVF-PQ index: codes come from the stored

@@ -1275,7 +1275,7 @@ object VersionedSubstring {
     // immutable per committed generation — memoized (one-row read must not
     // cost a Spark job per micro-batch)
     val n = graft.Trace.t("substr.params")(
-      IndexMeta.cachedParams("substr-n", dir)(
+      IndexMeta.cachedParamsIfGeneration(spark, "substr-n", dir)(
         Integer.valueOf(spark.read.parquet(s"$dir/params").head.getAs[Int]("n"))).intValue)
     val man = manifest(spark, root, beforeBatch = Some(batchId))
     // ONE tokenize+shingle pass over the batch text, shared (persisted for
