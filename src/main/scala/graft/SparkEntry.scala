@@ -1880,7 +1880,11 @@ object SparkEntry {
     // join state bounded by watermark + range; equals the batch interval
     // join (oracle)
     "e_stream_join" -> ((s, d) => {
-      val ss = graft.streaming.EventStream.streamSession(s)
+      // inner join: every output row is emitted in the data batch that
+      // completes its pair; the no-data batch only evicts state (proof
+      // obligation documented on skipNoDataBatch)
+      val ss = graft.streaming.EventStream.skipNoDataBatch(
+        graft.streaming.EventStream.streamSession(s))
       val clicks = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"))
@@ -1915,7 +1919,10 @@ object SparkEntry {
     // twice), restored to effectively-once by watermark-scoped streaming
     // dedup — final per-type counts equal the plain batch counts (oracle)
     "e_stream_dedup" -> ((s, d) => {
-      val ss = graft.streaming.EventStream.streamSession(s)
+      // dropDuplicatesWithinWatermark emits first-seen rows on ARRIVAL; the
+      // no-data batch only evicts state (see skipNoDataBatch)
+      val ss = graft.streaming.EventStream.skipNoDataBatch(
+        graft.streaming.EventStream.streamSession(s))
       val stream = graft.streaming.EventStream.readEvents(ss, s"$d/events.parquet")
       val doubled = stream.union(stream)
       val deduped = graft.streaming.EventStream
@@ -2363,10 +2370,10 @@ object SparkEntry {
     // (score-histogram cumulative counts + score-partitioned ranks —
     // no single-partition window anywhere)
     "t_perplexity_buckets" -> ((s, d) => {
+      // selfPerplexityBuckets ≡ perplexityBuckets(docs, train(docs), ...)
+      // with ONE shared tokenize pass (trainer + scorer)
       val docs = tb(s, d, "documents")
-      graft.operators.NgramLm.perplexityBuckets(docs,
-        graft.operators.NgramLm.train(docs, "text", "doc_id"),
-        "text", "doc_id", nBuckets = 3)
+      graft.operators.NgramLm.selfPerplexityBuckets(docs, "text", "doc_id", nBuckets = 3)
         .select(col("doc").as("doc_id"), col("score_x1e6"), col("bucket"))
     }),
     "t_lm_score" -> ((s, d) =>
@@ -2377,21 +2384,30 @@ object SparkEntry {
     // backoff ladder (unseen trigram → bigram → add-one unigram floor);
     // the CASE ladder replays verbatim in the oracle
     "t_lm_trigram" -> ((s, d) => {
+      // ONE tokenize pass over the full corpus: the trainer consumes the
+      // even-doc slice of it (filter commutes with per-doc tokenization),
+      // the scorer the whole frame
       val docs = tb(s, d, "documents")
-      graft.operators.NgramLm.scoreTrigram(docs,
-        graft.operators.NgramLm.trainTrigram(
-          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id"),
-        "text", "doc_id")
+      val toks = graft.CacheScope.persistIfScoped(
+        graft.operators.NgramLm.tokenized(docs, "text", "doc_id"))
+      graft.operators.NgramLm.scoreTrigramFromToks(toks,
+        graft.operators.NgramLm.trainTrigramFromToks(
+          toks.filter(col("doc_id") % 2 === 0), "doc_id"),
+        "doc_id")
     }),
     // CCNet buckets over the TRIGRAM scores — the same distributed exact
     // ntile (bucketsFromScores), fed by the backoff scorer
     "t_perplexity_buckets_tri" -> ((s, d) => {
+      // same shared-tokenize shape as t_lm_trigram (one corpus tokenize
+      // feeds the even-slice trainer and the full-corpus scorer)
       val docs = tb(s, d, "documents")
+      val toks = graft.CacheScope.persistIfScoped(
+        graft.operators.NgramLm.tokenized(docs, "text", "doc_id"))
       graft.operators.NgramLm.bucketsFromScores(
-        graft.operators.NgramLm.scoreTrigram(docs,
-          graft.operators.NgramLm.trainTrigram(
-            docs.filter(col("doc_id") % 2 === 0), "text", "doc_id"),
-          "text", "doc_id"),
+        graft.operators.NgramLm.scoreTrigramFromToks(toks,
+          graft.operators.NgramLm.trainTrigramFromToks(
+            toks.filter(col("doc_id") % 2 === 0), "doc_id"),
+          "doc_id"),
         "doc_id", "avg_logp", nBuckets = 3)
         .select(col("doc").as("doc_id"), col("score_x1e6"), col("bucket"))
     }),
@@ -3610,9 +3626,11 @@ object SparkEntry {
       // inner distinct would only add an exchange ahead of the outer one
       val li = t(s, d, "lineitem")
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-      val edges = PageRank.undirected(
-        li.select((col("s") * 2 + 1).as("a"), (col("p") * 2).as("b")), "a", "b")
-      PageRank.ranks(edges, iters = 3)
+      // ranksUndirected ≡ ranks(undirected(pairs)) with the pair dedup run
+      // BEFORE doubling and the redundant node-set/sink setup removed
+      PageRank.ranksUndirected(
+        li.select((col("s") * 2 + 1).as("a"), (col("p") * 2).as("b")), "a", "b",
+        iters = 3)
         .select(col("node"), col("r").as("rank_x1e12"))
     }),
     // fuzzy record linkage: blocked Jaro-Winkler pairs over part names.

@@ -31,25 +31,46 @@ object NgramLm {
     transform(sequence(lit(1), size(toks) - 1),
       i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))
 
-  private def docBigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** One tokenize pass: (idCol, tk) — the shared input every trainer and
+    * scorer below derives from. Callers that consume it more than once
+    * (self-scoring, train-on-slice + score-on-corpus) persist it for the
+    * pass so the regexp tokenize over full text — the dominant narrow-stage
+    * cost of the whole LM family — runs exactly once per corpus.
+    */
+  def tokenized(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= 2)
+
+  private def bigramsFromToks(toks: DataFrame, idCol: String): DataFrame =
+    toks.filter(size(col("tk")) >= 2)
       .select(col(idCol), explode(bigramPairs(col("tk"))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  private def docBigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    bigramsFromToks(tokenized(docs, textCol, idCol), idCol)
 
   /** Train bigram counts, context totals, and vocabulary size over `docs`.
     * Tokenization is [[TextOps.tokens]] (lowercased whitespace tokens) so
     * the model composes with the rest of the text stack.
     */
-  def train(docs: DataFrame, textCol: String, idCol: String): BigramModel = {
+  def train(docs: DataFrame, textCol: String, idCol: String): BigramModel =
+    // persist the tokenized frame for the pass: the bigram counts and the
+    // vocabulary size otherwise each re-run the corpus tokenize
+    trainFromToks(
+      graft.CacheScope.persistIfScoped(tokenized(docs, textCol, idCol)), idCol)
+
+  /** [[train]] over an already-tokenized (idCol, tk) frame — callers that
+    * also score from the same tokens pass ONE persisted frame through both.
+    * Does not persist `toks` itself (the caller owns that decision).
+    */
+  def trainFromToks(toks: DataFrame, idCol: String): BigramModel = {
     // the bigram table is answer-sized (distinct n-grams, never documents)
     // and read twice (as the model AND as the context totals' input) plus
     // once per scoring join — persist it for the pass (scope-reclaimed)
-    // so the corpus-sized tokenize+explode+agg runs once
-    val bg = graft.CacheScope.persistIfScoped(docBigrams(docs, textCol, idCol)
+    // so the tokenize+explode+agg runs once
+    val bg = graft.CacheScope.persistIfScoped(bigramsFromToks(toks, idCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
-    val vocab = docs.select(explode(TextOps.tokens(col(textCol))).as("t"))
+    val vocab = toks.select(explode(col("tk")).as("t"))
       .agg(count_distinct(col("t")).as("vsz"))
     BigramModel(bg, ctx, vocab)
   }
@@ -64,8 +85,12 @@ object NgramLm {
     * corpus-trained model scores ANY document — the cross-corpus quality
     * filter shape.
     */
-  def score(docs: DataFrame, model: BigramModel, textCol: String, idCol: String): DataFrame = {
-    val db = docBigrams(docs, textCol, idCol)
+  def score(docs: DataFrame, model: BigramModel, textCol: String, idCol: String): DataFrame =
+    scoreFromToks(tokenized(docs, textCol, idCol), model, idCol)
+
+  /** [[score]] over an already-tokenized (idCol, tk) frame. */
+  def scoreFromToks(toks: DataFrame, model: BigramModel, idCol: String): DataFrame = {
+    val db = bigramsFromToks(toks, idCol)
     db.join(model.bigrams, Seq("w1", "w2"), "left")
       .join(model.contexts, Seq("w1"), "left")
       .crossJoin(model.vocab)
@@ -78,10 +103,21 @@ object NgramLm {
   }
 
   /** Train on `docs` and score the same corpus — the self-scoring quality
-    * signal (outliers under the corpus's own statistics).
+    * signal (outliers under the corpus's own statistics). One tokenize
+    * pass feeds both the trainer and the scorer.
     */
-  def selfScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    score(docs, train(docs, textCol, idCol), textCol, idCol)
+  def selfScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = graft.CacheScope.persistIfScoped(tokenized(docs, textCol, idCol))
+    scoreFromToks(toks, trainFromToks(toks, idCol), idCol)
+  }
+
+  /** [[selfScore]] ranked into CCNet buckets — one tokenize pass for the
+    * trainer, the scorer and (via the scored persist in
+    * [[bucketsFromScores]]) the ntile machinery.
+    */
+  def selfPerplexityBuckets(
+      docs: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame =
+    bucketsFromScores(selfScore(docs, textCol, idCol), idCol, "avg_logp", nBuckets)
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
     * scorable document by its LM score and split the ranking into
@@ -180,9 +216,8 @@ object NgramLm {
   final case class TrigramModel(
       trigrams: DataFrame, bigrams: DataFrame, unigrams: DataFrame, totals: DataFrame)
 
-  private def docTrigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= 3)
+  private def trigramsFromToks(toks: DataFrame, idCol: String): DataFrame =
+    toks.filter(size(col("tk")) >= 3)
       .select(col(idCol), explode(transform(sequence(lit(1), size(col("tk")) - 2),
         i => struct(element_at(col("tk"), i).as("w1"),
           element_at(col("tk"), i + 1).as("w2"),
@@ -197,15 +232,22 @@ object NgramLm {
     * three grouped counts + one totals row, shuffled on n-gram keys,
     * never on documents).
     */
-  def trainTrigram(docs: DataFrame, textCol: String, idCol: String): TrigramModel = {
+  def trainTrigram(docs: DataFrame, textCol: String, idCol: String): TrigramModel =
+    trainTrigramFromToks(graft.CacheScope.persistIfScoped(
+      tokenized(docs, textCol, idCol)), idCol)
+
+  /** [[trainTrigram]] over an already-tokenized (idCol, tk) frame. Callers
+    * that train on a slice and score the full corpus tokenize ONCE, persist,
+    * and pass the filtered view here — `toks` itself is not persisted (the
+    * caller owns that decision).
+    */
+  def trainTrigramFromToks(toks: DataFrame, idCol: String): TrigramModel = {
     // ONE tokenization pass feeds all three count tables (the regexp
     // tokenize over full text is the dominant narrow-stage cost; unshared,
     // it ran three times), and each count table is persisted for the pass:
     // they are answer-sized (distinct n-grams) and the scorer joins the
     // bigram table twice (c12/c23) and the unigram table twice (c2/c3) —
     // un-persisted, each join side re-ran its full training aggregation
-    val toks = graft.CacheScope.persistIfScoped(
-      docs.select(col(idCol), TextOps.tokens(col(textCol)).as("tk")))
     def p(df: DataFrame) = graft.CacheScope.persistIfScoped(df)
     val tg = p(toks.filter(size(col("tk")) >= 3)
       .select(col(idCol), explode(transform(sequence(lit(1), size(col("tk")) - 2),
@@ -242,8 +284,13 @@ object NgramLm {
     * oracle. Returns (idCol, n_trigrams, avg_logp).
     */
   def scoreTrigram(
-      docs: DataFrame, model: TrigramModel, textCol: String, idCol: String): DataFrame = {
-    val dt = docTrigrams(docs, textCol, idCol)
+      docs: DataFrame, model: TrigramModel, textCol: String, idCol: String): DataFrame =
+    scoreTrigramFromToks(tokenized(docs, textCol, idCol), model, idCol)
+
+  /** [[scoreTrigram]] over an already-tokenized (idCol, tk) frame. */
+  def scoreTrigramFromToks(
+      toks: DataFrame, model: TrigramModel, idCol: String): DataFrame = {
+    val dt = trigramsFromToks(toks, idCol)
     val b12 = model.bigrams.select(col("w1"), col("w2"), col("c2g").as("c12"))
     val b23 = model.bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
       col("c2g").as("c23"))

@@ -118,6 +118,52 @@ object PageRank {
     else rankGeneral(edgesDeg, nodeBase, iters, bcastRanks)
   }
 
+  /** [[ranks]] over an UNDIRECTED pair set — same integer recurrence, same
+    * result as `ranks(undirected(pairs))`, with the setup work the
+    * undirected structure makes redundant removed (guide §2.3/§2.4: shuffle
+    * fewer bytes, remove shuffles outright):
+    *
+    *  - the edge dedup runs over the PAIR set BEFORE doubling (pairs are
+    *    normalized to (least, greatest) so a pair arriving in both
+    *    orientations dedups to one undirected edge, exactly as
+    *    `undirected(...).distinct()` would) — half the exchange rows of
+    *    dedup-after-double, and one scan of the input instead of two;
+    *  - both directions exist for every edge, so every incident node
+    *    appears on the src side: the node universe is `distinct(src)` over
+    *    the edge frame — the two-leg union + max(has_out) aggregation of
+    *    the general path is redundant;
+    *  - a node with an in-edge always has the reverse out-edge, so sinks
+    *    cannot exist: the sink probe is skipped and the single-consumer
+    *    unrolled recurrence ([[rankSinkFree]]) applies unconditionally.
+    *
+    * Each bullet is a structural identity of the doubled frame, not an
+    * approximation — the outputs are bit-identical (PageRankSpec pins
+    * equality against `ranks(undirected(...))`).
+    */
+  def ranksUndirected(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int, scale: Long = 1000000000000L, unroll: Int = 4): DataFrame = {
+    require(iters >= 0)
+    require(unroll >= 1)
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"), greatest(col(aCol), col(bCol)).as("hi"))
+      .distinct()
+    // doubling a distinct normalized pair set yields a distinct edge set
+    // (the two legs can only collide on lo = hi, excluded from leg 2)
+    val edges = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionAll(und.filter(col("lo") =!= col("hi"))
+        .select(col("hi").as("src"), col("lo").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = graft.CacheScope.localCheckpoint(edges.join(deg, "src"))
+    val nodeInfo = edgesDeg.select(col("src").as("node")).distinct()
+    val nTotal = nodeInfo.groupBy().agg(count(lit(1)).as("n"))
+    val nodeBase = graft.CacheScope.localCheckpoint(
+      nodeInfo.crossJoin(nTotal)
+        .select(col("node"), expr(s"CAST($scale DIV n AS BIGINT)").as("base"), col("n")))
+    val nNodes = nodeBase.select(col("n")).take(1).headOption.map(_.getLong(0)).getOrElse(0L)
+    val bcastRanks = nNodes <= 2000000L
+    rankSinkFree(edgesDeg, nodeBase, iters, unroll, bcastRanks)
+  }
+
   /** One shuffle per round, rank frame single-consumer → `unroll` rounds
     * per materialization with no duplicated subplan.
     */

@@ -546,18 +546,34 @@ object EventStream {
     s2
   }
 
+  /** Skip the trailing NO-DATA micro-batch on this stream session — opt-in,
+    * and ONLY for queries whose stateful operators emit on ARRIVAL (inner
+    * stream-stream joins, dropDuplicates*): for those the no-data batch
+    * exists solely to advance the watermark for state EVICTION, so skipping
+    * it cannot change output — it only skips one full plan+WAL+commit cycle
+    * per query (measured 0.3–0.9 s of the query's fixed cost at any scale,
+    * since the cost is per-BATCH, not per-row). NEVER set this on
+    * watermark-EMITTING shapes (append-mode windowed aggregations,
+    * timeout-firing mapGroupsWithState sessionization): their final rows
+    * only exist because that batch runs.
+    */
+  def skipNoDataBatch(ss: SparkSession): SparkSession = {
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    ss
+  }
+
   /** Run a streaming aggregation over a (finite) file-source stream to
     * completion and return the final result as a batch DataFrame: memory
     * sink + AvailableNow. This is the harness adapter — production callers
     * keep the query running instead.
     */
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val q = agg.writeStream
+    val q = graft.Trace.t("stream.start")(agg.writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
+    graft.Trace.t("stream.await")(q.awaitTermination())
     spark.table(name)
   }
 
@@ -566,12 +582,12 @@ object EventStream {
     * micro-batches; AvailableNow drains the finite source.
     */
   def runAppendToCompletion(spark: SparkSession, plan: DataFrame, name: String): DataFrame = {
-    val q = plan.writeStream
+    val q = graft.Trace.t("stream.start")(plan.writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
+    graft.Trace.t("stream.await")(q.awaitTermination())
     spark.table(name)
   }
 }

@@ -88,6 +88,28 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(PageRank.ranks(empty, iters = 3).count() == 0)
   }
 
+  test("ranksUndirected ≡ ranks(undirected(...)) — duplicates, both orientations, self-loops") {
+    val rnd = new scala.util.Random(41)
+    // duplicate pairs, reversed duplicates and self-loops all present: the
+    // pre-double dedup must reproduce exactly what dedup-after-double did
+    val pairs = Seq.fill(250)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)) ++
+      Seq((3L, 7L), (7L, 3L), (4L, 4L), (4L, 4L))
+    def viaRanks = graft.CacheScope.withScope {
+      PageRank.ranks(PageRank.undirected(pairs.toDF("a", "b"), "a", "b"), iters = 4)
+        .as[(Long, Long)].collect().toMap
+    }
+    def viaUndirected = graft.CacheScope.withScope {
+      PageRank.ranksUndirected(pairs.toDF("a", "b"), "a", "b", iters = 4)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(viaUndirected == viaRanks)
+  }
+
+  test("ranksUndirected on an empty pair set yields an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(PageRank.ranksUndirected(empty, "a", "b", iters = 3).count() == 0)
+  }
+
   test("a two-node cycle converges to equal ranks") {
     val r = PageRank.ranks(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iters = 6)
       .as[(Long, Long)].collect().toMap
